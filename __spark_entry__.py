@@ -1,38 +1,655 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is a SURVEY.md §2 operator family expressed over
+the driver's TPC-H-ish star schema (TESTDATA.md/FIXTURES.md mapping:
+match→orders, participant_stats→lineitem, timeline_event→events,
+summoner→customer, dims→region/nation/part/supplier). ``oracle_sql()`` holds
+the DuckDB-equivalent ANSI SQL.
+
+Determinism notes (the driver hash-compares values):
+- money/quantity aggregates run in DECIMAL(18,2) arithmetic (exact, order
+  insensitive) and cast to double only at the end — double summation order
+  would otherwise produce last-ulp diffs vs DuckDB;
+- every ranking has a total tie-break order;
+- timestamps are emitted as epoch milliseconds (bigint) to avoid
+  timestamp-type representation mismatches between engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators import (
+    aggregates as agg_ops,
+    filters as filter_ops,
+    joins as join_ops,
+    setops as set_ops,
+    topk as topk_ops,
+    windows as window_ops,
+)
+from lol_data_collection_system_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c: str):  # decimal(18,2) view of a money column
+    return agg_ops.dec(c)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6 — multi-stat grouped aggregation (the ~70-column means analogue).
+# Reference: utils.py:846-847,931-937 folds per-stat sums in Python loops.
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1/A2 + §2.3 J1/J2 — grouped counts pivoted by category over broadcast
+# dim joins. Reference: monitor/views/gathering.py:30-64.
+# ---------------------------------------------------------------------------
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_region_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        join_ops.broadcast_dim_join(orders, cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    return agg_ops.grouped_pivot_count(joined, "r_name", "o_orderpriority", PRIORITIES)
+
+
+ORACLE_REGION_PRIORITY_PIVOT = """
+SELECT r_name,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# §2.4 A3 / §2.7 X6 — count distinct per group (monitor/views/gathering.py:29)
+def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+    )
+
+
+ORACLE_CUSTOMERS_PER_REGION = """
+SELECT r_name, COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# §2.4 A4/A7/A16 — global + conditional tallies in one pass
+# (utils.py:990-1098; proto_data_gathering.py:214-218)
+def q_order_status_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = agg_ops.conditional_tallies(
+        orders,
+        [],
+        n_fulfilled=F.col("o_orderstatus") == "F",
+        n_open=F.col("o_orderstatus") == "O",
+        n_partial=F.col("o_orderstatus") == "P",
+        n_urgent=F.col("o_orderpriority") == "1-URGENT",
+    )
+    return out.select(
+        "n_fulfilled",
+        "n_open",
+        "n_partial",
+        "n_urgent",
+        "total",
+        (F.col("n_urgent").cast("double") / F.col("total")).alias("urgent_pct"),
+    )
+
+
+ORACLE_ORDER_STATUS_TALLIES = """
+SELECT COUNT(*) FILTER (o_orderstatus = 'F') AS n_fulfilled,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_partial,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) AS total,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) / COUNT(*) AS urgent_pct
+FROM orders
+"""
+
+
+# §2.4 A5 — two-level mean (avg of per-group avgs); tier averaging
+# (enumerations.py:26-32 at utils.py:89-94). Inner mean exact via decimal
+# sum/count; outer mean rounded to absorb double-sum order.
+def q_acctbal_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    inner = joined.groupBy("r_name", "n_name").agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return inner.groupBy("r_name").agg(
+        F.round(F.avg("nation_avg"), 4).alias("avg_of_nation_avgs"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+ORACLE_ACCTBAL_MEAN_OF_MEANS = """
+WITH inner_m AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, ROUND(AVG(nation_avg), 4) AS avg_of_nation_avgs, COUNT(*) AS n_nations
+FROM inner_m GROUP BY r_name
+"""
+
+
+# §2.2 P3 — disjunctive contains filter
+# (find_recurrent_delta_across_n_games.py:85-90)
+def q_promo_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pred = filter_ops.disjunctive_contains(F.col("p_type"), ["PROMO", "ECONOMY"])
+    return part.filter(pred).groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+ORACLE_PROMO_PARTS_BY_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts FROM part
+WHERE p_type LIKE '%PROMO%' OR p_type LIKE '%ECONOMY%'
+GROUP BY p_brand
+"""
+
+
+# §2.2 P2/P5 — computed boolean flag projection + null-style predicates
+# (periodical_data_repair.py:47-74)
+def q_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        (F.col("o_totalprice") > 150000.0).alias("is_high_value"),
+        (F.col("o_orderstatus") == "F").alias("is_fulfilled"),
+    ).filter(F.col("is_urgent") | F.col("is_high_value"))
+
+
+ORACLE_ORDER_FLAGS = """
+SELECT o_orderkey,
+       o_orderpriority = '1-URGENT' AS is_urgent,
+       o_totalprice > 150000.0 AS is_high_value,
+       o_orderstatus = 'F' AS is_fulfilled
+FROM orders
+WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 150000.0
+"""
+
+
+# §2.2 P9 — prefix normalize + group (utils.py:16-23 semver major.minor)
+def q_type_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy(
+        F.substring_index("p_type", " ", 1).alias("type_prefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
+    )
+
+
+ORACLE_TYPE_PREFIX_COUNTS = """
+SELECT split_part(p_type, ' ', 1) AS type_prefix, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY 1
+"""
+
+
+# §2.2 P10 — composite-key point lookup (utils.py:864)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_ops.composite_key_lookup(li, l_orderkey=1).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem WHERE l_orderkey = 1
+"""
+
+
+# §2.6 O4 + §2.4 A9 — top-k per group (utils.py:354,861 lookback caps)
+def q_top3_lineitems_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return topk_ops.topk_per_group(
+        li,
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        3,
+    ).select("l_suppkey", "rank_in_group", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+ORACLE_TOP3_LINEITEMS_PER_SUPPLIER = """
+SELECT l_suppkey, rank_in_group, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+           AS rank_in_group
+  FROM lineitem)
+WHERE rank_in_group <= 3
+"""
+
+
+# §2.4 A9 — argmax per group (utils.py:451-459 jungler/support selection)
+def q_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return agg_ops.argmax_per_group(
+        joined,
+        ["n_name"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        ["c_custkey", "c_acctbal"],
+    )
+
+
+ORACLE_RICHEST_CUSTOMER_PER_NATION = """
+SELECT n_name, c_custkey, c_acctbal FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+WHERE rn = 1
+"""
+
+
+# §2.5/A11 — trailing window means (find_recurrent_delta:171-195 delta2/3/4)
+def q_trailing_order_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w3 = Window.partitionBy("o_custkey").orderBy(*order_cols).rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(_dec("o_totalprice")).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3)
+        ).alias("trailing3_avg_price"),
+    )
+
+
+ORACLE_TRAILING_ORDER_AVG = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS trailing3_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# §2.4 A14 — cumulative conditional sum (utils.py:499-513 effective gold)
+def q_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    signed = F.when(F.col("event_type") == "error", -_dec("value")).otherwise(_dec("value"))
+    out = window_ops.cumulative_sum(
+        events,
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        signed,
+        "cum_value",
+    )
+    return out.select("user_id", "event_id", F.col("cum_value").cast("double").alias("cum_value"))
+
+
+ORACLE_CUMULATIVE_USER_VALUE = """
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN event_type = 'error'
+                     THEN -CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(value AS DECIMAL(18,2)) END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM events
+"""
+
+
+# §2.4 A12 — streaks via gaps-and-islands (utils.py:939-956)
+def q_max_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    islands = window_ops.streak_islands(
+        events,
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        F.col("event_type"),
+    )
+    return (
+        islands.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("streak_len").alias("max_error_streak"))
+    )
+
+
+ORACLE_MAX_ERROR_STREAK = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged)
+SELECT user_id, MAX(streak_len) AS max_error_streak FROM (
+  SELECT user_id, event_type, island_id, COUNT(*) AS streak_len
+  FROM islands GROUP BY user_id, event_type, island_id)
+WHERE event_type = 'error' GROUP BY user_id
+"""
+
+
+# §2.4 A15 — sliding-window count per key (mysql_requesthistory_checking.py:46-100)
+def q_sliding_rate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = window_ops.sliding_count(events, ["user_id"], "ts", 60_000, "n_last_60s")
+    return out.select("event_id", "user_id", "n_last_60s")
+
+
+ORACLE_SLIDING_RATE_COUNT = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW) AS n_last_60s
+FROM events
+"""
+
+
+# §2.3 J8 — interval self-join ±15 s (utils.py:538-577 fight enrichment)
+def q_events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    joined = join_ops.interval_self_join(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        lower_ms=-15_000,
+        upper_ms=15_000,
+        left_filter=F.col("event_type") == "error",
+    )
+    return joined.groupBy(F.col("event_id").alias("error_event_id")).agg(
+        F.count(F.lit(1)).alias("n_nearby")
+    )
+
+
+ORACLE_EVENTS_NEAR_ERRORS = """
+SELECT a.event_id AS error_event_id, COUNT(*) AS n_nearby
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ms(b.ts) BETWEEN epoch_ms(a.ts) - 15000 AND epoch_ms(a.ts) + 15000
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+"""
+
+
+# §2.3 J10 — as-of join (utils.py:405-416 tier-at-match-time)
+def q_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = join_ops.asof_join(
+        purchases, clicks, ["user_id"], "ts", ["click_event_id"], suffix=""
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("click_event_id").alias("last_click_event_id"),
+    )
+
+
+ORACLE_PURCHASE_LAST_CLICK = """
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       c.event_id AS last_click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# §2.3 J12 / §2.7 X1 — left-anti novelty (utils.py:28-29)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return join_ops.left_anti_novelty(cust, orders, "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# §2.7 X2/X3 + §2.3 J11 — sorted set signatures (utils.py:1074-1083)
+def q_returnflag_set_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sigs = li.groupBy("l_orderkey").agg(
+        set_ops.sorted_set_signature("l_returnflag").alias("flag_set")
+    )
+    return sigs.groupBy("flag_set").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+ORACLE_RETURNFLAG_SET_SIGNATURE = """
+SELECT flag_set, COUNT(*) AS n_orders FROM (
+  SELECT l_orderkey,
+         array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flag_set
+  FROM lineitem GROUP BY l_orderkey)
+GROUP BY flag_set
+"""
+
+
+# §2.1 S6 / §2.2 P11 — guarded JSON extraction (utils.py:763-845,866)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object(F.col("props"), "$.k").cast("bigint"), F.lit(0)
+    )
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(F.lit(1)).alias("k_cnt"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+SELECT event_type,
+       CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS k_sum,
+       COUNT(*) AS k_cnt,
+       CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS DOUBLE)
+         / COUNT(*) AS k_avg
+FROM events GROUP BY event_type
+"""
+
+
+# §2.5 tumbling windows — minutely frames (utils.py:441-448) at hour grain
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+ORACLE_HOURLY_EVENT_COUNTS = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# §2.9 T3/T4 — idempotent latest-wins upsert as a batch dedup
+# (active_data_gathering.py:67-124 two-phase upsert)
+def q_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return agg_ops.argmax_per_group(
+        events,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        ["event_id", "value"],
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER_TYPE = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+# §2.2 P15 — trailing time-window filter (monitor/views/ratelimit.py:88-95)
+def q_last_week_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    recent = filter_ops.recent_window_filter(events, "ts", "7 DAYS")
+    return recent.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+ORACLE_LAST_WEEK_EVENT_MIX = """
+SELECT event_type, COUNT(*) AS n_events FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type
+"""
+
+
+# §2.6 O3 — deterministic pagination (find_recurrent_delta:89-94)
+def q_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return topk_ops.paginate(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        offset=100,
+        limit=50,
+    )
+
+
+ORACLE_ORDERS_PAGE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "region_priority_pivot": q_region_priority_pivot,
+    "customers_per_region": q_customers_per_region,
+    "order_status_tallies": q_order_status_tallies,
+    "acctbal_mean_of_means": q_acctbal_mean_of_means,
+    "promo_parts_by_brand": q_promo_parts_by_brand,
+    "order_flags": q_order_flags,
+    "type_prefix_counts": q_type_prefix_counts,
+    "point_lookup": q_point_lookup,
+    "top3_lineitems_per_supplier": q_top3_lineitems_per_supplier,
+    "richest_customer_per_nation": q_richest_customer_per_nation,
+    "trailing_order_avg": q_trailing_order_avg,
+    "cumulative_user_value": q_cumulative_user_value,
+    "max_error_streak": q_max_error_streak,
+    "sliding_rate_count": q_sliding_rate_count,
+    "events_near_errors": q_events_near_errors,
+    "purchase_last_click": q_purchase_last_click,
+    "customers_without_orders": q_customers_without_orders,
+    "returnflag_set_signature": q_returnflag_set_signature,
+    "json_props_stats": q_json_props_stats,
+    "hourly_event_counts": q_hourly_event_counts,
+    "latest_event_per_user_type": q_latest_event_per_user_type,
+    "last_week_event_mix": q_last_week_event_mix,
+    "orders_page": q_orders_page,
+}
+
+_ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "region_priority_pivot": ORACLE_REGION_PRIORITY_PIVOT,
+    "customers_per_region": ORACLE_CUSTOMERS_PER_REGION,
+    "order_status_tallies": ORACLE_ORDER_STATUS_TALLIES,
+    "acctbal_mean_of_means": ORACLE_ACCTBAL_MEAN_OF_MEANS,
+    "promo_parts_by_brand": ORACLE_PROMO_PARTS_BY_BRAND,
+    "order_flags": ORACLE_ORDER_FLAGS,
+    "type_prefix_counts": ORACLE_TYPE_PREFIX_COUNTS,
+    "point_lookup": ORACLE_POINT_LOOKUP,
+    "top3_lineitems_per_supplier": ORACLE_TOP3_LINEITEMS_PER_SUPPLIER,
+    "richest_customer_per_nation": ORACLE_RICHEST_CUSTOMER_PER_NATION,
+    "trailing_order_avg": ORACLE_TRAILING_ORDER_AVG,
+    "cumulative_user_value": ORACLE_CUMULATIVE_USER_VALUE,
+    "max_error_streak": ORACLE_MAX_ERROR_STREAK,
+    "sliding_rate_count": ORACLE_SLIDING_RATE_COUNT,
+    "events_near_errors": ORACLE_EVENTS_NEAR_ERRORS,
+    "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "returnflag_set_signature": ORACLE_RETURNFLAG_SET_SIGNATURE,
+    "json_props_stats": ORACLE_JSON_PROPS_STATS,
+    "hourly_event_counts": ORACLE_HOURLY_EVENT_COUNTS,
+    "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
+    "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
+    "orders_page": ORACLE_ORDERS_PAGE,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (multi-stat pricing summary) on sf0.001."""
+    return q_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,96 @@
+"""Grouped aggregation (SURVEY.md §2.4, A1-A17).
+
+The reference folds counters in Python loops per row (e.g. the ~70-stat
+means, ``lolapi/app_lib/utils.py:846-847,931-937``). Spark's hash aggregate
+does the same in one pass with map-side partial aggregation — the shuffle
+moves one partial row per (key, mapper), not one row per input row. All
+money arithmetic goes through DECIMAL so results are exact and
+bit-reproducible against the DuckDB oracle (double summation order is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dec(col_name: str, scale: int = 2) -> Column:
+    """Exact-decimal view of a money/quantity column (parquet stores them as
+    double with `scale` true decimals)."""
+    return F.col(col_name).cast(f"decimal(18,{scale})")
+
+
+def grouped_pivot_count(
+    df: DataFrame, group_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Counts per group pivoted by category — one shuffle, not one query per
+    bucket.
+
+    Reference: matches per game-version per region × 8 tier LIKE buckets,
+    issued as ~3 sequential ORM aggregates per region
+    (``monitor/views/gathering.py:30-64``). Passing explicit pivot values
+    skips Spark's extra distinct-scan job and keeps the output schema stable.
+    """
+    return (
+        df.groupBy(group_col)
+        .pivot(pivot_col, values)
+        .count()
+        .na.fill(0, [v for v in values])
+    )
+
+
+def two_level_mean(
+    df: DataFrame, inner_keys: list[str], outer_keys: list[str], value: Column
+) -> DataFrame:
+    """Mean of per-inner-group means (avg of avgs), grouped by outer keys.
+
+    Reference: tier averaging — per-team ordinal mean, then match-level mean
+    of the two team means (``enumerations.py:26-32`` applied at
+    ``utils.py:89-94``). Two cascaded hash aggregates; Catalyst reuses the
+    first shuffle's partitioning when inner keys prefix outer keys.
+    """
+    inner = df.groupBy(*inner_keys).agg(F.avg(value).alias("_inner_mean"))
+    return inner.groupBy(*outer_keys).agg(F.avg("_inner_mean").alias("mean_of_means"))
+
+
+def conditional_tallies(df: DataFrame, group_cols: list[str], **conds: Column) -> DataFrame:
+    """Several filtered counts in one pass: ``agg(count(when(cond, 1)) ...)``.
+
+    Reference: availability counters — matches total / in-role / on-champion
+    / with-spells / with-runes, folded as five Python counters in one loop
+    (``utils.py:990-1098``); win/loss tallies
+    (``proto_data_gathering.py:91-93,214-218``).
+    """
+    aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
+    aggs.append(F.count(F.lit(1)).alias("total"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def argmax_per_group(
+    df: DataFrame, group_cols: list[str], order_by: list[Column], keep: list[str]
+) -> DataFrame:
+    """Top-1 row per group under a deterministic ordering.
+
+    Reference: jungler = max neutralMinionsKilled among smite carriers,
+    support = min totalMinionsKilled (``utils.py:451-459``); peak point
+    (``monitor_gathering.py:53``). `max_by(struct)` would work for single
+    expressions; `row_number` generalizes to composite tie-breaks, which the
+    oracle parity check needs for determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*group_cols, *keep)
+    )
+
+
+def histogram(df: DataFrame, bucket_col: Column, alias: str = "bucket") -> DataFrame:
+    """Count per category bucket.
+
+    Reference: per-lane game counts ``lanes[lane] += 1``
+    (``utils.py:745-752,910-912``).
+    """
+    return df.groupBy(bucket_col.alias(alias)).agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,145 @@
+"""Joins (SURVEY.md §2.3, J1-J12): broadcast dim joins, range/interval
+self-joins, as-of joins, anti-join novelty detection.
+
+The reference joins via ORM FK traversal (one row at a time) and Python
+dict lookups. Here: dims are broadcast (no shuffle), the ±15 s fight
+enrichment is a range self-join pre-partitioned by its equality key so the
+range condition only runs within matching partitions, and the as-of tier
+join — absent from Spark SQL — is the union+window pattern that costs one
+shuffle and no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ small dimension as an explicit broadcast-hash join.
+
+    Reference: FK joins to region/game_version
+    (``periodical_data_repair.py:65-66``) and in-memory dim caches
+    (``utils.py:914-919``). Broadcasting removes the shuffle entirely: at
+    100 TB the fact side streams through map tasks while the dim lives in
+    every executor.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def left_anti_novelty(fresh: DataFrame, known: DataFrame, on) -> DataFrame:
+    """Rows of `fresh` whose key is absent from `known`.
+
+    Reference: novel game-version detection
+    ``[v for v in fresh if v not in known]`` (``utils.py:28-29``;
+    ``periodical_data_repair.py:115-116``). Left-anti join — the cache-miss
+    half of the fetch-or-cache pattern (J5, ``utils.py:862-900``).
+    """
+    return fresh.join(known, on, "left_anti")
+
+
+def interval_self_join(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    lower_ms: int,
+    upper_ms: int,
+    left_filter=None,
+) -> DataFrame:
+    """For each (filtered) left event, all right events of the same key
+    within ``[ts+lower_ms, ts+upper_ms]``.
+
+    Reference: fight-participant enrichment scans ±15 s around each kill
+    (``utils.py:538-577``, the ``±15000`` window at ``:541,561``).
+
+    Spark plan: equi-join on the key (shuffle co-locates each key's events)
+    + the range predicate evaluated inside the joined partition. The
+    equality key keeps this from degenerating into a cross join; with AQE,
+    skewed keys split automatically. Timestamps are compared as epoch
+    millis (the reference stores raw ms).
+    """
+    left = events if left_filter is None else events.filter(left_filter)
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in key_cols],
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c) for c in events.columns if c not in key_cols and c != ts_col],
+    )
+    r = events.select(
+        *[F.col(c).alias(f"r_{c}") for c in key_cols],
+        F.col(ts_col).alias("r_ts"),
+    )
+    key_eq = [F.col(f"l_{c}") == F.col(f"r_{c}") for c in key_cols]
+    lo = F.unix_millis(F.col("l_ts")) + F.lit(lower_ms)
+    hi = F.unix_millis(F.col("l_ts")) + F.lit(upper_ms)
+    rng = F.unix_millis(F.col("r_ts")).between(lo, hi)
+    cond = key_eq[0]
+    for k in key_eq[1:]:
+        cond = cond & k
+    return l.join(r, cond & rng, "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key. Left rows with no prior right
+    row keep NULL values (left-join semantics).
+
+    Reference: tier-at-match-time — the most recent SummonerTierHistory row
+    captured at/before the match (``utils.py:405-416, 84-88``). Spark SQL
+    has no native ASOF JOIN; this is the scalable union+window pattern:
+
+      union(tag sides) → window last(value, ignoreNulls) over
+      (partitionBy key orderBy ts, side) → keep left rows
+
+    One shuffle on (key), no range explosion, no UDF — beats the
+    window+filter-per-pair formulation which materializes every candidate
+    pair.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    for c in right_value_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *key_cols,
+        ts_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    rt = rt.select(*lt.columns)
+    u = lt.unionByName(rt)
+    # Right rows (side=0) sort before left rows at equal ts → "<=" semantics.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_value_cols:
+        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def set_equality_filter(
+    df: DataFrame, group_cols: list[str], item_col: str, required: list[str]
+) -> DataFrame:
+    """Groups whose distinct item set equals `required` exactly.
+
+    Reference: historical spells/runes set equality
+    (``utils.py:1074-1083``) — `{spell1, spell2} == set(...)`. Spark: sorted
+    collect_set equality; the sort makes it order-insensitive like the
+    Python set compare.
+    """
+    want = F.array_sort(F.array(*[F.lit(x) for x in sorted(required)]))
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("item_set"))
+        .filter(F.col("item_set") == want)
+    )

@@ -1,0 +1,131 @@
+"""Window-function operators (SURVEY.md §2.5 + A11/A12/A14/A15).
+
+Everything the reference hand-rolls as ordered Python loops over one
+player's history becomes a declarative window frame. The crucial scale
+property: `Window.partitionBy(player)` distributes the per-player
+computation across the cluster — the reference's loop is inherently
+single-player-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_mean(
+    df: DataFrame,
+    partition: list[str],
+    order: list[Column],
+    value: Column,
+    k: int,
+    alias: str,
+) -> DataFrame:
+    """Mean of the current + previous k-1 rows per partition.
+
+    Reference: delta2/3/4 — means of the last 2/3/4 games' k/d/a per
+    (player, lane_role) (``find_recurrent_delta_across_n_games.py:171-195``).
+    Frame: ``rowsBetween(-(k-1), 0)``.
+    """
+    w = Window.partitionBy(*partition).orderBy(*order).rowsBetween(-(k - 1), 0)
+    return df.withColumn(alias, F.avg(value).over(w))
+
+
+def cumulative_sum(
+    df: DataFrame,
+    partition: list[str],
+    order: list[Column],
+    signed_value: Column,
+    alias: str,
+) -> DataFrame:
+    """Running total over an ordered event stream.
+
+    Reference: ``effective_gold_spent`` — +purchase / −sell / −destroy /
+    undo-swap folded over ordered item events (``utils.py:499-513``).
+    The sign logic lives in `signed_value`; the frame is
+    unboundedPreceding→current.
+    """
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(alias, F.sum(signed_value).over(w))
+
+
+def streak_islands(
+    df: DataFrame,
+    partition: list[str],
+    order: list[Column],
+    state: Column,
+) -> DataFrame:
+    """Gaps-and-islands: tag each row with a streak id that increments when
+    `state` changes, plus the running streak length.
+
+    Reference: consecutive win/loss streak counters that reset on change
+    (``utils.py:754-759,939-956``). ``lag`` + change-flag + running sum is
+    the classic distributed rewrite of that stateful scan.
+    """
+    w_order = Window.partitionBy(*partition).orderBy(*order)
+    changed = (
+        F.when(F.lag(state).over(w_order).isNull(), F.lit(1))
+        .when(F.lag(state).over(w_order) != state, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    out = df.withColumn("_chg", changed)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    out = out.withColumn("island_id", F.sum("_chg").over(w_cum)).drop("_chg")
+    w_island = Window.partitionBy(*partition, "island_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.withColumn("streak_len", F.count(F.lit(1)).over(w_island))
+
+
+def sliding_count(
+    df: DataFrame,
+    partition: list[str],
+    ts_col: str,
+    window_ms: int,
+    alias: str = "window_count",
+) -> DataFrame:
+    """Per row: count of same-key rows in the trailing `window_ms` window
+    (inclusive).
+
+    Reference: the rate limiter counts requests per (region, method) within
+    the last N seconds against a quota
+    (``mysql_requesthistory_checking.py:46-100``) — there via LOCK TABLES +
+    full rescan; here one `rangeBetween` frame over epoch millis. The
+    streaming twin is ``streaming.ratelimit``.
+    """
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(F.unix_millis(F.col(ts_col)))
+        .rangeBetween(-window_ms, 0)
+    )
+    return df.withColumn(alias, F.count(F.lit(1)).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    partition: list[str],
+    ts_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same key exceeds `gap_ms`.
+
+    Reference: fights group kill events by ≤30 s adjacency
+    (``utils.py:586-626``); this is the batch analogue of
+    ``session_window`` (see ``streaming``). Exact reference *merge*
+    semantics (victim-subset absorption) live in ``operators.fights``.
+    """
+    w = Window.partitionBy(*partition).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.unix_millis(F.col(ts_col))).over(w)
+    new_sess = (
+        F.when(prev_ts.isNull(), 1)
+        .when(F.unix_millis(F.col(ts_col)) - prev_ts > gap_ms, 1)
+        .otherwise(0)
+    )
+    out = df.withColumn("_new", new_sess)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn("session_id", F.sum("_new").over(w_cum)).drop("_new")
