@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver) so timings measure the distributed plan, not
+result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lol_data_collection_system_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+#: Headline set: one per operator family, weighted toward the ops that
+#: dominate at scale (wide aggregation, window functions, range self-join,
+#: as-of join, dedup/similarity over documents/embeddings).
+HEADLINE: tuple[str, ...] = (
+    "pricing_summary",
+    "region_priority_pivot",
+    "top3_lineitems_per_supplier",
+    "trailing_order_avg",
+    "cumulative_user_value",
+    "max_error_streak",
+    "sliding_rate_count",
+    "events_near_errors",
+    "purchase_last_click",
+    "returnflag_set_signature",
+    "json_props_stats",
+    "latest_event_per_user_type",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="lol-dcs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in sorted(queries) if n not in HEADLINE
+    ]
+
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Two passes, min per query: pass 1 warms parquet footers + codegen
+    # caches, the min filters out single-run jitter (VM scheduling, GC).
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "survey_s2_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
