@@ -30,6 +30,7 @@ from lol_data_collection_system_spark.operators import (
     topk as topk_ops,
     windows as window_ops,
 )
+from lol_data_collection_system_spark.plans import corpus_queries
 from lol_data_collection_system_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -612,6 +613,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
+    **corpus_queries.QUERIES,
 }
 
 _ORACLES: dict[str, str] = {
@@ -639,6 +641,7 @@ _ORACLES: dict[str, str] = {
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,
+    **corpus_queries.ORACLES,
 }
 
 

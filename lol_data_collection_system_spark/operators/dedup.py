@@ -1,0 +1,222 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design
+------------
+- Exact dedup is a hash-groupBy: one shuffle on the 16-byte fingerprint.
+- Jaccard/MinHash avoid the O(n²) pair space by joining only documents
+  that share a shingle / LSH band bucket — the shuffle key is the shingle
+  or band hash, so co-occurring documents land in the same partition and
+  the candidate set stays near-linear for natural corpora. Frequent
+  shingles (the skew risk at 100 TB) are handled by AQE skew splitting;
+  a document-frequency cap on shingles is the standard extra lever.
+- SimHash is embarrassingly parallel (per-doc signature) + one self-join
+  on band prefix for candidates.
+- All hashing is md5 so the DuckDB oracle reproduces results bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalized_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content fingerprint; keep the smallest id as the
+    canonical representative. One hash-aggregate, no joins."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document (exploded)."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word k-gram shingle sets.
+
+    Candidate generation = self-join on shingle (only docs sharing ≥1
+    shingle are ever compared); |A∩B| = shared-shingle count, |A∪B| =
+    |A|+|B|−|A∩B|. Returns (id_a < id_b, jaccard) above threshold.
+    """
+    sh = shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """n_hashes-wide MinHash signature per document.
+
+    Hash family: ``md5(seed || ':' || shingle)`` — seeded md5 is a fine
+    family for Jaccard estimation and reproduces exactly in any engine.
+    Computed per-document with array expressions (no explode → no shuffle
+    for the signature itself).
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(sh, lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"mh_{seed}")
+        for seed in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (n_hashes/band_size
+    bands of band_size rows), hash each band, self-join on (band_idx,
+    band_hash). Documents agreeing on any band become a candidate pair.
+
+    The join key is the band hash → the shuffle distributes by bucket;
+    bucket sizes are small for non-pathological corpora, keeping the pair
+    blow-up local. Returns distinct (id_a < id_b).
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """`bits`-bit SimHash per document from token hashes.
+
+    Token hash = first 4 hex chars of md5 (16 bits, engine-portable via
+    base conversion). Bit i of the signature is the sign of
+    Σ_tokens (2·bit_i(h) − 1). Distinct tokens are used (weight 1), making
+    the oracle form a simple unnest+group.
+    """
+    toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")  # noqa: E731
+
+    def _bit_contrib(i: int):
+        # two-parameter lambda only: F.aggregate's merge fn must be
+        # (acc, element) — a default-arg third param breaks binding
+        return lambda acc, t: acc + (F.shiftright(tok_hash(t), i) % 2) * 2 - 1
+
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.aggregate(toks, F.lit(0).cast("bigint"), _bit_contrib(i))
+        bit_cols.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    lsh_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: sign-LSH prefilter + exact cosine.
+
+    Bucket = sign bits of the first `lsh_bits` dimensions (axis-aligned
+    hyperplane LSH — deterministic, no random state, oracle-reproducible).
+    Only same-bucket pairs get the exact cosine, cutting the pair space by
+    ~2^lsh_bits for roughly isotropic embeddings. Cosine is computed as an
+    ordered fold in double precision, rounded to 6 dp.
+    """
+    from .similarity import cosine, sign_lsh_bucket
+
+    with_bucket = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,148 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over the ``documents`` table. All pure column
+expressions — JVM-side, whole-stage-codegen'd, no Python in the hot path —
+so a 100 TB corpus streams through map tasks with zero shuffle except the
+final aggregates.
+
+Determinism contract: every function here has an exactly-equivalent ANSI
+SQL form (DuckDB oracle) — tokenization is a single regex split shared by
+both engines, hashes are md5 (identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenizer shared with the oracle: split on runs of whitespace.
+TOKEN_SPLIT_RE = r"\s+"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Ordered — ties break toward the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (regex split, shared with the oracle)."""
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — the cheap proxy for LLM token budgeting."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs, and
+    non-alnum symbols (a regex approximation of byte-pair pieces; the real
+    tokenizer is model-specific and out of scope). JVM regex only.
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, distinct-token ratio
+    (repetition detector), mean token length, stopword ratio.
+
+    The classic pre-training quality filters (length / repetition /
+    stopword-density) expressed as one projection.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    )
+    return df.select(
+        "*",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("distinct_ratio"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / n
+        ).alias("mean_token_len"),
+        (stop_hits.cast("double") / n).alias("stopword_ratio"),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stopword-hit counts for each candidate language plus the
+    argmax prediction (`lang_pred`). Ties break in LANG_STOPWORDS order.
+
+    Pure expressions: one `filter(tokens, in-set)` per language — no
+    explode, no shuffle, linear in corpus size.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    out_cols = list(df.columns)
+
+    def _in_set(words: tuple[str, ...]):
+        # single-parameter lambda: F.filter treats 2-arg lambdas as
+        # (element, index), which would bind the index Column to `words`
+        return lambda t: t.isin(*words)
+
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, _in_set(words)))
+        score_cols.append(hits.alias(f"hits_{lang}"))
+    out = df.select(*out_cols, *score_cols)
+    # argmax with first-wins tie-break: strictly-greater comparison against
+    # all later languages, greater-or-equal against earlier ones.
+    langs = list(LANG_STOPWORDS)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            c = (
+                F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+                if i < j
+                else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
+            )
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return out.withColumn("lang_pred", pred.otherwise(F.lit(langs[0])))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum (keep
+    spaces), collapse whitespace runs, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def winnow_signature(text: Column, gram: int = 4, keep: int = 3) -> Column:
+    """Rolling-hash-style signature: hash every `gram`-token window
+    (concat → md5, the distributed stand-in for a rolling hash) and keep
+    the `keep` smallest hashes, comma-joined.
+
+    A winnowing-lite fingerprint: near-identical documents share most
+    minimal window hashes even when prefixes shift. All array expressions —
+    no explode needed for the per-doc signature.
+    """
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - gram, F.lit(0)))
+    windows = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, gram)))
+    )
+    return F.array_join(F.slice(F.array_sort(windows), 1, keep), ",")

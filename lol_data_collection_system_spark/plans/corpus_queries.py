@@ -1,0 +1,392 @@
+"""Training-corpus queries over ``documents`` and ``embeddings`` — the
+LLM-data-pipeline operator set (dedup, similarity, text analysis) declared
+as (spark_fn, oracle_sql) pairs for the correctness gate.
+
+Every oracle is generated from the SAME constants (stopword lists, shingle
+size, seeds, LSH bits) as the Spark implementation so the two stay in
+lockstep.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from ..sources import load_table
+
+SHINGLE_K = 3
+MINHASH_N = 16
+MINHASH_BAND = 4
+SIMHASH_BITS = 16
+LSH_BITS = 8
+ANN_BITS = 4
+TOPK = 10
+QUERY_VEC_ID = 0
+JACCARD_THRESHOLD = 0.05
+NEAR_DUP_COS = 0.3
+
+# Oracle building blocks (DuckDB dialect), kept textually tiny and derived
+# from the same constants as the Spark side.
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS_LOWER = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+_NTOKS = r"regexp_split_to_array(" + _NORM + r", '\s+')"
+
+
+def _shingle_list_sql(k: int = SHINGLE_K) -> str:
+    """Distinct word k-grams of the normalized text (clamped like Spark's
+    slice for docs shorter than k tokens)."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(t) - {k - 1}, 1)), "
+        f"i -> array_to_string(t[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _stop_hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text_ops.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(text_ops.bpe_ish_piece_count(F.col("text"))).alias("total_pieces"),
+    )
+
+
+ORACLE_DOC_TOKEN_STATS = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+         AS total_pieces
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ratio aggregates per source — ratios of integer sums so the
+    result is deterministic (no double-summation order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*text_ops.LANG_STOPWORDS["en"])))
+    tok_chars = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    per_doc = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct"),
+        stop_hits.alias("stop_hits"),
+        tok_chars.alias("tok_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_distinct").cast("double") / F.sum("n_tok")).alias("distinct_ratio"),
+        (F.sum("stop_hits").cast("double") / F.sum("n_tok")).alias("stopword_ratio"),
+        (F.sum("tok_chars").cast("double") / F.sum("n_tok")).alias("mean_token_len"),
+    )
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"])
+ORACLE_DOC_QUALITY_BY_SOURCE = f"""
+WITH per_doc AS (
+  SELECT source,
+         len({_TOKS}) AS n_tok,
+         len(list_distinct({_TOKS})) AS n_distinct,
+         len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS stop_hits,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS tok_chars
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tok) AS distinct_ratio,
+       CAST(SUM(stop_hits) AS DOUBLE) / SUM(n_tok) AS stopword_ratio,
+       CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tok) AS mean_token_len
+FROM per_doc GROUP BY source
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.language_scores(docs)
+    return scored.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(text_ops.LANG_STOPWORDS)
+    hit_exprs = ",\n         ".join(
+        f"{_stop_hits_sql(text_ops.LANG_STOPWORDS[lang])} AS hits_{lang}"
+        for lang in langs
+    )
+    # argmax chain with first-wins tie-break, mirroring language_scores().
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if i < j else ">"
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH scored AS (
+  SELECT lang, {hit_exprs}
+  FROM (SELECT lang, {_TOKS_LOWER} AS toks FROM documents))
+SELECT lang, {case_sql} AS lang_pred, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, lang_pred
+"""
+
+
+def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dup_groups(docs, "doc_id", "text")
+
+
+ORACLE_DOC_FINGERPRINT_DUPS = f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_winnow_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.winnow_signature(F.col("text")).alias("signature")
+    )
+
+
+ORACLE_WINNOW_SIGNATURES = f"""
+SELECT doc_id,
+       array_to_string(list_sort(
+         list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                        i -> md5(array_to_string(t[i:i+3], ' '))))[1:3], ',')
+         AS signature
+FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.lsh_candidate_pairs(
+        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{seed}:' || x)), 'min') AS mh_{seed}"
+        for seed in range(MINHASH_N)
+    )
+    n_bands = MINHASH_N // MINHASH_BAND
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh_{b * MINHASH_BAND + r}" for r in range(MINHASH_BAND)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {mh_exprs}
+  FROM (SELECT doc_id, {_shingle_list_sql()} AS sh
+        FROM (SELECT doc_id, {_NTOKS} AS t FROM documents))),
+banded AS (
+  SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_idx,
+         unnest(bands) AS band_hash
+  FROM (SELECT doc_id, [{band_exprs}] AS bands FROM sigs))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, "doc_id", "text", SIMHASH_BITS)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_NTOKS})) AS t FROM documents),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc_id, i,
+         SUM(((h >> i) & 1) * 2 - 1) AS contrib
+  FROM hashed CROSS JOIN generate_series(0, {SIMHASH_BITS - 1}) s(i)
+  GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN contrib > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_near_dup_pairs(
+        emb, threshold=NEAR_DUP_COS, lsh_bits=LSH_BITS
+    )
+
+
+def _bucket_sql(col: str, bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_SQL}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON {_bucket_sql('a.embedding', LSH_BITS)} = {_bucket_sql('b.embedding', LSH_BITS)}
+ AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL}, 6) >= {NEAR_DUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, QUERY_VEC_ID, TOPK)
+
+
+_COS_Q_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"
+)
+
+ORACLE_EMBEDDING_TOPK = f"""
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank,
+         ROUND({_COS_Q_SQL}, 4) AS cos_sim
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id != {QUERY_VEC_ID})
+WHERE rank <= {TOPK}
+"""
+
+
+def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_topk(emb, QUERY_VEC_ID, TOPK, ANN_BITS)
+
+
+ORACLE_EMBEDDING_ANN_TOPK = f"""
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank,
+         ROUND({_COS_Q_SQL}, 4) AS cos_sim
+  FROM embeddings e,
+       (SELECT embedding, {_bucket_sql('embedding', ANN_BITS)} AS qb
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+    AND {_bucket_sql('e.embedding', ANN_BITS)} = q.qb)
+WHERE rank <= {TOPK}
+"""
+
+
+def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            sim_ops.sign_lsh_bucket(F.col("embedding"), LSH_BITS).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+ORACLE_EMBEDDING_BUCKET_SIZES = f"""
+SELECT {_bucket_sql('embedding', LSH_BITS)} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality_by_source": q_doc_quality_by_source,
+    "lang_id_confusion": q_lang_id_confusion,
+    "doc_fingerprint_dups": q_doc_fingerprint_dups,
+    "winnow_signatures": q_winnow_signatures,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_topk": q_embedding_ann_topk,
+    "embedding_bucket_sizes": q_embedding_bucket_sizes,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
+    "doc_quality_by_source": ORACLE_DOC_QUALITY_BY_SOURCE,
+    "lang_id_confusion": _lang_id_oracle(),
+    "doc_fingerprint_dups": ORACLE_DOC_FINGERPRINT_DUPS,
+    "winnow_signatures": ORACLE_WINNOW_SIGNATURES,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_pairs": _minhash_oracle(),
+    "simhash_docs": _simhash_oracle(),
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,
+    "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
+}
