@@ -30,7 +30,7 @@ from lol_data_collection_system_spark.operators import (
     topk as topk_ops,
     windows as window_ops,
 )
-from lol_data_collection_system_spark.plans import corpus_queries
+from lol_data_collection_system_spark.plans import corpus_queries, domain_queries
 from lol_data_collection_system_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -614,6 +614,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
     **corpus_queries.QUERIES,
+    **domain_queries.QUERIES,
 }
 
 _ORACLES: dict[str, str] = {
@@ -642,6 +643,7 @@ _ORACLES: dict[str, str] = {
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,
     **corpus_queries.ORACLES,
+    **domain_queries.ORACLES,
 }
 
 
