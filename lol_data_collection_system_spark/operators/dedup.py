@@ -88,29 +88,45 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+#: Mersenne prime 2^31-1 for the universal-hash permutation family.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm(i: int):
+    """Permutation i of the universal family h_i(x) = (a_i·x + b_i) mod p.
+
+    a_i odd and < p, b_i < p; x < p ⇒ a_i·x < 2^62 (no 64-bit overflow) —
+    identical integer arithmetic in Spark and DuckDB."""
+    return 2 * i + 1, 7_919 * i + 1
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
     """n_hashes-wide MinHash signature per document.
 
-    Hash family: ``md5(seed || ':' || shingle)`` — seeded md5 is a fine
-    family for Jaccard estimation and reproduces exactly in any engine.
-    Computed per-document with array expressions (no explode → no shuffle
-    for the signature itself).
+    Plan shape (the scale path): explode shingles → ONE md5 per shingle
+    (60-bit prefix as bigint, reduced mod p) → n cheap integer permutations
+    (a_i·h + b_i mod p) → groupBy(doc) min per permutation. Partial
+    aggregation shrinks the shuffle to n longs per doc per partition.
+
+    (A previous formulation computed ``md5(seed:shingle)`` per seed inside
+    nested array exprs — n md5s per shingle plus shingle-array recompute
+    per signature column; 60× slower at sf0.1.)
     """
-    toks = tokens(normalized_text(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    sh = shingles(df, id_col, text_col, k)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(sh, lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-        ).alias(f"mh_{seed}")
-        for seed in range(n_hashes)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    perm_cols = []
+    for i in range(n_hashes):
+        a, b = minhash_perm(i)
+        perm_cols.append(((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"p_{i}"))
+    hashed = sh.select(F.col(id_col), *perm_cols)
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"p_{i}").alias(f"mh_{i}") for i in range(n_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -164,23 +180,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     base conversion). Bit i of the signature is the sign of
     Σ_tokens (2·bit_i(h) − 1). Distinct tokens are used (weight 1), making
     the oracle form a simple unnest+group.
+
+    Plan shape: explode distinct tokens → one md5 per token → `bits`
+    integer partial sums per doc (map-side combine) → sign + pack. (The
+    per-doc array-fold formulation recomputed the md5 once per bit.)
     """
     toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")  # noqa: E731
-
-    def _bit_contrib(i: int):
-        # two-parameter lambda only: F.aggregate's merge fn must be
-        # (acc, element) — a default-arg third param breaks binding
-        return lambda acc, t: acc + (F.shiftright(tok_hash(t), i) % 2) * 2 - 1
-
-    bit_cols = []
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("bigint")
+    contribs = exploded.select(
+        F.col(id_col),
+        *[
+            ((F.shiftright(h, i) % 2) * 2 - 1).alias(f"c_{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = contribs.groupBy(id_col).agg(
+        *[F.sum(f"c_{i}").alias(f"s_{i}") for i in range(bits)]
+    )
+    sig = F.lit(0).cast("bigint")
     for i in range(bits):
-        contrib = F.aggregate(toks, F.lit(0).cast("bigint"), _bit_contrib(i))
-        bit_cols.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+        sig = sig + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -219,24 +219,36 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mh_exprs = ",\n         ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{seed}:' || x)), 'min') AS mh_{seed}"
-        for seed in range(MINHASH_N)
-    )
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm
+
+    perm_exprs = []
+    for i in range(MINHASH_N):
+        a, b = minhash_perm(i)
+        perm_exprs.append(
+            f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        )
+    mh_exprs = ",\n         ".join(perm_exprs)
     n_bands = MINHASH_N // MINHASH_BAND
     band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(
-            f"mh_{b * MINHASH_BAND + r}" for r in range(MINHASH_BAND)
+            f"CAST(mh_{b * MINHASH_BAND + r} AS VARCHAR)"
+            for r in range(MINHASH_BAND)
         )
         + ")"
         for b in range(n_bands)
     )
     return f"""
-WITH sigs AS (
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh),
+sigs AS (
   SELECT doc_id, {mh_exprs}
-  FROM (SELECT doc_id, {_shingle_list_sql()} AS sh
-        FROM (SELECT doc_id, {_NTOKS} AS t FROM documents))),
+  FROM hashed GROUP BY doc_id),
 banded AS (
   SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_idx,
          unnest(bands) AS band_hash
