@@ -30,7 +30,11 @@ from lol_data_collection_system_spark.operators import (
     topk as topk_ops,
     windows as window_ops,
 )
-from lol_data_collection_system_spark.plans import corpus_queries, domain_queries
+from lol_data_collection_system_spark.plans import (
+    corpus_queries,
+    domain_queries,
+    pipeline_queries,
+)
 from lol_data_collection_system_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -615,6 +619,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_page": q_orders_page,
     **corpus_queries.QUERIES,
     **domain_queries.QUERIES,
+    **pipeline_queries.QUERIES,
 }
 
 _ORACLES: dict[str, str] = {
@@ -644,6 +649,7 @@ _ORACLES: dict[str, str] = {
     "orders_page": ORACLE_ORDERS_PAGE,
     **corpus_queries.ORACLES,
     **domain_queries.ORACLES,
+    **pipeline_queries.ORACLES,
 }
 
 

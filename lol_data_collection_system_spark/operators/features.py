@@ -1,0 +1,117 @@
+"""Feature pipeline (SURVEY.md §2 U2/U7, §3.3): wide one-hot flattening,
+normalization from aggregated statistics, and Arrow-batched model scoring.
+
+Reference: `proto_data_analysis.py:661-695` generates ~10⁵ closure lambdas
+(one per mapside × champion × attribute × value mix) applied row-by-row to
+build a 1-row pandas frame; normalization is (x−μ)/2σ per column
+(`:50-74`); scoring is Keras `predict_proba` (`:826-831`).
+
+Spark-first redesign:
+- One-hot columns are generated as a SINGLE wide `select` of
+  `when(col == value, 1).otherwise(0)` exprs — one projection node, fully
+  codegen'd. (A `withColumn` loop would build 10⁵ plan nodes; the survey
+  flags this as the Catalyst-width hazard — §4 item 3.)
+- μ/σ come from ONE aggregate pass and are folded into the projection as
+  literals (a driver-side collect of 2 rows, then broadcast by constant
+  folding) — no second shuffle.
+- Scoring runs as a scalar `pandas_udf`: Arrow batches in, NumPy math,
+  Arrow out — the 10-100× path over row-at-a-time Python. The stub model
+  is a fixed-weight linear scorer in integer space (deterministic,
+  oracle-reproducible); a real model swaps `_score_batch`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def one_hot_exprs(
+    col: str, values: Iterable[str], prefix: str | None = None
+) -> list[Column]:
+    """when(col==v,1).otherwise(0) per category value — append to ONE
+    select; never loop withColumn."""
+    p = prefix or col
+    return [
+        F.when(F.col(col) == v, F.lit(1)).otherwise(F.lit(0)).alias(f"{p}_{_slug(v)}")
+        for v in values
+    ]
+
+
+def _slug(v: str) -> str:
+    return str(v).lower().replace(" ", "_").replace("-", "_")
+
+
+def feature_matrix(
+    df: DataFrame,
+    id_cols: list[str],
+    categorical: dict[str, list[str]],
+    numeric: list[str],
+) -> DataFrame:
+    """Wide feature frame: id cols + one-hot block + raw numerics, one
+    projection. Column order is sorted within each block for a stable
+    schema (reference sorts its rule keys, `proto_data_analysis.py:33`).
+    """
+    oh: list[Column] = []
+    for col in sorted(categorical):
+        oh.extend(one_hot_exprs(col, sorted(categorical[col])))
+    return df.select(
+        *[F.col(c) for c in id_cols],
+        *oh,
+        *[F.col(c) for c in sorted(numeric)],
+    )
+
+
+def normalize_columns(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """(x − μ) / 2σ per column — the reference's ±1 squeeze
+    (`proto_data_analysis.py:50-74`) — with μ/σ from one aggregate pass
+    folded back as literals. σ is the sample stddev; σ=0 maps to 0.
+    """
+    stats = df.agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in cols],
+        *[F.stddev(c).alias(f"sd_{c}") for c in cols],
+    ).collect()[0]
+    out = df
+    exprs = []
+    for c in df.columns:
+        if c in cols:
+            mu = stats[f"mu_{c}"] or 0.0
+            sd = stats[f"sd_{c}"] or 0.0
+            if sd == 0.0:
+                exprs.append(F.lit(0.0).alias(c))
+            else:
+                exprs.append(
+                    F.round((F.col(c) - F.lit(mu)) / F.lit(2.0 * sd), round_to).alias(c)
+                )
+        else:
+            exprs.append(F.col(c))
+    return out.select(*exprs)
+
+
+def linear_score_udf(weights: dict[str, int], bias: int = 0):
+    """Deterministic stand-in for model inference: integer-weight linear
+    score over feature columns, as a scalar pandas_udf (Arrow batches,
+    vectorized NumPy ops). Integer space keeps Spark and any SQL oracle
+    bit-identical. Swap the body for `model.predict` to serve a real
+    model — the Arrow plumbing is the point.
+    """
+    names = sorted(weights)
+
+    @pandas_udf("bigint")
+    def score(*cols: pd.Series) -> pd.Series:
+        total = None
+        for name, s in zip(names, cols):
+            term = s.astype("int64") * weights[name]
+            total = term if total is None else total + term
+        return total + bias
+
+    def apply(df: DataFrame, alias: str = "score") -> DataFrame:
+        return df.withColumn(alias, score(*[F.col(n) for n in names]))
+
+    return apply

@@ -1,0 +1,215 @@
+"""Multimodal + feature-pipeline queries (SURVEY.md §2 U2/U7 + the
+multimodal column family). The decode stub is deterministic (md5-derived),
+so even the mapInPandas/pandas_udf paths are DuckDB-oracle-gated — the
+Arrow plumbing itself is under the hash check.
+
+Float determinism: feature floats are dyadic rationals (k / 2^32) — exact
+in binary floating point, so no rounding is needed anywhere; z-scores are
+derived from exact DECIMAL sums with the formula mirrored operation-for-
+operation in the oracle, making both engines produce bit-identical
+doubles (IEEE ops on identical inputs are correctly rounded).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import features as feat_ops
+from ..operators import multimodal as mm_ops
+from ..sources import load_table
+
+FRAME_EVERY_N = 10
+
+# ---------------------------------------------------------------------------
+# Multimodal decode via mapInPandas (stubbed codec, real plumbing)
+# ---------------------------------------------------------------------------
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    decoded = mm_ops.decode_features(media)
+    return decoded.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "payload_md5",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+_MODALITY_SQL = "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]"
+
+
+def _feature_sql(i: int) -> str:
+    # byte i*4..i*4+4 of the md5 digest = hex chars i*8+1..i*8+8, as uint32
+    return (
+        f"CAST(CAST(CAST(('0x' || substr(md5(text), {i * 8 + 1}, 8)) AS BIGINT)"
+        f" / 4294967296.0 AS FLOAT) AS DOUBLE) AS f{i}"
+    )
+
+
+ORACLE_MEDIA_DECODE_FEATURES = f"""
+SELECT doc_id AS media_id,
+       {_MODALITY_SQL} AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       {_feature_sql(0)}, {_feature_sql(1)}, {_feature_sql(2)}, {_feature_sql(3)}
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling from metadata only (decode deferred)
+# ---------------------------------------------------------------------------
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    return mm_ops.frame_sample_plan(media, FRAME_EVERY_N)
+
+
+ORACLE_MEDIA_FRAME_SAMPLE = f"""
+SELECT doc_id AS media_id,
+       {_MODALITY_SQL} AS modality,
+       unnest(generate_series(0, greatest((n_chars % 300 + 1) - 1, 0), {FRAME_EVERY_N}))
+         AS frame_idx
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wide one-hot feature matrix + Arrow pandas_udf linear scoring
+# ---------------------------------------------------------------------------
+STATUS_VALUES = ["F", "O", "P"]
+PRIORITY_VALUES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SCORE_WEIGHTS = {
+    "o_orderstatus_f": 7,
+    "o_orderstatus_o": -3,
+    "o_orderstatus_p": 11,
+    "o_orderpriority_1_urgent": 13,
+    "o_orderpriority_2_high": 5,
+    "o_orderpriority_3_medium": 2,
+    "o_orderpriority_4_not_specified": -1,
+    "o_orderpriority_5_low": -8,
+    "o_custkey": 17,
+}
+SCORE_BIAS = 42
+
+
+def q_order_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fm = feat_ops.feature_matrix(
+        orders,
+        id_cols=["o_orderkey"],
+        categorical={
+            "o_orderstatus": STATUS_VALUES,
+            "o_orderpriority": PRIORITY_VALUES,
+        },
+        numeric=["o_custkey"],
+    )
+    scorer = feat_ops.linear_score_udf(SCORE_WEIGHTS, SCORE_BIAS)
+    return scorer(fm, "score").select(
+        "o_orderkey",
+        "o_orderstatus_f",
+        "o_orderpriority_1_urgent",
+        "score",
+    )
+
+
+def _onehot_sql(col: str, value: str) -> str:
+    return f"CASE WHEN {col} = '{value}' THEN 1 ELSE 0 END"
+
+
+def _score_sql() -> str:
+    terms = [
+        f"{w} * ({_onehot_sql('o_orderstatus', 'F')})"
+        if n == "o_orderstatus_f"
+        else f"{w} * ({_onehot_sql('o_orderstatus', 'O')})"
+        if n == "o_orderstatus_o"
+        else f"{w} * ({_onehot_sql('o_orderstatus', 'P')})"
+        if n == "o_orderstatus_p"
+        else f"{w} * ({_onehot_sql('o_orderpriority', '1-URGENT')})"
+        if n == "o_orderpriority_1_urgent"
+        else f"{w} * ({_onehot_sql('o_orderpriority', '2-HIGH')})"
+        if n == "o_orderpriority_2_high"
+        else f"{w} * ({_onehot_sql('o_orderpriority', '3-MEDIUM')})"
+        if n == "o_orderpriority_3_medium"
+        else f"{w} * ({_onehot_sql('o_orderpriority', '4-NOT SPECIFIED')})"
+        if n == "o_orderpriority_4_not_specified"
+        else f"{w} * ({_onehot_sql('o_orderpriority', '5-LOW')})"
+        if n == "o_orderpriority_5_low"
+        else f"{w} * o_custkey"
+        for n, w in sorted(SCORE_WEIGHTS.items())
+    ]
+    return " + ".join(terms) + f" + {SCORE_BIAS}"
+
+
+ORACLE_ORDER_FEATURE_SCORES = f"""
+SELECT o_orderkey,
+       {_onehot_sql('o_orderstatus', 'F')} AS o_orderstatus_f,
+       {_onehot_sql('o_orderpriority', '1-URGENT')} AS o_orderpriority_1_urgent,
+       CAST({_score_sql()} AS BIGINT) AS score
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# z-score normalization from exact decimal moments (no collect, no rounding)
+# ---------------------------------------------------------------------------
+def q_normalized_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x − μ) / 2σ with μ and σ derived from exact DECIMAL Σx and Σx²;
+    the 1-row stats frame is broadcast-joined (no driver collect). The
+    double math (casts, −, ×, ÷, sqrt) is mirrored token-for-token in the
+    oracle, so results are bit-identical without rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = orders.agg(
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mu * mu) / (F.col("n") - 1)
+    stats = stats.select(
+        mu.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    return orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        (
+            (F.col("o_totalprice").cast("double") - F.col("mu"))
+            / (F.lit(2.0) * F.col("sigma"))
+        ).alias("z_price"),
+    )
+
+
+ORACLE_NORMALIZED_ORDER_PRICE = """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu_pre,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM orders),
+stats2 AS (
+  SELECT mu_pre AS mu, sqrt((s2 - n * mu_pre * mu_pre) / (n - 1)) AS sigma FROM stats)
+SELECT o_orderkey,
+       (CAST(o_totalprice AS DOUBLE) - mu) / (2.0 * sigma) AS z_price
+FROM orders, stats2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_decode_features": q_media_decode_features,
+    "media_frame_sample": q_media_frame_sample,
+    "order_feature_scores": q_order_feature_scores,
+    "normalized_order_price": q_normalized_order_price,
+}
+
+ORACLES: dict[str, str] = {
+    "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
+    "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
+    "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,
+    "normalized_order_price": ORACLE_NORMALIZED_ORDER_PRICE,
+}
