@@ -1,0 +1,23 @@
+"""Structured Streaming layer (SURVEY.md §2.9 T1-T8).
+
+The reference's 'streaming' is polling loops + idempotent DB upserts
+coordinated by table locks; here the same semantics are declared:
+
+- `ratelimit`  — sliding-window request accounting vs quota (T5)
+- `upsert`     — two-phase latest-wins upsert + exactly-once claim (T3/T4)
+- `sessions`   — watermarked session windows for fight grouping (T8)
+
+Every streaming job has a batch twin in `operators/` — tests assert the
+streaming result (availableNow trigger) equals the batch computation.
+"""
+
+from .ratelimit import sliding_quota_counts
+from .sessions import streaming_sessions
+from .upsert import latest_wins_upsert_sink, two_phase_upsert
+
+__all__ = [
+    "sliding_quota_counts",
+    "streaming_sessions",
+    "latest_wins_upsert_sink",
+    "two_phase_upsert",
+]

@@ -1,0 +1,193 @@
+"""Streaming-layer tests (SURVEY.md §5 item 5): each streaming job run
+with an availableNow trigger over file sources must equal its batch twin;
+the upsert store must be idempotent under duplicate/late/replayed events
+(reference behaviors T3/T4/T6)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lol_data_collection_system_spark.streaming import (
+    latest_wins_upsert_sink,
+    sliding_quota_counts,
+    streaming_sessions,
+    two_phase_upsert,
+)
+from lol_data_collection_system_spark.streaming.upsert import latest_wins_merge
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("method", T.StringType()),
+    ]
+)
+
+
+#: Event-time sentinel: advances the watermark past every real window so
+#: append-mode streaming emits them within one availableNow run.
+SENTINEL_TS = "2024-01-01 01:00:00"
+SENTINEL_MS = 1704070800000
+
+
+def _request_rows():
+    # 7 requests for (euw, match) inside one 10 s window vs quota 5;
+    # 2 requests for (na, summoner) vs quota 10.
+    base = "2024-01-01 00:00:{:02d}"
+    rows = [(base.format(s), "euw", "match") for s in (1, 2, 3, 4, 5, 6, 7)]
+    rows += [(base.format(s), "na", "summoner") for s in (2, 8)]
+    rows.append((SENTINEL_TS, "zz", "sentinel"))
+    return [(r[0], r[1], r[2]) for r in rows]
+
+
+def _write_json_source(spark, tmpdir, rows):
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], ["ts_s", "region", "method"]
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "region", "method")
+    df.coalesce(1).write.mode("overwrite").json(str(tmpdir))
+    return df
+
+
+def test_sliding_quota_streaming_equals_batch(spark, tmp_path):
+    src_dir = tmp_path / "req"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    batch_df = _write_json_source(spark, src_dir, _request_rows())
+    quotas = spark.createDataFrame(
+        [("euw", "match", 5), ("na", "summoner", 10)],
+        ["region", "method", "max_requests"],
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(str(src_dir))
+    )
+    q = (
+        sliding_quota_counts(stream, quotas, ["region", "method"], "ts", 10, 5)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append mode emits only watermark-closed windows: everything except
+    # the sentinel's own windows — drop them from both sides
+    got = spark.read.parquet(str(out_dir)).filter(F.col("region") != "zz")
+    want = sliding_quota_counts(
+        batch_df, quotas, ["region", "method"], "ts", 10, 5
+    ).filter(F.col("region") != "zz")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # quota breach is visible: the 10s window holding all 7 euw requests
+    over = got.filter(F.col("over_quota")).collect()
+    assert any(r.region == "euw" and r.n_requests > 5 for r in over)
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    src_dir = tmp_path / "sess_src"
+    out_dir = tmp_path / "sess_out"
+    ckpt = tmp_path / "sess_ckpt"
+    rows = [
+        ("2024-01-01 00:00:00", "a", "x"),
+        ("2024-01-01 00:00:10", "a", "x"),  # same session (gap < 15s)
+        ("2024-01-01 00:01:00", "a", "x"),  # new session
+        ("2024-01-01 00:00:05", "b", "x"),
+        (SENTINEL_TS, "zz", "x"),  # closes all real sessions
+    ]
+    batch_df = _write_json_source(spark, src_dir, rows)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src_dir))
+    q = (
+        streaming_sessions(stream, ["region"], "ts", "15 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(out_dir)).filter(F.col("region") != "zz").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            streaming_sessions(batch_df, ["region"], "ts", "15 seconds")
+            .filter(F.col("region") != "zz")
+            .collect(),
+        )
+    )
+    assert got == want
+    by_key = {(r[0], r[1]): r[3] for r in got}  # (region, start_ms) -> n
+    assert by_key[("a", 1704067200000)] == 2
+    assert by_key[("a", 1704067260000)] == 1
+    assert by_key[("b", 1704067205000)] == 1
+
+
+UPSERT_SCHEMA = T.StructType(
+    [
+        T.StructField("match_id", T.LongType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("phase", T.LongType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("result_json", T.StringType()),
+    ]
+)
+
+
+def test_two_phase_upsert_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    src = tmp_path / "upd"
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    phase1 = [(1, "euw", 1, "GOLD", None), (2, "na", 1, "SILVER", None)]
+    phase2 = [(1, "euw", 2, None, '{"win":true}')]
+    dup_phase1_replay = [(1, "euw", 1, "GOLD", None)]  # late duplicate
+    updates = phase1 + phase2 + dup_phase1_replay
+    spark.createDataFrame(updates, UPSERT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src))
+
+    stream = spark.readStream.schema(UPSERT_SCHEMA).json(str(src))
+    q = two_phase_upsert(stream, store, ["match_id", "region"], "phase", ckpt)
+    q.awaitTermination(120)
+
+    rows = {
+        (r.match_id, r.region): r for r in spark.read.parquet(store).collect()
+    }
+    assert len(rows) == 2
+    # phase 2 filled result_json without erasing phase 1's tier
+    assert rows[(1, "euw")].tier == "GOLD"
+    assert rows[(1, "euw")].result_json == '{"win":true}'
+    assert rows[(2, "na")].result_json is None
+
+    # replaying the same batch changes nothing (exactly-once effect)
+    sink = latest_wins_upsert_sink(store, ["match_id", "region"], "phase")
+    sink(spark.createDataFrame(updates, UPSERT_SCHEMA), batch_id=99)
+    rows2 = {
+        (r.match_id, r.region): (r.tier, r.result_json)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows2 == {
+        k: (v.tier, v.result_json) for k, v in rows.items()
+    }
+
+
+def test_latest_wins_merge_pure():
+    # unit check of the merge lattice without any IO
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    cur = spark.createDataFrame([(1, "euw", 1, "GOLD", None)], UPSERT_SCHEMA)
+    upd = spark.createDataFrame([(1, "euw", 2, None, "res")], UPSERT_SCHEMA)
+    out = latest_wins_merge(cur, upd, ["match_id", "region"], "phase").collect()
+    assert len(out) == 1
+    assert out[0].tier == "GOLD" and out[0].result_json == "res"
