@@ -258,17 +258,23 @@ def merge_fight_group(events: list[dict], horizon_ms: int = 30_000) -> list[dict
 def subset_merge(
     enriched: DataFrame, horizon_ms: int = 30_000
 ) -> DataFrame:
-    """Distributed wrapper: group by (match, actor, perspective), sort each
-    group by ts, run the exact reference fold. Arrow-batched grouped-map —
-    groups are tiny (fight counts per player per match), so the Python
-    stage is bounded; the shuffle key is the natural partition key.
+    """Distributed wrapper: group by (match, actor) — the reference merges
+    one participant's kills AND deaths in a single ts-sorted list
+    (``sorted(kills+deaths)``, `utils.py:582`; kills sort before deaths on
+    ts ties because Python's sort is stable over the concatenation) — then
+    run the exact reference fold per group. Arrow-batched grouped-map;
+    groups are tiny (one player's fights in one match), so the Python
+    stage is bounded and groups distribute across executors.
     """
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts_ms", kind="mergesort")
+        pdf = pdf.assign(
+            _persp_rank=(pdf["perspective"] != "kill").astype(int)
+        ).sort_values(["ts_ms", "_persp_rank"], kind="mergesort")
         events = [
             {
                 "ts_ms": int(r.ts_ms),
+                "perspective": str(r.perspective),
                 "allies": list(r.allies),
                 "enemies": list(r.enemies),
                 "victims": list(r.victims),
@@ -283,7 +289,7 @@ def subset_merge(
             {
                 "match_id": [int(first.match_id)] * len(kept),
                 "actor": [int(first.actor)] * len(kept),
-                "perspective": [str(first.perspective)] * len(kept),
+                "perspective": [e["perspective"] for e in kept],
                 "ts_ms": [e["ts_ms"] for e in kept],
                 "allies": [e["allies"] for e in kept],
                 "enemies": [e["enemies"] for e in kept],
@@ -291,7 +297,7 @@ def subset_merge(
             }
         )
 
-    return enriched.groupBy("match_id", "actor", "perspective").applyInPandas(
+    return enriched.groupBy("match_id", "actor").applyInPandas(
         run_group, MERGED_FIGHT_SCHEMA
     )
 

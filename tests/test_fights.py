@@ -75,16 +75,22 @@ def python_reference_pipeline(kills: list[dict]) -> list[tuple]:
                                 grow.append(c)
                         if adj["victim"] not in e["victims"]:
                             e["victims"].append(adj["victim"])
-        # +30 s forward subset-merge (the exact reference fold)
+        # +30 s forward subset-merge over the participant's kills AND
+        # deaths jointly (sorted(kills+deaths), utils.py:582 — stable
+        # sort keeps kills before deaths at equal ts)
+        by_actor: dict[int, list[dict]] = {}
         for (actor, persp), evs in per_actor.items():
-            evs.sort(key=lambda e: e["ts_ms"])
+            for e in evs:
+                by_actor.setdefault(actor, []).append({**e, "perspective": persp})
+        for actor, evs in by_actor.items():
+            evs.sort(key=lambda e: (e["ts_ms"], 0 if e["perspective"] == "kill" else 1))
             kept = fight_ops.merge_fight_group(evs, 30_000)
             for e in kept:
                 out.append(
                     (
                         match_id,
                         actor,
-                        persp,
+                        e["perspective"],
                         e["ts_ms"],
                         ",".join(str(v) for v in sorted(set(e["allies"]))),
                         ",".join(str(v) for v in sorted(set(e["enemies"]))),

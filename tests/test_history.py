@@ -1,0 +1,129 @@
+"""Golden end-to-end test (SURVEY.md §5 item 2): the full history
+pipeline — JSON decode → participant/timeline explode → lane inference →
+fight parse → means/streaks/profile — vs the pure-Python oracle of the
+reference semantics in lol_fixture.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark import schemas
+from lol_data_collection_system_spark.plans import history as history_plan
+from lol_data_collection_system_spark.plans import lanes as lanes_plan
+from lol_data_collection_system_spark.sources import documents as doc_src
+
+from lol_fixture import (
+    T0,
+    historical_match_rows,
+    oracle_history,
+    scenario,
+)
+
+MAX_GAMES = 6
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    anchors, matchlist, docs, timelines = scenario()
+    anchors_df = spark.createDataFrame(
+        anchors, ["account_id", "reallane", "match_time_ms"]
+    )
+    ml_df = spark.createDataFrame(
+        [tuple(m[f.name] for f in schemas.MATCHLIST_ENTRY.fields) for m in matchlist],
+        schemas.MATCHLIST_ENTRY,
+    )
+    hm_df = spark.createDataFrame(
+        historical_match_rows(docs, timelines), schemas.HISTORICAL_MATCH
+    )
+    decoded = doc_src.decode_match_documents(hm_df)
+    participants = doc_src.explode_participants(decoded)
+    pframes = doc_src.explode_participant_frames(decoded)
+    lane_map = lanes_plan.champion_lane_mapping(participants, pframes)
+    kills = (
+        doc_src.explode_timeline_events(decoded)
+        .filter(F.col("type") == "CHAMPION_KILL")
+        .select(
+            "match_id",
+            "ts_ms",
+            F.col("killer_id").cast("long").alias("killer"),
+            F.col("victim_id").cast("long").alias("victim"),
+            F.col("assists").cast("array<long>").alias("assists"),
+        )
+    )
+    matches_dim = decoded.select("match_id", "game_duration")
+    result = history_plan.stats_history(
+        anchors_df,
+        ml_df,
+        matches_dim,
+        participants,
+        lane_map,
+        kills,
+        max_weeks=3,
+        max_games=MAX_GAMES,
+    )
+    rows = {r.account_id: r.asDict() for r in result.collect()}
+    expected = {
+        acct: oracle_history(acct, lane, t, matchlist, docs, timelines,
+                             max_weeks=3, max_games=MAX_GAMES)
+        for acct, lane, t in anchors
+    }
+    return rows, expected
+
+
+def test_all_accounts_present(pipeline_result):
+    rows, expected = pipeline_result
+    assert set(rows) == set(expected) == {1001, 1002, 1003}
+
+
+@pytest.mark.parametrize("acct", [1001, 1002, 1003])
+def test_history_matches_oracle(pipeline_result, acct):
+    rows, expected = pipeline_result
+    got, want = rows[acct], expected[acct]
+    for key, want_val in want.items():
+        assert key in got, f"{acct}: missing field {key}"
+        got_val = got[key]
+        if want_val is None:
+            assert got_val is None, f"{acct}.{key}: {got_val} != None"
+        elif isinstance(want_val, float):
+            assert got_val == pytest.approx(want_val, rel=1e-9), (
+                f"{acct}.{key}: {got_val} != {want_val}"
+            )
+        else:
+            assert got_val == want_val, f"{acct}.{key}: {got_val} != {want_val}"
+
+
+def test_lane_mapping_forced_slots(spark):
+    """Role inference lands every slot profile on its designed lane."""
+    anchors, matchlist, docs, timelines = scenario()
+    hm_df = spark.createDataFrame(
+        historical_match_rows(docs, timelines), schemas.HISTORICAL_MATCH
+    )
+    decoded = doc_src.decode_match_documents(hm_df)
+    participants = doc_src.explode_participants(decoded)
+    pframes = doc_src.explode_participant_frames(decoded)
+    lane_map = lanes_plan.champion_lane_mapping(participants, pframes)
+    got = {
+        (r.match_id, r.participant_id): r.lane
+        for r in lane_map.filter(F.col("match_id") == 1).collect()
+    }
+    assert got == {
+        (1, 1): "JUNGLE", (1, 2): "SUPPORT", (1, 3): "TOP",
+        (1, 4): "BOTTOM", (1, 5): "MID",
+        (1, 6): "JUNGLE", (1, 7): "SUPPORT", (1, 8): "TOP",
+        (1, 9): "BOTTOM", (1, 10): "MID",
+    }
+
+
+def test_cap_and_remake_quirks(pipeline_result):
+    """num_games counts every in-window matchlist entry minus processed
+    remakes; the cap processes one extra entry per prior remake."""
+    rows, _ = pipeline_result
+    a = rows[1001]
+    assert a["num_games"] == 9          # 10 entries − 1 processed remake
+    assert a["num_games_in_current_lane"] == 4  # g1,g2,g5,g7 are MID
+    assert a["previous_game_won"] == 1  # g1 won
+    # walk wins over processed non-remakes: W W L L L L → last run len 4
+    assert a["consecutive_wins"] == 0
+    assert a["consecutive_losses"] == 3
+    assert a["lane_priority"] == "primary"
