@@ -303,7 +303,7 @@ def stats_history(
     )
 
     n_games = (F.col("n_entries") - F.col("n_processed_remakes")).alias("num_games")
-    return out.select(
+    return out.select(  # noqa: E501 — wide history row by design
         "account_id",
         "reallane",
         lane_priority.alias("lane_priority"),
@@ -315,4 +315,99 @@ def stats_history(
         *profile_cols,
         *[F.col(f"total_{n}") for n in HISTORY_STAT_NAMES],
         *[F.col(f"lane_{n}") for n in HISTORY_STAT_NAMES],
+    )
+
+
+def stats_availability(
+    anchors: DataFrame,
+    matchlist: DataFrame,
+    matches: DataFrame,
+    participants: DataFrame,
+    lane_map: DataFrame,
+    max_weeks: int = 3,
+) -> DataFrame:
+    """Availability counters (`get_stats_availability`,
+    `utils.py:990-1098`; SURVEY.md A16): per account, how many recent
+    matches exist overall / on the current champion / with the current
+    summoner-spell pair / rune sextet / in-role.
+
+    anchors: (account_id, reallane, current_champion, spells_set
+    array<int>, runes_set array<long>, match_time_ms).
+
+    Faithful reference quirks:
+    - NO games cap — every in-window matchlist entry is examined;
+    - `num_matches` and `num_matches_as_champion` count remakes too
+      (incremented before the duration check, never decremented);
+    - `num_matches_in_role` counts `lane_then != reallane`
+      (`utils.py:1070-1071` — the comparison is inverted in the
+      reference; reproduced as-is for parity);
+    - spell/rune comparisons are Python *set* equality →
+      sorted-distinct array equality.
+    """
+    entries = _walk_entries(anchors, matchlist, max_weeks, max_games=0).drop("rn")
+    top = entries.groupBy("account_id").agg(
+        F.count(F.lit(1)).alias("num_matches"),
+        F.count(
+            F.when(F.col("champion_id") == F.col("current_champion"), 1)
+        ).alias("num_matches_as_champion"),
+    )
+    nonremake = entries.join(
+        matches.select(F.col("match_id").alias("game_id"), "game_duration"),
+        "game_id",
+    ).filter(F.col("game_duration") >= 300)
+    detailed = (
+        nonremake.join(
+            participants.select(
+                F.col("match_id").alias("game_id"),
+                "champion_id",
+                "spell1_id",
+                "spell2_id",
+                F.col("stats"),
+            ),
+            ["game_id", "champion_id"],
+        )
+        .join(
+            lane_map.select(
+                F.col("match_id").alias("game_id"),
+                "champion_id",
+                F.col("lane").alias("lane_then"),
+            ),
+            ["game_id", "champion_id"],
+        )
+    )
+    spells_then = F.array_sort(
+        F.array_distinct(F.array(F.col("spell1_id"), F.col("spell2_id")))
+    )
+    spells_now = F.array_sort(F.array_distinct(F.col("spells_set")))
+    runes_then = F.array_sort(
+        F.array_distinct(
+            F.array(*[F.col("stats")[f"perk{i}"] for i in range(6)])
+        )
+    )
+    runes_now = F.array_sort(F.array_distinct(F.col("runes_set")))
+    sub = detailed.groupBy("account_id").agg(
+        F.count(F.when(F.col("lane_then") != F.col("reallane"), 1)).alias(
+            "num_matches_in_role"
+        ),
+        F.count(F.when(spells_then == spells_now, 1)).alias(
+            "num_matches_with_summonerspells"
+        ),
+        F.count(F.when(runes_then == runes_now, 1)).alias(
+            "num_matches_with_runes"
+        ),
+    )
+    out = (
+        anchors.select("account_id")
+        .join(top, "account_id", "left")
+        .join(sub, "account_id", "left")
+    )
+    return out.na.fill(
+        0,
+        [
+            "num_matches",
+            "num_matches_as_champion",
+            "num_matches_in_role",
+            "num_matches_with_summonerspells",
+            "num_matches_with_runes",
+        ],
     )

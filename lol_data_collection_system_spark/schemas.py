@@ -110,6 +110,13 @@ PARTICIPANT_STATS = T.StructType(
         T.StructField("totalDamageDealtToChampions", T.LongType()),
         T.StructField("totalMinionsKilled", T.IntegerType()),
         T.StructField("neutralMinionsKilled", T.IntegerType()),
+        # rune sextet — set-compared against current runes (utils.py:1081-1083)
+        T.StructField("perk0", T.LongType()),
+        T.StructField("perk1", T.LongType()),
+        T.StructField("perk2", T.LongType()),
+        T.StructField("perk3", T.LongType()),
+        T.StructField("perk4", T.LongType()),
+        T.StructField("perk5", T.LongType()),
     ]
 )
 

@@ -73,6 +73,10 @@ def build_match_doc(match_id: int, duration: int, team100_wins: bool) -> dict:
                     "totalDamageDealtToChampions": 15000 + match_id * 100 + pid,
                     "totalMinionsKilled": total,
                     "neutralMinionsKilled": neutral,
+                    **{
+                        f"perk{i}": 9100 + (pid % 2) * 7 + (match_id % 2) * 31 + i
+                        for i in range(6)
+                    },
                 },
                 "timeline": deltas,
             }
@@ -485,3 +489,47 @@ def oracle_history(
     for n, vals in lane_stats.items():
         out[f"lane_{n}"] = sum(vals) / len(vals) if vals else 0
     return out
+
+
+def oracle_availability(
+    account_id, current_champion, reallane, spells_set, runes_set,
+    match_time, matchlist, docs, timelines, max_weeks=3,
+):
+    """Clean-room walk of get_stats_availability (utils.py:990-1098),
+    including its quirks: no games cap, remakes counted in num_matches
+    and num_matches_as_champion, and the inverted in-role comparison."""
+    num_matches = 0
+    as_champ = 0
+    in_role = 0
+    with_spells = 0
+    with_runes = 0
+    entries = [m for m in matchlist if m["account_id"] == account_id]
+    for week_i in range(max_weeks):
+        end = match_time - 1000 - week_i * WEEK_MS
+        start = end - WEEK_MS
+        week = [m for m in entries if start < m["game_creation_ms"] <= end]
+        week.sort(key=lambda m: (-m["game_creation_ms"], -m["game_id"]))
+        for m_ref in week:
+            num_matches += 1
+            if m_ref["champion_id"] == current_champion:
+                as_champ += 1
+            doc = docs[m_ref["game_id"]]
+            if doc["gameDuration"] < 300:
+                continue
+            champ = m_ref["champion_id"]
+            lane_then = oracle_lane_mapping(doc, timelines[m_ref["game_id"]])[champ]
+            if lane_then != reallane:  # faithful inversion, utils.py:1070-1071
+                in_role += 1
+            p = next(pp for pp in doc["participants"] if pp["championId"] == champ)
+            if {p["spell1Id"], p["spell2Id"]} == set(spells_set):
+                with_spells += 1
+            perks = {p["stats"][f"perk{i}"] for i in range(6)}
+            if perks == set(runes_set):
+                with_runes += 1
+    return {
+        "num_matches": num_matches,
+        "num_matches_in_role": in_role,
+        "num_matches_as_champion": as_champ,
+        "num_matches_with_summonerspells": with_spells,
+        "num_matches_with_runes": with_runes,
+    }

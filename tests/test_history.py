@@ -127,3 +127,48 @@ def test_cap_and_remake_quirks(pipeline_result):
     assert a["consecutive_wins"] == 0
     assert a["consecutive_losses"] == 3
     assert a["lane_priority"] == "primary"
+
+
+def test_availability_matches_oracle(spark):
+    from lol_fixture import champion_of, oracle_availability
+
+    anchors, matchlist, docs, timelines = scenario()
+    # current loadouts: champion from g1's MID slot; non-smite spells;
+    # runes of the (odd pid, odd match) variant
+    avail_anchors = [
+        (1001, "MID", champion_of(1, 5), [4, 12],
+         [9100 + 7 + 31 + i for i in range(6)], T0),
+        (1003, "BOTTOM", 1, [4, 12], [1, 2, 3, 4, 5, 6], T0),
+    ]
+    anchors_df = spark.createDataFrame(
+        avail_anchors,
+        "account_id long, reallane string, current_champion long, "
+        "spells_set array<int>, runes_set array<long>, match_time_ms long",
+    )
+    ml_df = spark.createDataFrame(
+        [tuple(m[f.name] for f in schemas.MATCHLIST_ENTRY.fields) for m in matchlist],
+        schemas.MATCHLIST_ENTRY,
+    )
+    hm_df = spark.createDataFrame(
+        historical_match_rows(docs, timelines), schemas.HISTORICAL_MATCH
+    )
+    decoded = doc_src.decode_match_documents(hm_df)
+    participants = doc_src.explode_participants(decoded)
+    pframes = doc_src.explode_participant_frames(decoded)
+    lane_map = lanes_plan.champion_lane_mapping(participants, pframes)
+    got = {
+        r.account_id: r.asDict()
+        for r in history_plan.stats_availability(
+            anchors_df, ml_df, decoded.select("match_id", "game_duration"),
+            participants, lane_map,
+        ).collect()
+    }
+    for acct, lane, champ, spells, runes, t in avail_anchors:
+        want = oracle_availability(
+            acct, champ, lane, spells, runes, t, matchlist, docs, timelines
+        )
+        for k, v in want.items():
+            assert got[acct][k] == v, f"{acct}.{k}: {got[acct][k]} != {v}"
+    assert got[1001]["num_matches"] == 10
+    assert got[1001]["num_matches_as_champion"] == 1
+    assert got[1001]["num_matches_with_runes"] == 4

@@ -1,0 +1,96 @@
+"""Plan-stability checks (SURVEY.md §7 Phase 7): the physical plans must
+keep the properties the 100 TB design depends on — filter pushdown to the
+parquet scan, column pruning, broadcast joins for dims, partial
+aggregation, and whole-stage codegen. A refactor that silently loses one
+of these passes value checks but regresses at scale; these tests pin the
+plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "order_flags")
+    assert "PushedFilters:" in plan
+    # the disjunction is pushed, not evaluated post-scan only
+    assert "Or(EqualTo(o_orderpriority,1-URGENT)" in plan.replace("\n", "")
+
+
+def test_point_lookup_pushes_equality(spark):
+    plan = _plan(spark, "point_lookup")
+    assert "EqualTo(l_orderkey,1)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "promo_parts_by_brand")
+    # scan reads only the two referenced columns
+    assert "p_brand" in plan and "p_type" in plan
+    assert "p_retailprice" not in plan
+    assert "p_comment" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "region_priority_pivot")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # map-side combine: HashAggregate appears in partial + final modes
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen covers the agg pipeline (codegen-mode explain,
+    # since AQE's pre-execution formatted plan omits codegen annotations)
+    codegen = _plan(spark, "pricing_summary", "codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_interval_join_keeps_equality_key(spark):
+    """The ±15 s self-join must join on the user equality key (hash
+    join / shuffle by key), never degenerate into a pure cross join with
+    a range predicate."""
+    plan = _plan(spark, "events_near_errors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """As-of join = union + window (one shuffle), not a range join that
+    explodes candidate pairs."""
+    plan = _plan(spark, "purchase_last_click")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_native(spark):
+    plan = _plan(spark, "session_window_stats")
+    assert "session_window" in plan.lower()
+
+
+def test_minhash_partial_aggregation(spark):
+    """MinHash signatures must partial-aggregate (map-side min) so the
+    shuffle carries n_hashes longs per doc, not raw shingles."""
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_entry_queries_all_plannable(spark):
+    """Every declared query must at least produce an optimized plan
+    (catches analysis regressions without executing)."""
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        assert df.schema is not None and len(df.schema.fields) > 0, name
