@@ -1,0 +1,79 @@
+"""File sources & sinks (SURVEY.md §2.1 S8-S11) and the physical layout
+of the match store (§4 item 5).
+
+Reference telemetry flows: append-only ratelimit CSV logs written per
+observation (`mysql_requesthistory_checking.py:89-97`) and re-parsed by
+globbing a directory (`monitor_gathering.py:24-31`); JSON result dumps
+(`find_recurrent_delta_across_n_games.py:203`, `match_modeling.py:313`).
+Spark: schema'd csv/json readers (a directory of files is an implicit
+union — X5) and declarative writers.
+
+Match-store layout: `partitionBy(region, major_minor)` mirrors the
+reference's dominant filter axes (tier/semver/region —
+`find_recurrent_delta...py:85-90`, `periodical_data_repair.py:73-74`) so
+partition pruning eliminates IO for version- or region-scoped queries at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: ratelimit_log CSV rows (FIXTURES.md; mysql_requesthistory_checking.py:92-97)
+RATELIMIT_LOG = T.StructType(
+    [
+        T.StructField("ts", T.DoubleType()),  # epoch seconds
+        T.StructField("region", T.StringType()),
+        T.StructField("method", T.StringType()),  # '' ⇒ app-level
+        T.StructField("timeframe_s", T.IntegerType()),
+        T.StructField("count", T.IntegerType()),
+        T.StructField("max_allowed", T.IntegerType()),
+    ]
+)
+
+
+def read_ratelimit_logs(spark: SparkSession, path: str) -> DataFrame:
+    """All log files under `path` (glob union, S9/X5), schema enforced —
+    the reference re-parses every CSV per dashboard render."""
+    return spark.read.csv(path, schema=RATELIMIT_LOG, header=False)
+
+
+def write_ratelimit_log(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S8: telemetry CSV sink."""
+    df.write.mode(mode).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S10/S11: JSON result sink (one document per row)."""
+    df.write.mode(mode).json(path)
+
+
+def major_minor(semver_col) -> "F.Column":
+    """'8.11.1.123' → '8.11' — the version-prefix normalization every
+    reference comparison uses (`utils.py:16-23`, P9)."""
+    return F.substring_index(semver_col, ".", 2)
+
+
+def write_match_store(
+    matches: DataFrame,
+    path: str,
+    version_col: str = "game_version",
+    region_col: str = "region_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the match store partitioned by (region, major.minor) —
+    queries filtered on either axis prune whole directories. Files are
+    sized by the writer; at cluster scale add
+    `spark.sql.files.maxRecordsPerFile` to bound file size."""
+    (
+        matches.withColumn("major_minor", major_minor(F.col(version_col)))
+        .write.mode(mode)
+        .partitionBy(region_col, "major_minor")
+        .parquet(path)
+    )
+
+
+def read_match_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
