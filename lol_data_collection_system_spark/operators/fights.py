@@ -116,9 +116,16 @@ def enrich_adjacent_sets(
     that are never re-read during the scan → order-insensitive → a join +
     `collect_set` + `array_union` reproduces them exactly.
     """
+    # Banded range join: key = (match, time bucket of width 2·window) so
+    # joined groups are O(events per window), not the per-match cross
+    # product (quadratic in kills per match — the blowup a plain
+    # match-keyed join hits at scale). Each perspective row probes the
+    # ≤2 buckets its ±window overlaps; each kill registers in its own.
+    width = max(2 * window_ms, 1)
     adj = raw_kills.select(
         F.col(match_col).alias("match_id"),
         F.col(ts_col).alias("adj_ts"),
+        F.floor(F.col(ts_col) / width).alias("_bucket"),
         F.array_union(
             F.array(F.col(killer_col)), F.coalesce(F.col(assists_col), F.array())
         ).alias("adj_contributors"),
@@ -132,8 +139,14 @@ def enrich_adjacent_sets(
         "allies",
         "enemies",
         "victims",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("ts_ms") - window_ms) / width),
+                F.floor((F.col("ts_ms") + window_ms) / width),
+            )
+        ).alias("_bucket"),
     )
-    joined = p.join(adj, "match_id").filter(
+    joined = p.join(adj, ["match_id", "_bucket"]).filter(
         F.col("adj_ts").between(
             F.col("ts_ms") - window_ms, F.col("ts_ms") + window_ms
         )

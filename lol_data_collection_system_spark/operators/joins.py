@@ -54,21 +54,34 @@ def interval_self_join(
     Reference: fight-participant enrichment scans ±15 s around each kill
     (``utils.py:538-577``, the ``±15000`` window at ``:541,561``).
 
-    Spark plan: equi-join on the key (shuffle co-locates each key's events)
-    + the range predicate evaluated inside the joined partition. The
-    equality key keeps this from degenerating into a cross join; with AQE,
-    skewed keys split automatically. Timestamps are compared as epoch
-    millis (the reference stores raw ms).
+    Spark plan — **banded equi-join**: the join key is (key, time-bucket)
+    with bucket width = the window span; each left row probes the ≤2-3
+    buckets its window overlaps (a tiny explode), each right row registers
+    in its own bucket. A join keyed only on the entity would emit the full
+    per-key cross product before the range filter — quadratic in events
+    per key, the classic range-join blowup at scale; banding makes the
+    joined groups O(events per window) instead. The range predicate still
+    applies exactly after the join. AQE splits residual skewed buckets.
     """
+    width = max(upper_ms - lower_ms, 1)
     left = events if left_filter is None else events.filter(left_filter)
+    l_ts_ms = F.unix_millis(F.col(ts_col))
     l = left.select(
         *[F.col(c).alias(f"l_{c}") for c in key_cols],
         F.col(ts_col).alias("l_ts"),
+        F.explode(
+            F.sequence(
+                F.floor((l_ts_ms + lower_ms) / width),
+                F.floor((l_ts_ms + upper_ms) / width),
+            )
+        ).alias("_bucket"),
         *[F.col(c) for c in events.columns if c not in key_cols and c != ts_col],
     )
+    r_ts_ms = F.unix_millis(F.col(ts_col))
     r = events.select(
         *[F.col(c).alias(f"r_{c}") for c in key_cols],
         F.col(ts_col).alias("r_ts"),
+        F.floor(r_ts_ms / width).alias("_bucket"),
     )
     key_eq = [F.col(f"l_{c}") == F.col(f"r_{c}") for c in key_cols]
     lo = F.unix_millis(F.col("l_ts")) + F.lit(lower_ms)
@@ -77,7 +90,12 @@ def interval_self_join(
     cond = key_eq[0]
     for k in key_eq[1:]:
         cond = cond & k
-    return l.join(r, cond & rng, "inner")
+    joined = l.join(
+        r.withColumnRenamed("_bucket", "_r_bucket"),
+        cond & (F.col("_bucket") == F.col("_r_bucket")) & rng,
+        "inner",
+    )
+    return joined.drop("_bucket", "_r_bucket")
 
 
 def asof_join(
