@@ -146,3 +146,38 @@ def winnow_signature(text: Column, gram: int = 4, keep: int = 3) -> Column:
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, gram)))
     )
     return F.array_join(F.slice(F.array_sort(windows), 1, keep), ",")
+
+
+def winnow_signatures_df(
+    df, id_col: str, text_col: str, gram: int = 4, keep: int = 3
+):
+    """DataFrame-level winnowing: explode tokens → lead() window strings →
+    one codegen'd md5 per window → per-doc smallest-`keep` join.
+
+    Semantically identical to `winnow_signature` but ~an order of
+    magnitude faster at scale: the per-doc array formulation evaluates
+    md5 inside interpreted higher-order functions and re-slices the token
+    array per window; here hashing runs in a codegen'd projection after a
+    single (doc, position) shuffle, and the aggregation combines
+    map-side. Window rows past position n−gram are dropped to mirror the
+    array version's clamped slice (short docs keep their single partial
+    window).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "t")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, gram)]
+    h = F.md5(F.concat_ws(" ", *parts))
+    hashed = (
+        exploded.withColumn("h", h)
+        .filter(F.col("pos") <= F.greatest(F.col("n") - gram, F.lit(0)))
+    )
+    return hashed.groupBy(id_col).agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("h")), 1, keep), ","
+        ).alias("signature")
+    )

@@ -166,9 +166,7 @@ FROM documents GROUP BY 1
 
 def q_winnow_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text_ops.winnow_signature(F.col("text")).alias("signature")
-    )
+    return text_ops.winnow_signatures_df(docs, "doc_id", "text")
 
 
 ORACLE_WINNOW_SIGNATURES = f"""

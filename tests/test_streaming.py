@@ -191,3 +191,61 @@ def test_latest_wins_merge_pure():
     out = latest_wins_merge(cur, upd, ["match_id", "region"], "phase").collect()
     assert len(out) == 1
     assert out[0].tier == "GOLD" and out[0].result_json == "res"
+
+
+def test_stateful_target_tracking(spark, tmp_path):
+    """T2: state accumulates across micro-batches (maxFilesPerTrigger=1
+    forces two batches; the second batch's counts include the first's)."""
+    from lol_data_collection_system_spark.streaming.stateful import (
+        TRACKER_OUTPUT,
+        track_targets,
+    )
+    from pyspark.sql import types as T2
+
+    src = tmp_path / "targets"
+    out_dir = tmp_path / "tracker_out"
+    ckpt = tmp_path / "tracker_ckpt"
+    src.mkdir()
+    schema = T2.StructType([T2.StructField("target", T2.StringType())])
+    spark.createDataFrame([("a",), ("a",), ("b",)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "f1"))
+    spark.createDataFrame([("a",), ("c",)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        track_targets(stream, timeout_ms=60_000)
+        .writeStream.foreachBatch(sink)  # update-mode rows, appended per batch
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out_dir)).collect()
+    per_target_max = {}
+    for r in rows:
+        per_target_max[r.target] = max(
+            per_target_max.get(r.target, 0), r.n_observations
+        )
+    # state carried across batches: a = 2 (batch1) then 3 (batch2);
+    # set-compare since foreachBatch+append may replay a batch on retry
+    assert per_target_max == {"a": 3, "b": 1, "c": 1}
+    active = [r for r in rows if r.status == "active"]
+    a_counts = sorted(set(r.n_observations for r in active if r.target == "a"))
+    assert a_counts == [2, 3]
+    # a processing-time timeout may fire in the trailing batch — if it
+    # does, the rotated row must carry the final accumulated count
+    for r in rows:
+        if r.status == "rotated":
+            assert r.n_observations == per_target_max[r.target]
