@@ -575,6 +575,47 @@ GROUP BY event_type
 """
 
 
+# §2.4 A2 + §2.2 P3 — LIKE-bucket column feeding a pivot: the reference's
+# monitoring view buckets matches by tier substring then counts per
+# region × bucket (monitor/views/gathering.py:30-64). Bucket from
+# disjunctive contains, single-pass pivot.
+TYPE_BUCKETS = ["PROMO", "ECONOMY", "STANDARD", "OTHER"]
+
+
+def q_part_type_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    bucket = (
+        F.when(F.col("p_type").contains("PROMO"), F.lit("PROMO"))
+        .when(F.col("p_type").contains("ECONOMY"), F.lit("ECONOMY"))
+        .when(F.col("p_type").contains("STANDARD"), F.lit("STANDARD"))
+        .otherwise(F.lit("OTHER"))
+    )
+    out = (
+        part.select("p_brand", bucket.alias("bucket"))
+        .groupBy("p_brand")
+        .pivot("bucket", TYPE_BUCKETS)
+        .count()
+    )
+    return out.na.fill(0, TYPE_BUCKETS)
+
+
+ORACLE_PART_TYPE_BUCKET_PIVOT = """
+WITH bucketed AS (
+  SELECT p_brand,
+         CASE WHEN p_type LIKE '%PROMO%' THEN 'PROMO'
+              WHEN p_type LIKE '%ECONOMY%' THEN 'ECONOMY'
+              WHEN p_type LIKE '%STANDARD%' THEN 'STANDARD'
+              ELSE 'OTHER' END AS bucket
+  FROM part)
+SELECT p_brand,
+       COUNT(*) FILTER (bucket = 'PROMO') AS "PROMO",
+       COUNT(*) FILTER (bucket = 'ECONOMY') AS "ECONOMY",
+       COUNT(*) FILTER (bucket = 'STANDARD') AS "STANDARD",
+       COUNT(*) FILTER (bucket = 'OTHER') AS "OTHER"
+FROM bucketed GROUP BY p_brand
+"""
+
+
 # §2.6 O3 — deterministic pagination (find_recurrent_delta:89-94)
 def q_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -617,6 +658,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
+    "part_type_bucket_pivot": q_part_type_bucket_pivot,
     **corpus_queries.QUERIES,
     **domain_queries.QUERIES,
     **pipeline_queries.QUERIES,
@@ -647,6 +689,7 @@ _ORACLES: dict[str, str] = {
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,
+    "part_type_bucket_pivot": ORACLE_PART_TYPE_BUCKET_PIVOT,
     **corpus_queries.ORACLES,
     **domain_queries.ORACLES,
     **pipeline_queries.ORACLES,

@@ -196,3 +196,23 @@ def decode_fetched(df: DataFrame, schema: T.StructType, alias: str = "doc") -> D
     from pyspark.sql import functions as F
 
     return df.withColumn(alias, F.from_json("body", schema))
+
+
+def hydrate_missing(
+    wanted: DataFrame,
+    store: DataFrame,
+    key_cols: list[str],
+    url_col: str,
+    make_source: Callable[[], RestSource],
+) -> DataFrame:
+    """Cache-or-fetch (SURVEY.md J5; `utils.py:862-900`): rows of `wanted`
+    whose key is absent from `store` are fetched (partition-parallel) and
+    returned for MERGE into the store.
+
+    left-anti join finds the misses → only novel documents cross the
+    network — the reference's per-row try/except-fetch memo pattern as a
+    set operation. Union the result into the store via the idempotent
+    upsert (streaming.upsert.latest_wins_merge).
+    """
+    misses = wanted.join(store.select(*key_cols), key_cols, "left_anti")
+    return parallel_fetch(misses, make_source, url_col)

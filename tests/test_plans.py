@@ -94,3 +94,37 @@ def test_entry_queries_all_plannable(spark):
     for name, fn in qs.items():
         df = fn(spark, SF_DIR)
         assert df.schema is not None and len(df.schema.fields) > 0, name
+
+
+def test_wide_feature_matrix_plans_as_single_projection(spark):
+    """U2 width hazard (§4 item 3): hundreds of one-hot columns must form
+    ONE Project node via a single select — a withColumn loop would build
+    a deep plan that blows analysis time at 10^5 columns."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.features import feature_matrix
+    from lol_data_collection_system_spark.sources import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    # synthesize a 600-value categorical space (3 cols × 200 values)
+    cats = {
+        "o_orderstatus": [f"V{i}" for i in range(200)],
+        "o_orderpriority": [f"P{i}" for i in range(200)],
+        "o_orderdate_s": [f"D{i}" for i in range(200)],
+    }
+    wide_src = orders.withColumn("o_orderdate_s", F.col("o_orderdate").cast("string"))
+    t0 = time.perf_counter()
+    fm = feature_matrix(wide_src, ["o_orderkey"], cats, [])
+    n_fields = len(fm.schema.fields)  # forces analysis
+    elapsed = time.perf_counter() - t0
+    assert n_fields == 601
+    assert elapsed < 20.0, f"analysis took {elapsed:.1f}s — plan too deep"
+    # plan shape: one Project over the scan, not 600 nested Projects
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = fm._jdf.queryExecution().explainString(jmode)
+    # formatted explain names each node twice (tree + detail): ≤3 nodes
+    assert plan.count("Project") <= 6

@@ -130,3 +130,16 @@ def test_parallel_fetch_map_in_pandas(spark):
     assert counts == {"ok": 50, "missing": 1}
     one = out.filter(F.col("url") == "doc/7").collect()[0]
     assert json.loads(one.body)["url"] == "doc/7"
+
+
+def test_hydrate_missing_fetches_only_novel(spark):
+    from lol_data_collection_system_spark.sources.rest import hydrate_missing
+
+    wanted = spark.createDataFrame(
+        [(1, "doc/1"), (2, "doc/2"), (3, "doc/3")], ["match_id", "url"]
+    )
+    store = spark.createDataFrame([(1,), (3,)], ["match_id"])
+    out = hydrate_missing(wanted, store, ["match_id"], "url", _fake_source)
+    rows = out.collect()
+    assert [r.url for r in rows] == ["doc/2"]  # only the cache miss
+    assert rows[0].status == "ok"
