@@ -115,3 +115,89 @@ def linear_score_udf(weights: dict[str, int], bias: int = 0):
         return df.withColumn(alias, score(*[F.col(n) for n in names]))
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Match flattening (U2): side × champion × attribute mixes
+# (proto_data_analysis.py:566-598,661-695)
+# ---------------------------------------------------------------------------
+def match_mix_exprs(
+    sides: list[str],
+    champion_ids: list[int],
+    attributes: dict[str, list[str]],
+    side_col: str = "side",
+    champ_col: str = "champion_id",
+) -> list[Column]:
+    """Dense path: one agg expr per (side, champion, attribute, value)
+    mix — `max(when(...))` per match. Use for vocabularies Catalyst can
+    hold in one projection (≤ a few thousand); beyond that use
+    `match_feature_vectors`. Emitted in the reference's deterministic
+    side→champion→attribute→value order (`:589-597`)."""
+    exprs = []
+    for side in sides:
+        for champ in champion_ids:
+            for attr_key, values in attributes.items():
+                for v in values:
+                    exprs.append(
+                        F.max(
+                            F.when(
+                                (F.col(side_col) == side)
+                                & (F.col(champ_col) == champ)
+                                & (F.col("attr_key") == attr_key)
+                                & (F.col("attr_value") == str(v)),
+                                F.lit(1),
+                            ).otherwise(F.lit(0))
+                        ).alias(f"{side}_{champ}_has_{attr_key}_{v}")
+                    )
+    return exprs
+
+
+def mix_vocabulary(
+    spark,
+    sides: list[str],
+    champion_ids: list[int],
+    attributes: dict[str, list[str]],
+) -> DataFrame:
+    """(side, champion_id, attr_key, attr_value, feature_idx) — the
+    broadcastable feature index in the reference's generator order."""
+    rows = []
+    idx = 0
+    for side in sides:
+        for champ in champion_ids:
+            for attr_key, values in attributes.items():
+                for v in values:
+                    rows.append((side, champ, attr_key, str(v), idx))
+                    idx += 1
+    return spark.createDataFrame(
+        rows, ["side", "champion_id", "attr_key", "attr_value", "feature_idx"]
+    )
+
+
+def match_feature_vectors(
+    attr_rows: DataFrame, vocab: DataFrame, n_features: int
+) -> DataFrame:
+    """Scale path for the ~10^5-mix space (§4 item 3): long-form
+    participant attribute rows join a BROADCAST vocabulary to feature
+    indices, one groupBy collects the sorted index set per match, and an
+    Arrow pandas_udf packs a SparseVector — the plan never widens beyond
+    a handful of columns regardless of vocabulary size.
+
+    attr_rows: (match_id, side, champion_id, attr_key, attr_value).
+    """
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    idx = attr_rows.join(
+        F.broadcast(vocab), ["side", "champion_id", "attr_key", "attr_value"]
+    ).select("match_id", "feature_idx")
+    grouped = idx.groupBy("match_id").agg(
+        F.array_sort(F.collect_set("feature_idx")).alias("indices")
+    )
+
+    # plain UDF: VectorUDT is a UDT (pandas_udf can't emit it); this runs
+    # once per MATCH on the already-aggregated index set, so the per-row
+    # Python cost is off the hot path — the heavy joins/agg stay JVM-side
+    pack = F.udf(
+        lambda ix: SparseVector(n_features, list(ix), [1.0] * len(ix)),
+        VectorUDT(),
+    )
+    return grouped.select("match_id", pack("indices").alias("features"))

@@ -1,0 +1,64 @@
+"""Match-flatten tests (U2): the dense mix-expr path and the sparse
+vector scale path must agree feature-for-feature."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators.features import (
+    match_feature_vectors,
+    match_mix_exprs,
+    mix_vocabulary,
+)
+
+SIDES = ["topnexus", "bottomnexus"]
+CHAMPS = [1, 2]
+ATTRS = {"lane": ["TOP", "MID"], "role": ["SOLO", "DUO"]}
+
+
+def _attr_rows(spark):
+    # match 10: champ 1 topnexus TOP/SOLO, champ 2 bottomnexus MID/DUO
+    # match 20: champ 2 topnexus MID/SOLO
+    rows = [
+        (10, "topnexus", 1, "lane", "TOP"),
+        (10, "topnexus", 1, "role", "SOLO"),
+        (10, "bottomnexus", 2, "lane", "MID"),
+        (10, "bottomnexus", 2, "role", "DUO"),
+        (20, "topnexus", 2, "lane", "MID"),
+        (20, "topnexus", 2, "role", "SOLO"),
+    ]
+    return spark.createDataFrame(
+        rows, ["match_id", "side", "champion_id", "attr_key", "attr_value"]
+    )
+
+
+def test_dense_and_sparse_paths_agree(spark):
+    attr_rows = _attr_rows(spark)
+    vocab = mix_vocabulary(spark, SIDES, CHAMPS, ATTRS)
+    n = vocab.count()
+    assert n == 2 * 2 * 4  # sides × champs × (2 lanes + 2 roles)
+
+    dense = attr_rows.groupBy("match_id").agg(
+        *match_mix_exprs(SIDES, CHAMPS, ATTRS)
+    )
+    dense_rows = {r["match_id"]: r.asDict() for r in dense.collect()}
+    assert dense_rows[10]["topnexus_1_has_lane_TOP"] == 1
+    assert dense_rows[10]["topnexus_1_has_lane_MID"] == 0
+    assert dense_rows[10]["bottomnexus_2_has_role_DUO"] == 1
+    assert dense_rows[20]["topnexus_2_has_lane_MID"] == 1
+    assert dense_rows[20]["bottomnexus_2_has_lane_MID"] == 0
+
+    sparse = {
+        r.match_id: r.features
+        for r in match_feature_vectors(attr_rows, vocab, n).collect()
+    }
+    vocab_rows = vocab.collect()
+    name_of = {
+        v.feature_idx: f"{v.side}_{v.champion_id}_has_{v.attr_key}_{v.attr_value}"
+        for v in vocab_rows
+    }
+    for match_id, vec in sparse.items():
+        dense_dict = dense_rows[match_id]
+        for idx in range(n):
+            want = dense_dict[name_of[idx]]
+            assert vec[idx] == float(want), (match_id, name_of[idx])
