@@ -575,6 +575,42 @@ GROUP BY event_type
 """
 
 
+# §2.1 S2 — the pure-SQL surface: spark.sql over registered views
+# (periodical_data_repair.py:39-107 is hand-written SQL via pd.read_sql).
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lol_data_collection_system_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+ORACLE_SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # §2.4 A2 + §2.2 P3 — LIKE-bucket column feeding a pivot: the reference's
 # monitoring view buckets matches by tier substring then counts per
 # region × bucket (monitor/views/gathering.py:30-64). Bucket from
@@ -659,6 +695,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
     "part_type_bucket_pivot": q_part_type_bucket_pivot,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
     **corpus_queries.QUERIES,
     **domain_queries.QUERIES,
     **pipeline_queries.QUERIES,
@@ -690,6 +727,7 @@ _ORACLES: dict[str, str] = {
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,
     "part_type_bucket_pivot": ORACLE_PART_TYPE_BUCKET_PIVOT,
+    "sql_revenue_by_nation": ORACLE_SQL_REVENUE_BY_NATION,
     **corpus_queries.ORACLES,
     **domain_queries.ORACLES,
     **pipeline_queries.ORACLES,

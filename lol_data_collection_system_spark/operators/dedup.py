@@ -54,15 +54,36 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word k-gram shingle sets.
 
     Candidate generation = self-join on shingle (only docs sharing ≥1
     shingle are ever compared); |A∩B| = shared-shingle count, |A∪B| =
     |A|+|B|−|A∩B|. Returns (id_a < id_b, jaccard) above threshold.
+
+    `max_doc_freq` is the skew lever at corpus scale: a shingle appearing
+    in f documents contributes f² join rows, so one stop-phrase can
+    dominate the shuffle. When set, shingles with document frequency
+    > max_doc_freq are dropped from the WHOLE computation (set sizes,
+    intersections, candidates) — i.e. Jaccard over the capped shingle
+    space, the standard stop-shingle removal. None = exact/off (the
+    oracle-checked default).
     """
-    sh = shingles(df, id_col, text_col, k).persist()
+    sh = shingles(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

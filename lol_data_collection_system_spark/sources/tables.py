@@ -61,3 +61,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     against the same store."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register every table as a temp view so queries can be declared in
+    pure SQL (S2: `spark.sql(...)` over views — the reference's
+    hand-written-SQL surface). Idempotent per session."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -93,3 +93,29 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_jaccard_doc_freq_cap(spark):
+    """Skew lever: capping ultra-common shingles removes pairs that share
+    only stop-phrases; surviving pairs score over the capped space."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps high today"),
+        (2, "the quick brown cat sleeps low today"),
+        (3, "a completely different document entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.0, max_doc_freq=1
+    )
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in full_pairs          # share 'the quick brown'
+    assert capped_pairs <= full_pairs    # cap only removes pairs
+    assert (1, 2) not in capped_pairs    # their only shared shingle is common
