@@ -172,3 +172,40 @@ def test_availability_matches_oracle(spark):
     assert got[1001]["num_matches"] == 10
     assert got[1001]["num_matches_as_champion"] == 1
     assert got[1001]["num_matches_with_runes"] == 4
+
+
+def test_normalized_match_documents_roundtrip(spark):
+    """S11: nested document assembly + to_json, verified by re-parsing."""
+    import json as _json
+
+    from lol_data_collection_system_spark.plans import modeling
+
+    _, _, docs, timelines = scenario()
+    hm_df = spark.createDataFrame(
+        historical_match_rows(docs, timelines), schemas.HISTORICAL_MATCH
+    )
+    decoded = doc_src.decode_match_documents(hm_df)
+    participants = doc_src.explode_participants(decoded)
+    pframes = doc_src.explode_participant_frames(decoded)
+    lane_map = lanes_plan.champion_lane_mapping(participants, pframes)
+    out = {
+        r.match_id: _json.loads(r.doc_json)
+        for r in modeling.normalized_match_documents(participants, lane_map)
+        .filter(F.col("match_id") == 1)
+        .collect()
+    }
+    doc = out[1]
+    assert doc["gameId"] == 1
+    assert len(doc["teams"]) == 2
+    sides = {t["is_topside"] for t in doc["teams"]}
+    assert sides == {True, False}
+    for team in doc["teams"]:
+        assert len(team["players"]) == 5
+        roles = sorted(pl["role"] for pl in team["players"])
+        assert roles == ["BOTTOM", "JUNGLE", "MID", "SUPPORT", "TOP"]
+        for pl in team["players"]:
+            assert len(pl["summonerspells"]) == 2
+            assert len(pl["runes"]) == 6
+    # topside team = teamId 200 → champions 6..10 of match 1
+    top = next(t for t in doc["teams"] if t["is_topside"])
+    assert sorted(pl["champion"] for pl in top["players"]) == [106, 107, 108, 109, 110]
