@@ -35,7 +35,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -310,9 +310,36 @@ def subset_merge(
             }
         )
 
-    return enriched.groupBy("match_id", "actor").applyInPandas(
+    # Fast path: a (match, actor) group where no event lies within
+    # `horizon_ms` of its predecessor cannot merge anything — the fold is
+    # the identity — so those groups never cross the Python boundary.
+    # For sparse event streams (most of a large corpus) this sends only
+    # the dense clusters through Arrow.
+    w = Window.partitionBy("match_id", "actor").orderBy(
+        F.col("ts_ms").asc(),
+        F.when(F.col("perspective") == "kill", 0).otherwise(1).asc(),
+    )
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = enriched.withColumn(
+        "_dense",
+        F.max(
+            F.when(gap.isNotNull() & (gap <= horizon_ms), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).over(
+            Window.partitionBy("match_id", "actor").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    sparse = flagged.filter(F.col("_dense") == 0).select(
+        *[f.name for f in MERGED_FIGHT_SCHEMA.fields]
+    )
+    dense = flagged.filter(F.col("_dense") == 1).drop("_dense")
+    merged_dense = dense.groupBy("match_id", "actor").applyInPandas(
         run_group, MERGED_FIGHT_SCHEMA
     )
+    return merged_dense.unionByName(sparse)
 
 
 def parse_fights(
