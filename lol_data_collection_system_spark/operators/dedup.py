@@ -43,14 +43,41 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document (exploded)."""
-    toks = tokens(normalized_text(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    """Distinct word k-gram shingles per document (exploded).
+
+    Plan shape (the scale path, same as `winnow_signatures_df`): posexplode
+    tokens → `lead()` windows over (doc, position) → one codegen'd
+    `concat_ws` per shingle → distinct. A document shorter than `k` tokens
+    yields its whole text as one shingle (`concat_ws` drops the null
+    leads), mirroring the per-doc array formulation.
+
+    (That array formulation — `transform(sequence(...), i ->
+    concat_ws(slice(toks, i+1, k)))` — re-evaluates the tokenization
+    expression tree inside interpreted higher-order functions per element:
+    ~2.5× the whole suite's cost at sf0.1. Exploding first keeps every
+    per-token expression inside whole-stage codegen; the only added
+    shuffle is the (doc, position) window, which Jaccard/MinHash need
+    anyway for their own aggregations.)
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("pos", "tok"),
     )
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        toked.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("shingle"),
+            (F.col("pos") <= F.greatest(n - k, F.lit(0))).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .select(id_col, "shingle")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
