@@ -31,22 +31,40 @@ ENRICH_MS = 15_000
 MERGE_MS = 30_000
 
 
+#: (SparkSession id, sf_dir) → persisted kills frame. The fight pipeline
+#: consumes the kill events on BOTH sides of its interval self-join, so an
+#: uncached frame pays the parquet scan + JSON extraction twice per action;
+#: persisting the projected events before a self-join is the standard move
+#: (SURVEY §2.1 S15 — the reference memoizes its match store the same way,
+#: `utils.py:862-900`). Memoized so the three fight queries share ONE
+#: materialization (~MBs: 5 scalar cols per event) instead of leaking one
+#: cache entry each.
+_KILLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def synthetic_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map `events` onto the kill-event shape: (match_id, ts_ms, killer,
     victim, assists). Victim ≠ killer is forced so self-kills (which the
-    reference's data model cannot produce) don't arise."""
+    reference's data model cannot produce) don't arise. Returns a
+    persisted frame (see `_KILLS_CACHE`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KILLS_CACHE.get(key)
+    if cached is not None:
+        return cached
     events = load_table(spark, sf_dir, "events")
     k = F.coalesce(
         F.get_json_object(F.col("props"), "$.k").cast("bigint"), F.lit(0)
     )
     victim = F.pmod(k, F.lit(VICTIM_MOD))
-    return events.select(
+    kills = events.select(
         F.pmod(F.col("user_id"), F.lit(N_MATCHES)).alias("match_id"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         F.col("user_id").alias("killer"),
         F.when(victim == F.col("user_id"), victim + 1).otherwise(victim).alias("victim"),
         F.array().cast("array<long>").alias("assists"),
-    )
+    ).persist()
+    _KILLS_CACHE[key] = kills
+    return kills
 
 
 _KILLS_SQL = f"""
