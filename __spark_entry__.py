@@ -580,7 +580,7 @@ GROUP BY event_type
 def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lol_data_collection_system_spark.sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
     return spark.sql(
         """
         SELECT n_name,

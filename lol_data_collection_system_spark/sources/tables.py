@@ -56,13 +56,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so ``spark.sql`` queries (S2) run
-    against the same store."""
-    for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register every table as a temp view so queries can be declared in
     pure SQL (S2: `spark.sql(...)` over views — the reference's
