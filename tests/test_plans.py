@@ -128,3 +128,27 @@ def test_wide_feature_matrix_plans_as_single_projection(spark):
     plan = fm._jdf.queryExecution().explainString(jmode)
     # formatted explain names each node twice (tree + detail): ≤3 nodes
     assert plan.count("Project") <= 6
+
+
+def test_shingles_explode_before_window(spark):
+    """Shingle generation must be the explode + lead() formulation: one
+    Generate (posexplode) feeding ONE exchange, with the k-gram assembly
+    in codegen'd Window/Project operators. The per-doc array formulation
+    (transform over sequence + slice) re-evaluates the tokenization tree
+    per element inside interpreted higher-order functions — ~10x the
+    suite's dedup cost at sf0.1 (see BASELINE.md)."""
+    from lol_data_collection_system_spark.operators.dedup import shingles
+    from lol_data_collection_system_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = shingles(docs, "doc_id", "text", 3)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Generate" in plan  # posexplode of tokens
+    assert "Window" in plan  # lead()-based k-gram assembly
+    # no interpreted higher-order shingle assembly left in the plan
+    assert "transform(" not in plan
+    # distinct partial-aggregates map-side
+    assert plan.count("HashAggregate") >= 2
