@@ -58,10 +58,12 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two passes, min per query: pass 1 warms parquet footers + codegen
-    # caches, the min filters out single-run jitter (VM scheduling, GC).
+    # Three passes, min per query: pass 1 warms parquet footers + codegen
+    # caches; the min filters out jitter (VM scheduling, GC, and
+    # concurrent verification runs sharing the cores — observed inflating
+    # single-pass wall-clock up to ~2.6×).
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
