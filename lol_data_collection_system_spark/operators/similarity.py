@@ -7,9 +7,14 @@ codegen; no Python UDF, no driver-side collect.
 
 At 100 TB the brute-force path is a broadcast of the query vector over a
 map-only scan (no shuffle except the final top-k); the LSH path turns ANN
-into an equi-join on bucket, which shuffles once by bucket id. An IVF
-variant would replace the bucket fn with a (broadcast) centroid argmin —
-same join shape.
+into an equi-join on bucket, which shuffles once by bucket id. The final
+top-k is ``orderBy().limit(k)`` — Spark plans it as ``TakeOrderedAndProject``
+(each partition keeps its local k, the driver-side merge sees only
+``k × partitions`` rows) — never a global ``Window.orderBy``, which would
+funnel every scored row through one partition. The rank column is attached
+*after* the limit, so its window touches at most k rows. An IVF variant
+(`ivf_topk`) replaces the bucket fn with a broadcast centroid argmin —
+same join shape, better balance on anisotropic embeddings.
 """
 
 from __future__ import annotations
@@ -66,9 +71,10 @@ def brute_force_topk(
     """Exact cosine top-k against one stored vector.
 
     The query vector is a 1-row broadcast; every partition scores its slice
-    map-side; the only shuffle is the final global top-k (rank ≤ k). Scores
-    are rounded to 4 dp before ranking with an id tie-break so ordering is
-    reproducible bit-exactly.
+    map-side; the corpus-wide reduction is ``orderBy().limit(k)`` →
+    ``TakeOrderedAndProject`` (per-partition local top-k, k-row merge).
+    Scores are rounded to 4 dp before ranking with an id tie-break so
+    ordering is reproducible bit-exactly.
     """
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("query_vec")
@@ -81,12 +87,7 @@ def brute_force_topk(
             F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "cos_sim")
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def lsh_topk(
@@ -117,9 +118,21 @@ def lsh_topk(
             F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "cos_sim")
+    return _rank_topk(scored, k, id_col)
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Reduce (id, cos_sim) to the global top-k, then attach rank.
+
+    ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject`` — each
+    partition keeps its local top-k and only k·partitions rows reach the
+    merge, vs. a global ``Window.orderBy`` that would shuffle EVERY scored
+    row into one partition. The ``row_number`` window after the limit is a
+    single-partition exchange over at most k rows — constant-size, scale-safe.
+    """
+    order = [F.col("cos_sim").desc(), F.col(id_col).asc()]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "cos_sim"
     )

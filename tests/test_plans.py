@@ -130,6 +130,25 @@ def test_wide_feature_matrix_plans_as_single_projection(spark):
     assert plan.count("Project") <= 6
 
 
+@pytest.mark.parametrize("qname", ["embedding_topk", "embedding_ann_topk"])
+def test_topk_is_take_ordered_not_global_window(spark, qname):
+    """Corpus-wide top-k must compile to TakeOrderedAndProject (parallel
+    per-partition local top-k, k-row merge) — never a global Window.orderBy,
+    which funnels EVERY scored row through one partition. The rank window
+    is allowed only above the limit, where it sees at most k rows."""
+    plan = _plan(spark, qname)
+    tree = plan.split("\n\n")[0]
+    take = tree.find("TakeOrderedAndProject")
+    assert take != -1
+    # rank window rides directly on the (already single-partition, ≤k-row)
+    # ordered-take output — above it in the top-down tree print
+    win = tree.find("Window")
+    assert win != -1 and win < take
+    # and NO shuffle-to-one-partition anywhere: a global rank window over
+    # the scored corpus would reintroduce `Exchange SinglePartition`
+    assert "SinglePartition" not in plan
+
+
 def test_shingles_explode_before_window(spark):
     """Shingle generation must be the explode + lead() formulation: one
     Generate (posexplode) feeding ONE exchange, with the k-gram assembly
