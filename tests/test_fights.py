@@ -17,87 +17,12 @@ from pyspark.sql import functions as F
 
 from lol_data_collection_system_spark.operators import fights as fight_ops
 from lol_data_collection_system_spark.plans import domain_queries as dq
+from lol_data_collection_system_spark.plans import fight_oracle
+from lol_data_collection_system_spark.plans.fight_oracle import (
+    python_reference_pipeline,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-
-
-def python_reference_pipeline(kills: list[dict]) -> list[tuple]:
-    """Independent port of the reference semantics over generic kill rows.
-
-    kills: [{match_id, ts_ms, killer, victim}] (no assists in the synthetic
-    mapping). Returns sorted tuples
-    (match_id, actor, perspective, ts_ms, allies_s, enemies_s, victims_s).
-    """
-    by_match: dict[int, list[dict]] = {}
-    for k in kills:
-        by_match.setdefault(k["match_id"], []).append(k)
-
-    out: list[tuple] = []
-    for match_id, mkills in by_match.items():
-        # perspectives per actor, mirroring utils.py:517-538
-        per_actor: dict[tuple, list[dict]] = {}
-        for k in mkills:
-            contributors = [k["killer"]]
-            for actor in contributors:
-                per_actor.setdefault((actor, "kill"), []).append(
-                    {
-                        "ts_ms": k["ts_ms"],
-                        "allies": list(contributors),
-                        "enemies": [k["victim"]],
-                        "victims": [k["victim"]],
-                    }
-                )
-            per_actor.setdefault((k["victim"], "death"), []).append(
-                {
-                    "ts_ms": k["ts_ms"],
-                    "allies": [k["victim"]],
-                    "enemies": list(contributors),
-                    "victims": [k["victim"]],
-                }
-            )
-        # ±15 s enrichment, mirroring utils.py:538-577
-        for (actor, persp), evs in per_actor.items():
-            for e in evs:
-                own = e["allies"] if persp == "kill" else e["enemies"]
-                grow = e["enemies"] if persp == "kill" else e["allies"]
-                for adj in mkills:
-                    if not (e["ts_ms"] - 15000 <= adj["ts_ms"] <= e["ts_ms"] + 15000):
-                        continue
-                    contributors = [adj["killer"]]
-                    if any(o in contributors for o in own):
-                        if adj["victim"] not in grow:
-                            grow.append(adj["victim"])
-                        if adj["victim"] not in e["victims"]:
-                            e["victims"].append(adj["victim"])
-                    elif adj["victim"] in own:
-                        for c in contributors:
-                            if c not in grow:
-                                grow.append(c)
-                        if adj["victim"] not in e["victims"]:
-                            e["victims"].append(adj["victim"])
-        # +30 s forward subset-merge over the participant's kills AND
-        # deaths jointly (sorted(kills+deaths), utils.py:582 — stable
-        # sort keeps kills before deaths at equal ts)
-        by_actor: dict[int, list[dict]] = {}
-        for (actor, persp), evs in per_actor.items():
-            for e in evs:
-                by_actor.setdefault(actor, []).append({**e, "perspective": persp})
-        for actor, evs in by_actor.items():
-            evs.sort(key=lambda e: (e["ts_ms"], 0 if e["perspective"] == "kill" else 1))
-            kept = fight_ops.merge_fight_group(evs, 30_000)
-            for e in kept:
-                out.append(
-                    (
-                        match_id,
-                        actor,
-                        e["perspective"],
-                        e["ts_ms"],
-                        ",".join(str(v) for v in sorted(set(e["allies"]))),
-                        ",".join(str(v) for v in sorted(set(e["enemies"]))),
-                        ",".join(str(v) for v in sorted(set(e["victims"]))),
-                    )
-                )
-    return sorted(out)
 
 
 def _synthetic_kill_rows() -> list[dict]:
@@ -157,3 +82,41 @@ def test_merge_beyond_horizon_untouched():
     ]
     kept = fight_ops.merge_fight_group(events, 30_000)
     assert len(kept) == 2
+
+
+def test_fight_merge_fixture_oracle(spark):
+    """The driver-visible value oracle: the materialized Python-port
+    fixture, dispatched on the events row count, must equal the Spark
+    pipeline's output at this sf."""
+    path = fight_oracle.ensure_fight_merge_fixture()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    oracle_rows = sorted(
+        tuple(r) for r in con.execute(fight_oracle.ORACLE_FIGHT_MERGE).fetchall()
+    )
+    assert len(oracle_rows) > 0, f"fixture {path} has no rows for {SF_DIR}"
+    spark_rows = sorted(tuple(r) for r in dq.q_fight_merge(spark, SF_DIR).collect())
+    assert spark_rows == oracle_rows
+
+
+def test_fight_merge_fixture_regenerates_when_stale(tmp_path, monkeypatch):
+    """Fingerprint miss (meta absent) must trigger regeneration rather
+    than serving a stale fixture."""
+    monkeypatch.setattr(fight_oracle, "FIXTURE_DIR", tmp_path)
+    monkeypatch.setattr(
+        fight_oracle, "FIXTURE_PATH", tmp_path / "fight_merge_oracle.parquet"
+    )
+    monkeypatch.setattr(
+        fight_oracle, "_META_PATH", tmp_path / "fight_merge_oracle.meta.json"
+    )
+    path = fight_oracle.ensure_fight_merge_fixture((SF_DIR,))
+    assert os.path.exists(path)
+    first_mtime = os.path.getmtime(path)
+    # fresh fingerprint → no rewrite
+    fight_oracle.ensure_fight_merge_fixture((SF_DIR,))
+    assert os.path.getmtime(path) == first_mtime
+    # dropped meta → regenerate
+    os.remove(tmp_path / "fight_merge_oracle.meta.json")
+    fight_oracle.ensure_fight_merge_fixture((SF_DIR,))
+    assert os.path.getmtime(path) >= first_mtime
+    assert (tmp_path / "fight_merge_oracle.meta.json").exists()
