@@ -80,6 +80,29 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
 
 
+def cap_shingles(
+    sh: DataFrame, id_col: str, max_doc_freq: int | None
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_doc_freq`.
+
+    THE skew lever for shingle-keyed self-joins at corpus scale: a shingle
+    appearing in f documents contributes f² join rows, so a handful of
+    stop-phrases can dominate the shuffle (at sf0.1 of the synthetic
+    corpus, 90% of shingles exceed df 5 and the capped join is ~10×
+    smaller). The frequency count is itself one partial-aggregated
+    hash-agg, and the semi-join back is on the same shingle key the
+    downstream join shuffles by — no extra exchange."""
+    if max_doc_freq is None:
+        return sh
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle").select(id_col, "shingle")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -102,15 +125,7 @@ def ngram_jaccard_pairs(
     space, the standard stop-shingle removal. None = exact/off (the
     oracle-checked default).
     """
-    sh = shingles(df, id_col, text_col, k)
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
+    sh = cap_shingles(shingles(df, id_col, text_col, k), id_col, max_doc_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -149,7 +164,12 @@ def minhash_perm(i: int):
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n_hashes-wide MinHash signature per document.
 
@@ -158,11 +178,17 @@ def minhash_signatures(
     (a_i·h + b_i mod p) → groupBy(doc) min per permutation. Partial
     aggregation shrinks the shuffle to n longs per doc per partition.
 
+    `max_doc_freq` caps the shingle document frequency (see
+    `cap_shingles`) — signatures are then MinHash over the capped shingle
+    space. Unlike Jaccard, capping is NOT monotonic for downstream LSH
+    (removing a shingle can change a band hash either way), so capped and
+    uncapped LSH runs are distinct, separately-gated queries.
+
     (A previous formulation computed ``md5(seed:shingle)`` per seed inside
     nested array exprs — n md5s per shingle plus shingle-array recompute
     per signature column; 60× slower at sf0.1.)
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = cap_shingles(shingles(df, id_col, text_col, k), id_col, max_doc_freq)
     h = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
         % MINHASH_PRIME
@@ -184,6 +210,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     n_hashes: int = 16,
     band_size: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (n_hashes/band_size
     bands of band_size rows), hash each band, self-join on (band_idx,
@@ -191,9 +218,11 @@ def lsh_candidate_pairs(
 
     The join key is the band hash → the shuffle distributes by bucket;
     bucket sizes are small for non-pathological corpora, keeping the pair
-    blow-up local. Returns distinct (id_a < id_b).
+    blow-up local. `max_doc_freq` (see `cap_shingles`) additionally bounds
+    the shingle-side skew feeding the signatures. Returns distinct
+    (id_a < id_b).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, max_doc_freq)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

@@ -29,6 +29,12 @@ TOPK = 10
 QUERY_VEC_ID = 0
 JACCARD_THRESHOLD = 0.05
 NEAR_DUP_COS = 0.3
+#: Stop-shingle document-frequency cap for the `_capped` dedup variants —
+#: the first-class skew lever at corpus scale (a shingle in f docs costs
+#: f² join rows). 5 bites at every test sf: it drops 45/29/24517 shingles
+#: at sf0.001/0.01/0.1 (at sf0.1, 90% of shingles exceed it — the capped
+#: join is an order of magnitude smaller there).
+SHINGLE_MAX_DF = 5
 
 # Oracle building blocks (DuckDB dialect), kept textually tiny and derived
 # from the same constants as the Spark side.
@@ -209,6 +215,46 @@ WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale posture of `ngram_jaccard_pairs`: same Jaccard, computed
+    over the doc-frequency-capped shingle space (stop-shingle removal).
+    Capped results are a subset of the uncapped pairs (pinned in
+    tests/test_oracle_parity.py::test_jaccard_doc_freq_cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+
+
+_CAPPED_SH_SQL = f"""
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN (SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= {SHINGLE_MAX_DF}) rare
+    ON sh.shingle = rare.shingle
+"""
+
+ORACLE_NGRAM_JACCARD_CAPPED = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+capped AS ({_CAPPED_SH_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.lsh_candidate_pairs(
@@ -216,7 +262,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates over doc-frequency-capped shingles — the corpus-scale
+    posture (signature cost and band-bucket skew both bounded). NOT a
+    subset of the uncapped run: removing a shingle can flip a band hash
+    either way, so this is its own oracle-gated query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.lsh_candidate_pairs(
+        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+
+
+def _minhash_oracle(capped: bool = False) -> str:
     from ..operators.dedup import MINHASH_PRIME, minhash_perm
 
     perm_exprs = []
@@ -236,14 +294,20 @@ def _minhash_oracle() -> str:
         + ")"
         for b in range(n_bands)
     )
+    sig_src = "sh"
+    cap_cte = ""
+    if capped:
+        cap_cte = f"capped AS ({_CAPPED_SH_SQL}),"
+        sig_src = "capped"
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
   FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+{cap_cte}
 hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
-  FROM sh),
+  FROM {sig_src}),
 sigs AS (
   SELECT doc_id, {mh_exprs}
   FROM hashed GROUP BY doc_id),
@@ -378,7 +442,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_dups": q_doc_fingerprint_dups,
     "winnow_signatures": q_winnow_signatures,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_capped": q_minhash_lsh_capped,
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_topk": q_embedding_topk,
@@ -393,7 +459,9 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_dups": ORACLE_DOC_FINGERPRINT_DUPS,
     "winnow_signatures": ORACLE_WINNOW_SIGNATURES,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "minhash_lsh_pairs": _minhash_oracle(),
+    "minhash_lsh_capped": _minhash_oracle(capped=True),
     "simhash_docs": _simhash_oracle(),
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
