@@ -3,19 +3,28 @@
 The reference's 'streaming' is polling loops + idempotent DB upserts
 coordinated by table locks; here the same semantics are declared:
 
+- `polling`    — poll-until-event completion detection + trigger loop (T1)
 - `ratelimit`  — sliding-window request accounting vs quota (T5)
 - `upsert`     — two-phase latest-wins upsert + exactly-once claim (T3/T4)
 - `sessions`   — watermarked session windows for fight grouping (T8)
+- `heartbeat`  — per-query liveness via StreamingQueryListener (T9)
 
 Every streaming job has a batch twin in `operators/` — tests assert the
 streaming result (availableNow trigger) equals the batch computation.
 """
 
+from .heartbeat import HeartbeatListener, heartbeats_df, install_heartbeats
+from .polling import poll_until_event, start_polling_query
 from .ratelimit import sliding_quota_counts
 from .sessions import streaming_sessions
 from .upsert import latest_wins_upsert_sink, two_phase_upsert
 
 __all__ = [
+    "HeartbeatListener",
+    "heartbeats_df",
+    "install_heartbeats",
+    "poll_until_event",
+    "start_polling_query",
     "sliding_quota_counts",
     "streaming_sessions",
     "latest_wins_upsert_sink",

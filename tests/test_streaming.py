@@ -193,6 +193,118 @@ def test_latest_wins_merge_pure():
     assert out[0].tier == "GOLD" and out[0].result_json == "res"
 
 
+def test_poll_until_event(spark, tmp_path):
+    """T1: exactly one `completed` row per target at its FIRST satisfying
+    poll; polls after completion are swallowed; pending targets emit
+    nothing (until the give-up timeout)."""
+    from lol_data_collection_system_spark.streaming import poll_until_event
+
+    src = tmp_path / "polls"
+    out_dir = tmp_path / "poll_out"
+    ckpt = tmp_path / "poll_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("target", T.StringType()),
+            T.StructField("done", T.BooleanType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    # batch 1: m1 pending twice; m2 pending. batch 2: m1 completes on its
+    # 3rd poll, m2 still pending, m3 completes instantly.
+    spark.createDataFrame(
+        [("m1", False, 1000), ("m1", False, 2000), ("m2", False, 1500)], schema
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f1"))
+    spark.createDataFrame(
+        [("m1", True, 3000), ("m1", True, 4000), ("m2", False, 2500),
+         ("m3", True, 100)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        poll_until_event(stream, give_up_after_ms=3_600_000)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out_dir)).collect()
+    by_target = {r.target: r for r in rows}
+    # m1: completed exactly once, on poll 3 (ts 3000) — the later done poll
+    # at ts 4000 did not re-emit
+    assert [r.target for r in rows].count("m1") == 1
+    assert by_target["m1"].status == "completed"
+    assert by_target["m1"].n_polls == 3
+    assert by_target["m1"].event_ts_ms == 3000
+    # m3: first poll completes
+    assert by_target["m3"].status == "completed"
+    assert by_target["m3"].n_polls == 1
+    # m2: still pending — no output row before its give-up timeout
+    assert "m2" not in by_target
+
+
+def test_heartbeat_listener(spark, tmp_path):
+    """T9: a micro-batch query's progress events appear as heartbeat rows
+    queryable as a DataFrame."""
+    import time
+
+    from lol_data_collection_system_spark.streaming import (
+        heartbeats_df,
+        install_heartbeats,
+    )
+
+    listener = install_heartbeats(spark)
+    try:
+        src = tmp_path / "hb_src"
+        out_dir = tmp_path / "hb_out"
+        ckpt = tmp_path / "hb_ckpt"
+        schema = T.StructType([T.StructField("v", T.LongType())])
+        spark.createDataFrame([(1,), (2,), (3,)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src))
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .queryName("hb_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus is async — wait for the progress event to land
+        beat = None
+        for _ in range(100):
+            snap = {b["name"]: b for b in listener.snapshot()}
+            beat = snap.get("hb_probe")
+            if beat and beat["status"] in ("alive", "terminated") and (
+                beat.get("n_progress_events") or 0
+            ) > 0:
+                break
+            time.sleep(0.1)
+        assert beat is not None, "no heartbeat recorded for hb_probe"
+        assert beat["num_input_rows"] == 3
+        df = heartbeats_df(spark, listener)
+        row = df.filter(df.name == "hb_probe").collect()[0]
+        assert row.last_batch_id >= 0
+        assert row.n_progress_events >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_stateful_target_tracking(spark, tmp_path):
     """T2: state accumulates across micro-batches (maxFilesPerTrigger=1
     forces two batches; the second batch's counts include the first's)."""
