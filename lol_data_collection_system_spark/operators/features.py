@@ -70,28 +70,32 @@ def normalize_columns(
     df: DataFrame, cols: list[str], round_to: int = 6
 ) -> DataFrame:
     """(x − μ) / 2σ per column — the reference's ±1 squeeze
-    (`proto_data_analysis.py:50-74`) — with μ/σ from one aggregate pass
-    folded back as literals. σ is the sample stddev; σ=0 maps to 0.
+    (`proto_data_analysis.py:50-74`). σ is the sample stddev; σ=0 (and the
+    empty/1-row frame, where stddev is null) maps to 0.
+
+    Fully lazy: the 1-row μ/σ aggregate is broadcast-crossJoined into the
+    projection instead of collected — no job runs at plan-build time, and
+    at scale the stats pass fuses into the same action as the projection
+    (one aggregate + one map stage) rather than an eager extra job per
+    construction.
     """
     stats = df.agg(
-        *[F.avg(c).alias(f"mu_{c}") for c in cols],
-        *[F.stddev(c).alias(f"sd_{c}") for c in cols],
-    ).collect()[0]
-    out = df
+        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+        *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
+    )
     exprs = []
     for c in df.columns:
         if c in cols:
-            mu = stats[f"mu_{c}"] or 0.0
-            sd = stats[f"sd_{c}"] or 0.0
-            if sd == 0.0:
-                exprs.append(F.lit(0.0).alias(c))
-            else:
-                exprs.append(
-                    F.round((F.col(c) - F.lit(mu)) / F.lit(2.0 * sd), round_to).alias(c)
-                )
+            mu = F.coalesce(F.col(f"__mu_{c}"), F.lit(0.0))
+            sd = F.coalesce(F.col(f"__sd_{c}"), F.lit(0.0))
+            exprs.append(
+                F.when(sd == F.lit(0.0), F.lit(0.0))
+                .otherwise(F.round((F.col(c) - mu) / (F.lit(2.0) * sd), round_to))
+                .alias(c)
+            )
         else:
             exprs.append(F.col(c))
-    return out.select(*exprs)
+    return df.crossJoin(F.broadcast(stats)).select(*exprs)
 
 
 def linear_score_udf(weights: dict[str, int], bias: int = 0):

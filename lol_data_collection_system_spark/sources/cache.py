@@ -1,0 +1,94 @@
+"""S15 — materialized summary cache (SURVEY.md §2.1).
+
+Reference: the monitor caches its hourly rate-limit summary in memcached
+with a TTL and recomputes on miss (`monitor/views/ratelimit.py:52-55,126`).
+The Spark-native equivalent of "cache an expensive summary" is a
+materialized table: build the DataFrame once, write it as parquet, and
+serve subsequent reads from the materialization until it goes stale.
+
+Freshness here is two-dimensional, both checked at read time:
+- a TTL (the reference's memcached expiry), and
+- source fingerprints (size+mtime of the input files the summary was
+  derived from) — a summary must never outlive a change to its inputs,
+  which a pure TTL cannot guarantee.
+
+At cluster scale this is the standard summary-table pattern: the parquet
+materialization is readable by every executor/session (unlike `.persist()`,
+which is session-local), downstream queries get scan pruning/pushdown on
+it like any other table, and the freshness check is metadata-only (no
+data read). The swap is write-to-temp + rename; concurrent writers race
+benignly (loser reads the winner's materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable, Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fingerprints(sources: Sequence[str]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for s in sources:
+        p = Path(s)
+        if p.exists():
+            st = p.stat()
+            out[str(s)] = {"size": st.st_size, "mtime": st.st_mtime}
+        else:
+            out[str(s)] = {"missing": True}
+    return out
+
+
+def _is_fresh(meta_path: Path, sources: Sequence[str], ttl_s: float | None) -> bool:
+    if not meta_path.exists():
+        return False
+    try:
+        meta = json.loads(meta_path.read_text())
+    except (json.JSONDecodeError, OSError):
+        return False
+    if ttl_s is not None and time.time() - meta.get("created_at", 0) > ttl_s:
+        return False
+    return meta.get("sources") == _fingerprints(sources)
+
+
+def materialize_summary(
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    sources: Sequence[str] = (),
+    ttl_s: float | None = 3600.0,
+) -> DataFrame:
+    """Return the summary at `path`, rebuilding via `build()` when stale.
+
+    Fresh = the materialization exists, is younger than `ttl_s` (None =
+    no expiry), and every file in `sources` still has the size+mtime it
+    had at build time. The returned frame is a plain parquet read of the
+    materialization — lazily planned, prunable, shareable across
+    sessions.
+    """
+    path_p = Path(path)
+    meta_path = path_p.with_suffix(path_p.suffix + ".meta.json")
+    if not _is_fresh(meta_path, sources, ttl_s):
+        fps = _fingerprints(sources)  # fingerprint BEFORE building: if an
+        # input changes mid-build the next read sees a stale fingerprint
+        # and rebuilds, never the reverse
+        tmp = path_p.parent / f".{path_p.name}.tmp-{uuid.uuid4().hex[:8]}"
+        path_p.parent.mkdir(parents=True, exist_ok=True)
+        build().write.mode("overwrite").parquet(str(tmp))
+        if path_p.exists():
+            shutil.rmtree(path_p, ignore_errors=True)
+        try:
+            os.rename(tmp, path_p)
+            meta_path.write_text(
+                json.dumps({"created_at": time.time(), "sources": fps})
+            )
+        except OSError:
+            # concurrent writer won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(path_p))

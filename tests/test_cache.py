@@ -1,0 +1,76 @@
+"""S15 materialized summary cache: build-once, TTL expiry, and source
+fingerprint invalidation (the reference's memcached hourly summary,
+`monitor/views/ratelimit.py:52-55`, with the extra guarantee that a
+summary never outlives a change to its inputs)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from lol_data_collection_system_spark.sources import materialize_summary
+
+
+def test_materialize_summary_caches_and_invalidates(spark, tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("v1")
+    path = str(tmp_path / "summary.parquet")
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+
+    out1 = materialize_summary(spark, path, build, sources=[str(src)])
+    assert sorted(map(tuple, out1.collect())) == [(1, "a"), (2, "b")]
+    assert builds["n"] == 1
+
+    # fresh → served from the materialization, no rebuild
+    out2 = materialize_summary(spark, path, build, sources=[str(src)])
+    assert sorted(map(tuple, out2.collect())) == [(1, "a"), (2, "b")]
+    assert builds["n"] == 1
+
+    # source content change (size+mtime fingerprint) → rebuild
+    time.sleep(0.01)
+    src.write_text("v2 longer")
+    materialize_summary(spark, path, build, sources=[str(src)])
+    assert builds["n"] == 2
+
+    # expired TTL → rebuild even with unchanged sources
+    materialize_summary(spark, path, build, sources=[str(src)], ttl_s=0.0)
+    assert builds["n"] == 3
+
+
+def test_materialize_summary_no_sources_ttl_only(spark, tmp_path):
+    path = str(tmp_path / "s2.parquet")
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(3)
+
+    materialize_summary(spark, path, build, ttl_s=3600)
+    materialize_summary(spark, path, build, ttl_s=3600)
+    assert builds["n"] == 1
+    assert os.path.exists(path)
+
+
+def test_synthetic_kills_materializes(spark, tmp_path, monkeypatch):
+    """The fight pipeline's kills summary goes through the S15 cache."""
+    from lol_data_collection_system_spark.plans import domain_queries as dq
+
+    monkeypatch.setattr(dq, "SUMMARY_CACHE_DIR", str(tmp_path))
+    dq._KILLS_CACHE.clear()
+    try:
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        kills = dq.synthetic_kills(spark, sf)
+        n = kills.count()
+        assert n > 0
+        sf_name = os.path.basename(sf.rstrip("/"))
+        assert os.path.exists(str(tmp_path / f"kills_{sf_name}.parquet"))
+        # memoized handle: same object second time
+        assert dq.synthetic_kills(spark, sf) is kills
+    finally:
+        for df in dq._KILLS_CACHE.values():
+            df.unpersist()
+        dq._KILLS_CACHE.clear()

@@ -62,3 +62,31 @@ def test_dense_and_sparse_paths_agree(spark):
         for idx in range(n):
             want = dense_dict[name_of[idx]]
             assert vec[idx] == float(want), (match_id, name_of[idx])
+
+
+def test_normalize_columns_lazy_and_correct(spark):
+    """(x−μ)/2σ with σ=0 → 0; and NO Spark job runs at plan-build time
+    (the μ/σ aggregate is broadcast-joined, not collected)."""
+    from lol_data_collection_system_spark.operators.features import (
+        normalize_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 7.0), (2, 20.0, 7.0), (3, 30.0, 7.0)], ["id", "x", "c"]
+    )
+    spark.sparkContext.setJobGroup("norm_lazy_probe", "plan-build probe")
+    try:
+        out = normalize_columns(df, ["x", "c"])
+        out.schema  # forces analysis, still no job
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "norm_lazy_probe"
+        )
+        assert list(jobs) == [], "normalize_columns ran a job at plan time"
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    rows = {r.id: r for r in out.collect()}
+    # x: mu=20, sample sd=10 -> (10-20)/20 = -0.5
+    assert rows[1].x == -0.5 and rows[2].x == 0.0 and rows[3].x == 0.5
+    # constant column: sd=0 -> 0.0
+    assert all(rows[i].c == 0.0 for i in (1, 2, 3))
+    assert rows[1]["id"] == 1  # non-normalized columns pass through
