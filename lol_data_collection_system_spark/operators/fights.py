@@ -19,8 +19,10 @@ Pipeline shape (Spark-first decomposition):
    superset ahead absorbs the current fight and breaks (`utils.py:586-626`).
    This fold is order-dependent and non-associative — per the survey it is
    implemented as a grouped `applyInPandas` (Arrow-batched, one group per
-   (match, perspective)); groups are ≤ a few hundred rows so Python cost
-   is bounded, and groups distribute across executors.
+   (match, actor), kills and deaths merged jointly in one ts-sorted list,
+   matching the reference's ``sorted(kills+deaths)`` fold); groups are ≤ a
+   few hundred rows so Python cost is bounded, and groups distribute
+   across executors.
 4. **Outcome bucketing** (`outcome_buckets`): solo/skirmish/team ×
    win/neutral/loss counts and the ratio/aggro profile
    (`utils.py:630-726`) — a single conditional aggregation.
@@ -109,9 +111,15 @@ def enrich_adjacent_sets(
     Reference semantics (`utils.py:538-577`), kill perspective:
       - adjacent event whose contributors intersect my (fixed) allies →
         its victim joins `enemies` and `victims`;
-      - adjacent event whose victim is one of my allies → its contributors
-        join `enemies`, its victim joins `victims`.
-    Death perspective mirrors with allies/enemies swapped
+      - adjacent event whose victim is one of my allies (and is NOT a
+        contributor — the reference's per-ally `elif` only skips branch 2
+        for the ally that is both victim and contributor) → its
+        contributors join `enemies`, its victim joins `victims`.
+    The reference loops per ally with an if/elif, so BOTH branches can
+    fire for one adjacent event via *different* allies (e.g. a killerId=0
+    execution putting 0 in the own side while the victim is also own
+    side) — the branches accumulate independently here, never
+    exclusively. Death perspective mirrors with allies/enemies swapped
     (`utils.py:564-577`). All additions are append-if-absent against sets
     that are never re-read during the scan → order-insensitive → a join +
     `collect_set` + `array_union` reproduces them exactly.
@@ -156,9 +164,14 @@ def enrich_adjacent_sets(
         F.col("enemies")
     )
     side_scored = F.arrays_overlap(F.col("adj_contributors"), own)
-    side_died = F.array_contains(own, F.col("adj_victim"))
-    gained_opponents = F.when(side_scored, F.array(F.col("adj_victim"))).otherwise(
-        F.when(side_died, F.col("adj_contributors")).otherwise(F.array())
+    # branch 2 fires for an ally equal to the victim only via the per-ally
+    # elif — i.e. never when that ally is itself a contributor
+    side_died = F.array_contains(own, F.col("adj_victim")) & ~F.array_contains(
+        F.col("adj_contributors"), F.col("adj_victim")
+    )
+    gained_opponents = F.concat(
+        F.when(side_scored, F.array(F.col("adj_victim"))).otherwise(F.array()),
+        F.when(side_died, F.col("adj_contributors")).otherwise(F.array()),
     )
     gained_victims = F.when(
         side_scored | side_died, F.array(F.col("adj_victim"))

@@ -51,7 +51,7 @@ def recurrent_deltas(
     on_champ = entries.filter(
         F.col("champion_id") == F.col("anchor_champion")
     )
-    walk = Window.partitionBy("account_id").orderBy(
+    walk = Window.partitionBy("account_id", "anchor_ts").orderBy(
         F.col("week_i").asc(),
         F.col("game_creation_ms").desc(),
         F.col("game_id").desc(),
@@ -69,7 +69,9 @@ def recurrent_deltas(
     rows = on_champ.join(stats, ["game_id", "anchor_pid"]).withColumn(
         "lane_role", F.concat_ws("_", F.col("lane"), F.col("role"))
     )
-    w_lr = Window.partitionBy("account_id", "lane_role").orderBy("parse_rn")
+    w_lr = Window.partitionBy("account_id", "anchor_ts", "lane_role").orderBy(
+        "parse_rn"
+    )
     rows = rows.withColumn("idx", F.row_number().over(w_lr) - 1)
     out_cols = [
         "account_id",

@@ -145,10 +145,11 @@ joined AS (
    AND a.ts_ms BETWEEN p.ts_ms - {ENRICH_MS} AND p.ts_ms + {ENRICH_MS}),
 gained AS (
   SELECT match_id, actor, perspective, ts_ms, allies, enemies, victims,
-         CASE WHEN list_contains(own, adj_killer) THEN [adj_victim]
-              WHEN list_contains(own, adj_victim) THEN [adj_killer]
-              ELSE [] END AS g_opp,
-         CASE WHEN list_contains(own, adj_killer) OR list_contains(own, adj_victim)
+         (CASE WHEN list_contains(own, adj_killer) THEN [adj_victim] ELSE [] END)
+           || (CASE WHEN list_contains(own, adj_victim) AND adj_victim != adj_killer
+                    THEN [adj_killer] ELSE [] END) AS g_opp,
+         CASE WHEN list_contains(own, adj_killer)
+                OR (list_contains(own, adj_victim) AND adj_victim != adj_killer)
               THEN [adj_victim] ELSE [] END AS g_vic
   FROM joined),
 agg AS (
@@ -219,10 +220,11 @@ joined AS (
    AND a.ts_ms BETWEEN p.ts_ms - {ENRICH_MS} AND p.ts_ms + {ENRICH_MS}),
 gained AS (
   SELECT match_id, actor, perspective, ts_ms, allies, enemies, victims,
-         CASE WHEN list_contains(own, adj_killer) THEN [adj_victim]
-              WHEN list_contains(own, adj_victim) THEN [adj_killer]
-              ELSE [] END AS g_opp,
-         CASE WHEN list_contains(own, adj_killer) OR list_contains(own, adj_victim)
+         (CASE WHEN list_contains(own, adj_killer) THEN [adj_victim] ELSE [] END)
+           || (CASE WHEN list_contains(own, adj_victim) AND adj_victim != adj_killer
+                    THEN [adj_killer] ELSE [] END) AS g_opp,
+         CASE WHEN list_contains(own, adj_killer)
+                OR (list_contains(own, adj_victim) AND adj_victim != adj_killer)
               THEN [adj_victim] ELSE [] END AS g_vic
   FROM joined),
 enriched AS (

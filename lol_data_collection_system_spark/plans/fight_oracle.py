@@ -85,7 +85,10 @@ def python_reference_pipeline(kills: list[dict]) -> list[tuple]:
                     "victims": [k["victim"]],
                 }
             )
-        # ±15 s enrichment, mirroring utils.py:538-577
+        # ±15 s enrichment, mirroring utils.py:538-577. The reference's
+        # if/elif is PER ALLY, so both branches can fire for one adjacent
+        # event via different allies; branch 2 is skipped only for the
+        # ally that is simultaneously the victim and a contributor.
         for (actor, persp), evs in per_actor.items():
             for e in evs:
                 own = e["allies"] if persp == "kill" else e["enemies"]
@@ -94,15 +97,19 @@ def python_reference_pipeline(kills: list[dict]) -> list[tuple]:
                     if not (e["ts_ms"] - 15000 <= adj["ts_ms"] <= e["ts_ms"] + 15000):
                         continue
                     contributors = [adj["killer"]]
-                    if any(o in contributors for o in own):
+                    scored = any(o in contributors for o in own)
+                    died = (
+                        adj["victim"] in own
+                        and adj["victim"] not in contributors
+                    )
+                    if scored:
                         if adj["victim"] not in grow:
                             grow.append(adj["victim"])
-                        if adj["victim"] not in e["victims"]:
-                            e["victims"].append(adj["victim"])
-                    elif adj["victim"] in own:
+                    if died:
                         for c in contributors:
                             if c not in grow:
                                 grow.append(c)
+                    if scored or died:
                         if adj["victim"] not in e["victims"]:
                             e["victims"].append(adj["victim"])
         # +30 s forward subset-merge over the participant's kills AND

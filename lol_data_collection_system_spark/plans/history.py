@@ -51,18 +51,28 @@ def _walk_entries(
 ) -> DataFrame:
     """Anchor ⋈ matchlist restricted to the 3-week lookback, tagged with
     the walk order (week outward, newest-first within week — the order
-    the reference's API loop produces) and the processing gate."""
+    the reference's API loop produces) and the processing gate.
+
+    The reference computes one history per (anchor match, participant),
+    so every window/group downstream keys on (account_id, anchor_ts) —
+    `anchor_ts` being the anchor's own cutoff — never on account_id
+    alone: two anchors for the same account get two independent walks
+    instead of interleaved ranks and mixed counters."""
     cutoff = F.col("match_time_ms") - 1000  # 1 s anchor offset, utils.py:852
-    ml = anchors.join(matchlist, "account_id").withColumn(
-        "week_i",
-        F.floor((cutoff - F.col("game_creation_ms")) / F.lit(WEEK_MS)),
+    ml = (
+        anchors.join(matchlist, "account_id")
+        .withColumn("anchor_ts", F.col("match_time_ms"))
+        .withColumn(
+            "week_i",
+            F.floor((cutoff - F.col("game_creation_ms")) / F.lit(WEEK_MS)),
+        )
     )
     ml = ml.filter(
         (F.col("game_creation_ms") <= cutoff)
         & (F.col("week_i") >= 0)
         & (F.col("week_i") < max_weeks)
     )
-    walk = Window.partitionBy("account_id").orderBy(
+    walk = Window.partitionBy("account_id", "anchor_ts").orderBy(
         F.col("week_i").asc(),
         F.col("game_creation_ms").desc(),
         F.col("game_id").desc(),
@@ -95,7 +105,7 @@ def stats_history(
         "game_id",
     ).withColumn("is_remake", F.col("game_duration") < 300)
 
-    walk = Window.partitionBy("account_id").orderBy("rn")
+    walk = Window.partitionBy("account_id", "anchor_ts").orderBy("rn")
     prev_remakes = F.coalesce(
         F.sum(F.col("is_remake").cast("long")).over(
             walk.rowsBetween(Window.unboundedPreceding, -1)
@@ -131,6 +141,7 @@ def stats_history(
     stat_cols = history_stat_columns(F.col("stats"), F.col("tl"))
     base = base.select(
         "account_id",
+        "anchor_ts",
         "reallane",
         "game_id",
         "participant_id",
@@ -141,7 +152,7 @@ def stats_history(
     )
 
     # ---- counters ---------------------------------------------------------
-    totals = entries.groupBy("account_id").agg(
+    totals = entries.groupBy("account_id", "anchor_ts").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.count(F.when(F.col("processed") & F.col("is_remake"), 1)).alias(
             "n_processed_remakes"
@@ -149,11 +160,13 @@ def stats_history(
     )
 
     # ---- lanes histogram + in-lane count ----------------------------------
-    lane_counts = base.groupBy("account_id").pivot("lane_then", LANE_ORDER).count()
+    lane_counts = (
+        base.groupBy("account_id", "anchor_ts").pivot("lane_then", LANE_ORDER).count()
+    )
     lane_counts = lane_counts.na.fill(0, LANE_ORDER)
 
     # ---- previous_game_won + streaks (gaps-and-islands, last island) ------
-    w_walk = Window.partitionBy("account_id").orderBy("rn")
+    w_walk = Window.partitionBy("account_id", "anchor_ts").orderBy("rn")
     flagged = base.withColumn(
         "chg",
         F.when(F.lag("win").over(w_walk).isNull(), 1)
@@ -163,19 +176,22 @@ def stats_history(
         "island",
         F.sum("chg").over(w_walk.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    runs = flagged.groupBy("account_id", "island").agg(
+    runs = flagged.groupBy("account_id", "anchor_ts", "island").agg(
         F.first("win").alias("run_win"), F.count(F.lit(1)).alias("run_len")
     )
     last_run = (
         runs.withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("account_id").orderBy(F.col("island").desc())
+                Window.partitionBy("account_id", "anchor_ts").orderBy(
+                    F.col("island").desc()
+                )
             ),
         )
         .filter(F.col("rk") == 1)
         .select(
             "account_id",
+            "anchor_ts",
             F.when(F.col("run_win"), F.col("run_len") - 1)
             .otherwise(F.lit(0))
             .alias("consecutive_wins"),
@@ -187,11 +203,14 @@ def stats_history(
     first_game = (
         flagged.withColumn(
             "first_rk",
-            F.row_number().over(Window.partitionBy("account_id").orderBy("rn")),
+            F.row_number().over(
+                Window.partitionBy("account_id", "anchor_ts").orderBy("rn")
+            ),
         )
         .filter(F.col("first_rk") == 1)
         .select(
             "account_id",
+            "anchor_ts",
             F.when(F.col("win"), F.lit(1)).otherwise(F.lit(-1)).alias(
                 "previous_game_won"
             ),
@@ -207,7 +226,7 @@ def stats_history(
                 f"lane_{n}"
             )
         )
-    means = base.groupBy("account_id").agg(
+    means = base.groupBy("account_id", "anchor_ts").agg(
         F.count(F.lit(1)).alias("n_base_games"),
         F.count(F.when(F.col("lane_then") == F.col("reallane"), 1)).alias(
             "num_games_in_current_lane"
@@ -216,7 +235,7 @@ def stats_history(
     )
 
     # ---- aggressiveness profile over fights -------------------------------
-    played = base.select("account_id", "game_id", "participant_id")
+    played = base.select("account_id", "anchor_ts", "game_id", "participant_id")
     fights = fight_ops.parse_fights(
         kill_events.join(
             played.select(F.col("game_id").alias("match_id")).distinct(), "match_id"
@@ -227,10 +246,11 @@ def stats_history(
             F.col("game_id").alias("match_id"),
             F.col("participant_id").alias("actor"),
             "account_id",
+            "anchor_ts",
         ),
         ["match_id", "actor"],
     )
-    buckets = fight_ops.outcome_buckets(my_fights, ["account_id"])
+    buckets = fight_ops.outcome_buckets(my_fights, ["account_id", "anchor_ts"])
     profile_cols = []
     for b in ["solo", "skirmish", "team"]:
         # try_divide: 0 games → null ratios (the reference's None,
@@ -248,13 +268,15 @@ def stats_history(
         profile_cols += [ratio.alias(f"{b}_ratio"), aggro.alias(f"{b}_aggro")]
 
     # ---- assemble ---------------------------------------------------------
+    akeys = ["account_id", "anchor_ts"]
     out = (
-        anchors.join(totals, "account_id", "left")
-        .join(means, "account_id", "left")
-        .join(lane_counts, "account_id", "left")
-        .join(last_run, "account_id", "left")
-        .join(first_game, "account_id", "left")
-        .join(buckets, "account_id", "left")
+        anchors.withColumn("anchor_ts", F.col("match_time_ms"))
+        .join(totals, akeys, "left")
+        .join(means, akeys, "left")
+        .join(lane_counts, akeys, "left")
+        .join(last_run, akeys, "left")
+        .join(first_game, akeys, "left")
+        .join(buckets, akeys, "left")
     )
     out = out.na.fill(
         0,
@@ -305,6 +327,7 @@ def stats_history(
     n_games = (F.col("n_entries") - F.col("n_processed_remakes")).alias("num_games")
     return out.select(  # noqa: E501 — wide history row by design
         "account_id",
+        "match_time_ms",  # anchor identity: one history row per anchor
         "reallane",
         lane_priority.alias("lane_priority"),
         n_games,
@@ -345,7 +368,7 @@ def stats_availability(
       sorted-distinct array equality.
     """
     entries = _walk_entries(anchors, matchlist, max_weeks, max_games=0).drop("rn")
-    top = entries.groupBy("account_id").agg(
+    top = entries.groupBy("account_id", "anchor_ts").agg(
         F.count(F.lit(1)).alias("num_matches"),
         F.count(
             F.when(F.col("champion_id") == F.col("current_champion"), 1)
@@ -385,7 +408,7 @@ def stats_availability(
         )
     )
     runes_now = F.array_sort(F.array_distinct(F.col("runes_set")))
-    sub = detailed.groupBy("account_id").agg(
+    sub = detailed.groupBy("account_id", "anchor_ts").agg(
         F.count(F.when(F.col("lane_then") != F.col("reallane"), 1)).alias(
             "num_matches_in_role"
         ),
@@ -397,9 +420,12 @@ def stats_availability(
         ),
     )
     out = (
-        anchors.select("account_id")
-        .join(top, "account_id", "left")
-        .join(sub, "account_id", "left")
+        anchors.select(
+            "account_id", F.col("match_time_ms").alias("anchor_ts")
+        )
+        .join(top, ["account_id", "anchor_ts"], "left")
+        .join(sub, ["account_id", "anchor_ts"], "left")
+        .drop("anchor_ts")
     )
     return out.na.fill(
         0,

@@ -136,12 +136,16 @@ class RestSource:
                 return None
             attempt += 1
             if resp.status == 429:
+                # retry budget check comes BEFORE the sleep: a persistently
+                # rate-limited URL fails immediately on its final attempt
+                # instead of sleeping one extra Retry-After in the executor
+                # hot path
+                if attempt > self.max_retries:
+                    raise RuntimeError(f"rate-limited after retries: {url}")
                 # service/method/app classification is advisory; the wait
                 # is whatever the server demands (utils.py:117-139)
                 retry_after = float(resp.headers.get("Retry-After", "1"))
                 self.sleeper(retry_after)
-                if attempt > self.max_retries:
-                    raise RuntimeError(f"rate-limited after retries: {url}")
                 continue
             if 500 <= resp.status < 600 and attempt <= self.max_retries:
                 self.sleeper(min(self.backoff_s * attempt, 10.0))

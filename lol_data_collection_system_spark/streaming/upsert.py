@@ -30,12 +30,19 @@ def latest_wins_merge(
 ) -> DataFrame:
     """Pure-DataFrame MERGE: union current + updates, keep per key the
     row with max seq, column-wise COALESCE from newest to oldest so later
-    phases fill nulls without erasing earlier phases' columns."""
+    phases fill nulls without erasing earlier phases' columns.
+
+    Ties on seq (two updates claiming the same phase) break on a stable
+    hash of the full row payload — without it, `first(ignorenulls)` /
+    `row_number` would pick whichever row the shuffle happened to order
+    first, and a replay could legitimately produce a different store
+    state, breaking the documented idempotent-MERGE contract."""
     u = updates
     if current is not None:
         u = current.unionByName(updates, allowMissingColumns=True)
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     value_cols = [c for c in u.columns if c not in key_cols]
+    tiebreak = F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc(), tiebreak.asc())
     filled = u.select(
         *key_cols,
         *[

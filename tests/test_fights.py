@@ -120,3 +120,52 @@ def test_fight_merge_fixture_regenerates_when_stale(tmp_path, monkeypatch):
     fight_oracle.ensure_fight_merge_fixture((SF_DIR,))
     assert os.path.getmtime(path) >= first_mtime
     assert (tmp_path / "fight_merge_oracle.meta.json").exists()
+
+
+def test_enrichment_both_branches_one_event(spark):
+    """Reference per-ally if/elif (utils.py:543-557): a killerId=0-style
+    execution event can fire BOTH branches via different allies — ally 0
+    is a contributor (side scored → victim joins) while ally 1 is the
+    victim (side died → contributors join). Both additions must land."""
+    from pyspark.sql import types as T
+
+    persp_schema = T.StructType(
+        [
+            T.StructField("match_id", T.LongType()),
+            T.StructField("actor", T.LongType()),
+            T.StructField("perspective", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("allies", T.ArrayType(T.LongType())),
+            T.StructField("enemies", T.ArrayType(T.LongType())),
+            T.StructField("victims", T.ArrayType(T.LongType())),
+        ]
+    )
+    kills_schema = T.StructType(
+        [
+            T.StructField("match_id", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("killer", T.LongType()),
+            T.StructField("victim", T.LongType()),
+            T.StructField("assists", T.ArrayType(T.LongType())),
+        ]
+    )
+    persp = spark.createDataFrame(
+        [(1, 1, "kill", 0, [1, 0], [9], [9])], persp_schema
+    )
+    adj = spark.createDataFrame([(1, 1000, 0, 1, [])], kills_schema)
+    out = fight_ops.enrich_adjacent_sets(persp, adj, 15_000).collect()
+    assert len(out) == 1
+    row = out[0]
+    # branch 1: victim 1 joined enemies; branch 2: contributor 0 joined too
+    assert sorted(row.enemies) == [0, 1, 9]
+    assert sorted(row.victims) == [1, 9]
+
+    # corner: the ally that is both victim AND contributor fires ONLY
+    # branch 1 (the elif skips branch 2 for it) — contributors of a
+    # self-referencing event must not join
+    adj2 = spark.createDataFrame([(1, 1000, 1, 1, [5])], kills_schema)
+    row2 = fight_ops.enrich_adjacent_sets(persp, adj2, 15_000).collect()[0]
+    # side scored (killer 1 in own) -> victim 1 joins enemies; side_died
+    # suppressed (victim 1 IS a contributor) -> 5 must NOT join
+    assert sorted(row2.enemies) == [1, 9]
+    assert sorted(row2.victims) == [1, 9]

@@ -209,3 +209,62 @@ def test_normalized_match_documents_roundtrip(spark):
     # topside team = teamId 200 → champions 6..10 of match 1
     top = next(t for t in doc["teams"] if t["is_topside"])
     assert sorted(pl["champion"] for pl in top["players"]) == [106, 107, 108, 109, 110]
+
+
+def test_two_anchors_per_account_do_not_interleave(spark):
+    """A second anchor for the same account (earlier cutoff) must produce
+    its own independent history row — walk ranks, counters, and means
+    keyed by (account_id, anchor_ts), not mixed across anchors."""
+    anchors, matchlist, docs, timelines = scenario()
+    acct, lane, t_new = anchors[0]
+    t_old = t_new - 7 * 24 * 60 * 60 * 1000  # one week earlier cutoff
+    two = [(acct, lane, t_new), (acct, lane, t_old)]
+
+    anchors_df = spark.createDataFrame(
+        two, ["account_id", "reallane", "match_time_ms"]
+    )
+    ml_df = spark.createDataFrame(
+        [tuple(m[f.name] for f in schemas.MATCHLIST_ENTRY.fields) for m in matchlist],
+        schemas.MATCHLIST_ENTRY,
+    )
+    hm_df = spark.createDataFrame(
+        historical_match_rows(docs, timelines), schemas.HISTORICAL_MATCH
+    )
+    decoded = doc_src.decode_match_documents(hm_df)
+    participants = doc_src.explode_participants(decoded)
+    pframes = doc_src.explode_participant_frames(decoded)
+    lane_map = lanes_plan.champion_lane_mapping(participants, pframes)
+    kills = (
+        doc_src.explode_timeline_events(decoded)
+        .filter(F.col("type") == "CHAMPION_KILL")
+        .select(
+            "match_id",
+            "ts_ms",
+            F.col("killer_id").cast("long").alias("killer"),
+            F.col("victim_id").cast("long").alias("victim"),
+            F.col("assists").cast("array<long>").alias("assists"),
+        )
+    )
+    matches_dim = decoded.select("match_id", "game_duration")
+    result = history_plan.stats_history(
+        anchors_df, ml_df, matches_dim, participants, lane_map, kills,
+        max_weeks=3, max_games=MAX_GAMES,
+    )
+    rows = {r.match_time_ms: r.asDict() for r in result.collect()}
+    assert set(rows) == {t_new, t_old}, "one history row per anchor"
+    for t in (t_new, t_old):
+        want = oracle_history(acct, lane, t, matchlist, docs, timelines,
+                              max_weeks=3, max_games=MAX_GAMES)
+        got = rows[t]
+        for key, want_val in want.items():
+            got_val = got[key]
+            if want_val is None:
+                assert got_val is None, f"anchor {t} field {key}"
+            elif isinstance(want_val, float):
+                assert got_val == pytest.approx(want_val, rel=1e-9), (
+                    f"anchor {t} field {key}: {got_val} != {want_val}"
+                )
+            else:
+                assert got_val == want_val, (
+                    f"anchor {t} field {key}: {got_val} != {want_val}"
+                )
