@@ -121,6 +121,74 @@ def lsh_topk(
     return _rank_topk(scored, k, id_col)
 
 
+def ivf_assign_buckets(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the vectors with ``id < n_centroids`` — deterministic
+    "training-free" seeds, so oracles and re-runs agree (production swaps
+    in k-means centroids; identical plan shape). Assignment is argmax of
+    cosine (rounded to 6 dp, centroid-id tie-break) over the centroid
+    array, which travels as ONE broadcast row — the whole assignment is
+    map-side column expressions: no shuffle of the corpus, only the
+    n_centroids-row aggregate underneath the broadcast.
+
+    Complements sign-LSH for anisotropic embeddings: data-dependent
+    centroids balance buckets where axis-sign splits collapse.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("cvec"))
+        ).alias("cents")
+    )
+
+    def centroid_sim(c: Column) -> Column:
+        return F.struct(
+            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        )
+
+    best = F.array_max(F.transform(F.col("cents"), centroid_sim))
+    return emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].cast("bigint").alias("bucket"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: candidates share the query's centroid bucket
+    (nprobe=1 — probing the next-nearest centroids would union more
+    buckets, same plan shape), then exact cosine within the bucket and a
+    TakeOrderedAndProject top-k. Recall < 1 by construction, like
+    `lsh_topk` — the bucket function is the only difference."""
+    with_bucket = ivf_assign_buckets(emb, n_centroids, id_col, vec_col)
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k, id_col)
+
+
 def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Reduce (id, cos_sim) to the global top-k, then attach rank.
 

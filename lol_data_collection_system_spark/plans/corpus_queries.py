@@ -418,6 +418,48 @@ WHERE rank <= {TOPK}
 """
 
 
+IVF_CENTROIDS = 8
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid-argmax bucketing (data-dependent, balances the
+    buckets sign-LSH collapses on anisotropic embeddings) + exact cosine
+    within the query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, QUERY_VEC_ID, TOPK, IVF_CENTROIDS)
+
+
+#: cosine between a row's embedding and a centroid's, both DOUBLE[]
+_COS_CENT_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))))"
+)
+
+ORACLE_EMBEDDING_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_COS_CENT_SQL}, 6) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank,
+         ROUND({_COS_Q_SQL}, 4) AS cos_sim
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id,
+       (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q,
+       (SELECT bucket AS qbucket FROM assign WHERE vec_id = {QUERY_VEC_ID}) qb
+  WHERE e.vec_id != {QUERY_VEC_ID}
+    AND a.bucket = qb.qbucket)
+WHERE rank <= {TOPK}
+"""
+
+
 def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -449,6 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_topk": q_embedding_ann_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
 }
 
@@ -466,5 +509,6 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,
+    "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
 }

@@ -149,6 +149,22 @@ def test_topk_is_take_ordered_not_global_window(spark, qname):
     assert "SinglePartition" not in plan
 
 
+def test_ivf_topk_plan_shape(spark):
+    """IVF variant: corpus assignment must be map-side (broadcast centroid
+    array, no corpus shuffle) and the final top-k a TakeOrderedAndProject.
+    The only single-partition exchange allowed is the n_centroids-row
+    aggregate under its BroadcastExchange."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    tree = plan.split("\n\n")[0]
+    take = tree.find("TakeOrderedAndProject")
+    win = tree.find("Window")
+    assert take != -1
+    assert win != -1 and win < take  # rank window above the ≤k-row take
+    # corpus side never sort-merges or cartesians
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_shingles_explode_before_window(spark):
     """Shingle generation must be the explode + lead() formulation: one
     Generate (posexplode) feeding ONE exchange, with the k-gram assembly
