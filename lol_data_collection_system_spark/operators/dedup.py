@@ -89,18 +89,26 @@ def cap_shingles(
     appearing in f documents contributes f² join rows, so a handful of
     stop-phrases can dominate the shuffle (at sf0.1 of the synthetic
     corpus, 90% of shingles exceed df 5 and the capped join is ~10×
-    smaller). The frequency count is itself one partial-aggregated
-    hash-agg, and the semi-join back is on the same shingle key the
-    downstream join shuffles by — no extra exchange."""
+    smaller).
+
+    Implemented as a count over `Window.partitionBy(shingle)` rather than
+    a groupBy + semi-join back: the window computes the shingle subtree
+    ONCE and shuffles it once (by the same shingle key the downstream
+    self-join uses, so the join can reuse the partitioning), where the
+    semi-join form scans+explodes the corpus twice and shuffles twice.
+    Measured at sf0.1: full capped-Jaccard 1.8 s → 1.0 s. Skew exposure
+    is identical — either form moves all rows of a hot shingle to one
+    partition before dropping them."""
     if max_doc_freq is None:
         return sh
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("shingle")
+    from pyspark.sql import Window
+
+    df_count = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_df", df_count)
+        .filter(F.col("_df") <= max_doc_freq)
+        .select(id_col, "shingle")
     )
-    return sh.join(rare, "shingle").select(id_col, "shingle")
 
 
 def ngram_jaccard_pairs(
