@@ -1,0 +1,122 @@
+"""Connected components over near-duplicate pairs — the cluster step of
+corpus deduplication (pairs → components → one canonical doc per
+component). The reference has no graph step (its dedup is per-row ORM
+get-or-create); this is part of the LLM-training-pipeline surface the
+engine adds on top.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the minimum label in its closed
+neighborhood; converged when no label changes. Rounds = graph diameter,
+and near-dup graphs are piles of tiny dense clusters (diameter 2-4 in
+practice), so the loop runs 2-5 rounds of one shuffle-join + one
+hash-aggregate each — the right shape for this workload at corpus scale.
+(For adversarially long chains the round count grows with the diameter;
+the two-phase star algorithms of Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014, cut that to O(log n) rounds — same
+join/agg building blocks, more of them per round. Not needed for
+near-dup clustering.)
+
+Scale notes
+-----------
+- Per round: one join of labels onto the symmetrized edge list (shuffle
+  keyed by node id, partial-agg'd min) — no driver-side graph state;
+  the only driver action is the convergence count.
+- `localCheckpoint` after each round truncates lineage: without it the
+  plan doubles per iteration and Catalyst analysis time explodes by
+  round ~10.
+- Labels are monotonically non-increasing, so convergence is guaranteed
+  and checkable by counting strict decreases (0 = fixed point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component_id) for every node that appears in `edges`;
+    component_id = the minimum node id in the component.
+
+    Edges are undirected (symmetrized internally); self-loops and
+    duplicate edges are harmless. Raises if `max_iter` rounds don't
+    reach the fixed point — near-dup graphs converge in single digits,
+    so hitting the cap means the input isn't the expected workload.
+    """
+    from pyspark.sql.types import NumericType
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint()
+
+    # Labels only ever decrease, so for numeric ids the fixed point is
+    # detectable from sum(comp) alone — one tiny aggregate per round
+    # instead of an old-vs-new join. Non-numeric ids fall back to the
+    # join-based strict-decrease count.
+    numeric = isinstance(labels.schema["comp"].dataType, NumericType)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] if numeric else None
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(F.col("u").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        if numeric:
+            new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") < F.col("o.comp"))
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if converged:
+            return labels.select(
+                F.col("node"), F.col("comp").alias("component_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus (doc_id, component_id) map: docs touched by an edge get
+    their component's min id, untouched docs are their own singleton
+    component. This is the table a dedup pass filters on
+    (`component_id = doc_id` keeps one canonical doc per cluster)."""
+    comp = connected_components(edges, src, dst)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )

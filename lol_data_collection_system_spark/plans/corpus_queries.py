@@ -460,6 +460,51 @@ WHERE rank <= {TOPK}
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: capped-Jaccard pairs as edges →
+    connected components → full-corpus (doc_id, component_id) map with
+    component_id = min doc id (untouched docs are their own singleton).
+    The iterative label propagation runs eagerly at call time (each round
+    is an action); the returned frame reads the converged labels."""
+    from ..operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    return graph_ops.dedup_clusters(docs, pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+capped AS ({_CAPPED_SH_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+        >= {JACCARD_THRESHOLD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION SELECT id_b, id_a FROM edges),
+reach(node, reached) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.node, s.v FROM reach r JOIN sym s ON s.u = r.reached),
+comp AS (SELECT node, MIN(reached) AS m FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.m, d.doc_id) AS component_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -493,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ann_topk": q_embedding_ann_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -511,4 +557,5 @@ ORACLES: dict[str, str] = {
     "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
 }

@@ -1,0 +1,69 @@
+"""Connected components / dedup clustering: exact semantics on hand-built
+graphs, convergence on chains, and the full-corpus singleton mapping."""
+
+from __future__ import annotations
+
+import pytest
+
+from lol_data_collection_system_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = connected_components(edges, **kw)
+    return sorted(map(tuple, out.collect()))
+
+
+def test_components_basic(spark):
+    # chain 1-2-3, pair 10-11 (reversed order), triangle 20-21-22
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (11, 10), (20, 21), (21, 22), (20, 22)],
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]
+
+
+def test_components_chain_diameter(spark):
+    # a 12-node path exercises multi-round propagation
+    got = _cc(spark, [(i, i + 1) for i in range(12)])
+    assert got == [(i, 0) for i in range(13)]
+
+
+def test_components_self_loops_and_dups(spark):
+    got = _cc(spark, [(5, 5), (5, 6), (6, 5), (5, 6)])
+    assert got == [(5, 5), (6, 5)]
+
+
+def test_components_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError):
+        _cc(spark, [(i, i + 1) for i in range(12)], max_iter=2)
+
+
+def test_components_string_ids(spark):
+    """Non-numeric ids exercise the join-based convergence fallback."""
+    got = _cc(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def test_dedup_clusters_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame([(3, 1), (4, 3)], ["id_a", "id_b"])
+    got = sorted(map(tuple, dedup_clusters(docs, edges).collect()))
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 1), (4, 1), (5, 5)]
+    # the dedup filter keeps exactly one canonical doc per cluster
+    keep = [d for d, c in got if d == c]
+    assert keep == [0, 1, 2, 5]
+
+
+def test_dedup_clusters_empty_edges(spark):
+    docs = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = sorted(map(tuple, dedup_clusters(docs, edges).collect()))
+    assert got == [(i, i) for i in range(4)]
