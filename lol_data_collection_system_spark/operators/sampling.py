@@ -1,0 +1,122 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Seeded `df.sample`/`sampleBy` are reproducible only for a fixed partition
+layout — a repartition, a changed input file count, or a different
+cluster silently reshuffles which rows are kept. Corpus prep needs
+sampling decisions that are a pure function of the ROW (so the train/
+valid/test assignment of a document never changes across runs, engines,
+or cluster sizes): hash the row's key, map the hash to a bucket in
+[0, BUCKETS), compare against rate boundaries.
+
+Everything here is a single codegen'd projection per row (one md5, one
+base-conversion, comparisons) — no shuffle, no state, trivially
+scale-linear; and md5 is engine-portable, so the DuckDB oracle
+reproduces every assignment bit-exactly (same trick as the MinHash
+family).
+
+The salt isolates experiments: two pipelines sampling the same corpus
+with different salts get independent subsets; the same salt is the
+repeatability contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket granularity: rates are resolved to 1e-6 (same order as one row
+#: in the largest practical stratum).
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, BUCKETS) as a pure function of (salt, key):
+    first 15 hex chars of md5 (60 bits, fits a bigint exactly — the
+    engine-portable conversion) mod BUCKETS."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, decided per-row by key hash — stable
+    under repartitioning, re-runs, and engine changes."""
+    return df.filter(
+        sample_bucket(F.col(key_col), salt) < int(round(fraction * BUCKETS))
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Add a `split` column assigning each row to one of `splits` (name →
+    fraction, summing to ≤ 1; any remainder is NULL). Assignment is by
+    half-open bucket ranges laid out in iteration order, so e.g.
+    {"train": .8, "valid": .1, "test": .1} tiles [0, 1) and every row of
+    a given key lands in the same split forever."""
+    bucket = sample_bucket(F.col(key_col), salt)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    bounds = []
+    for name, frac in splits.items():
+        lo, hi = hi, hi + int(round(frac * BUCKETS))
+        bounds.append((name, lo, hi))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(
+            expr
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates (`sampleBy` without the layout
+    dependence): strata not in `fractions` sample at `default`. The rate
+    lookup folds into the same single projection as the bucket hash."""
+    rate = F.lit(int(round(default * BUCKETS)))
+    for value, frac in fractions.items():
+        rate = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(rate)
+    return df.filter(sample_bucket(F.col(key_col), salt) < rate)
+
+
+def weighted_mix(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixing: hash-sample each named source at its own rate and
+    union with a `mix_source` tag. Sources must be union-compatible.
+    Each source's salt is suffixed with its name so identical keys in
+    different sources draw independently."""
+    parts = [
+        hash_sample(df, key_col, frac, salt + name).withColumn(
+            "mix_source", F.lit(name)
+        )
+        for name, (df, frac) in sources.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -505,6 +505,68 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+SPLIT_SALT = "corpus-v1"
+SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+STRATA_DEFAULT = 0.1
+
+
+def q_corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment per document — a pure
+    function of (salt, doc_id), stable across runs/engines/partitioning
+    (seeded `df.sample` is not)."""
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.deterministic_split(
+        docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT
+    ).select("doc_id", "split")
+
+
+def _bucket_of(key_sql: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), "
+        f"1, 15)) AS BIGINT) % 1000000"
+    )
+
+
+def _split_oracle() -> str:
+    cases, hi = [], 0
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi += int(round(frac * 1_000_000))
+        cases.append(f"WHEN b < {hi} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} END AS split
+FROM (SELECT doc_id, {_bucket_of('doc_id', SPLIT_SALT)} AS b FROM documents)
+"""
+
+
+def q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling rates (the layout-independent
+    `sampleBy`)."""
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.stratified_hash_sample(
+        docs, "source", "doc_id", STRATA_FRACTIONS, STRATA_DEFAULT, SPLIT_SALT
+    ).select("doc_id", "source")
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{v}' THEN {int(round(f * 1_000_000))}"
+        for v, f in STRATA_FRACTIONS.items()
+    )
+    default = int(round(STRATA_DEFAULT * 1_000_000))
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, {_bucket_of('doc_id', SPLIT_SALT)} AS b,
+         CASE {cases} ELSE {default} END AS rate
+  FROM documents)
+WHERE b < rate
+"""
+
+
 def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -539,6 +601,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "dedup_components": q_dedup_components,
+    "corpus_train_split": q_corpus_train_split,
+    "stratified_doc_sample": q_stratified_doc_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -558,4 +622,6 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "corpus_train_split": _split_oracle(),
+    "stratified_doc_sample": _stratified_oracle(),
 }

@@ -1,0 +1,89 @@
+"""Deterministic sampling/splitting: rate accuracy, stability under
+repartitioning (the property seeded `sample` lacks), split tiling, and
+per-stratum rates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators.sampling import (
+    deterministic_split,
+    hash_sample,
+    stratified_hash_sample,
+    weighted_mix,
+)
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("id").collect())
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    base = spark.range(10_000)
+    kept = _ids(hash_sample(base, "id", 0.3, "s1"))
+    assert 0.27 * 10_000 < len(kept) < 0.33 * 10_000
+    # identical decision set regardless of partitioning or re-run
+    assert _ids(hash_sample(base.repartition(17), "id", 0.3, "s1")) == kept
+    # nested: sampling at a lower rate with the same salt gives a subset
+    sub = _ids(hash_sample(base, "id", 0.1, "s1"))
+    assert set(sub) < set(kept)
+    # different salt draws an (essentially) independent subset
+    other = _ids(hash_sample(base, "id", 0.3, "s2"))
+    assert other != kept
+
+
+def test_deterministic_split_tiles_exactly(spark):
+    base = spark.range(5_000)
+    out = deterministic_split(
+        base, "id", {"train": 0.8, "valid": 0.1, "test": 0.1}, "s"
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert None not in counts  # fractions sum to 1 → no unassigned rows
+    assert sum(counts.values()) == 5_000
+    assert counts["train"] > counts["valid"]
+    # remainder goes to NULL when fractions sum below 1
+    part = deterministic_split(base, "id", {"train": 0.5}, "s")
+    n_null = part.filter(F.col("split").isNull()).count()
+    assert 0.45 * 5_000 < n_null < 0.55 * 5_000
+
+
+def test_split_disjoint_from_same_salt_sample(spark):
+    """Split assignment and hash_sample share bucket space: train@0.8
+    equals sample@0.8 with the same salt — one consistent decision."""
+    base = spark.range(2_000)
+    train = deterministic_split(base, "id", {"train": 0.8}, "x").filter(
+        F.col("split") == "train"
+    )
+    assert _ids(train) == _ids(hash_sample(base, "id", 0.8, "x"))
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(8_000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = stratified_hash_sample(df, "grp", "id", {"a": 1.0, "b": 0.2})
+    got = out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    counts = {r["grp"]: r["n"] for r in got}
+    assert counts["a"] == 4_000  # rate 1.0 keeps everything
+    assert 0.15 * 4_000 < counts["b"] < 0.25 * 4_000
+    # default rate 0.0 drops unlisted strata entirely
+    only_a = stratified_hash_sample(df, "grp", "id", {"a": 0.5})
+    assert only_a.filter(F.col("grp") == "b").count() == 0
+
+
+def test_weighted_mix_tags_and_rates(spark):
+    a = spark.range(4_000)
+    b = spark.range(4_000)
+    out = weighted_mix({"wiki": (a, 0.5), "web": (b, 0.1)}, "id", "m")
+    counts = {
+        r["mix_source"]: r["n"]
+        for r in out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.45 * 4_000 < counts["wiki"] < 0.55 * 4_000
+    assert 0.07 * 4_000 < counts["web"] < 0.13 * 4_000
+    # per-source salts: same key draws independently in each source
+    wiki_ids = set(r[0] for r in out.filter(F.col("mix_source") == "wiki").select("id").collect())
+    web_ids = set(r[0] for r in out.filter(F.col("mix_source") == "web").select("id").collect())
+    assert web_ids - wiki_ids  # not a subset — independent draws
