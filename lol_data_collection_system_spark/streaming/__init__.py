@@ -8,11 +8,13 @@ coordinated by table locks; here the same semantics are declared:
 - `upsert`     — two-phase latest-wins upsert + exactly-once claim (T3/T4)
 - `sessions`   — watermarked session windows for fight grouping (T8)
 - `heartbeat`  — per-query liveness via StreamingQueryListener (T9)
+- `dedup`      — watermarked streaming exact dedup (online corpus half)
 
 Every streaming job has a batch twin in `operators/` — tests assert the
 streaming result (availableNow trigger) equals the batch computation.
 """
 
+from .dedup import dedup_stream
 from .heartbeat import HeartbeatListener, heartbeats_df, install_heartbeats
 from .polling import poll_until_event, start_polling_query
 from .ratelimit import sliding_quota_counts
@@ -21,6 +23,7 @@ from .upsert import latest_wins_upsert_sink, two_phase_upsert
 
 __all__ = [
     "HeartbeatListener",
+    "dedup_stream",
     "heartbeats_df",
     "install_heartbeats",
     "poll_until_event",
