@@ -187,3 +187,13 @@ def test_shingles_explode_before_window(spark):
     assert "transform(" not in plan
     # distinct partial-aggregates map-side
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sampling_is_pure_projection(spark):
+    """Deterministic sampling/splitting must stay shuffle-free: one scan,
+    one codegen'd filter/projection, no Exchange of any kind — the
+    property that makes it free at 100 TB."""
+    for name in ("corpus_train_split", "stratified_doc_sample"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
