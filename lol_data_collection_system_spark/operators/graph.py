@@ -56,9 +56,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
-    ).localCheckpoint()
+    # Seed with the closed-neighborhood min — identical to running one
+    # propagation round over identity labels, but as a single aggregate:
+    # saves one full join+agg+checkpoint round on every input.
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .localCheckpoint()
+    )
 
     # Labels only ever decrease, so for numeric ids the fixed point is
     # detectable from sum(comp) alone — one tiny aggregate per round
