@@ -116,6 +116,70 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred.otherwise(F.lit(langs[0])))
 
 
+#: Fraction thresholds are compared at this integer scale so Spark and
+#: any SQL oracle evaluate bit-identical predicates (no double division).
+_RULE_SCALE = 1_000_000
+
+
+def quality_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    word_len_lo: float = 3.0,
+    word_len_hi: float = 10.0,
+    min_distinct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """Gopher/C4-style quality rule chain with per-rule audit flags.
+
+    Adds one boolean per rule (`pass_length`, `pass_word_len`,
+    `pass_repetition`, `pass_stopwords`) and the conjunction `keep` —
+    pipelines filter on `keep` and aggregate the flags to see WHICH rule
+    rejects how much of a source (the audit view a bare filter loses).
+    Defaults follow the published heuristics (token-count bounds, mean
+    word length 3-10, repetition via distinct-token ratio, stopword
+    density floor); callers tune per corpus.
+
+    All ratio rules are evaluated as integer cross-multiplications
+    (`n_distinct * SCALE >= threshold_scaled * n_tok`) — no floating
+    division, so results are engine-exact and the whole chain is one
+    codegen'd projection: no shuffle, no UDF, free at any scale.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("bigint")
+    tok_chars = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
+    ).cast("bigint")
+
+    scale = F.lit(_RULE_SCALE).cast("bigint")
+    wl_lo = F.lit(int(round(word_len_lo * _RULE_SCALE))).cast("bigint")
+    wl_hi = F.lit(int(round(word_len_hi * _RULE_SCALE))).cast("bigint")
+    dr = F.lit(int(round(min_distinct_ratio * _RULE_SCALE))).cast("bigint")
+    sr = F.lit(int(round(min_stopword_ratio * _RULE_SCALE))).cast("bigint")
+
+    pass_length = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    pass_word_len = (tok_chars * scale >= wl_lo * n_tok) & (
+        tok_chars * scale <= wl_hi * n_tok
+    )
+    pass_repetition = n_distinct * scale >= dr * n_tok
+    pass_stopwords = stop_hits * scale >= sr * n_tok
+    return df.select(
+        "*",
+        pass_length.alias("pass_length"),
+        pass_word_len.alias("pass_word_len"),
+        pass_repetition.alias("pass_repetition"),
+        pass_stopwords.alias("pass_stopwords"),
+        (pass_length & pass_word_len & pass_repetition & pass_stopwords).alias(
+            "keep"
+        ),
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum (keep
     spaces), collapse whitespace runs, trim."""

@@ -127,6 +127,66 @@ FROM per_doc GROUP BY source
 """
 
 
+#: Filter-chain thresholds picked to discriminate on the synthetic corpus
+#: (each rule rejects a real fraction at sf0.01: length 106/500, word-len
+#: tails, repetition ~45%, stopword floor 188/500).
+QF_MIN_TOKENS = 30
+QF_MAX_TOKENS = 10_000
+QF_WORD_LEN = (4.0, 5.0)
+QF_MIN_DISTINCT = 0.45
+QF_MIN_STOPWORD = 0.05
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rule-chain audit: which Gopher/C4-style rule rejects
+    each doc, plus the final keep bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = QF_WORD_LEN
+    return text_ops.quality_filter_flags(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        word_len_lo=lo,
+        word_len_hi=hi,
+        min_distinct_ratio=QF_MIN_DISTINCT,
+        min_stopword_ratio=QF_MIN_STOPWORD,
+    ).select(
+        "doc_id", "pass_length", "pass_word_len", "pass_repetition",
+        "pass_stopwords", "keep",
+    )
+
+
+def _quality_filter_oracle() -> str:
+    scale = 1_000_000
+    wl_lo = int(round(QF_WORD_LEN[0] * scale))
+    wl_hi = int(round(QF_WORD_LEN[1] * scale))
+    dr = int(round(QF_MIN_DISTINCT * scale))
+    sr = int(round(QF_MIN_STOPWORD * scale))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS tok_chars
+  FROM documents),
+flags AS (
+  SELECT doc_id,
+         n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS} AS pass_length,
+         tok_chars * {scale} >= {wl_lo} * n_tok
+           AND tok_chars * {scale} <= {wl_hi} * n_tok AS pass_word_len,
+         n_distinct * {scale} >= {dr} * n_tok AS pass_repetition,
+         stop_hits * {scale} >= {sr} * n_tok AS pass_stopwords
+  FROM per_doc)
+SELECT doc_id, pass_length, pass_word_len, pass_repetition, pass_stopwords,
+       pass_length AND pass_word_len AND pass_repetition AND pass_stopwords
+         AS keep
+FROM flags
+"""
+
+
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = text_ops.language_scores(docs)
@@ -603,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "corpus_train_split": q_corpus_train_split,
     "stratified_doc_sample": q_stratified_doc_sample,
+    "doc_quality_filter": q_doc_quality_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -624,4 +685,5 @@ ORACLES: dict[str, str] = {
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "corpus_train_split": _split_oracle(),
     "stratified_doc_sample": _stratified_oracle(),
+    "doc_quality_filter": _quality_filter_oracle(),
 }
