@@ -255,6 +255,40 @@ def lsh_candidate_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Train/test contamination check: for each corpus document sharing at
+    least one k-shingle with the benchmark set, the number of distinct
+    benchmark documents it overlaps (`n_benchmark_docs`). Clean corpus
+    docs don't appear — the output is the contamination report a pipeline
+    joins back to drop or flag leaked documents.
+
+    Plan shape: shingle both sides independently (two filtered scans, no
+    corpus-wide id-join), cap the CORPUS side's shingle doc-frequency
+    (`cap_shingles` — the benchmark side is small by construction), then
+    one equi-join keyed on the shingle + a count-distinct per corpus doc.
+    The join output is bounded by |benchmark shingles| × capped-df, not
+    the corpus pair space.
+    """
+    c_sh = cap_shingles(
+        shingles(corpus, id_col, text_col, k), id_col, max_doc_freq
+    )
+    b_sh = shingles(benchmark, id_col, text_col, k).select(
+        F.col(id_col).alias("_bench_id"), "shingle"
+    )
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_bench_id").alias("n_benchmark_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -180,6 +180,47 @@ def quality_filter_flags(
     )
 
 
+#: Default scrub patterns (Java regex, JVM-evaluated). Order matters:
+#: emails go before phones so a phone-like digit run inside an address
+#: is consumed by the email rule first.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "<{name}>",
+) -> DataFrame:
+    """Redact pattern matches (PII scrubbing): replaces every match of
+    each named pattern with its token (e.g. ``<email>``) and records a
+    per-pattern match count (`n_<name>`) for audit aggregation.
+
+    One chained `regexp_replace` + `regexp_count` projection per pattern
+    — JVM regex inside whole-stage codegen, no UDF, no shuffle; the same
+    linear scan shape as the quality chain, so it composes with it in a
+    single stage at any scale. Counts are measured on the ORIGINAL text
+    (a later pattern never sees, or double-counts, an earlier token).
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    scrubbed = F.col(text_col)
+    count_cols = []
+    for name, rx in patterns.items():
+        count_cols.append(
+            F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(
+            scrubbed, rx, token.format(name=name)
+        )
+    return df.select(
+        "*", *count_cols, scrubbed.alias(f"{text_col}_scrubbed")
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum (keep
     spaces), collapse whitespace runs, trim."""

@@ -627,6 +627,51 @@ WHERE b < rate
 """
 
 
+def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition check of the pipeline primitives: deterministic split →
+    shingles → capped overlap join. Reports, per contaminated train doc,
+    how many test docs it shares a shingle with."""
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling_ops.deterministic_split(
+        docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT
+    )
+    corpus = assigned.filter(F.col("split") == "train")
+    bench = assigned.filter(F.col("split") == "test")
+    return dedup_ops.benchmark_contamination(
+        corpus, bench, "doc_id", "text", SHINGLE_K, max_doc_freq=SHINGLE_MAX_DF
+    )
+
+
+def _contamination_oracle() -> str:
+    cases, hi = [], 0
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi += int(round(frac * 1_000_000))
+        cases.append(f"WHEN b < {hi} THEN '{name}'")
+    return f"""
+WITH assign AS (
+  SELECT doc_id, CASE {' '.join(cases)} END AS split
+  FROM (SELECT doc_id, {_bucket_of('doc_id', SPLIT_SALT)} AS b FROM documents)),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+train_sh0 AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN assign a USING (doc_id)
+  WHERE a.split = 'train'),
+train_sh AS (
+  SELECT t.doc_id, t.shingle FROM train_sh0 t
+  JOIN (SELECT shingle FROM train_sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_MAX_DF}) r USING (shingle)),
+test_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN assign a USING (doc_id)
+  WHERE a.split = 'test')
+SELECT t.doc_id, CAST(COUNT(DISTINCT ts.doc_id) AS BIGINT) AS n_benchmark_docs
+FROM train_sh t JOIN test_sh ts USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
 def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -664,6 +709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_train_split": q_corpus_train_split,
     "stratified_doc_sample": q_stratified_doc_sample,
     "doc_quality_filter": q_doc_quality_filter,
+    "train_test_contamination": q_train_test_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -686,4 +732,5 @@ ORACLES: dict[str, str] = {
     "corpus_train_split": _split_oracle(),
     "stratified_doc_sample": _stratified_oracle(),
     "doc_quality_filter": _quality_filter_oracle(),
+    "train_test_contamination": _contamination_oracle(),
 }
