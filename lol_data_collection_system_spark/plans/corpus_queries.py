@@ -672,6 +672,47 @@ GROUP BY t.doc_id
 """
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: docs concatenated in deterministic
+    hash order, cut into {PACK_SEQ_LEN}-token context windows. The Spark
+    side computes the global offsets with a two-phase distributed prefix
+    sum; the oracle is the single-sequence window formulation."""
+    from ..operators import packing as packing_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.pack_sequences(
+        docs, "doc_id", "text", PACK_SEQ_LEN, SPLIT_SALT
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH ordered AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+           1, 15)) AS BIGINT) AS ord
+  FROM documents),
+placed AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM ordered WHERE n_tok > 0)
+SELECT chunk_id, doc_id,
+       CAST(GREATEST(chunk_id * {PACK_SEQ_LEN} - start, 0) AS BIGINT)
+         AS tok_start,
+       CAST(LEAST((chunk_id + 1) * {PACK_SEQ_LEN} - start, n_tok) AS BIGINT)
+         AS tok_end
+FROM placed,
+     unnest(generate_series(CAST(start // {PACK_SEQ_LEN} AS BIGINT),
+                            CAST((start + n_tok - 1) // {PACK_SEQ_LEN} AS BIGINT)))
+       AS t(chunk_id)
+"""
+
+
 def q_embedding_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -710,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_doc_sample": q_stratified_doc_sample,
     "doc_quality_filter": q_doc_quality_filter,
     "train_test_contamination": q_train_test_contamination,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -733,4 +775,5 @@ ORACLES: dict[str, str] = {
     "stratified_doc_sample": _stratified_oracle(),
     "doc_quality_filter": _quality_filter_oracle(),
     "train_test_contamination": _contamination_oracle(),
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }
