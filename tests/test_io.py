@@ -49,3 +49,79 @@ def test_match_store_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().explainString(jmode)
     assert "PartitionFilters" in plan
     assert "region_id" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_write_clustered_rowgroup_stats(spark, tmp_path):
+    """The clustered layout must produce near-disjoint parquet row-group
+    min/max ranges on the cluster key — the metadata property row-group
+    pruning needs. An unsorted write of the same data must NOT have it
+    (guards against the sort silently disappearing from the plan)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources.io import write_clustered
+
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 2).alias("part"),
+            F.shiftrightunsigned(F.hash(F.col("id")), 1).alias("user_id"),
+        )
+    )
+
+    def ranges(root):
+        # per partition directory: cross-directory overlap is expected
+        # (partition pruning handles that axis); row-group pruning works
+        # within whatever files survive it
+        by_dir: dict[str, list] = {}
+        for f in glob.glob(f"{root}/**/*.parquet", recursive=True):
+            md = pq.ParquetFile(f).metadata
+            d = f.rsplit("/", 1)[0]
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # user_id
+                by_dir.setdefault(d, []).append(
+                    (col.statistics.min, col.statistics.max)
+                )
+        return by_dir
+
+    clustered = tmp_path / "clustered"
+    write_clustered(
+        df.repartition(4),
+        str(clustered),
+        partition_by=("part",),
+        cluster_by=("user_id",),
+        parquet_block_bytes=64 * 1024,
+    )
+    by_dir = ranges(clustered)
+    spans_all = [s for spans in by_dir.values() for s in spans]
+    assert len(spans_all) >= 8  # small block size → several row groups
+    for d, spans in by_dir.items():
+        frac = _overlap_fraction(spans)
+        assert frac < 0.05, f"{d}: row-group ranges overlap: {frac}"
+
+    plain = tmp_path / "plain"
+    df.repartition(4).write.option("parquet.block.size", 64 * 1024).partitionBy(
+        "part"
+    ).parquet(str(plain))
+    plain_frac = _overlap_fraction(
+        [s for spans in ranges(plain).values() for s in spans]
+    )
+    assert plain_frac > 0.5  # unsorted = full overlap
+
+    # round-trip intact
+    back = spark.read.parquet(str(clustered))
+    assert back.count() == 200_000
+
+
+def _overlap_fraction(spans):
+    """Fraction of row-group pairs (within the run) whose ranges overlap."""
+    n, hits = 0, 0
+    for i in range(len(spans)):
+        for j in range(i + 1, len(spans)):
+            n += 1
+            (a_lo, a_hi), (b_lo, b_hi) = spans[i], spans[j]
+            if a_lo <= b_hi and b_lo <= a_hi:
+                hits += 1
+    return hits / max(n, 1)
