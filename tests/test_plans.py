@@ -197,3 +197,21 @@ def test_sampling_is_pure_projection(spark):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_pack_sequences_no_single_partition(spark):
+    """The packing offsets must come from the two-phase distributed
+    prefix sum: range partition + per-partition window + broadcast
+    offsets — never a global single-partition window."""
+    plan = _plan(spark, "pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # the tiny offsets table
+    assert "rangepartitioning" in plan.lower()  # sampled range partitioner
+
+
+def test_contamination_no_cartesian(spark):
+    """The contamination join must stay keyed on the shingle (bounded by
+    benchmark-side shingles), never a cartesian/BNLJ of the splits."""
+    plan = _plan(spark, "train_test_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
