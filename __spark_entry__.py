@@ -31,6 +31,7 @@ from lol_data_collection_system_spark.operators import (
     windows as window_ops,
 )
 from lol_data_collection_system_spark.plans import (
+    corpus_pipeline,
     corpus_queries,
     domain_queries,
     pipeline_queries,
@@ -697,6 +698,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_type_bucket_pivot": q_part_type_bucket_pivot,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     **corpus_queries.QUERIES,
+    **corpus_pipeline.QUERIES,
     **domain_queries.QUERIES,
     **pipeline_queries.QUERIES,
 }
@@ -729,6 +731,7 @@ _ORACLES: dict[str, str] = {
     "part_type_bucket_pivot": ORACLE_PART_TYPE_BUCKET_PIVOT,
     "sql_revenue_by_nation": ORACLE_SQL_REVENUE_BY_NATION,
     **corpus_queries.ORACLES,
+    **corpus_pipeline.ORACLES,
     **domain_queries.ORACLES,
     **pipeline_queries.ORACLES,
 }

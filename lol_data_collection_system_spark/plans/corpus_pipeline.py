@@ -1,0 +1,210 @@
+"""End-to-end training-corpus preparation: the composition of the
+pipeline primitives into the job a user actually runs —
+
+    scrub PII → quality filter → exact dedup → near-dup clustering →
+    deterministic split
+
+Each stage is one of the oracle-gated operators; this module wires them
+in the canonical order (cheap row-local filters first so the expensive
+shingle join sees only surviving docs) and exposes the per-stage funnel
+counts as a driver-gated query (`corpus_funnel`) so the whole
+composition — not just each part — is value-checked against DuckDB.
+
+Scale notes: stages 1-2 are codegen projections (no shuffle); stage 3 is
+one hash-agg on the 16-byte fingerprint; stage 4's shingle join runs on
+the quality-surviving, exact-deduped canonical docs only (the funnel
+ordering is the cost lever — near-dup work drops with every upstream
+rejection); stage 5 is again shuffle-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators import graph as graph_ops
+from ..operators import sampling as sampling_ops
+from ..operators import text as text_ops
+from ..sources import load_table
+from .corpus_queries import (
+    JACCARD_THRESHOLD,
+    QF_MAX_TOKENS,
+    QF_MIN_DISTINCT,
+    QF_MIN_STOPWORD,
+    QF_MIN_TOKENS,
+    QF_WORD_LEN,
+    SHINGLE_K,
+    SHINGLE_MAX_DF,
+    SPLIT_FRACTIONS,
+    SPLIT_SALT,
+    _bucket_of,
+    _CAPPED_SH_SQL,
+    _EN_STOPS,
+    _NORM,
+    _NTOKS,
+    _shingle_list_sql,
+    _TOKS,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full prep: returns the surviving documents with
+    `text_scrubbed`, `component_id` (near-dup cluster) and `split`
+    columns. Survivors = quality-passing docs that are BOTH the
+    canonical member of their exact-dup group AND of their near-dup
+    cluster."""
+    scrubbed = text_ops.scrub_patterns(docs, text_col)
+    quality = text_ops.quality_filter_flags(
+        scrubbed,
+        text_col,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        word_len_lo=QF_WORD_LEN[0],
+        word_len_hi=QF_WORD_LEN[1],
+        min_distinct_ratio=QF_MIN_DISTINCT,
+        min_stopword_ratio=QF_MIN_STOPWORD,
+    ).filter(F.col("keep"))
+
+    exact = dedup_ops.exact_dup_groups(quality, id_col, text_col)
+    canonical = quality.join(
+        exact.select(F.col("canonical_id").alias(id_col)), id_col
+    )
+
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        canonical, id_col, text_col, SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    clusters = graph_ops.dedup_clusters(canonical, pairs, id_col)
+    survivors = canonical.join(
+        clusters.filter(F.col("component_id") == F.col("doc_id")).select(
+            "doc_id", "component_id"
+        ),
+        id_col,
+    )
+    return sampling_ops.deterministic_split(
+        survivors, id_col, SPLIT_FRACTIONS, SPLIT_SALT
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel of the full prep on the documents table:
+    (stage, n_docs) for input → quality → exact-canonical → near-dup
+    canonical → each split. One row per stage, value-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    prepared = prepare_training_corpus(docs)
+
+    def count_row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    scrubbed = text_ops.scrub_patterns(docs)
+    quality = text_ops.quality_filter_flags(
+        scrubbed,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        word_len_lo=QF_WORD_LEN[0],
+        word_len_hi=QF_WORD_LEN[1],
+        min_distinct_ratio=QF_MIN_DISTINCT,
+        min_stopword_ratio=QF_MIN_STOPWORD,
+    ).filter(F.col("keep"))
+    exact = dedup_ops.exact_dup_groups(quality, "doc_id", "text")
+    canonical = quality.join(
+        exact.select(F.col("canonical_id").alias("doc_id")), "doc_id"
+    )
+    rows = [
+        count_row("0_input", docs),
+        count_row("1_quality", quality),
+        count_row("2_exact_canonical", canonical),
+        count_row("3_neardup_canonical", prepared),
+    ]
+    splits = prepared.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    split_rows = splits.select(
+        F.concat(F.lit("4_split_"), F.coalesce("split", F.lit("none"))).alias(
+            "stage"
+        ),
+        "n_docs",
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(split_rows)
+
+
+def _funnel_oracle() -> str:
+    scale = 1_000_000
+    wl_lo = int(round(QF_WORD_LEN[0] * scale))
+    wl_hi = int(round(QF_WORD_LEN[1] * scale))
+    dr = int(round(QF_MIN_DISTINCT * scale))
+    sr = int(round(QF_MIN_STOPWORD * scale))
+    cases, hi = [], 0
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi += int(round(frac * scale))
+        cases.append(f"WHEN b < {hi} THEN '{name}'")
+    return f"""
+WITH RECURSIVE feats AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS tok_chars
+  FROM documents),
+quality AS (
+  SELECT doc_id, text FROM feats
+  WHERE n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
+    AND tok_chars * {scale} >= {wl_lo} * n_tok
+    AND tok_chars * {scale} <= {wl_hi} * n_tok
+    AND n_distinct * {scale} >= {dr} * n_tok
+    AND stop_hits * {scale} >= {sr} * n_tok),
+canonical AS (
+  SELECT q.doc_id, q.text FROM quality q
+  JOIN (SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({_NORM}) AS fp FROM quality)
+        GROUP BY fp) k USING (doc_id)),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM canonical)),
+capped AS ({_CAPPED_SH_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+        >= {JACCARD_THRESHOLD}),
+sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, reached) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.node, s.v FROM reach r JOIN sym s ON s.u = r.reached),
+comp AS (SELECT node, MIN(reached) AS m FROM reach GROUP BY node),
+survivors AS (
+  SELECT c.doc_id FROM canonical c LEFT JOIN comp ON comp.node = c.doc_id
+  WHERE COALESCE(comp.m, c.doc_id) = c.doc_id),
+assigned AS (
+  SELECT doc_id, CASE {' '.join(cases)} END AS split
+  FROM (SELECT doc_id, {_bucket_of('doc_id', SPLIT_SALT)} AS b FROM survivors))
+SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT '1_quality', CAST(COUNT(*) AS BIGINT) FROM quality
+UNION ALL
+SELECT '2_exact_canonical', CAST(COUNT(*) AS BIGINT) FROM canonical
+UNION ALL
+SELECT '3_neardup_canonical', CAST(COUNT(*) AS BIGINT) FROM survivors
+UNION ALL
+SELECT '4_split_' || COALESCE(split, 'none'), CAST(COUNT(*) AS BIGINT)
+FROM assigned GROUP BY split
+"""
+
+
+QUERIES = {"corpus_funnel": q_corpus_funnel}
+ORACLES = {"corpus_funnel": _funnel_oracle()}
