@@ -419,3 +419,81 @@ def test_streaming_dedup_keeps_first_arrival(spark, tmp_path):
     batch_fps = {r.fp for r in dedup_stream(batch).collect()}
     stream_fps = {r.fp for r in spark.read.parquet(str(out_dir)).collect()}
     assert batch_fps == stream_fps and len(batch_fps) == 3
+
+
+def test_streaming_corpus_ingest_pipeline(spark, tmp_path):
+    """Online ingest = scrub → quality filter → watermarked dedup as ONE
+    streaming query: stateless projections compose with the stateful
+    dedup unchanged, and the stream's survivors equal the batch
+    composition's (modulo which copy of a dup-pair survives)."""
+    from lol_data_collection_system_spark.operators.text import (
+        quality_filter_flags,
+        scrub_patterns,
+    )
+    from lol_data_collection_system_spark.streaming import dedup_stream
+
+    src = tmp_path / "ingest"
+    out_dir = tmp_path / "ingest_out"
+    ckpt = tmp_path / "ingest_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good = "the and for " + " ".join(f"word{i}" for i in range(60))
+    rows1 = [
+        ("2024-01-01 00:00:01", 1, good),
+        ("2024-01-01 00:00:02", 2, "too short"),          # fails length
+        ("2024-01-01 00:00:03", 3, good + " mail a@b.com"),
+    ]
+    rows2 = [
+        ("2024-01-01 00:01:00", 4, good),                  # dup of doc 1
+        ("2024-01-01 00:01:01", 5, "the " * 80),           # fails repetition
+    ]
+    for name, rows in (("f1", rows1), ("f2", rows2)):
+        spark.createDataFrame(rows, ["ts_s", "doc_id", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    def pipeline(df):
+        scrubbed = scrub_patterns(df)
+        kept = quality_filter_flags(
+            scrubbed, min_tokens=30, min_distinct_ratio=0.3,
+            min_stopword_ratio=0.01,
+        ).filter(F.col("keep"))
+        return dedup_stream(kept, text_col="text_scrubbed")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    q = (
+        pipeline(stream)
+        .select("doc_id", "text_scrubbed", "fp")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+    # doc 1 survives; 2/5 fail quality; 4 is dropped as its dup arrived
+    # first; 3 survives with its email scrubbed (scrub runs BEFORE the
+    # fingerprint, so 3 is NOT a dup of 1 — the address distinguishes it
+    # only until scrubbing... fingerprint is over scrubbed text, and
+    # '<email>' keeps it distinct from doc 1)
+    assert set(got) == {1, 3}
+    assert "a@b.com" not in got[3].text_scrubbed
+    assert "<email>" in got[3].text_scrubbed
+
+    # batch twin: same surviving fingerprints
+    batch = spark.read.schema(schema).json(str(src) + "/*")
+    batch_fps = {r.fp for r in pipeline(batch).collect()}
+    assert batch_fps == {r.fp for r in got.values()}
