@@ -32,6 +32,51 @@ def decode_match_documents(matches: DataFrame) -> DataFrame:
     )
 
 
+def decode_with_quarantine(
+    docs: DataFrame,
+    json_col: str,
+    schema,
+    out_col: str = "parsed",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a JSON text column into (decoded, quarantine): rows whose
+    document parses against `schema` vs rows that don't (malformed JSON,
+    or a document whose shape contradicts the schema everywhere).
+
+    At 100 TB a bad-record rate of 10⁻⁶ is still thousands of rows; the
+    reference's per-row `json.loads` + try/except silently drops them
+    (`utils.py:866` catches and skips). Here the quarantine is a first-
+    class frame a pipeline sinks next to the good data for replay after
+    a parser fix — no row is silently lost, and both frames come from
+    ONE pass (a shared `from_json` projection; Spark evaluates it once
+    per row, the filter just routes).
+
+    PERMISSIVE `from_json` yields an all-null STRUCT (not null) for
+    malformed text, so mere null-checking can't detect corruption — the
+    canonical detector is `columnNameOfCorruptRecord`: the parser stores
+    the raw text there iff the document failed. Null input quarantines
+    too (the reference treats missing documents as absent)."""
+    from pyspark.sql import types as T
+
+    corrupt = "_corrupt_record"
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    parsed = docs.withColumn(
+        out_col,
+        F.from_json(
+            F.col(json_col),
+            aug,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    is_bad = F.col(json_col).isNull() | F.col(out_col)[corrupt].isNotNull()
+    ok = parsed.filter(~is_bad).withColumn(
+        out_col, F.col(out_col).dropFields(corrupt)
+    )
+    bad = parsed.filter(is_bad).drop(out_col)
+    return ok, bad
+
+
 def explode_participants(decoded: DataFrame) -> DataFrame:
     """participants ⋈ participantIdentities on participantId (J3) —
     exploded to one row per (match, participant) with the identity joined

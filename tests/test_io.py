@@ -125,3 +125,40 @@ def _overlap_fraction(spans):
             if a_lo <= b_hi and b_lo <= a_hi:
                 hits += 1
     return hits / max(n, 1)
+
+
+def test_decode_with_quarantine(spark):
+    """Malformed documents route to the quarantine frame, never silently
+    dropped; good documents decode typed; null input quarantines too."""
+    from pyspark.sql import types as T
+
+    from lol_data_collection_system_spark.sources.documents import (
+        decode_with_quarantine,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("gameId", T.LongType()),
+            T.StructField("gameDuration", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, '{"gameId": 10, "gameDuration": 1800}'),
+        (2, "{not json at all"),
+        (3, None),
+        (4, '{"gameId": 11}'),  # partial but schema-valid
+    ]
+    docs = spark.createDataFrame(rows, ["id", "doc"])
+    ok, bad = decode_with_quarantine(docs, "doc", schema)
+
+    ok_rows = {r.id: r.parsed for r in ok.collect()}
+    assert set(ok_rows) == {1, 4}
+    assert ok_rows[1].gameDuration == 1800
+    assert ok_rows[4].gameId == 11 and ok_rows[4].gameDuration is None
+
+    bad_rows = sorted(r.id for r in bad.collect())
+    assert bad_rows == [2, 3]
+    # quarantine keeps the raw text for replay
+    assert "doc" in bad.columns
+    # conservation: every input row lands in exactly one side
+    assert ok.count() + bad.count() == 4
