@@ -70,7 +70,12 @@ def connected_components(
     # instead of an old-vs-new join. Non-numeric ids fall back to the
     # join-based strict-decrease count.
     numeric = isinstance(labels.schema["comp"].dataType, NumericType)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] if numeric else None
+    # decimal(38,0) sum: exact for any id width (a bigint sum of 60-bit
+    # ids overflows — wraps silently or errors under ANSI)
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels) if numeric else None
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -84,7 +89,7 @@ def connected_components(
             .localCheckpoint()
         )
         if numeric:
-            new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            new_sum = _sum(new_labels)
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:

@@ -108,10 +108,11 @@ def weighted_mix(
 ) -> DataFrame:
     """Corpus mixing: hash-sample each named source at its own rate and
     union with a `mix_source` tag. Sources must be union-compatible.
-    Each source's salt is suffixed with its name so identical keys in
-    different sources draw independently."""
+    Each source's salt is suffixed with its (delimited) name so identical
+    keys in different sources draw independently — the delimiter keeps
+    (salt='a', source='bc') and (salt='ab', source='c') distinct."""
     parts = [
-        hash_sample(df, key_col, frac, salt + name).withColumn(
+        hash_sample(df, key_col, frac, f"{salt}\x1f{name}").withColumn(
             "mix_source", F.lit(name)
         )
         for name, (df, frac) in sources.items()
