@@ -360,3 +360,61 @@ def embedding_near_dup_pairs(
         "id_b",
         F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Span-level exact-duplication stats: per document, how many of its
+    `width`-token sliding windows also occur verbatim in ANOTHER document.
+
+    The substring-dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") at window granularity:
+    doc-level Jaccard (`ngram_jaccard_pairs`) misses a unique document
+    that embeds one long boilerplate block; this catches it, and the
+    `dup_frac` output is the standard cut threshold.
+
+    Plan shape: posexplode tokens → one `lead()` window pass per
+    (doc, position) → every window string keyed by its span text →
+    cross-doc test as `min(id) != max(id)` over the span partition (NOT
+    a `collect_set` — two scalar window aggs, nothing materialized per
+    span) → per-doc counts. Two shuffles (position window, span window),
+    the second keyed exactly like a shingle self-join would be. Skew
+    lever at corpus scale: a boilerplate span shared by millions of docs
+    lands on one partition — AQE skew split absorbs moderate cases; for
+    pathological corpora pre-filter spans with `cap_shingles`-style
+    document-frequency capping. Docs shorter than `width` tokens have no
+    windows and are absent from the output (documented; matches oracle).
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, width)]
+    spans = (
+        toked.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("span"),
+            parts[-1].isNotNull().alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .select(id_col, "span")
+    )
+    sw = Window.partitionBy("span")
+    flagged = spans.select(
+        F.col(id_col),
+        (F.min(id_col).over(sw) != F.max(id_col).over(sw)).alias("is_dup"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("dup_windows"),
+        F.try_divide(
+            F.sum(F.col("is_dup").cast("bigint")).cast("double"),
+            F.count(F.lit(1)),
+        ).alias("dup_frac"),
+    )

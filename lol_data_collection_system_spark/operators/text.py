@@ -286,3 +286,131 @@ def winnow_signatures_df(
             F.slice(F.array_sort(F.collect_list("h")), 1, keep), ","
         ).alias("signature")
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals per document.
+
+    For each n in `ns`, emits the characters covered by the single most
+    frequent word n-gram (`top{n}_chars`) and by all n-grams occurring
+    more than once (`dup{n}_chars`), plus both as fractions of the
+    document's character count — the published repetition filters
+    (Rae et al. 2021 §A1.1) that catch boilerplate/looping text which a
+    distinct-token ratio misses.
+
+    Plan shape (the scale path, same rationale as `dedup.shingles`):
+    posexplode tokens → ONE `lead()` window pass per (doc, position) →
+    all n-gram widths emitted from that pass as an exploded
+    (n, gram) relation → partial-agg counts keyed by (doc, n, gram) →
+    one per-doc conditional aggregation. Two shuffles total (position
+    window + gram counts), both map-combined; no UDFs, no per-element
+    re-evaluation inside interpreted HOFs. Docs shorter than min(ns)
+    tokens yield no grams and are absent from the output (documented,
+    matches the oracle).
+
+    Char coverage is exact integer arithmetic (`freq * length(gram)`);
+    fractions are a single double division of those exact integers, so
+    results are engine-portable bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col))).cast("bigint").alias("n_chars"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    max_n = max(ns)
+    lead_cols = [F.col("tok").alias("t0")] + [
+        F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, max_n)
+    ]
+    led = toked.select(id_col, "n_chars", *lead_cols)
+    leads = [F.col(f"t{j}") for j in range(max_n)]
+    gram_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *leads[:n]).alias("gram"),
+                leads[n - 1].isNotNull().alias("ok"),
+            )
+            for n in ns
+        ]
+    )
+    grams = (
+        led.select(id_col, "n_chars", F.explode(gram_structs).alias("g"))
+        .filter(F.col("g.ok"))
+        .select(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    chars = (F.col("freq") * F.length("gram").cast("bigint")).cast("bigint")
+    aggs = []
+    for n in ns:
+        aggs.append(
+            F.coalesce(F.max(F.when(F.col("n") == n, chars)), F.lit(0))
+            .cast("bigint")
+            .alias(f"top{n}_chars")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when((F.col("n") == n) & (F.col("freq") > 1), chars)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"dup{n}_chars")
+        )
+    per = counts.groupBy(id_col, "n_chars").agg(*aggs)
+    fracs = []
+    for n in ns:
+        fracs.append(
+            F.try_divide(
+                F.col(f"top{n}_chars").cast("double"), F.col("n_chars")
+            ).alias(f"top{n}_frac")
+        )
+        fracs.append(
+            F.try_divide(
+                F.col(f"dup{n}_chars").cast("double"), F.col("n_chars")
+            ).alias(f"dup{n}_frac")
+        )
+    cols = [id_col, "n_chars"]
+    for n in ns:
+        cols += [f"top{n}_chars", f"dup{n}_chars"]
+    return per.select(*cols, *fracs)
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-k terms by term frequency,
+    with document frequency alongside — the vocab-building / stopword-
+    discovery primitive of a corpus pipeline.
+
+    Plan shape: explode lowercased tokens → one hash aggregate keyed by
+    term (map-side combined; term-frequency skew is absorbed by the
+    partial agg, a hot term arrives at its reducer as one row per map
+    task) → `orderBy(tf desc, term).limit(k)`, which Spark plans as
+    TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    driver — no global sort, no single-partition window. The (tf, term)
+    order is a total order, so the k-boundary is deterministic.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(k)
+    )

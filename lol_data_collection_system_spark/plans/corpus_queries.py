@@ -730,6 +730,107 @@ FROM embeddings GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals / vocab heavy hitters / span-level dedup
+# ---------------------------------------------------------------------------
+REP_NS = (2, 3)
+SPAN_WIDTH = 8
+VOCAB_TOPK = 20
+
+
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_signals(docs, "doc_id", "text", ns=REP_NS)
+
+
+def _repetition_oracle(ns: tuple[int, ...] = REP_NS) -> str:
+    gram_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, n_chars, {n} AS n,\n"
+        f"         unnest(list_transform(generate_series(1, len(t) - {n - 1}),\n"
+        f"                i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram\n"
+        f"  FROM docs WHERE len(t) >= {n}"
+        for n in ns
+    )
+    per_cols = ",\n".join(
+        f"  CAST(COALESCE(MAX(CASE WHEN n = {n} THEN freq * length(gram) END), 0)"
+        f" AS BIGINT) AS top{n}_chars,\n"
+        f"  CAST(COALESCE(SUM(CASE WHEN n = {n} AND freq > 1"
+        f" THEN freq * length(gram) END), 0) AS BIGINT) AS dup{n}_chars"
+        for n in ns
+    )
+    out_ints = ", ".join(f"top{n}_chars, dup{n}_chars" for n in ns)
+    out_fracs = ",\n       ".join(
+        f"CAST(top{n}_chars AS DOUBLE) / n_chars AS top{n}_frac,\n"
+        f"       CAST(dup{n}_chars AS DOUBLE) / n_chars AS dup{n}_frac"
+        for n in ns
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+grams AS (
+{gram_selects}),
+counts AS (
+  SELECT doc_id, n_chars, n, gram, COUNT(*) AS freq
+  FROM grams GROUP BY doc_id, n_chars, n, gram),
+per AS (
+  SELECT doc_id, n_chars,
+{per_cols}
+  FROM counts GROUP BY doc_id, n_chars)
+SELECT doc_id, n_chars, {out_ints},
+       {out_fracs}
+FROM per
+"""
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.vocab_top_terms(docs, "doc_id", "text", k=VOCAB_TOPK)
+
+
+ORACLE_VOCAB_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM toks GROUP BY term
+ORDER BY tf DESC, term
+LIMIT {VOCAB_TOPK}
+"""
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.span_dup_stats(docs, "doc_id", "text", width=SPAN_WIDTH)
+
+
+ORACLE_SPAN_DUP_STATS = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {SPAN_WIDTH - 1}),
+                i -> array_to_string(t[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
+  FROM docs WHERE len(t) >= {SPAN_WIDTH}),
+flagged AS (
+  SELECT doc_id,
+         (MIN(doc_id) OVER (PARTITION BY span)
+          <> MAX(doc_id) OVER (PARTITION BY span)) AS is_dup
+  FROM spans)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -752,6 +853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_filter": q_doc_quality_filter,
     "train_test_contamination": q_train_test_contamination,
     "pack_sequences": q_pack_sequences,
+    "doc_repetition_signals": q_doc_repetition_signals,
+    "vocab_top_terms": q_vocab_top_terms,
+    "span_dup_stats": q_span_dup_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -776,4 +880,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_filter": _quality_filter_oracle(),
     "train_test_contamination": _contamination_oracle(),
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "doc_repetition_signals": _repetition_oracle(),
+    "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
+    "span_dup_stats": ORACLE_SPAN_DUP_STATS,
 }

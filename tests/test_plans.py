@@ -215,3 +215,23 @@ def test_contamination_no_cartesian(spark):
     plan = _plan(spark, "train_test_contamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Vocab heavy hitters: the k-cut must be TakeOrderedAndProject (local
+    top-k per partition, k-row merge), never a global sort or a
+    single-partition rank window over every distinct term."""
+    plan = _plan(spark, "vocab_top_terms")
+    tree = plan.split("\n\n")[0]
+    assert tree.find("TakeOrderedAndProject") != -1
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_repetition_counts_partial_agg(spark):
+    """Repetition signals: both aggregations (gram counts, per-doc rollup)
+    must have map-side partial phases, and gram assembly must be the
+    explode+lead shape (no interpreted HOF re-evaluation per element)."""
+    plan = _plan(spark, "doc_repetition_signals")
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "transform(" not in plan  # grams built from lead cols, not HOFs

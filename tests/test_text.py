@@ -69,3 +69,78 @@ def test_quality_flags_fire_independently(spark):
     assert out[3].pass_length and out[3].pass_repetition
     assert not out[3].pass_stopwords
     assert not any(out[i].keep for i in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals / vocab heavy hitters / span-level dedup
+# ---------------------------------------------------------------------------
+def test_repetition_signals_counts(spark):
+    from lol_data_collection_system_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in repetition_signals(df, "doc_id", "text", ns=(2, 3)).collect()
+    }
+    # doc 1: 3 bigrams, all "a a" (len 3) -> top2 = dup2 = 3*3 = 9; n_chars 7
+    r1 = rows[1]
+    assert (r1.n_chars, r1.top2_chars, r1.dup2_chars) == (7, 9, 9)
+    # 2 trigrams "a a a" (len 5) -> top3 = dup3 = 10
+    assert (r1.top3_chars, r1.dup3_chars) == (10, 10)
+    assert r1.top2_frac == 9 / 7 and r1.dup3_frac == 10 / 7
+    # doc 2: all bigrams distinct -> dup = 0, top2 = one bigram's chars (3)
+    r2 = rows[2]
+    assert (r2.top2_chars, r2.dup2_chars, r2.dup3_chars) == (3, 0, 0)
+
+
+def test_repetition_signals_short_doc_absent(spark):
+    from lol_data_collection_system_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "solo"), (2, "a b c")], ["doc_id", "text"])
+    out = repetition_signals(df, "doc_id", "text", ns=(2, 3)).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {2}  # 1-token doc has no bigrams at all
+
+
+def test_vocab_top_terms_order_and_cut(spark):
+    from lol_data_collection_system_spark.operators.text import vocab_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "B b a"), (2, "b c a")], ["doc_id", "text"]
+    )
+    out = vocab_top_terms(df, "doc_id", "text", k=2).collect()
+    # lowercased: b:3(df 2), a:2(df 2), c:1 -> top2 = b, a
+    assert [(r.term, r.tf, r.doc_freq) for r in out] == [("b", 3, 2), ("a", 2, 2)]
+
+
+def test_vocab_top_terms_tie_breaks_on_term(spark):
+    from lol_data_collection_system_spark.operators.text import vocab_top_terms
+
+    df = spark.createDataFrame([(1, "z y x")], ["doc_id", "text"])
+    out = vocab_top_terms(df, "doc_id", "text", k=2).collect()
+    assert [r.term for r in out] == ["x", "y"]  # tf all 1 -> lexicographic
+
+
+def test_span_dup_stats_cross_doc_only(spark):
+    from lol_data_collection_system_spark.operators.dedup import span_dup_stats
+
+    shared = "t1 t2 t3 t4"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " u1"),   # windows: [t1..t4], [t2..u1]
+            (2, shared + " v9"),   # shares only the first window with doc 1
+            (3, "q1 q2 q3 q4 q5"),  # unique
+            (4, "short doc"),       # < width tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r for r in span_dup_stats(df, "doc_id", "text", width=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_windows, rows[1].dup_windows) == (2, 1)
+    assert (rows[2].n_windows, rows[2].dup_windows) == (2, 1)
+    assert (rows[3].n_windows, rows[3].dup_windows) == (2, 0)
+    assert rows[1].dup_frac == 0.5 and rows[3].dup_frac == 0.0
