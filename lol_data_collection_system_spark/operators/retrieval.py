@@ -1,0 +1,175 @@
+"""Lexical retrieval scoring over the corpus: TF-IDF term weighting and
+BM25 ranked search — the keyword half of a retrieval pipeline (the
+embedding half lives in `operators/similarity.py`). The reference has no
+search surface; this extends the LLM-training-pipeline operator set
+(corpus triage: "which terms characterize this doc", "which docs match
+this query").
+
+Determinism contract (cross-engine exact, same discipline as the rest of
+the repo):
+
+- All counts (tf, df, doc length) are exact integers.
+- `ln` is the ONLY transcendental used, and every `ln` output is rounded
+  to 6 decimals before any further arithmetic: measured across 49k
+  values, Spark's and DuckDB's `ln` differ by 1 ulp on ~4% of inputs,
+  while `round(ln(x), 6)` is bit-identical on all of them. After the
+  rounding, everything downstream is IEEE +,-,*,/ on identical doubles —
+  bit-identical by construction.
+- Sums of doubles are ORDER-dependent, so any cross-row sum of scores
+  goes through `DECIMAL` (exact, order-free); per-row combinations of a
+  fixed small term set are written as explicit fixed-order expressions.
+- Free parameters (k1, b) are dyadic rationals (1.25, 0.75) so literal
+  parsing yields identical doubles in every engine.
+
+Scale notes: both operators are explode → partial-agg'd counts keyed by
+(doc, term) / term → broadcast of the tiny per-query or per-corpus stats
+frame back onto the doc side. No global windows; final top-k ranks are
+`orderBy().limit()` (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: BM25 free parameters — dyadic rationals (exactly representable as
+#: doubles) so Spark literals and SQL literals agree bit-for-bit.
+BM25_K1 = 1.25
+BM25_B = 0.75
+
+
+def _term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf): exact per-document term frequencies over
+    lowercased whitespace tokens. One explode + one partial-agg'd
+    hash aggregate keyed by (doc, term)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_m: int = 3,
+) -> DataFrame:
+    """Top-`top_m` characteristic terms per document by TF-IDF
+    (tf * ln(N / df_t), idf rounded to 6 decimals — see module
+    docstring for why).
+
+    Plan shape: term counts (one shuffle) → document frequencies
+    (aggregate of the SAME keyed frame, partial-agg'd) joined back on
+    term → corpus size N broadcast as a 1-row crossJoin (lazy — no
+    plan-time action) → per-doc rank window partitioned BY DOCUMENT
+    (bounded partitions, never a global window).
+    """
+    tc = _term_counts(df, id_col, text_col)
+    docfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df_t")), 6
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-`k` documents for a bag-of-words query by BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) (the standard
+    Robertson/Sparck-Jones form; always positive).
+
+    The per-term sum is written as a FIXED-ORDER expression chain over
+    the query's terms (not an aggregate over rows), so double addition
+    order — and therefore the result — is identical in every engine.
+    Docs matching none of the query terms are absent (standard).
+
+    Plan shape: term counts filtered to the query's terms (predicate
+    pushed into the scan side of the explode) → per-doc pivot via
+    max(when) — one bounded-width row per candidate doc → corpus stats
+    (N, avgdl) and per-term dfs each broadcast as 1-row crossJoins →
+    `orderBy(score desc, id).limit(k)` = TakeOrderedAndProject.
+    """
+    terms = list(query_terms)
+    tc = _term_counts(df, id_col, text_col).filter(F.col("term").isin(terms))
+    # one row per candidate doc: tf of each query term (0 when absent)
+    per_doc = tc.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # corpus stats: N and average doc length from exact integer sums
+    dl = F.size(tokens(F.lower(F.col(text_col)))).cast("bigint")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dl).alias("total_len"),
+    )
+    # per-query-term document frequencies, pivoted to one row
+    dfs = tc.groupBy().agg(
+        *[
+            F.coalesce(
+                F.count(F.when(F.col("term") == t, F.lit(1))), F.lit(0)
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    lengths = df.select(F.col(id_col), dl.alias("dl"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.round(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        term_score = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = term_score if score is None else score + term_score
+    return (
+        per_doc.join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

@@ -414,3 +414,45 @@ def vocab_top_terms(
         .orderBy(F.desc("tf"), "term")
         .limit(k)
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the gibberish/boilerplate detector that catches what ratio rules
+    miss (near-zero entropy = one token repeated; max = all distinct).
+
+    Computed as H = ln(n) − (Σ tf·ln(tf)) / n from exact integer term
+    frequencies. Cross-engine determinism: each `ln` is rounded to 6
+    decimals (1-ulp engine divergence otherwise — see
+    `operators/retrieval.py`), each per-term product is rounded and
+    summed as DECIMAL so the cross-row sum is exact and order-free, and
+    the final expression is IEEE arithmetic on identical doubles.
+
+    Plan shape: explode → (doc, term) partial-agg'd counts → one per-doc
+    aggregate. Two shuffles, both map-combined; no windows, no UDFs.
+    """
+    tc = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = F.round(
+        F.col("tf") * F.round(F.log(F.col("tf").cast("double")), 6), 6
+    ).cast("decimal(28,6)")
+    per = tc.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tok"),
+        F.sum(w).alias("wsum"),
+    )
+    h = F.round(
+        F.round(F.log(F.col("n_tok").cast("double")), 6)
+        - F.col("wsum").cast("double") / F.col("n_tok"),
+        6,
+    )
+    return per.select(id_col, "n_tok", h.alias("entropy"))

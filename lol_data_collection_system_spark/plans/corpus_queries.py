@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
+from ..operators import retrieval as retrieval_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from ..sources import load_table
@@ -831,6 +832,129 @@ FROM flagged GROUP BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (TF-IDF / BM25) and token entropy
+# ---------------------------------------------------------------------------
+TFIDF_TOP_M = 3
+BM25_QUERY = ("spark", "join", "window")
+BM25_TOPK = 15
+
+#: (doc_id, term, tf) over lowercased whitespace tokens — shared CTE prefix.
+_TC_SQL = r"""
+tc AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY doc_id, term)
+"""
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.tfidf_top_terms(docs, "doc_id", "text", top_m=TFIDF_TOP_M)
+
+
+ORACLE_DOC_TFIDF_TOP_TERMS = f"""
+WITH {_TC_SQL},
+dfs AS (SELECT term, COUNT(*) AS df_t FROM tfs GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * round(ln(CAST(n_docs AS DOUBLE) / df_t), 6), 6) AS tfidf
+  FROM tfs JOIN dfs USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_M}
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.bm25_search(
+        docs, BM25_QUERY, "doc_id", "text", k=BM25_TOPK
+    )
+
+
+def _bm25_oracle() -> str:
+    k1, b = retrieval_ops.BM25_K1, retrieval_ops.BM25_B
+    terms = BM25_QUERY
+    tf_cols = ",\n".join(
+        f"  COALESCE(MAX(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"  COALESCE(COUNT(CASE WHEN term = '{t}' THEN 1 END), 0) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    # fixed-order sum of per-term scores, expression-for-expression the
+    # same shape as retrieval_ops.bm25_search
+    term_scores = []
+    for i in range(len(terms)):
+        idf = (
+            f"round(ln((CAST(n_docs AS DOUBLE) - df_{i} + 0.5)"
+            f" / (df_{i} + 0.5) + 1.0), 6)"
+        )
+        denom = (
+            f"CAST(tf_{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))"
+        )
+        term_scores.append(
+            f"{idf} * (CAST(tf_{i} AS DOUBLE) * {k1 + 1.0}) / ({denom})"
+        )
+    score = " + ".join(term_scores)
+    return f"""
+WITH {_TC_SQL},
+q AS (SELECT * FROM tfs WHERE term IN ({inlist})),
+per_doc AS (
+  SELECT doc_id,
+{tf_cols}
+  FROM q GROUP BY doc_id),
+lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS dl
+  FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS total_len
+  FROM documents),
+dfs AS (
+  SELECT
+{df_cols}
+  FROM q)
+SELECT doc_id, round({score}, 6) AS bm25
+FROM per_doc JOIN lens USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_entropy(docs, "doc_id", "text")
+
+
+ORACLE_DOC_TOKEN_ENTROPY = f"""
+WITH {_TC_SQL},
+per AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         SUM(CAST(round(tf * round(ln(CAST(tf AS DOUBLE)), 6), 6)
+                  AS DECIMAL(28,6))) AS wsum
+  FROM tfs GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       round(round(ln(CAST(n_tok AS DOUBLE)), 6)
+             - CAST(wsum AS DOUBLE) / n_tok, 6) AS entropy
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -856,6 +980,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "vocab_top_terms": q_vocab_top_terms,
     "span_dup_stats": q_span_dup_stats,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
+    "doc_token_entropy": q_doc_token_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -883,4 +1010,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_signals": _repetition_oracle(),
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "span_dup_stats": ORACLE_SPAN_DUP_STATS,
+    "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
+    "bm25_search": _bm25_oracle(),
+    "doc_token_entropy": ORACLE_DOC_TOKEN_ENTROPY,
 }

@@ -235,3 +235,23 @@ def test_repetition_counts_partial_agg(spark):
     plan = _plan(spark, "doc_repetition_signals")
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
     assert "transform(" not in plan  # grams built from lead cols, not HOFs
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's k-cut must be TakeOrderedAndProject; corpus stats arrive as
+    broadcast 1-row frames, never a shuffled join or a global sort."""
+    plan = _plan(spark, "bm25_search")
+    tree = plan.split("\n\n")[0]
+    assert tree.find("TakeOrderedAndProject") != -1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_tfidf_window_is_per_doc_not_global(spark):
+    """TF-IDF ranks inside each document's partition — the plan must show
+    a Window keyed by doc_id, and no single-partition exchange."""
+    plan = _plan(spark, "doc_tfidf_top_terms")
+    assert "windowspecdefinition(doc_id" in plan  # rank window keyed by doc
+    # the only single-partition exchange is the 1-row corpus-count
+    # aggregate under its BroadcastExchange (same allowance as IVF)
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning" not in plan.lower()

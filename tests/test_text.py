@@ -144,3 +144,45 @@ def test_span_dup_stats_cross_doc_only(spark):
     assert (rows[2].n_windows, rows[2].dup_windows) == (2, 1)
     assert (rows[3].n_windows, rows[3].dup_windows) == (2, 0)
     assert rows[1].dup_frac == 0.5 and rows[3].dup_frac == 0.0
+
+
+def test_token_entropy_extremes(spark):
+    from lol_data_collection_system_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert rows[1].entropy == 0.0  # single repeated token
+    assert rows[1].n_tok == 4
+    assert abs(rows[2].entropy - 1.386294) < 1e-6  # ln(4), uniform
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from lol_data_collection_system_spark.operators.retrieval import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "shared shared rare"), (2, "shared other")], ["doc_id", "text"]
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", top_m=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # "shared" has idf ln(1)=0 in both docs; the doc-unique terms win
+    assert top == {1: "rare", 2: "other"}
+
+
+def test_bm25_ranks_matches_and_drops_nonmatches(spark):
+    from lol_data_collection_system_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join window filter"),
+            (2, "spark spark join join window window spark join window"),
+            (3, "completely unrelated words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(df, ("spark", "join", "window"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no query term -> absent
+    assert ids[0] == 2  # more hits -> higher score
+    assert all(r.bm25 > 0 for r in out)
