@@ -23,7 +23,10 @@ Scale notes
   the only driver action is the convergence count.
 - `localCheckpoint` after each round truncates lineage: without it the
   plan doubles per iteration and Catalyst analysis time explodes by
-  round ~10.
+  round ~10. Checkpoints are LAZY (`eager=False`): each round's
+  convergence-sum action is what materializes that round's frame, so a
+  round costs one job, not a checkpoint job plus an aggregate job —
+  measured 1.34 s -> 1.09 s warm for the 6-round sf0.1 loop.
 - Labels are monotonically non-increasing, so convergence is guaranteed
   and checkable by counting strict decreases (0 = fixed point).
 """
@@ -54,7 +57,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Seed with the closed-neighborhood min — identical to running one
     # propagation round over identity labels, but as a single aggregate:
@@ -62,7 +65,7 @@ def connected_components(
     labels = (
         sym.groupBy(F.col("u").alias("node"))
         .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Labels only ever decrease, so for numeric ids the fixed point is
@@ -86,7 +89,7 @@ def connected_components(
             labels.union(neighbor_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric:
             new_sum = _sum(new_labels)
