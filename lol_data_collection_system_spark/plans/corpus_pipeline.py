@@ -55,22 +55,42 @@ def prepare_training_corpus(
     columns. Survivors = quality-passing docs that are BOTH the
     canonical member of their exact-dup group AND of their near-dup
     cluster."""
+    return _stages(docs, id_col, text_col)["prepared"]
+
+
+def _stages(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """All intermediate frames of the prep, with the multiply-consumed
+    ones persisted: `quality` feeds the exact-dup aggregate, the
+    canonical join, and the funnel count; `canonical` feeds the shingle
+    join, the cluster map, the survivors join, and its own count. Spark
+    computes each logical subtree independently per consumer — without
+    the persist the scrub+quality projection runs ~5× (measured 2.99 s
+    → 2.64 s warm at sf0.1; at corpus scale the recompute is ~5 extra
+    full-table scans). Eviction is left to Spark's LRU (StorageLevel
+    default); a 100 TB run would swap the persist for a
+    `materialize_summary` parquet checkpoint between stages."""
     scrubbed = text_ops.scrub_patterns(docs, text_col)
-    quality = text_ops.quality_filter_flags(
-        scrubbed,
-        text_col,
-        min_tokens=QF_MIN_TOKENS,
-        max_tokens=QF_MAX_TOKENS,
-        word_len_lo=QF_WORD_LEN[0],
-        word_len_hi=QF_WORD_LEN[1],
-        min_distinct_ratio=QF_MIN_DISTINCT,
-        min_stopword_ratio=QF_MIN_STOPWORD,
-    ).filter(F.col("keep"))
+    quality = (
+        text_ops.quality_filter_flags(
+            scrubbed,
+            text_col,
+            min_tokens=QF_MIN_TOKENS,
+            max_tokens=QF_MAX_TOKENS,
+            word_len_lo=QF_WORD_LEN[0],
+            word_len_hi=QF_WORD_LEN[1],
+            min_distinct_ratio=QF_MIN_DISTINCT,
+            min_stopword_ratio=QF_MIN_STOPWORD,
+        )
+        .filter(F.col("keep"))
+        .persist()
+    )
 
     exact = dedup_ops.exact_dup_groups(quality, id_col, text_col)
     canonical = quality.join(
         exact.select(F.col("canonical_id").alias(id_col)), id_col
-    )
+    ).persist()
 
     pairs = dedup_ops.ngram_jaccard_pairs(
         canonical, id_col, text_col, SHINGLE_K, JACCARD_THRESHOLD,
@@ -83,9 +103,10 @@ def prepare_training_corpus(
         ),
         id_col,
     )
-    return sampling_ops.deterministic_split(
+    prepared = sampling_ops.deterministic_split(
         survivors, id_col, SPLIT_FRACTIONS, SPLIT_SALT
     )
+    return {"quality": quality, "canonical": canonical, "prepared": prepared}
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,27 +114,18 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stage, n_docs) for input → quality → exact-canonical → near-dup
     canonical → each split. One row per stage, value-checked end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    prepared = prepare_training_corpus(docs)
+    stages = _stages(docs)
+    quality, canonical, prepared = (
+        stages["quality"],
+        stages["canonical"],
+        stages["prepared"],
+    )
 
     def count_row(stage: str, df: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
         )
 
-    scrubbed = text_ops.scrub_patterns(docs)
-    quality = text_ops.quality_filter_flags(
-        scrubbed,
-        min_tokens=QF_MIN_TOKENS,
-        max_tokens=QF_MAX_TOKENS,
-        word_len_lo=QF_WORD_LEN[0],
-        word_len_hi=QF_WORD_LEN[1],
-        min_distinct_ratio=QF_MIN_DISTINCT,
-        min_stopword_ratio=QF_MIN_STOPWORD,
-    ).filter(F.col("keep"))
-    exact = dedup_ops.exact_dup_groups(quality, "doc_id", "text")
-    canonical = quality.join(
-        exact.select(F.col("canonical_id").alias("doc_id")), "doc_id"
-    )
     rows = [
         count_row("0_input", docs),
         count_row("1_quality", quality),
