@@ -121,3 +121,50 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: 2^60 — the hash-uniform denominator (15 hex chars of md5).
+_HASH_SPAN = 1 << 60
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of `k` rows — the
+    Efraimidis–Spirakis A-ES scheme (each row draws u ~ Uniform(0,1)
+    from its key hash and keeps the k largest u^(1/w), computed in the
+    order-equivalent log form ln(u)/w).
+
+    One pass, no global sort: the rank cut is `orderBy(...).limit(k)`
+    (TakeOrderedAndProject — per-partition top-k, k-row merge), and the
+    draw is the same engine-portable md5 hash as `sample_bucket`, so the
+    selection is a pure function of (salt, key, weight): stable under
+    repartitioning and reproducible in any engine. Rows with
+    non-positive weight are excluded (they have selection probability 0
+    in the scheme; also keeps the division total).
+
+    Determinism: u is a dyadic rational ((h + 0.5) / 2^60, exact in a
+    double), ln(u) is rounded to 6 decimals (cross-engine 1-ulp
+    divergence otherwise — see `operators/retrieval.py`), and the
+    (score desc, key) order is total, so ties rounding introduces are
+    broken identically everywhere.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_HASH_SPAN))
+    score = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_score", score)
+        .orderBy(F.desc("es_score"), key_col)
+        .limit(k)
+    )

@@ -88,3 +88,67 @@ def length_quantiles(
         F.col("_q")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)
     ]
     return out.select(*cols)
+
+
+def frequent_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 31,
+) -> DataFrame:
+    """All terms with frequency strictly greater than n_total/k, with
+    exact counts — via the two-pass distributed heavy-hitters scheme
+    (per-partition Misra-Gries summaries → candidate union → exact
+    recount of candidates only).
+
+    Unlike `text.vocab_top_terms` (one hash-aggregate over the FULL
+    vocabulary), this never shuffles the vocabulary: pass 1 keeps a
+    k-counter Misra-Gries summary per partition (MG guarantees any term
+    with partition frequency > n_p/(k+1) survives; by pigeonhole a
+    globally-(n/k)-frequent term is locally-(n_p/k)-frequent in at least
+    one partition, so the candidate union is a guaranteed superset),
+    pass 2 broadcast-joins the tiny candidate set back and recounts
+    exactly. The summaries are partition-order-dependent but the FINAL
+    output is exact and deterministic — candidates are only ever a
+    superset, and the threshold filter uses true counts (integer
+    cross-multiplication `tf * k > n`, no division).
+
+    The Python summary pass is Arrow-batched `mapInPandas` over the
+    exploded terms (a dict of ≤k counters per partition — the one
+    genuinely sequential step; everything else is JVM-side).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    terms = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+
+    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"term": list(counters)})
+
+    candidates = terms.mapInPandas(
+        mg_summary, schema="term string"
+    ).distinct()
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        terms.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tf") * k > F.col("n_total"))
+        .select("term", "tf")
+    )

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
 from ..operators import retrieval as retrieval_ops
+from ..operators import sampling as sampling_ops
 from ..operators import similarity as sim_ops
+from ..operators import sketches as sketch_ops
 from ..operators import text as text_ops
 from ..sources import load_table
 
@@ -955,6 +957,53 @@ FROM per
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries) and weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+MG_K = 31
+WDS_K = 20
+WDS_SALT = "wds1"
+
+
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch_ops.frequent_terms(docs, "doc_id", "text", k=MG_K)
+
+
+ORACLE_FREQUENT_TERMS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+c AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT term, CAST(tf AS BIGINT) AS tf
+FROM c CROSS JOIN n WHERE tf * {MG_K} > n_total
+"""
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.weighted_sample_topk(
+        docs, "doc_id", "n_chars", WDS_K, salt=WDS_SALT
+    ).select("doc_id", "n_chars", "es_score")
+
+
+ORACLE_WEIGHTED_DOC_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST(CAST(('0x' || substr(md5('{WDS_SALT}'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                   + 0.5) / {float(1 << 60)!r}), 6)
+           / CAST(n_chars AS DOUBLE) AS es_score
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, es_score
+FROM scored ORDER BY es_score DESC, doc_id
+LIMIT {WDS_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -983,6 +1032,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "doc_token_entropy": q_doc_token_entropy,
+    "frequent_terms": q_frequent_terms,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1013,4 +1064,6 @@ ORACLES: dict[str, str] = {
     "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
     "bm25_search": _bm25_oracle(),
     "doc_token_entropy": ORACLE_DOC_TOKEN_ENTROPY,
+    "frequent_terms": ORACLE_FREQUENT_TERMS,
+    "weighted_doc_sample": ORACLE_WEIGHTED_DOC_SAMPLE,
 }

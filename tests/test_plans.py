@@ -255,3 +255,17 @@ def test_tfidf_window_is_per_doc_not_global(spark):
     # aggregate under its BroadcastExchange (same allowance as IVF)
     assert plan.count("Exchange SinglePartition") <= 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _plan(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan.split("\n\n")[0]
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_frequent_terms_candidates_broadcast(spark):
+    """Pass-2 recount joins the tiny candidate set by BROADCAST — the
+    corpus-side explode must never shuffle for the join."""
+    plan = _plan(spark, "frequent_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -87,3 +87,38 @@ def test_weighted_mix_tags_and_rates(spark):
     wiki_ids = set(r[0] for r in out.filter(F.col("mix_source") == "wiki").select("id").collect())
     web_ids = set(r[0] for r in out.filter(F.col("mix_source") == "web").select("id").collect())
     assert web_ids - wiki_ids  # not a subset — independent draws
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+def test_weighted_sample_layout_invariant_and_sized(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], ["k", "w"]
+    )
+    a = [r.k for r in weighted_sample_topk(df, "k", "w", 25, "s").collect()]
+    b = [
+        r.k
+        for r in weighted_sample_topk(df.repartition(17), "k", "w", 25, "s").collect()
+    ]
+    assert a == b and len(a) == 25 and len(set(a)) == 25
+
+
+def test_weighted_sample_skips_nonpositive_and_biases_heavy(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    heavy = [(i, 1000) for i in range(100)]
+    light = [(i + 100, 1) for i in range(100)]
+    zero = [(i + 200, 0) for i in range(10)]
+    df = spark.createDataFrame(heavy + light + zero, ["k", "w"])
+    picked = [r.k for r in weighted_sample_topk(df, "k", "w", 50, "s").collect()]
+    assert all(p < 210 for p in picked)
+    assert not any(p >= 200 for p in picked)  # zero weight: probability 0
+    n_heavy = sum(1 for p in picked if p < 100)
+    assert n_heavy >= 45  # 1000:1 weights dominate the draw

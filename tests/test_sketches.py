@@ -54,3 +54,51 @@ def test_sketch_aggregation_is_partial(spark):
     plan = df._jdf.queryExecution().explainString(jmode)
     assert plan.count("HashAggregate") >= 2
     assert "approx_count_distinct" in plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent terms
+# ---------------------------------------------------------------------------
+def test_frequent_terms_exact_vs_groupby(spark):
+    """The 2-pass MG+recount output must equal the exact HAVING filter
+    (same threshold) — candidates are a superset, counts are exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.sketches import frequent_terms
+    from lol_data_collection_system_spark.operators.text import tokens
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    # skewed: low ids much more frequent; forces MG eviction (k << 40)
+    rows = [
+        (i, " ".join(rng.choice(vocab[: 1 + rng.randrange(40)]) for _ in range(30)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 12
+    got = {
+        (r.term, r.tf) for r in frequent_terms(df, "doc_id", "text", k=k).collect()
+    }
+    terms = df.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    n = terms.count()
+    exact = {
+        (r.term, r.tf)
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") * k > n)
+        .collect()
+    }
+    assert got == exact and got  # equal and non-trivial
+
+
+def test_frequent_terms_partition_invariant(spark):
+    from lol_data_collection_system_spark.operators.sketches import frequent_terms
+
+    df = spark.createDataFrame(
+        [(i, "hot " * 5 + f"cold{i}") for i in range(50)], ["doc_id", "text"]
+    )
+    a = {(r.term, r.tf) for r in frequent_terms(df, k=4).collect()}
+    b = {(r.term, r.tf) for r in frequent_terms(df.repartition(13), k=4).collect()}
+    assert a == b == {("hot", 250)}
