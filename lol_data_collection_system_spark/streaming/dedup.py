@@ -43,3 +43,69 @@ def dedup_stream(
     if fp.isStreaming:
         return fp.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(["fp"])
     return fp.dropDuplicates(["fp"])
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    k: int = 3,
+    band_hashes: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-duplicate guard: keep the first arrival per MinHash
+    LSH band bucket (one band of `band_hashes` permutations over word
+    `k`-gram shingles), within the watermark horizon.
+
+    The online counterpart of `operators/dedup.lsh_candidate_pairs`:
+    a pair with Jaccard similarity s lands in the same bucket with
+    probability s^band_hashes, so high-similarity rewrites are dropped
+    in-stream with that recall while dissimilar docs collide with
+    negligible probability — an intentional single-band approximation
+    (the full multi-band LSH + verification + clustering pass stays a
+    batch job; this guard just keeps the live window mostly clean).
+
+    The signature here is computed ROW-LOCALLY with array higher-order
+    functions rather than the batch path's explode + partial-agg: a
+    stateful streaming aggregation per doc would be a second stateful
+    operator ahead of the dedup state, while the row-local form needs no
+    shuffle at all — the right trade for per-event latency even though
+    interpreted HOFs cost more CPU per row than the codegen'd batch
+    shape (see `minhash_signatures`' history). State is keyed by the
+    band hash string: one small row per bucket within the horizon.
+
+    Batch frames take plain `dropDuplicates` on the same key so tests
+    can cross-check stream vs batch output.
+    """
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm
+    from ..operators.text import normalized_text, tokens
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+
+    def shingle_fn(kk: int):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kk))
+
+    sh = F.array_distinct(F.transform(idx, shingle_fn(k)))
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME,
+    )
+
+    def perm_fn(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    mins = []
+    for i in range(band_hashes):
+        a, b = minhash_perm(i)
+        mins.append(F.array_min(F.transform(hashes, perm_fn(a, b))))
+    banded = docs.withColumn(
+        "band", F.concat_ws(",", *[m.cast("string") for m in mins])
+    )
+    if banded.isStreaming:
+        return banded.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["band"]
+        )
+    return banded.dropDuplicates(["band"])

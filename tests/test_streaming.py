@@ -497,3 +497,60 @@ def test_streaming_corpus_ingest_pipeline(spark, tmp_path):
     batch = spark.read.schema(schema).json(str(src) + "/*")
     batch_fps = {r.fp for r in pipeline(batch).collect()}
     assert batch_fps == {r.fp for r in got.values()}
+
+
+def test_streaming_near_dedup_drops_banded_rewrites(spark, tmp_path):
+    """Streaming near-dup guard: a case/punctuation rewrite (identical
+    shingle set -> identical band, guaranteed collision) arriving in a
+    later micro-batch is dropped; a distinct doc passes; stream output
+    equals the batch twin's bucket set."""
+    from lol_data_collection_system_spark.streaming import near_dedup_stream
+
+    src = tmp_path / "neardup"
+    out_dir = tmp_path / "neardup_out"
+    ckpt = tmp_path / "neardup_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def write(name, rows):
+        spark.createDataFrame(rows, ["ts_s", "doc_id", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    write("f1", [("2024-01-01 00:00:01", 1, base),
+                 ("2024-01-01 00:00:02", 2, "one two three four five six")])
+    # doc 3: punctuation/case rewrite of doc 1 — same normalized shingles,
+    # same band, MUST collide; doc 4: new content
+    write("f2", [("2024-01-01 00:01:00", 3, "Alpha, BETA gamma; delta epsilon ZETA eta theta!"),
+                 ("2024-01-01 00:01:01", 4, "seven eight nine ten eleven twelve")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    q = (
+        near_dedup_stream(stream, watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(out_dir)).collect())
+    assert kept == [1, 2, 4]
+
+    batch = spark.read.schema(schema).json(str(src) + "/*")
+    batch_bands = {r.band for r in near_dedup_stream(batch).collect()}
+    stream_bands = {r.band for r in spark.read.parquet(str(out_dir)).collect()}
+    assert batch_bands == stream_bands and len(batch_bands) == 3
