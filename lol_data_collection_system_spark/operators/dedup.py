@@ -418,3 +418,39 @@ def span_dup_stats(
             F.count(F.lit(1)),
         ).alias("dup_frac"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version-to-version corpus delta: per doc id, whether it was
+    `added`, `removed`, `changed` (same id, different normalized content
+    fingerprint), or `unchanged` between two corpus snapshots — the
+    audit primitive of iterative corpus curation (what did this
+    recrawl/refilter actually touch?).
+
+    One full-outer shuffle join keyed by id over two fingerprint
+    projections (16 bytes/doc each side — the join input is tiny
+    regardless of document size, same scale argument as
+    `exact_dup_groups`). Fingerprints are normalization-invariant
+    (case/punctuation rewrites compare as unchanged), matching the
+    dedup family's identity notion.
+    """
+    of = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_old")
+    )
+    nf = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_new")
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return of.join(nf, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )

@@ -1004,6 +1004,58 @@ LIMIT {WDS_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff
+# ---------------------------------------------------------------------------
+CD_SALT = "cdiff"
+
+
+def q_corpus_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit delta between two simulated corpus snapshots: `old` = the
+    low 90% of the hash-bucket space, `new` = the high 90% with docs in
+    the top fifth of the overlap rewritten — exercising all four diff
+    statuses deterministically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling_ops.sample_bucket(F.col("doc_id"), CD_SALT)
+    old = docs.filter(b < 900_000)
+    new = docs.filter(b >= 100_000).withColumn(
+        "text",
+        F.when(b >= 700_000, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return (
+        dedup_ops.corpus_diff(old, new, "doc_id", "text")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CORPUS_DIFF_SUMMARY = f"""
+WITH b AS (
+  SELECT doc_id, text, {_bucket_of('doc_id', CD_SALT)} AS bucket
+  FROM documents),
+old AS (
+  SELECT doc_id, md5({_NORM}) AS fp_old FROM b WHERE bucket < 900000),
+new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(
+             CASE WHEN bucket >= 700000 THEN text || ' v2' ELSE text END),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp_new
+  FROM b WHERE bucket >= 100000),
+diff AS (
+  SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+         CASE WHEN fp_old IS NULL THEN 'added'
+              WHEN fp_new IS NULL THEN 'removed'
+              WHEN fp_old <> fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+SELECT status, COUNT(*) AS n_docs FROM diff GROUP BY status
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -1034,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_entropy": q_doc_token_entropy,
     "frequent_terms": q_frequent_terms,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "corpus_diff_summary": q_corpus_diff_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -1066,4 +1119,5 @@ ORACLES: dict[str, str] = {
     "doc_token_entropy": ORACLE_DOC_TOKEN_ENTROPY,
     "frequent_terms": ORACLE_FREQUENT_TERMS,
     "weighted_doc_sample": ORACLE_WEIGHTED_DOC_SAMPLE,
+    "corpus_diff_summary": ORACLE_CORPUS_DIFF_SUMMARY,
 }

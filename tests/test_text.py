@@ -186,3 +186,19 @@ def test_bm25_ranks_matches_and_drops_nonmatches(spark):
     assert 3 not in ids  # no query term -> absent
     assert ids[0] == 2  # more hits -> higher score
     assert all(r.bm25 > 0 for r in out)
+
+
+def test_corpus_diff_statuses(spark):
+    from lol_data_collection_system_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "Same, TEXT!"), (2, "has changed"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # doc 1: normalization-invariant rewrite -> unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
