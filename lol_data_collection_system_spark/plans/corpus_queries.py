@@ -539,7 +539,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.dedup_clusters(docs, pairs)
 
 
-ORACLE_DEDUP_COMPONENTS = f"""
+_CC_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
   FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
@@ -562,9 +562,15 @@ reach(node, reached) AS (
   SELECT u, u FROM sym
   UNION
   SELECT r.node, s.v FROM reach r JOIN sym s ON s.u = r.reached),
-comp AS (SELECT node, MIN(reached) AS m FROM reach GROUP BY node)
-SELECT d.doc_id, COALESCE(c.m, d.doc_id) AS component_id
-FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+comp AS (SELECT node, MIN(reached) AS m FROM reach GROUP BY node),
+comps AS (
+  SELECT d.doc_id, COALESCE(c.m, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+"""
+
+ORACLE_DEDUP_COMPONENTS = f"""
+{_CC_CTES}
+SELECT doc_id, component_id FROM comps
 """
 
 
@@ -1056,6 +1062,57 @@ SELECT status, COUNT(*) AS n_docs FROM diff GROUP BY status
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: assign train/valid/test by near-dup CLUSTER
+# ---------------------------------------------------------------------------
+LS_SALT = "leak-v1"
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment keyed on the near-dup component id instead of the
+    doc id: every member of a cluster lands in the same split, so a
+    near-duplicate of a training document can never leak into test —
+    the standard fix for contamination-by-construction (splitting by doc
+    id interleaves near-dup rewrites across splits; see
+    `train_test_contamination` for the detector this prevents)."""
+    from ..operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    clusters = graph_ops.dedup_clusters(docs, pairs)
+    assigned = sampling_ops.deterministic_split(
+        clusters, "component_id", SPLIT_FRACTIONS, LS_SALT
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_components"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    cases, hi = [], 0
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi += int(round(frac * 1_000_000))
+        cases.append(f"WHEN b < {hi} THEN '{name}'")
+    case_sql = " ".join(cases)
+    return f"""
+{_CC_CTES},
+assigned AS (
+  SELECT doc_id, component_id,
+         CASE {case_sql} ELSE NULL END AS split
+  FROM (SELECT doc_id, component_id,
+               {_bucket_of('component_id', LS_SALT)} AS b
+        FROM comps))
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components
+FROM assigned GROUP BY split
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -1087,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_terms": q_frequent_terms,
     "weighted_doc_sample": q_weighted_doc_sample,
     "corpus_diff_summary": q_corpus_diff_summary,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1120,4 +1178,5 @@ ORACLES: dict[str, str] = {
     "frequent_terms": ORACLE_FREQUENT_TERMS,
     "weighted_doc_sample": ORACLE_WEIGHTED_DOC_SAMPLE,
     "corpus_diff_summary": ORACLE_CORPUS_DIFF_SUMMARY,
+    "leakage_safe_split": _leakage_split_oracle(),
 }

@@ -122,3 +122,36 @@ def test_weighted_sample_skips_nonpositive_and_biases_heavy(spark):
     assert not any(p >= 200 for p in picked)  # zero weight: probability 0
     n_heavy = sum(1 for p in picked if p < 100)
     assert n_heavy >= 45  # 1000:1 weights dominate the draw
+
+
+def test_cluster_keyed_split_keeps_components_together(spark):
+    """Leakage-safe split: every member of a near-dup component gets the
+    SAME split assignment (key = component_id, not doc_id)."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.graph import dedup_clusters
+    from lol_data_collection_system_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # three clusters: {0..4}, {10,11}, singletons elsewhere
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    clusters = dedup_clusters(docs, edges)
+    assigned = deterministic_split(
+        clusters, "component_id", {"train": 0.5, "test": 0.5}, "leak-t"
+    )
+    per_comp = (
+        assigned.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_comp)
+    comp0_splits = {
+        r.split for r in assigned.filter(F.col("doc_id") < 5).collect()
+    }
+    assert len(comp0_splits) == 1  # the 5-doc cluster moves as one unit
