@@ -107,3 +107,123 @@ def test_split_assigns_each_key_once(spark, keys, fracs):
         df, "id", {"a": fracs[0], "b": fracs[1]}, salt="p"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals / span dup stats / BM25 vs pure-Python references
+# ---------------------------------------------------------------------------
+_WORDS = ("a", "bb", "ccc", "dd", "e")
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=18).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_repetition(text, ns=(2, 3)):
+    from collections import Counter
+
+    toks = text.split()
+    out = {}
+    for n in ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        out[f"top{n}"] = max((f * len(g) for g, f in c.items()), default=0)
+        out[f"dup{n}"] = sum(f * len(g) for g, f in c.items() if f > 1)
+    return out
+
+
+@_SETTINGS
+@given(docs_strategy)
+def test_repetition_signals_match_python(spark, texts):
+    from lol_data_collection_system_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {
+        r.doc_id: r
+        for r in repetition_signals(df, "doc_id", "text", ns=(2, 3)).collect()
+    }
+    for i, text in enumerate(texts):
+        ref = _py_repetition(text)
+        if len(text.split()) < 2:
+            assert i not in rows
+            continue
+        r = rows[i]
+        assert (r.top2_chars, r.dup2_chars) == (ref["top2"], ref["dup2"])
+        assert (r.top3_chars, r.dup3_chars) == (ref["top3"], ref["dup3"])
+
+
+@_SETTINGS
+@given(docs_strategy, st.integers(2, 4))
+def test_span_dup_stats_match_bruteforce(spark, texts, width):
+    from collections import defaultdict
+
+    from lol_data_collection_system_spark.operators.dedup import span_dup_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {
+        r.doc_id: r
+        for r in span_dup_stats(df, "doc_id", "text", width=width).collect()
+    }
+    windows = {}
+    docs_of = defaultdict(set)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        ws = [
+            " ".join(toks[j : j + width]) for j in range(len(toks) - width + 1)
+        ]
+        windows[i] = ws
+        for s in ws:
+            docs_of[s].add(i)
+    for i, ws in windows.items():
+        if not ws:
+            assert i not in rows
+            continue
+        dup = sum(1 for s in ws if len(docs_of[s]) >= 2)
+        assert (rows[i].n_windows, rows[i].dup_windows) == (len(ws), dup)
+
+
+@_SETTINGS
+@given(docs_strategy)
+def test_bm25_matches_python(spark, texts):
+    import math
+
+    from lol_data_collection_system_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_search,
+    )
+
+    query = ("a", "ccc")
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_search(df, query, "doc_id", "text", k=50).collect()
+    }
+    # pure-Python twin (tolerance compare: Python round() is banker's,
+    # Spark's is HALF_UP — exactness is the oracle's job, not this test's).
+    # Tokenization mirrors the engines: regex-split of the trimmed text,
+    # where '' yields [''] (ONE empty token) — not str.split()'s [].
+    import re
+
+    toks = {i: re.split(r"\s+", t.strip()) for i, t in enumerate(texts)}
+    n_docs = len(texts)
+    total_len = sum(len(v) for v in toks.values())
+    avgdl = total_len / n_docs
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in query}
+    expected = {}
+    for i, v in toks.items():
+        score = 0.0
+        for t in query:
+            tf = v.count(t)
+            idf = round(
+                math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0), 6
+            )
+            denom = tf + BM25_K1 * ((1 - BM25_B) + BM25_B * (len(v) / avgdl))
+            score += idf * (tf * (BM25_K1 + 1.0)) / denom
+        if any(t in v for t in query):
+            expected[i] = score
+    assert set(got) == set(expected)
+    for i in got:
+        assert abs(got[i] - expected[i]) < 1e-5
