@@ -204,3 +204,64 @@ def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "cos_sim"
     )
+
+
+def cluster_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label cluster diagnostics: member count, centroid L2 norm, and
+    mean cosine of members to their centroid (cohesion) — the quality
+    check after any clustering/IVF assignment (a low-cohesion label is a
+    bad bucket; a low-norm centroid means members cancel out).
+
+    Determinism: per-dimension sums go through DECIMAL(38,10) (exact and
+    order-free; float components are dyadic rationals, so the decimal
+    cast can never land on a rounding tie), centroid means and cosines
+    are IEEE arithmetic on identical doubles (`sqrt` is IEEE
+    correctly-rounded — unlike ln, it needs no rounding guard), and the
+    per-member cosine mean is again a DECIMAL sum of 6-dp-rounded terms.
+
+    Plan shape: posexplode components → partial-agg'd (label, dim) sums
+    → per-label centroid assembly (sort_array of (dim, mean) structs) →
+    BROADCAST centroid join back onto members (labels ≪ members) → one
+    final per-label aggregate. No windows, no UDFs.
+    """
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    per_dim = ex.groupBy(label_col, "dim").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(38,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (F.col("s").cast("double") / F.col("n")).alias("m"),
+                    )
+                )
+            ),
+            lambda st: st["m"],
+        ).alias("centroid"),
+        F.max("n").alias("n_vectors"),
+    )
+    scored = df.join(F.broadcast(cent), label_col).select(
+        F.col(label_col),
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("cos_c"),
+    )
+    agg = scored.groupBy(label_col).agg(
+        F.sum(F.col("cos_c").cast("decimal(28,6)")).alias("sc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return cent.join(agg, label_col).select(
+        F.col(label_col),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.round(l2_norm(F.col("centroid")), 6).alias("centroid_norm"),
+        F.round(F.col("sc").cast("double") / F.col("n_rows"), 6).alias(
+            "mean_cos"
+        ),
+    )

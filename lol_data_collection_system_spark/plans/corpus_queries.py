@@ -1113,6 +1113,46 @@ FROM assigned GROUP BY split
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Embedding cluster diagnostics
+# ---------------------------------------------------------------------------
+EMB_DIM = 64
+
+
+def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cluster_stats(emb, "embedding", "label")
+
+
+ORACLE_EMBEDDING_CLUSTER_STATS = f"""
+WITH ex AS (
+  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS t(i)),
+per_dim AS (
+  SELECT label, dim, SUM(CAST(val AS DECIMAL(38,10))) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, dim),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centroid,
+         MAX(n) AS n_vectors
+  FROM per_dim GROUP BY label),
+scored AS (
+  SELECT e.label,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), centroid)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(centroid, centroid))), 6) AS cos_c
+  FROM embeddings e JOIN cent USING (label)),
+agg AS (
+  SELECT label, SUM(CAST(cos_c AS DECIMAL(28,6))) AS sc, COUNT(*) AS n_rows
+  FROM scored GROUP BY label)
+SELECT c.label, CAST(c.n_vectors AS BIGINT) AS n_vectors,
+       round(sqrt(list_dot_product(centroid, centroid)), 6) AS centroid_norm,
+       round(CAST(sc AS DOUBLE) / a.n_rows, 6) AS mean_cos
+FROM cent c JOIN agg a USING (label)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -1145,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "corpus_diff_summary": q_corpus_diff_summary,
     "leakage_safe_split": q_leakage_safe_split,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1179,4 +1220,5 @@ ORACLES: dict[str, str] = {
     "weighted_doc_sample": ORACLE_WEIGHTED_DOC_SAMPLE,
     "corpus_diff_summary": ORACLE_CORPUS_DIFF_SUMMARY,
     "leakage_safe_split": _leakage_split_oracle(),
+    "embedding_cluster_stats": ORACLE_EMBEDDING_CLUSTER_STATS,
 }

@@ -269,3 +269,11 @@ def test_frequent_terms_candidates_broadcast(spark):
     plan = _plan(spark, "frequent_terms")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cluster_stats_centroids_broadcast(spark):
+    """Centroid join back onto members must broadcast (labels << members),
+    and both aggregations must partial-combine."""
+    plan = _plan(spark, "embedding_cluster_stats")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4

@@ -102,3 +102,25 @@ def test_frequent_terms_partition_invariant(spark):
     a = {(r.term, r.tf) for r in frequent_terms(df, k=4).collect()}
     b = {(r.term, r.tf) for r in frequent_terms(df.repartition(13), k=4).collect()}
     assert a == b == {("hot", 250)}
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster diagnostics
+# ---------------------------------------------------------------------------
+def test_cluster_stats_known_geometry(spark):
+    from lol_data_collection_system_spark.operators.similarity import cluster_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [0.0, 1.0]),  # centroid (0.5, 0.5); each cos = 1/sqrt(2)
+            (1, [1.0, 0.0]),
+            (1, [1.0, 0.0]),  # identical members -> cohesion 1.0
+        ],
+        ["label", "embedding"],
+    )
+    rows = {r.label: r for r in cluster_stats(df).collect()}
+    assert rows[0].n_vectors == 2 and rows[1].n_vectors == 2
+    assert abs(rows[0].centroid_norm - 0.707107) < 1e-6
+    assert abs(rows[0].mean_cos - 0.707107) < 1e-6
+    assert rows[1].centroid_norm == 1.0 and rows[1].mean_cos == 1.0
