@@ -265,3 +265,82 @@ def cluster_stats(
             "mean_cos"
         ),
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 6,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means (cosine flavor): `iters` rounds of
+    assign-to-nearest-centroid → recompute centroids; returns the final
+    (id, cid) assignment. The iterative ML primitive behind IVF training
+    and embedding-space curation, expressed with the same two building
+    blocks the rest of the family uses:
+
+    - Assignment is `ivf_assign_buckets`' shape: the centroid set
+      travels as ONE broadcast row, best-centroid = `array_max` over
+      (sim rounded to 6 dp, -cid, cid) structs — map-side only, no
+      corpus shuffle, deterministic tie-break toward the smaller cid.
+    - Centroid update is `cluster_stats`' shape: posexplode components,
+      DECIMAL(38,10) per-dim sums (exact, order-free), sorted-struct
+      reassembly. A centroid that attracts no members disappears
+      (standard Lloyd behavior, identical in the oracle).
+
+    Seeds are the vectors with id < k (deterministic, engine-portable).
+    Per round the label frame is lazily checkpointed — `iters` is small
+    and fixed, but the assign→update cycle would otherwise double the
+    plan per round (same rationale as `graph.connected_components`).
+    """
+    cents = emb.filter(F.col(id_col) < k).agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("int").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+        ).alias("cents")
+    )
+
+    def best_cid() -> Column:
+        def centroid_sim(c: Column) -> Column:
+            return F.struct(
+                F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_max(F.transform(F.col("cents"), centroid_sim))["cid"]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), F.col(vec_col), best_cid().alias("cid"))
+            .localCheckpoint(eager=False)
+        )
+        ex = assigned.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        per_dim = ex.groupBy("cid", "dim").agg(
+            F.sum(F.col("val").cast("double").cast("decimal(38,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        new_cents = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim"),
+                            (F.col("s").cast("double") / F.col("n")).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("cvec")
+        )
+        cents = new_cents.agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cents")
+        )
+    return assigned.select(F.col(id_col), F.col("cid").cast("bigint").alias("cid"))

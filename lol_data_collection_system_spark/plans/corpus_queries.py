@@ -1153,6 +1153,67 @@ FROM cent c JOIN agg a USING (label)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means
+# ---------------------------------------------------------------------------
+KM_K = 6
+KM_ITERS = 3
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = EMB_DIM) -> str:
+    """Unrolled Lloyd rounds as chained CTEs — the fixed, small `iters`
+    makes the oracle expressible without recursion; every round mirrors
+    the Spark op's rounding/tie-break exactly."""
+    parts = [
+        f"cent_0 AS (SELECT CAST(vec_id AS INT) AS cid,"
+        f" CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings"
+        f" WHERE vec_id < {k})"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""scored_{i} AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+  FROM embeddings e CROSS JOIN cent_{i - 1} c)"""
+        )
+        parts.append(
+            f"""assign_{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM scored_{i}) WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""ex_{i} AS (
+  SELECT a.cid, t.i AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS val
+  FROM assign_{i} a JOIN embeddings e USING (vec_id),
+       unnest(generate_series(1, {dim})) AS t(i))"""
+            )
+            parts.append(
+                f"""cent_{i} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+  FROM (SELECT cid, dim, SUM(CAST(val AS DECIMAL(38,10))) AS s,
+               COUNT(*) AS n
+        FROM ex_{i} GROUP BY cid, dim) GROUP BY cid)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cid FROM assign_{iters}"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_source": q_doc_quality_by_source,
@@ -1186,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff_summary": q_corpus_diff_summary,
     "leakage_safe_split": q_leakage_safe_split,
     "embedding_cluster_stats": q_embedding_cluster_stats,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 ORACLES: dict[str, str] = {
@@ -1221,4 +1283,5 @@ ORACLES: dict[str, str] = {
     "corpus_diff_summary": ORACLE_CORPUS_DIFF_SUMMARY,
     "leakage_safe_split": _leakage_split_oracle(),
     "embedding_cluster_stats": ORACLE_EMBEDDING_CLUSTER_STATS,
+    "embedding_kmeans": _kmeans_oracle(),
 }

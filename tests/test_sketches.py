@@ -124,3 +124,37 @@ def test_cluster_stats_known_geometry(spark):
     assert abs(rows[0].centroid_norm - 0.707107) < 1e-6
     assert abs(rows[0].mean_cos - 0.707107) < 1e-6
     assert rows[1].centroid_norm == 1.0 and rows[1].mean_cos == 1.0
+
+
+def test_kmeans_separates_known_clusters(spark):
+    from lol_data_collection_system_spark.operators.similarity import kmeans_assign
+
+    # Two tight angular clusters; seeds (id 0, id 1) land one in each.
+    near_x = [[1.0, 0.05 * i] for i in range(5)]
+    near_y = [[0.05 * i, 1.0] for i in range(5)]
+    rows = [(0, near_x[0]), (1, near_y[0])] + [
+        (2 + i, near_x[1 + i // 2] if i % 2 == 0 else near_y[1 + i // 2])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cid for r in kmeans_assign(df, k=2, iters=3).collect()}
+    x_ids = {0} | {i for i in range(2, 10) if (i - 2) % 2 == 0}
+    y_ids = {1} | {i for i in range(2, 10) if (i - 2) % 2 == 1}
+    assert {got[i] for i in x_ids} == {0}
+    assert {got[i] for i in y_ids} == {1}
+
+
+def test_kmeans_partition_invariant(spark):
+    from lol_data_collection_system_spark.operators.similarity import kmeans_assign
+
+    df = spark.range(40).selectExpr(
+        "id as vec_id",
+        "array(cast(pmod(id, 7) as double) / 8 + 0.125,"
+        " cast(pmod(id, 5) as double) / 8, cast(id % 3 as double)) as embedding",
+    )
+    a = sorted((r.vec_id, r.cid) for r in kmeans_assign(df, k=3, iters=2).collect())
+    b = sorted(
+        (r.vec_id, r.cid)
+        for r in kmeans_assign(df.repartition(17), k=3, iters=2).collect()
+    )
+    assert a == b
