@@ -273,6 +273,7 @@ def kmeans_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means (cosine flavor): `iters` rounds of
     assign-to-nearest-centroid → recompute centroids; returns the final
@@ -293,6 +294,10 @@ def kmeans_assign(
     Per round the label frame is lazily checkpointed — `iters` is small
     and fixed, but the assign→update cycle would otherwise double the
     plan per round (same rationale as `graph.connected_components`).
+
+    ``keep_vec=True`` also returns the embedding column — the trained-IVF
+    search path consumes (id, vec, cid) directly, skipping a corpus
+    self-join back onto the vectors.
     """
     cents = emb.filter(F.col(id_col) < k).agg(
         F.collect_list(
@@ -343,4 +348,44 @@ def kmeans_assign(
         cents = new_cents.agg(
             F.collect_list(F.struct("cid", "cvec")).alias("cents")
         )
-    return assigned.select(F.col(id_col), F.col("cid").cast("bigint").alias("cid"))
+    out = [F.col(id_col)]
+    if keep_vec:
+        out.append(F.col(vec_col))
+    return assigned.select(*out, F.col("cid").cast("bigint").alias("cid"))
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 6,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: buckets come from
+    `kmeans_assign` (Lloyd rounds) instead of `ivf_topk`'s raw seed
+    vectors — the production IVF shape, where training tightens buckets
+    around the data's actual modes and evens out bucket sizes.
+
+    Search is identical to `ivf_topk`: the query's bucket id travels as a
+    1-row broadcast, candidates are the bucket's members (nprobe=1),
+    exact cosine within the bucket, TakeOrderedAndProject top-k. The
+    only corpus-wide cost beyond training is the map-side scoring scan.
+    """
+    with_bucket = kmeans_assign(
+        emb, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        keep_vec=True,
+    )
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec"), F.col("cid").alias("qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("cid") == F.col("qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k, id_col)

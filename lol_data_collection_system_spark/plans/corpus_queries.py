@@ -1167,10 +1167,11 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
 
 
-def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = EMB_DIM) -> str:
+def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
     """Unrolled Lloyd rounds as chained CTEs — the fixed, small `iters`
     makes the oracle expressible without recursion; every round mirrors
-    the Spark op's rounding/tie-break exactly."""
+    the Spark op's rounding/tie-break exactly. The final assignment CTE
+    is ``assign_{iters}``; reused by the trained-IVF oracle."""
     parts = [
         f"cent_0 AS (SELECT CAST(vec_id AS INT) AS cid,"
         f" CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings"
@@ -1207,11 +1208,52 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = EMB_DIM) -> 
                COUNT(*) AS n
         FROM ex_{i} GROUP BY cid, dim) GROUP BY cid)"""
             )
+    return parts
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = EMB_DIM) -> str:
+    parts = _kmeans_cte_parts(k, iters, dim)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cid FROM assign_{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF ANN (Lloyd-trained coarse quantizer + bucketed exact search)
+# ---------------------------------------------------------------------------
+IVF_TRAINED_K = 6
+IVF_TRAINED_ITERS = 2
+
+
+def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF shape: coarse quantizer trained with Lloyd rounds
+    (`kmeans_assign`), then nprobe=1 bucket search with exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_trained_topk(
+        emb, QUERY_VEC_ID, TOPK, IVF_TRAINED_K, IVF_TRAINED_ITERS
+    )
+
+
+def _ivf_trained_oracle(
+    k: int = IVF_TRAINED_K, iters: int = IVF_TRAINED_ITERS, dim: int = EMB_DIM
+) -> str:
+    ctes = ",\n".join(_kmeans_cte_parts(k, iters, dim))
+    return f"""WITH {ctes}
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank,
+         ROUND({_COS_Q_SQL}, 4) AS cos_sim
+  FROM embeddings e
+  JOIN assign_{iters} a ON a.vec_id = e.vec_id,
+       (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q,
+       (SELECT cid AS qbucket FROM assign_{iters}
+        WHERE vec_id = {QUERY_VEC_ID}) qb
+  WHERE e.vec_id != {QUERY_VEC_ID}
+    AND a.cid = qb.qbucket)
+WHERE rank <= {TOPK}
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1229,6 +1271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_topk": q_embedding_ann_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "dedup_components": q_dedup_components,
     "corpus_train_split": q_corpus_train_split,
@@ -1265,6 +1308,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
+    "embedding_ivf_trained_topk": _ivf_trained_oracle(),
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "corpus_train_split": _split_oracle(),

@@ -158,3 +158,31 @@ def test_kmeans_partition_invariant(spark):
         for r in kmeans_assign(df.repartition(17), k=3, iters=2).collect()
     )
     assert a == b
+
+
+def test_ivf_trained_topk_searches_query_cluster(spark):
+    from lol_data_collection_system_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_trained_topk,
+    )
+
+    # Same two-cluster geometry as the kmeans test; query id 0 sits in
+    # the x-cluster, so trained-IVF (nprobe=1) must return only x-cluster
+    # members, ordered exactly as the brute-force ranking restricted to
+    # that cluster.
+    near_x = [[1.0, 0.05 * i] for i in range(5)]
+    near_y = [[0.05 * i, 1.0] for i in range(5)]
+    rows = [(0, near_x[0]), (1, near_y[0])] + [
+        (2 + i, near_x[1 + i // 2] if i % 2 == 0 else near_y[1 + i // 2])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ivf_trained_topk(df, 0, k=4, n_centroids=2, iters=2).collect()
+    x_ids = {0} | {i for i in range(2, 10) if (i - 2) % 2 == 0}
+    assert all(r.vec_id in x_ids for r in got)
+    brute = [
+        r.vec_id
+        for r in brute_force_topk(df, 0, k=9).collect()
+        if r.vec_id in x_ids
+    ]
+    assert [r.vec_id for r in got] == brute[:4]
