@@ -274,6 +274,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means (cosine flavor): `iters` rounds of
     assign-to-nearest-centroid → recompute centroids; returns the final
@@ -297,7 +298,8 @@ def kmeans_assign(
 
     ``keep_vec=True`` also returns the embedding column — the trained-IVF
     search path consumes (id, vec, cid) directly, skipping a corpus
-    self-join back onto the vectors.
+    self-join back onto the vectors. ``checkpoint_rounds=False`` keeps
+    the full lineage (plan tests inspect the join/agg shape through it).
     """
     cents = emb.filter(F.col(id_col) < k).agg(
         F.collect_list(
@@ -320,11 +322,11 @@ def kmeans_assign(
 
     assigned = None
     for _ in range(iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .select(F.col(id_col), F.col(vec_col), best_cid().alias("cid"))
-            .localCheckpoint(eager=False)
+        assigned = emb.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), F.col(vec_col), best_cid().alias("cid")
         )
+        if checkpoint_rounds:
+            assigned = assigned.localCheckpoint(eager=False)
         ex = assigned.select(
             "cid", F.posexplode(F.col(vec_col)).alias("dim", "val")
         )
@@ -352,6 +354,64 @@ def kmeans_assign(
     if keep_vec:
         out.append(F.col(vec_col))
     return assigned.select(*out, F.col("cid").cast("bigint").alias("cid"))
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric max-abs int8 quantization — the storage/serving
+    compression step of an embedding pipeline (4× smaller than float32,
+    cosine ranking nearly preserved). Per vector: ``scale = max|v|/127``,
+    ``q_i = round_half_away(v_i/scale)`` ∈ [-127, 127]; also reports the
+    per-vector max reconstruction error ``max|v_i - q_i·scale|``.
+
+    Determinism contract: rounding is spelled as
+    ``sign(x)·floor(|x·127/absmax| + 0.5)`` — identical IEEE ops in both
+    engines (library round() differs: banker's vs half-up). The error
+    metric is an element-wise MAX (order-free), never a float sum.
+
+    Plan shape: three chained map-side projections (absmax → quantize →
+    error); each stage materializes its array as a column attribute so
+    per-element lambdas reference attributes, not re-evaluated parent
+    expressions. No shuffle, no UDF — embarrassingly parallel at 100 TB.
+    """
+    v = F.col(vec_col)
+    with_stats = emb.select(
+        F.col(id_col),
+        v,
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias(
+            "absmax"
+        ),
+    )
+    absmax = F.col("absmax")
+
+    def quant(x: Column) -> Column:
+        y = x.cast("double") * 127 / absmax
+        return F.when(absmax == 0, F.lit(0)).otherwise(
+            (F.signum(y) * F.floor(F.abs(y) + F.lit(0.5))).cast("int")
+        )
+
+    quantized = with_stats.select(
+        F.col(id_col),
+        v,
+        F.when(absmax == 0, F.lit(0.0)).otherwise(absmax / 127).alias("scale"),
+        F.transform(v, quant).alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            v,
+            F.col("qv"),
+            lambda a, b: F.abs(a.cast("double") - b * F.col("scale")),
+        )
+    )
+    return quantized.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.array_join(F.col("qv"), ",").alias("qvec"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
 
 
 def ivf_trained_topk(

@@ -40,6 +40,59 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking — the RAG-indexing / training-window
+    primitive: each document becomes overlapping windows of
+    ``chunk_tokens`` whitespace tokens, stepping ``chunk_tokens -
+    overlap`` tokens per chunk (the final chunk may be shorter; a chunk
+    starts at every ``1 + i*step ≤ n_tokens``).
+
+    Output: (id, chunk_idx, token_start, n_tokens, chunk_text), with
+    ``chunk_idx`` 0-based and ``token_start`` 1-based (matching Spark's
+    and DuckDB's 1-based array indexing).
+
+    Plan shape: tokenize once into a materialized array column, then a
+    single ``posexplode(sequence(...))`` fan-out and one projection —
+    map-side only, no shuffle, no UDF; the slice/concat run inside
+    codegen against the already-built array attribute (NOT re-derived
+    per chunk — the explode+attribute pattern from the MinHash rework).
+    At 100 TB the fan-out is ~tokens/step rows per doc and chunk
+    boundaries never cross documents, so it parallelizes per input split.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    ex = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.col("toks"), F.size("toks").alias("n"))
+        .select(
+            F.col(id_col),
+            F.col("toks"),
+            F.col("n"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.col("n"), F.lit(step))
+            ).alias("chunk_idx", "start"),
+        )
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("token_start"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("start"), F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )
+
+
 def bpe_ish_piece_count(text: Column) -> Column:
     """BPE-ish subword proxy: count of letter-runs, digit-runs, and
     non-alnum symbols (a regex approximation of byte-pair pieces; the real

@@ -1256,8 +1256,66 @@ WHERE rank <= {TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding quantization (symmetric max-abs int8)
+# ---------------------------------------------------------------------------
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantize_embeddings(emb)
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           AS absmax
+  FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         CASE WHEN absmax = 0 THEN 0.0 ELSE absmax / 127 END AS scale,
+         list_transform(v, x -> CASE WHEN absmax = 0 THEN 0
+           ELSE CAST(sign(x * 127 / absmax)
+                     * floor(abs(x * 127 / absmax) + 0.5) AS INT) END) AS qv
+  FROM s)
+SELECT vec_id, scale,
+       array_to_string(qv, ',') AS qvec,
+       round(list_max(list_transform(generate_series(1, len(v)),
+             i -> abs(v[i] - qv[i] * scale))), 6) AS max_abs_err
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAG / training-window chunking
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+def _chunk_oracle(chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> str:
+    step = chunk - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents)
+SELECT doc_id,
+       CAST((gs.i - 1) // {step} AS BIGINT) AS chunk_idx,
+       CAST(gs.i AS BIGINT) AS token_start,
+       CAST(least({chunk}, n - gs.i + 1) AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, gs.i, least(gs.i + {chunk} - 1, n)), ' ')
+         AS chunk_text
+FROM t, unnest(generate_series(1, CAST(n AS BIGINT), {step})) AS gs(i)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_chunks": q_doc_chunks,
     "doc_quality_by_source": q_doc_quality_by_source,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint_dups": q_doc_fingerprint_dups,
@@ -1273,6 +1331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
+    "embedding_quantize": q_embedding_quantize,
     "dedup_components": q_dedup_components,
     "corpus_train_split": q_corpus_train_split,
     "stratified_doc_sample": q_stratified_doc_sample,
@@ -1295,6 +1354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
+    "doc_chunks": _chunk_oracle(),
     "doc_quality_by_source": ORACLE_DOC_QUALITY_BY_SOURCE,
     "lang_id_confusion": _lang_id_oracle(),
     "doc_fingerprint_dups": ORACLE_DOC_FINGERPRINT_DUPS,
@@ -1310,6 +1370,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "embedding_ivf_trained_topk": _ivf_trained_oracle(),
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "corpus_train_split": _split_oracle(),
     "stratified_doc_sample": _stratified_oracle(),

@@ -277,3 +277,38 @@ def test_cluster_stats_centroids_broadcast(spark):
     plan = _plan(spark, "embedding_cluster_stats")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_doc_chunks_map_only(spark):
+    """Chunking must stay a shuffle-free fan-out: scan → generate →
+    project, no Exchange anywhere (chunk boundaries never cross docs)."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode fan-out present
+
+
+def test_embedding_quantize_map_only(spark):
+    plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no Python UDF in the hot path
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Every Lloyd round must move only the centroid row, never shuffle
+    the corpus: the assignment joins are broadcast nested loops over a
+    1-row centroid aggregate, and the per-(cid, dim) centroid update
+    partial-aggregates map-side. The production path truncates lineage
+    with localCheckpoint, so inspect the un-checkpointed plan."""
+    from lol_data_collection_system_spark.operators.similarity import kmeans_assign
+    from lol_data_collection_system_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = kmeans_assign(emb, k=4, iters=2, checkpoint_rounds=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

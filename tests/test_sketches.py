@@ -186,3 +186,26 @@ def test_ivf_trained_topk_searches_query_cluster(spark):
         if r.vec_id in x_ids
     ]
     assert [r.vec_id for r in got] == brute[:4]
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    from lol_data_collection_system_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.5, -1.0, 0.25, 0.0]),   # absmax 1.0 -> scale 1/127
+            (1, [0.0, 0.0, 0.0]),          # zero vector -> all-zero qv
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    q0 = [int(x) for x in rows[0].qvec.split(",")]
+    # the max-magnitude element maps exactly to ±127
+    assert min(q0) == -127 and all(abs(v) <= 127 for v in q0)
+    # round-half-away: 0.5 * 127 / 1.0 = 63.5 -> 64
+    assert q0[0] == 64
+    # reconstruction error bounded by half a quantization step
+    assert rows[0].max_abs_err <= rows[0].scale / 2 + 1e-12
+    assert rows[1].qvec == "0,0,0" and rows[1].scale == 0.0

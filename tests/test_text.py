@@ -202,3 +202,42 @@ def test_corpus_diff_statuses(spark):
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     # doc 1: normalization-invariant rewrite -> unchanged
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from lol_data_collection_system_spark.operators.text import chunk_documents
+
+    # 10 tokens, chunk=4, overlap=2 -> starts 1,3,5,7,9
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.token_start, r.n_tokens) for r in rows] == [
+        (0, 1, 4), (1, 3, 4), (2, 5, 4), (3, 7, 4), (4, 9, 2),
+    ]
+    assert rows[0].chunk_text == "t1 t2 t3 t4"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"
+    assert rows[4].chunk_text == "t9 t10"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from lol_data_collection_system_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(7, "only three tokens")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chunk_idx, r.token_start, r.n_tokens) == (0, 1, 3)
+    assert r.chunk_text == "only three tokens"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
