@@ -168,3 +168,93 @@ def weighted_sample_topk(
         .orderBy(F.desc("es_score"), key_col)
         .limit(k)
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    round_w: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture rates — the pretraining corpus-mixing
+    policy (multinomial sampling with exponent ``alpha``, as used for
+    balancing high-/low-resource languages or sources): group share
+    ``p_s = n_s/N`` is flattened to ``w_s ∝ p_s^alpha``, normalized, and
+    turned into a per-group acceptance rate hitting ``target_rows``
+    expected rows overall: ``rate_s = min(1, target·q_s/n_s)``.
+
+    Returns (group, n_docs, mix_weight, accept_rate, bucket_threshold) —
+    the audit table; `temperature_mix_sample` applies it.
+
+    Determinism contract: the default ``alpha=0.5`` computes ``p^alpha``
+    as ``sqrt`` — IEEE correctly-rounded in every engine, so weights are
+    bit-identical cross-engine (a generic ``pow`` is NOT; other alphas
+    are fine for in-engine use, oracle-gated queries should stick to
+    0.5). Weights are rounded to ``round_w`` decimals and summed as
+    DECIMAL (order-free normalization); every later op is IEEE
+    arithmetic on identical doubles. The threshold is an integer bucket
+    cut, so acceptance is exact.
+
+    Plan shape: one partial-agg'd groupBy over the corpus plus two
+    single-row/group-count-row aggregates that travel by broadcast —
+    the corpus itself is never reshuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    share = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    raw_w = (
+        F.sqrt(share)
+        if alpha == 0.5
+        else F.pow(share, F.lit(float(alpha)))
+    )
+    weighted = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        F.round(raw_w, round_w).cast(f"decimal(18,{round_w})").alias("w"),
+    )
+    norm = weighted.agg(F.sum("w").alias("w_sum"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(int(target_rows))
+        * (F.col("w").cast("double") / F.col("w_sum").cast("double"))
+        / F.col("n_docs").cast("double"),
+    )
+    return weighted.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        F.col("n_docs"),
+        (F.col("w").cast("double") / F.col("w_sum").cast("double")).alias(
+            "mix_weight"
+        ),
+        rate.alias("accept_rate"),
+        F.floor(rate * BUCKETS).cast("bigint").alias("bucket_threshold"),
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Apply `temperature_mix_rates`: keep a row iff its hash bucket
+    falls under its group's threshold. The rates table is tiny (one row
+    per group) and broadcast; the decision is the usual engine-portable
+    md5 bucket — stable under repartitioning, replayable, and exactly
+    reproducible by the oracle. Adds the group's `accept_rate` for
+    lineage/audit."""
+    rates = temperature_mix_rates(df, group_col, target_rows, alpha)
+    return (
+        df.join(
+            F.broadcast(
+                rates.select(group_col, "accept_rate", "bucket_threshold")
+            ),
+            group_col,
+        )
+        .filter(
+            sample_bucket(F.col(key_col), salt) < F.col("bucket_threshold")
+        )
+        .drop("bucket_threshold")
+    )

@@ -1257,6 +1257,69 @@ WHERE rank <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixture (multinomial sampling with alpha)
+# ---------------------------------------------------------------------------
+MIX_TARGET_ROWS = 200
+MIX_SALT = "mix1"
+
+
+def q_temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.temperature_mix_rates(docs, "source", MIX_TARGET_ROWS)
+
+
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.temperature_mix_sample(
+        docs, "source", "doc_id", MIX_TARGET_ROWS, salt=MIX_SALT
+    ).select("doc_id", "source", "accept_rate")
+
+
+#: alpha=0.5 weight/rate CTEs shared by both mixture oracles. sqrt is IEEE
+#: correctly-rounded (bit-identical cross-engine); weights are rounded and
+#: DECIMAL-summed so normalization is order-free — token-for-token the
+#: Spark op's arithmetic.
+_MIX_CTES = f"""
+counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+w AS (SELECT source, n_docs,
+        CAST(round(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS w
+      FROM counts, tot),
+s AS (SELECT SUM(w) AS w_sum FROM w),
+rates AS (
+  SELECT source, n_docs,
+         CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE) AS mix_weight,
+         least(1.0, {MIX_TARGET_ROWS}
+               * (CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) AS accept_rate,
+         CAST(floor(least(1.0, {MIX_TARGET_ROWS}
+               * (CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+           AS bucket_threshold
+  FROM w, s)
+"""
+
+ORACLE_TEMPERATURE_MIX_RATES = f"""
+WITH {_MIX_CTES}
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, mix_weight, accept_rate,
+       bucket_threshold
+FROM rates
+"""
+
+ORACLE_TEMPERATURE_MIX_SAMPLE = f"""
+WITH {_MIX_CTES}
+SELECT d.doc_id, d.source, r.accept_rate
+FROM documents d JOIN rates r USING (source)
+WHERE {_bucket_of('d.doc_id', MIX_SALT)} < r.bucket_threshold
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding quantization (symmetric max-abs int8)
 # ---------------------------------------------------------------------------
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "embedding_quantize": q_embedding_quantize,
+    "temperature_mix_rates": q_temperature_mix_rates,
+    "temperature_mix_sample": q_temperature_mix_sample,
     "dedup_components": q_dedup_components,
     "corpus_train_split": q_corpus_train_split,
     "stratified_doc_sample": q_stratified_doc_sample,
@@ -1371,6 +1436,8 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_trained_topk": _ivf_trained_oracle(),
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "temperature_mix_rates": ORACLE_TEMPERATURE_MIX_RATES,
+    "temperature_mix_sample": ORACLE_TEMPERATURE_MIX_SAMPLE,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "corpus_train_split": _split_oracle(),
     "stratified_doc_sample": _stratified_oracle(),

@@ -155,3 +155,51 @@ def test_cluster_keyed_split_keeps_components_together(spark):
         r.split for r in assigned.filter(F.col("doc_id") < 5).collect()
     }
     assert len(comp0_splits) == 1  # the 5-doc cluster moves as one unit
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture
+# ---------------------------------------------------------------------------
+def test_temperature_rates_flatten_toward_small_groups(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    # 900 vs 100 docs: alpha=0.5 must give the small group a weight
+    # share above its 10% row share, and the big group a higher absolute
+    # rate-derived expected count than the small one (no inversion).
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS src"
+    )
+    r = {x.src: x for x in temperature_mix_rates(df, "src", 300).collect()}
+    assert abs(r["big"].mix_weight + r["small"].mix_weight - 1.0) < 1e-9
+    assert 0.10 < r["small"].mix_weight < 0.5  # flattened, not inverted
+    # expected kept rows ~= target when nothing clamps
+    expected = (
+        r["big"].accept_rate * 900 + r["small"].accept_rate * 100
+    )
+    assert abs(expected - 300) < 1.0
+    # alpha=1 degenerates to a uniform rate (proportional sampling)
+    u = {x.src: x for x in temperature_mix_rates(df, "src", 500, alpha=1.0).collect()}
+    assert abs(u["big"].accept_rate - u["small"].accept_rate) < 1e-9
+
+
+def test_temperature_sample_is_layout_independent(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    df = spark.range(400).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS src"
+    )
+    a = sorted(
+        r.doc_id
+        for r in temperature_mix_sample(df, "src", "doc_id", 120, salt="t").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in temperature_mix_sample(
+            df.repartition(13), "src", "doc_id", 120, salt="t"
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < 400
