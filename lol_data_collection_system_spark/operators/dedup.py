@@ -362,6 +362,48 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def semantic_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_clusters: int = 6,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates: cluster embeddings with
+    Lloyd k-means, then exact-cosine pairs WITHIN each cluster (Abbas et
+    al. 2023 — semantic dedup prunes pairs by trained clusters instead
+    of hash buckets, catching paraphrase-level duplicates that sign-LSH
+    splits across buckets).
+
+    Scale posture: the pair space shrinks from N² to Σ|cluster|², so
+    `n_clusters` must grow with the corpus (SemDeDup uses ~50k clusters
+    at web scale; the cluster-size histogram from `cluster_stats` is the
+    skew check). The cluster id is a shuffle key like any LSH band —
+    same join shape as `embedding_near_dup_pairs`, with the quantizer
+    trained instead of axis-aligned.
+    """
+    from .similarity import cosine, kmeans_assign
+
+    assigned = kmeans_assign(
+        emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        keep_vec=True,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cid"
+    )
+    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("cid"),
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def span_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

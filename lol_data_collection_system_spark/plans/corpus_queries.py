@@ -1257,6 +1257,34 @@ WHERE rank <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style semantic near-duplicates (trained clusters prune pairs)
+# ---------------------------------------------------------------------------
+def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_ops.semantic_near_dup_pairs(
+        emb,
+        threshold=NEAR_DUP_COS,
+        n_clusters=IVF_TRAINED_K,
+        iters=IVF_TRAINED_ITERS,
+    )
+
+
+def _semantic_near_dup_oracle(
+    k: int = IVF_TRAINED_K, iters: int = IVF_TRAINED_ITERS, dim: int = EMB_DIM
+) -> str:
+    ctes = ",\n".join(_kmeans_cte_parts(k, iters, dim))
+    return f"""WITH {ctes}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ca.cid AS BIGINT) AS cid,
+       ROUND({_COS_SQL}, 6) AS cos_sim
+FROM embeddings a
+JOIN assign_{iters} ca ON ca.vec_id = a.vec_id
+JOIN assign_{iters} cb ON cb.cid = ca.cid
+JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL}, 6) >= {NEAR_DUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled corpus mixture (multinomial sampling with alpha)
 # ---------------------------------------------------------------------------
 MIX_TARGET_ROWS = 200
@@ -1395,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "embedding_quantize": q_embedding_quantize,
+    "semantic_near_dup": q_semantic_near_dup,
     "temperature_mix_rates": q_temperature_mix_rates,
     "temperature_mix_sample": q_temperature_mix_sample,
     "dedup_components": q_dedup_components,
@@ -1436,6 +1465,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_trained_topk": _ivf_trained_oracle(),
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "semantic_near_dup": _semantic_near_dup_oracle(),
     "temperature_mix_rates": ORACLE_TEMPERATURE_MIX_RATES,
     "temperature_mix_sample": ORACLE_TEMPERATURE_MIX_SAMPLE,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

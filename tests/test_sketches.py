@@ -209,3 +209,27 @@ def test_quantize_embeddings_bounds_and_error(spark):
     # reconstruction error bounded by half a quantization step
     assert rows[0].max_abs_err <= rows[0].scale / 2 + 1e-12
     assert rows[1].qvec == "0,0,0" and rows[1].scale == 0.0
+
+
+def test_semantic_near_dup_pairs_within_clusters_only(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        semantic_near_dup_pairs,
+    )
+
+    near_x = [[1.0, 0.05 * i] for i in range(5)]
+    near_y = [[0.05 * i, 1.0] for i in range(5)]
+    rows = [(0, near_x[0]), (1, near_y[0])] + [
+        (2 + i, near_x[1 + i // 2] if i % 2 == 0 else near_y[1 + i // 2])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = semantic_near_dup_pairs(
+        df, threshold=0.99, n_clusters=2, iters=2
+    ).collect()
+    x_ids = {0} | {i for i in range(2, 10) if (i - 2) % 2 == 0}
+    # every reported pair stays inside one cluster
+    for r in got:
+        assert (r.id_a in x_ids) == (r.id_b in x_ids)
+    # the tight x-cluster pairs (cos > 0.99) are found
+    x_pairs = {(r.id_a, r.id_b) for r in got if r.id_a in x_ids}
+    assert (0, 2) in x_pairs and len(x_pairs) >= 6
