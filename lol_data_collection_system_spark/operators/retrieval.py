@@ -173,3 +173,54 @@ def bm25_search(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram language-model score — the perplexity-proxy
+    quality filter (CCNet/Wenzek et al. 2020 rank documents by LM
+    perplexity; with no external model available, the corpus's own
+    unigram distribution is the deterministic stand-in — still separates
+    repetitive/templated docs from typical ones).
+
+    Returns (id, n_tokens, avg_neg_logp): the mean negative log
+    probability of the document's tokens under the corpus unigram LM
+    (higher = more surprising under the corpus distribution; a
+    log-perplexity up to the unigram approximation).
+
+    Determinism: module contract — exact integer tf/total, every `ln`
+    rounded to 6 dp, per-(doc,term) contribution `tf · (−logp)` rounded
+    and DECIMAL-summed (order-free), final mean rounded to 6 dp.
+
+    Plan shape: ONE (doc, term) count frame feeds both the corpus LM
+    (partial-agg'd term rollup + 1-row total broadcast) and the scoring
+    join, keyed by term — at 100 TB the LM table shards across the
+    cluster with the same key as the scoring probe (no broadcast of an
+    unbounded vocab), and every aggregate is map-side combined.
+    """
+    per_doc_tf = _term_counts(df, id_col, text_col)
+    lm = per_doc_tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = lm.agg(F.sum("ctf").alias("total"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("ctf").cast("double") / F.col("total").cast("double")),
+            6,
+        ).alias("logp"),
+    )
+    contrib = per_doc_tf.join(logp, "term").select(
+        F.col(id_col),
+        F.col("tf"),
+        F.round(F.col("tf") * -F.col("logp"), 6)
+        .cast("decimal(28,6)")
+        .alias("nll"),
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("nll").cast("double") / F.sum("tf").cast("double"), 6
+        ).alias("avg_neg_logp"),
+    )

@@ -1257,6 +1257,33 @@ WHERE rank <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy (CCNet-style quality ranking)
+# ---------------------------------------------------------------------------
+def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.unigram_lm_scores(docs)
+
+
+ORACLE_DOC_LM_SCORES = f"""
+WITH {_TC_SQL},
+lm AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tfs GROUP BY term),
+tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM lm),
+lp AS (SELECT term,
+              round(ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                AS logp
+       FROM lm, tot),
+contrib AS (
+  SELECT f.doc_id, f.tf,
+         CAST(round(f.tf * -lp.logp, 6) AS DECIMAL(28,6)) AS nll
+  FROM tfs f JOIN lp USING (term))
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+         AS avg_neg_logp
+FROM contrib GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic near-duplicates (trained clusters prune pairs)
 # ---------------------------------------------------------------------------
 def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "embedding_quantize": q_embedding_quantize,
+    "doc_lm_scores": q_doc_lm_scores,
     "semantic_near_dup": q_semantic_near_dup,
     "temperature_mix_rates": q_temperature_mix_rates,
     "temperature_mix_sample": q_temperature_mix_sample,
@@ -1465,6 +1493,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_trained_topk": _ivf_trained_oracle(),
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "doc_lm_scores": ORACLE_DOC_LM_SCORES,
     "semantic_near_dup": _semantic_near_dup_oracle(),
     "temperature_mix_rates": ORACLE_TEMPERATURE_MIX_RATES,
     "temperature_mix_sample": ORACLE_TEMPERATURE_MIX_SAMPLE,

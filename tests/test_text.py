@@ -241,3 +241,23 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_unigram_lm_scores_rank_rare_docs_higher(spark):
+    import math
+
+    from lol_data_collection_system_spark.operators.retrieval import (
+        unigram_lm_scores,
+    )
+
+    # "common common common" dominates the corpus; the rare-token doc
+    # must be more surprising (higher avg negative log prob).
+    df = spark.createDataFrame(
+        [(i, "common common common") for i in range(9)] + [(9, "rare rare zzz")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in unigram_lm_scores(df).collect()}
+    assert rows[0].n_tokens == 3 and rows[9].n_tokens == 3
+    assert rows[9].avg_neg_logp > rows[0].avg_neg_logp
+    # common doc: every token p = 27/30 -> avg = -ln(0.9)
+    assert abs(rows[0].avg_neg_logp - round(-math.log(27 / 30), 6)) < 2e-6
