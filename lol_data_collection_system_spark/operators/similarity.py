@@ -168,19 +168,58 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: candidates share the query's centroid bucket
-    (nprobe=1 — probing the next-nearest centroids would union more
-    buckets, same plan shape), then exact cosine within the bucket and a
-    TakeOrderedAndProject top-k. Recall < 1 by construction, like
-    `lsh_topk` — the bucket function is the only difference."""
+    """IVF ANN top-k: candidates come from the query's ``nprobe``
+    nearest centroid buckets (the standard recall/cost dial — nprobe=1
+    searches one bucket; larger values union more buckets and approach
+    exact search at n_centroids), then exact cosine within the probed
+    set and a TakeOrderedAndProject top-k.
+
+    The probed bucket ids travel as ONE broadcast row holding an
+    nprobe-element array; candidate selection is ``array_contains`` on
+    the broadcast — the corpus is filtered map-side, never reshuffled.
+    Probe order is (sim rounded 6 dp desc, cid asc) — the same
+    tie-break as the assignment itself."""
     with_bucket = ivf_assign_buckets(emb, n_centroids, id_col, vec_col)
-    q = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("query_vec"), F.col("bucket").alias("qbucket")
+    cents = emb.filter(F.col(id_col) < n_centroids).agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("int").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+        ).alias("cents")
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+
+    def centroid_sim(c: Column) -> Column:
+        return F.struct(
+            F.round(cosine(F.col("query_vec"), c["cvec"]), 6).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        )
+
+    probes = qvec.crossJoin(F.broadcast(cents)).select(
+        F.col("query_vec"),
+        F.transform(
+            F.slice(
+                F.reverse(
+                    F.array_sort(F.transform(F.col("cents"), centroid_sim))
+                ),
+                1,
+                nprobe,
+            ),
+            lambda s: s["cid"].cast("bigint"),
+        ).alias("qbuckets"),
     )
     scored = (
         with_bucket.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(
+            F.broadcast(probes),
+            F.array_contains(F.col("qbuckets"), F.col("bucket")),
+        )
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),

@@ -523,6 +523,47 @@ WHERE rank <= {TOPK}
 """
 
 
+IVF_NPROBE = 2
+
+
+def q_embedding_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: union of the query's `IVF_NPROBE` nearest centroid
+    buckets — the recall/cost dial of a production IVF index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        emb, QUERY_VEC_ID, TOPK, IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
+ORACLE_EMBEDDING_IVF_PROBE_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_COS_CENT_SQL}, 6) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+qb AS (
+  SELECT CAST(cid AS BIGINT) AS cid FROM (
+    SELECT c.cid, ROUND({_COS_CENT_SQL}, 6) AS sim
+    FROM (SELECT embedding FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}) e CROSS JOIN cents c)
+  ORDER BY sim DESC, cid LIMIT {IVF_NPROBE})
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank,
+         ROUND({_COS_Q_SQL}, 4) AS cos_sim
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id,
+       (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+    AND a.bucket IN (SELECT cid FROM qb))
+WHERE rank <= {TOPK}
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: capped-Jaccard pairs as edges →
     connected components → full-corpus (doc_id, component_id) map with
@@ -1448,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ann_topk": q_embedding_ann_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
+    "embedding_ivf_probe_topk": q_embedding_ivf_probe_topk,
     "embedding_bucket_sizes": q_embedding_bucket_sizes,
     "embedding_quantize": q_embedding_quantize,
     "doc_lm_scores": q_doc_lm_scores,
@@ -1491,6 +1533,7 @@ ORACLES: dict[str, str] = {
     "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "embedding_ivf_trained_topk": _ivf_trained_oracle(),
+    "embedding_ivf_probe_topk": ORACLE_EMBEDDING_IVF_PROBE_TOPK,
     "embedding_bucket_sizes": ORACLE_EMBEDDING_BUCKET_SIZES,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "doc_lm_scores": ORACLE_DOC_LM_SCORES,

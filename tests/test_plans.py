@@ -312,3 +312,31 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_temperature_mix_no_corpus_shuffle(spark):
+    """The mixture sample must decide per-row via broadcast rates: the
+    only Exchanges belong to the tiny per-group aggregates, and the
+    corpus side joins by BroadcastHashJoin, never sort-merge."""
+    plan = _plan(spark, "temperature_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_near_dup_no_cartesian(spark):
+    """Pair generation must stay keyed by cluster id (an equi-join),
+    never a cartesian/BNLJ over the corpus pair space. (The 1-row
+    centroid broadcast inside each Lloyd round is lineage-truncated by
+    localCheckpoint, so any BNLJ in this plan would be the pair join.)"""
+    plan = _plan(spark, "semantic_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_lm_scores_partial_agg(spark):
+    """LM rollup + per-doc scoring must map-side combine (two-level
+    HashAggregate) and join the LM by term hash, not broadcast an
+    unbounded vocab... the tiny 1-row total is the only broadcast."""
+    plan = _plan(spark, "doc_lm_scores")
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan

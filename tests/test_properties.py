@@ -227,3 +227,56 @@ def test_bm25_matches_python(spark, texts):
     assert set(got) == set(expected)
     for i in got:
         assert abs(got[i] - expected[i]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Chunking: coverage / reconstruction property
+# ---------------------------------------------------------------------------
+texts_strategy = st.lists(
+    st.text(
+        alphabet="ab c",  # space included -> multi-token strings
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_SETTINGS
+@given(
+    texts_strategy,
+    st.integers(2, 6),
+    st.integers(0, 4),
+)
+def test_chunking_covers_every_token(spark, texts, chunk, overlap):
+    """Every token index lands in ≥1 chunk; stitching non-overlapped
+    prefixes reconstructs the tokenized document exactly."""
+    from hypothesis import assume
+
+    from lol_data_collection_system_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    step = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk, overlap).collect()
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        if not toks:
+            toks = [""]  # split('') semantics: one empty token
+        chunks = sorted(
+            ((r.chunk_idx, r.token_start, r.n_tokens, r.chunk_text) for r in out if r.doc_id == i)
+        )
+        # starts tile [1, n] by step
+        assert [c[1] for c in chunks] == list(range(1, len(toks) + 1, step))
+        # every token covered, and stitched non-overlap prefixes rebuild the doc
+        rebuilt: list[str] = []
+        for _, start, n, text_chunk in chunks:
+            ctoks = text_chunk.split(" ") if text_chunk != "" else [""]
+            if text_chunk == "" and n == 1 and len(toks) == 1:
+                ctoks = [""]
+            take = ctoks[: step if start + len(ctoks) - 1 < len(toks) else len(ctoks)]
+            rebuilt.extend(take[: len(toks) - len(rebuilt)])
+        assert rebuilt == toks

@@ -233,3 +233,25 @@ def test_semantic_near_dup_pairs_within_clusters_only(spark):
     # the tight x-cluster pairs (cos > 0.99) are found
     x_pairs = {(r.id_a, r.id_b) for r in got if r.id_a in x_ids}
     assert (0, 2) in x_pairs and len(x_pairs) >= 6
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from lol_data_collection_system_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    df = spark.range(30).selectExpr(
+        "id AS vec_id",
+        "array(cast(pmod(id, 5) as double) / 4 + 0.25,"
+        " cast(pmod(id, 3) as double) / 4,"
+        " cast(pmod(id, 7) as double) / 8) AS embedding",
+    )
+    # probing every bucket makes IVF exact: results must equal brute force
+    ivf = [(r.vec_id, r.rank) for r in ivf_topk(df, 2, k=5, n_centroids=4, nprobe=4).collect()]
+    bf = [(r.vec_id, r.rank) for r in brute_force_topk(df, 2, k=5).collect()]
+    assert ivf == bf
+    # nprobe=1 returns a subset of the nprobe=2 candidate pool's result quality
+    p1 = ivf_topk(df, 2, k=5, n_centroids=4, nprobe=1).collect()
+    p2 = ivf_topk(df, 2, k=5, n_centroids=4, nprobe=2).collect()
+    assert min(r.cos_sim for r in p2) >= min(r.cos_sim for r in p1) or len(p1) < 5
