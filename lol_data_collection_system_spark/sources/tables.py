@@ -49,6 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Some testdata generations emit TIMESTAMP_NTZ (isAdjustedToUTC=false).
+    # The engine's time operators (unix_millis range frames, banded interval
+    # joins, session windows) work on instants; with the session timezone
+    # pinned to UTC the NTZ->TIMESTAMP cast is value-preserving and matches
+    # DuckDB's naive-as-UTC epoch_ms() reading of the same files.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
