@@ -35,6 +35,7 @@ from lol_data_collection_system_spark.plans import (
     corpus_queries,
     domain_queries,
     pipeline_queries,
+    selection_queries,
 )
 from lol_data_collection_system_spark.sources import load_table
 
@@ -701,6 +702,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **corpus_pipeline.QUERIES,
     **domain_queries.QUERIES,
     **pipeline_queries.QUERIES,
+    **selection_queries.QUERIES,
 }
 
 _ORACLES: dict[str, str] = {
@@ -734,6 +736,7 @@ _ORACLES: dict[str, str] = {
     **corpus_pipeline.ORACLES,
     **domain_queries.ORACLES,
     **pipeline_queries.ORACLES,
+    **selection_queries.ORACLES,
 }
 
 

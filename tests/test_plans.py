@@ -340,3 +340,23 @@ def test_doc_lm_scores_partial_agg(spark):
     plan = _plan(spark, "doc_lm_scores")
     assert plan.count("HashAggregate") >= 4
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_sample_is_take_ordered(spark):
+    """The Gumbel top-k selection must be TakeOrderedAndProject
+    (per-partition local top-k, k-row merge) — never a global window
+    funneling every weighted row through one partition."""
+    plan = _plan(spark, "dsir_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_broadcasts_word_table(spark):
+    """The Bloom word table (≤ m/32 rows) must reach the probe side as a
+    broadcast — the probe must never shuffle candidates against it."""
+    plan = _plan(spark, "bloom_blocklist_confusion")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rp_topk_is_take_ordered(spark):
+    plan = _plan(spark, "embedding_rp_topk")
+    assert "TakeOrderedAndProject" in plan

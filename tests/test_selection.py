@@ -1,0 +1,118 @@
+"""Unit tests for the data-selection operators: DSIR importance
+resampling, Bloom-filter membership, and JL random projection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators import bloom as bloom_ops
+from lol_data_collection_system_spark.operators import importance as imp_ops
+from lol_data_collection_system_spark.operators import projection as proj_ops
+from lol_data_collection_system_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # target-ish docs: repeated "alpha beta" vocabulary
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta delta alpha", "en"),
+        (3, "alpha gamma beta beta", "en"),
+        # off-target docs: disjoint vocabulary
+        (4, "zu zo za zu zo", "xx"),
+        (5, "qi qa qo qi", "xx"),
+        (6, "alpha beta gamma beta", "xx"),  # looks like the target
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_dsir_weights_prefer_target_vocabulary(docs):
+    w = imp_ops.dsir_log_weights(docs, F.col("lang") == "en")
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    assert len(got) == 6
+    # Docs sharing the target's vocabulary must outscore the disjoint ones.
+    target_like = min(got[1], got[2], got[3], got[6])
+    off_target = max(got[4], got[5])
+    assert target_like > off_target
+    # n_grams = unigrams + bigrams = 2·len − 1.
+    n = {r["doc_id"]: r["n_grams"] for r in w.collect()}
+    assert n[1] == 9 and n[5] == 7
+
+
+def test_gumbel_sample_is_deterministic_and_sized(docs):
+    w = imp_ops.dsir_log_weights(docs, F.col("lang") == "en")
+    s1 = imp_ops.gumbel_topk_sample(w, 3).select("doc_id").collect()
+    s2 = imp_ops.gumbel_topk_sample(w, 3).select("doc_id").collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    assert len(s1) == 3
+    # Different salt → (almost surely) different draw keys.
+    alt = imp_ops.gumbel_topk_sample(w, 3, salt="other").collect()
+    assert {r.draw_key for r in alt} != {
+        r.draw_key for r in imp_ops.gumbel_topk_sample(w, 3).collect()
+    }
+
+
+def test_bloom_has_no_false_negatives(spark):
+    keys = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = bloom_ops.build_bloom(keys, "k", m_bits=1 << 12, n_hashes=4)
+    probed = bloom_ops.might_contain(
+        keys, filt, "k", m_bits=1 << 12, n_hashes=4
+    )
+    assert probed.filter(~F.col("might_match")).count() == 0
+
+
+def test_bloom_word_table_is_bounded_and_fp_rate_sane(spark):
+    m = 1 << 12
+    members = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = bloom_ops.build_bloom(members, "k", m_bits=m, n_hashes=4)
+    words = filt.collect()
+    assert len(words) <= m // 32
+    assert all(r.word_idx < m // 32 for r in words)
+    others = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    probed = bloom_ops.might_contain(others, filt, "k", m_bits=m, n_hashes=4)
+    fp = probed.filter(F.col("might_match")).count()
+    # (1 − e^{−kn/m})^k ≈ 0.1% here; allow a generous margin but require
+    # the filter to actually prune.
+    assert fp < 100
+
+
+def test_rp_projection_shape_and_determinism(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(64)])
+         for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    proj = emb.select(
+        proj_ops.project(F.col("embedding")).alias("p")
+    ).collect()
+    assert all(len(r.p) == proj_ops.RP_OUT_DIM for r in proj)
+    # Same seed twice → identical projections.
+    again = emb.select(
+        proj_ops.project(F.col("embedding")).alias("p")
+    ).collect()
+    assert [r.p for r in proj] == [r.p for r in again]
+
+
+def test_rp_topk_recall_against_exact(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(((i + 1) * (d + 3)) % 17) - 8.0 for d in range(64)])
+         for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    exact = brute_force_topk(emb, 0, 10)
+    approx = proj_ops.rp_topk(emb, 0, 10)
+    assert approx.count() == 10
+    assert [r.rank for r in approx.orderBy("rank").collect()] == list(
+        range(1, 11)
+    )
+    recall = proj_ops.rp_recall_at_k(exact, approx, 10).collect()[0][0]
+    assert 0.0 <= recall <= 1.0
