@@ -341,24 +341,40 @@ def embedding_near_dup_pairs(
     ~2^lsh_bits for roughly isotropic embeddings. Cosine is computed as an
     ordered fold in double precision, rounded to 6 dp.
     """
-    from .similarity import cosine, sign_lsh_bucket
+    from .similarity import dot, l2_norm, sign_lsh_bucket
 
     with_bucket = emb.select(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
+        # Norm computed ONCE per vector (N array folds), then carried
+        # through the self-join — the pair side does a single dot fold
+        # instead of cosine's three traversals per candidate pair.
+        # Arithmetic is unchanged (same l2 expression, same a·b/(na·nb)
+        # order), so results stay bit-identical to the inline form.
+        l2_norm(F.col(vec_col)).alias("l2n"),
     )
     a = with_bucket.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("l2n").alias("l2n_a"),
+        "bucket",
     )
     b = with_bucket.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("l2n").alias("l2n_b"),
+        "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("l2n_a") * F.col("l2n_b")),
+            6,
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
 
@@ -383,24 +399,36 @@ def semantic_near_dup_pairs(
     same join shape as `embedding_near_dup_pairs`, with the quantizer
     trained instead of axis-aligned.
     """
-    from .similarity import cosine, kmeans_assign
+    from .similarity import dot, kmeans_assign, l2_norm
 
     assigned = kmeans_assign(
         emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
         keep_vec=True,
-    )
+    ).withColumn("l2n", l2_norm(F.col(vec_col)))
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cid"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("l2n").alias("l2n_a"),
+        "cid",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cid"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("l2n").alias("l2n_b"),
+        "cid",
     )
     pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
         F.col("cid"),
-        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        # Same a·b/(na·nb) arithmetic as `cosine`, with the norms hoisted
+        # out of the pair loop (see embedding_near_dup_pairs).
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("l2n_a") * F.col("l2n_b")),
+            6,
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
 
