@@ -524,3 +524,207 @@ def corpus_diff(
     return of.join(nf, id_col, "full_outer").select(
         F.col(id_col), status.alias("status")
     )
+
+
+def minhash_jaccard_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature components)
+    against the TRUE shingle Jaccard, with the absolute error — the
+    calibration table that justifies (or indicts) a chosen
+    (n_hashes, band_size) geometry before trusting it at corpus scale.
+
+    Returns (id_a, id_b, est_jaccard, true_jaccard, abs_err).
+
+    Determinism: the estimate is (#agreeing components)/n_hashes — a
+    dyadic rational for power-of-two n_hashes — and the true Jaccard is
+    an integer ratio; both engines compute identical doubles.
+
+    Plan shape: ONE signature frame feeds both the banding (candidate
+    generation) and the per-pair component comparison; the true-Jaccard
+    side restricts the shingle join to candidate pairs FIRST (join
+    pairs→shingles on id_a, then equi-join on (id_b, shingle)), so the
+    exact computation is pair-bounded, never the corpus-wide shingle
+    self-join.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * band_size + r}")
+                        for r in range(band_size)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    pairs = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded.select(
+                F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    est = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+    )
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    true_j = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("n_sh").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("sz_a") + F.col("sz_b")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+    return est.join(true_j, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "true_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Substring-dedup as a TRANSFORM: drop every token covered by a
+    `width`-token window that occurs verbatim in another document, and
+    reassemble the surviving tokens into cleaned text (Lee et al. 2022
+    remove duplicated substrings rather than whole documents —
+    `span_dup_stats` is the detector, this is the scrubber).
+
+    Returns (id, cleaned_text, n_kept, n_removed). A document whose
+    every token is covered by cross-document spans disappears from the
+    output (nothing left — matches the oracle's GROUP BY over kept
+    tokens). Documents shorter than `width` tokens have no windows and
+    pass through unchanged.
+
+    Plan shape: posexplode tokens → one `lead()` window per (doc, pos)
+    for span assembly → span-partition min/max windows for the
+    cross-doc test (nothing materialized per span) → covered positions
+    via a bounded `sequence` explode (width rows per dup span) →
+    left-anti join back onto the tokens on (doc, pos) → per-doc ordered
+    reassembly (`array_sort` of (pos, tok) structs — no extra sort
+    shuffle beyond the groupBy). Skew: a boilerplate span shared by
+    millions of docs lands on one partition in the span window — same
+    lever as `span_dup_stats` (AQE skew split / df-capping upstream).
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, width)]
+    spans = (
+        toked.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("span"),
+            parts[-1].isNotNull().alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .select(id_col, "pos", "span")
+    )
+    sw = Window.partitionBy("span")
+    dup_starts = (
+        spans.select(
+            F.col(id_col),
+            F.col("pos"),
+            (F.min(id_col).over(sw) != F.max(id_col).over(sw)).alias("is_dup"),
+        )
+        .filter(F.col("is_dup"))
+        .select(id_col, "pos")
+    )
+    covered = dup_starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toked.join(covered, [id_col, "pos"], "left_anti")
+    totals = toked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            "cleaned_text",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        )
+    )

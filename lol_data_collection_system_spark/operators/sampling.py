@@ -258,3 +258,56 @@ def temperature_mix_sample(
         )
         .drop("bucket_threshold")
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    group_col: str,
+    token_count_col: Column,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    round_w: int = 6,
+) -> DataFrame:
+    """Token-budget mixture planner: given a total pretraining token
+    budget, how many tokens to draw from each group (source/language)
+    under a temperature-`alpha` mixture, and how many EPOCHS over each
+    group that implies (epochs > 1 ⇒ the group repeats; the
+    repetition-harm budget of Muennighoff et al. 2023 says ~4 epochs is
+    the useful ceiling — this table is where that check happens).
+
+    Weights flatten TOKEN shares, not doc shares: ``w_g ∝ (tok_g/T)^α``
+    (α=0.5 uses `sqrt` — correctly-rounded IEEE, bit-identical across
+    engines; see `temperature_mix_rates`). Returns
+    (group, n_docs, n_tokens, mix_weight, planned_tokens, epochs).
+
+    Plan shape: one partial-agg'd groupBy over the corpus + two
+    broadcast one-row frames; the corpus is never reshuffled.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).alias("n_tokens"),
+    )
+    total = counts.agg(F.sum("n_tokens").alias("tok_total"))
+    share = F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")
+    raw_w = (
+        F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
+    )
+    weighted = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(raw_w, round_w).cast(f"decimal(18,{round_w})").alias("w"),
+    )
+    norm = weighted.agg(F.sum("w").alias("w_sum"))
+    mix = F.col("w").cast("double") / F.col("w_sum").cast("double")
+    planned = F.floor(F.lit(int(budget_tokens)) * mix).cast("bigint")
+    return weighted.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        mix.alias("mix_weight"),
+        planned.alias("planned_tokens"),
+        F.round(
+            planned.cast("double") / F.col("n_tokens").cast("double"), round_w
+        ).alias("epochs"),
+    )

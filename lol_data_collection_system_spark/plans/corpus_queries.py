@@ -1472,6 +1472,172 @@ FROM t, unnest(generate_series(1, CAST(n AS BIGINT), {step})) AS gs(i)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planner
+# ---------------------------------------------------------------------------
+BUDGET_TOKENS = 1_000_000
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.token_budget_plan(
+        docs, "source", text_ops.token_count(F.col("text")), BUDGET_TOKENS
+    )
+
+
+ORACLE_TOKEN_BUDGET_PLAN = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)
+                         / CAST((SELECT sum(n_tokens) FROM counts) AS DOUBLE)),
+                    6) AS DECIMAL(18,6)) AS w
+  FROM counts),
+plan AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(w AS DOUBLE) / CAST((SELECT sum(w) FROM w) AS DOUBLE)
+           AS mix_weight
+  FROM w)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, mix_weight,
+       CAST(floor({BUDGET_TOKENS} * mix_weight) AS BIGINT) AS planned_tokens,
+       round(floor({BUDGET_TOKENS} * mix_weight)
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM plan
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-vs-true-Jaccard calibration
+# ---------------------------------------------------------------------------
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_jaccard_calibration(
+        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm
+
+    perm_exprs = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in (
+            (i, minhash_perm(i)) for i in range(MINHASH_N)
+        )
+    )
+    n_bands = MINHASH_N // MINHASH_BAND
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{b * MINHASH_BAND + r} AS VARCHAR)"
+            for r in range(MINHASH_BAND)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(MINHASH_N)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_PRIME} AS h
+  FROM sh),
+sigs AS (
+  SELECT doc_id, {perm_exprs}
+  FROM hashed GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_idx,
+         unnest(bands) AS band_hash
+  FROM (SELECT doc_id, [{band_exprs}] AS bands FROM sigs)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+est AS (
+  SELECT p.id_a, p.id_b,
+         round(({agree}) / {float(MINHASH_N)}, 6) AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+truej AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / CAST(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE),
+               6) AS true_jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes za ON za.doc_id = p.id_a
+  JOIN sizes zb ON zb.doc_id = p.id_b)
+SELECT e.id_a, e.id_b, e.est_jaccard, t.true_jaccard,
+       round(abs(e.est_jaccard - t.true_jaccard), 6) AS abs_err
+FROM est e JOIN truej t ON t.id_a = e.id_a AND t.id_b = e.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Substring-dedup scrubber (span removal transform)
+# ---------------------------------------------------------------------------
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.remove_dup_spans(docs, "doc_id", "text", SPAN_WIDTH)
+
+
+ORACLE_SPAN_SCRUBBED_DOCS = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+toked AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM docs),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_WIDTH - 1}))
+           AS i, t
+  FROM docs WHERE len(t) >= {SPAN_WIDTH}),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i:i+{SPAN_WIDTH - 1}], ' ') AS span
+  FROM starts),
+dup_starts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           (MIN(doc_id) OVER (PARTITION BY span)
+            <> MAX(doc_id) OVER (PARTITION BY span)) AS is_dup
+    FROM spans)
+  WHERE is_dup),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {SPAN_WIDTH - 1}))
+           AS pos
+  FROM dup_starts),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toked t ANTI JOIN covered c USING (doc_id, pos)),
+totals AS (SELECT doc_id, count(*) AS n_total FROM toked GROUP BY 1)
+SELECT k.doc_id,
+       string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned_text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(tt.n_total) - count(*) AS BIGINT) AS n_removed
+FROM kept k JOIN totals tt USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -1514,6 +1680,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "embedding_kmeans": q_embedding_kmeans,
+    "token_budget_plan": q_token_budget_plan,
+    "minhash_calibration": q_minhash_calibration,
+    "span_scrubbed_docs": q_span_scrubbed_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1558,4 +1727,7 @@ ORACLES: dict[str, str] = {
     "leakage_safe_split": _leakage_split_oracle(),
     "embedding_cluster_stats": ORACLE_EMBEDDING_CLUSTER_STATS,
     "embedding_kmeans": _kmeans_oracle(),
+    "token_budget_plan": ORACLE_TOKEN_BUDGET_PLAN,
+    "minhash_calibration": _minhash_calibration_oracle(),
+    "span_scrubbed_docs": ORACLE_SPAN_SCRUBBED_DOCS,
 }

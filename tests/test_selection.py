@@ -116,3 +116,74 @@ def test_rp_topk_recall_against_exact(spark):
     )
     recall = proj_ops.rp_recall_at_k(exact, approx, 10).collect()[0][0]
     assert 0.0 <= recall <= 1.0
+
+
+def test_token_budget_plan_sums_and_epochs(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        token_budget_plan,
+    )
+    from lol_data_collection_system_spark.operators.text import token_count
+
+    rows = [(i, "tok " * (10 if i % 2 else 40), "a" if i % 2 else "b")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    plan = token_budget_plan(
+        df, "source", token_count(F.col("text")), budget_tokens=1000
+    ).collect()
+    by = {r.source: r for r in plan}
+    assert set(by) == {"a", "b"}
+    # temperature 0.5 flattens: the small source gets MORE than its
+    # proportional share, the large one less
+    tok_a, tok_b = by["a"].n_tokens, by["b"].n_tokens
+    assert tok_a < tok_b
+    assert by["a"].mix_weight > tok_a / (tok_a + tok_b)
+    assert by["b"].mix_weight < tok_b / (tok_a + tok_b)
+    # planned tokens ≤ budget; epochs = planned/n_tokens
+    assert by["a"].planned_tokens + by["b"].planned_tokens <= 1000
+    assert abs(by["a"].epochs - by["a"].planned_tokens / tok_a) < 1e-6
+
+
+def test_minhash_calibration_bounds(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        minhash_jaccard_calibration,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup -> est = true = 1.0
+        (3, base + " with a small tail change here"),
+        (4, "completely different words everywhere nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_jaccard_calibration(df, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in got
+    r12 = got[(1, 2)]
+    assert r12.est_jaccard == 1.0 and r12.true_jaccard == 1.0
+    assert r12.abs_err == 0.0
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.true_jaccard <= 1.0
+        assert r.abs_err >= 0.0
+
+
+def test_remove_dup_spans_scrubs_shared_block(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    boiler = "one two three four five six seven eight"  # exactly width=8
+    rows = [
+        (1, f"{boiler} unique tail for doc one"),
+        (2, f"{boiler} another ending entirely different"),
+        (3, "short doc"),  # < width -> untouched
+        (4, boiler),  # fully boilerplate -> disappears
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_dup_spans(df, width=8).collect()}
+    assert out[1].cleaned_text == "unique tail for doc one"
+    assert out[1].n_removed == 8
+    assert out[2].cleaned_text == "another ending entirely different"
+    assert out[3].cleaned_text == "short doc" and out[3].n_removed == 0
+    assert 4 not in out
