@@ -274,12 +274,128 @@ FROM exact JOIN approx USING (vec_id)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination screen
+# ---------------------------------------------------------------------------
+#: Screen geometry: sized for the benchmark shingle count at test SFs;
+#: at corpus scale m grows with the benchmark set (still broadcastable:
+#: 10^9 bits = 31 M words).
+DECON_BITS = 1 << 15
+DECON_HASHES = 3
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic pre-screen of train/test contamination: build a
+    Bloom filter over the TEST split's shingles, probe every TRAIN
+    document's shingles against it, and report per train doc how many of
+    its shingles might be benchmark shingles (`might_hits`) next to the
+    exact count — the cheap first pass a 100 TB pipeline runs before
+    the exact shingle join of `train_test_contamination` (no false
+    negatives: exact_hits ≤ might_hits always; the gap is the
+    reproducible FP cost of the filter geometry).
+
+    Only train docs with might_hits > 0 appear (the screen's point is
+    that clean docs never reach the exact check).
+    """
+    from ..operators.dedup import shingles
+    from ..operators.sampling import deterministic_split
+    from .corpus_queries import SHINGLE_K, SPLIT_FRACTIONS, SPLIT_SALT
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = deterministic_split(docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT)
+    train_sh = shingles(
+        assigned.filter(F.col("split") == "train"), "doc_id", "text", SHINGLE_K
+    )
+    test_sh = shingles(
+        assigned.filter(F.col("split") == "test"), "doc_id", "text", SHINGLE_K
+    ).select("shingle")
+    filt = bloom_ops.build_bloom(
+        test_sh, "shingle", DECON_BITS, DECON_HASHES
+    )
+    probed = bloom_ops.might_contain(
+        train_sh, filt, "shingle", DECON_BITS, DECON_HASHES
+    )
+    exact = test_sh.distinct().withColumn("in_test", F.lit(True))
+    return (
+        probed.join(exact, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("might_match").cast("bigint")).alias("might_hits"),
+            F.sum(
+                F.coalesce(F.col("in_test"), F.lit(False)).cast("bigint")
+            ).alias("exact_hits"),
+        )
+        .filter(F.col("might_hits") > 0)
+    )
+
+
+def _decon_oracle() -> str:
+    from ..operators.importance import DSIR_SALT  # noqa: F401 (constants doc)
+    from .corpus_queries import (
+        SPLIT_FRACTIONS,
+        SPLIT_SALT,
+        _bucket_of,
+        _shingle_list_sql,
+    )
+    from .corpus_queries import _NTOKS as NTOKS
+
+    m, k = DECON_BITS, DECON_HASHES
+    cases, hi = [], 0
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi += int(round(frac * 1_000_000))
+        cases.append(f"WHEN b < {hi} THEN '{name}'")
+    pos_list = ", ".join(
+        _bloom_pos_sql(j, "shingle", m) for j in range(k)
+    )
+    return f"""
+WITH assign AS (
+  SELECT doc_id, CASE {' '.join(cases)} END AS split
+  FROM (SELECT doc_id, {_bucket_of('doc_id', SPLIT_SALT)} AS b
+        FROM documents)),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {NTOKS} AS t FROM documents)),
+train_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN assign a USING (doc_id)
+  WHERE a.split = 'train'),
+test_sh AS (
+  SELECT DISTINCT s.shingle FROM sh s JOIN assign a USING (doc_id)
+  WHERE a.split = 'test'),
+words AS (
+  SELECT CAST(pos // 32 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (SELECT unnest([{pos_list}]) AS pos FROM test_sh)
+  GROUP BY 1),
+probes AS (
+  SELECT doc_id, shingle,
+         CAST(pos // 32 AS INT) AS word_idx, CAST(pos % 32 AS INT) AS bit
+  FROM (SELECT doc_id, shingle, unnest([{pos_list}]) AS pos
+        FROM train_sh)),
+hits AS (
+  SELECT doc_id, shingle,
+         min(CASE WHEN (coalesce(w.bits, 0) >> p.bit) & 1 = 1
+                  THEN 1 ELSE 0 END) AS all_hit
+  FROM probes p LEFT JOIN words w USING (word_idx)
+  GROUP BY 1, 2)
+SELECT h.doc_id,
+       CAST(sum(h.all_hit) AS BIGINT) AS might_hits,
+       CAST(sum(CASE WHEN h.shingle IN (SELECT shingle FROM test_sh)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+FROM hits h
+GROUP BY 1
+HAVING sum(h.all_hit) > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_doc_weights": q_dsir_doc_weights,
     "dsir_sample": q_dsir_sample,
     "bloom_blocklist_confusion": q_bloom_blocklist_confusion,
     "embedding_rp_topk": q_embedding_rp_topk,
     "embedding_rp_recall": q_embedding_rp_recall,
+    "bloom_decontamination": q_bloom_decontamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -288,4 +404,5 @@ ORACLES: dict[str, str] = {
     "bloom_blocklist_confusion": _bloom_oracle(),
     "embedding_rp_topk": _rp_topk_oracle(),
     "embedding_rp_recall": _rp_recall_oracle(),
+    "bloom_decontamination": _decon_oracle(),
 }

@@ -187,3 +187,16 @@ def test_remove_dup_spans_scrubs_shared_block(spark):
     assert out[2].cleaned_text == "another ending entirely different"
     assert out[3].cleaned_text == "short doc" and out[3].n_removed == 0
     assert 4 not in out
+
+
+def test_bloom_decontamination_never_undercounts(spark):
+    from lol_data_collection_system_spark.plans.selection_queries import (
+        q_bloom_decontamination,
+    )
+
+    out = q_bloom_decontamination(spark, "/root/testdata/sf0.001").collect()
+    assert out, "screen should flag at least one train doc"
+    for r in out:
+        # Bloom has no false negatives: every exact hit is also a might
+        assert r.exact_hits <= r.might_hits
+        assert r.might_hits >= 1
