@@ -224,3 +224,45 @@ def unigram_lm_scores(
             F.sum("nll").cast("double") / F.sum("tf").cast("double"), 6
         ).alias("avg_neg_logp"),
     )
+
+
+def lm_score_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity partitioning: split the corpus into
+    head / middle / tail by the quartiles of the per-document LM score
+    (Wenzek et al. 2020 keep head+middle for training and drop the
+    tail; the buckets are also the standard curriculum axis).
+
+    head = cleanest quartile (lowest `avg_neg_logp`), tail = the most
+    surprising quartile, middle = everything between. Returns
+    (id, n_tokens, avg_neg_logp, lm_bucket).
+
+    Determinism: quartile probes 0.25/0.75 are dyadic rationals and the
+    scores are already bit-identical cross-engine (`unigram_lm_scores`),
+    so Spark's `percentile` and DuckDB's `quantile_cont` interpolate
+    identical doubles with the same 1+(n−1)p rank formula; cutoffs are
+    rounded to 6 dp before comparison.
+
+    Scale posture: the cutoffs are ONE aggregate row broadcast back over
+    the scores — never a global ntile/rank window over the corpus (that
+    would funnel every row through one partition). Two jobs total: the
+    score frame is reused for the cutoff aggregate and the bucket
+    projection.
+    """
+    scores = unigram_lm_scores(df, id_col, text_col)
+    cuts = scores.agg(
+        F.round(F.expr("percentile(avg_neg_logp, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(avg_neg_logp, 0.75)"), 6).alias("q3"),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        "avg_neg_logp",
+        F.when(F.col("avg_neg_logp") <= F.col("q1"), F.lit("head"))
+        .when(F.col("avg_neg_logp") > F.col("q3"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("lm_bucket"),
+    )

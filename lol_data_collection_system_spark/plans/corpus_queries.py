@@ -1324,6 +1324,28 @@ FROM contrib GROUP BY doc_id
 """
 
 
+def q_lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.lm_score_buckets(docs)
+
+
+def _lm_buckets_oracle() -> str:
+    scores = ORACLE_DOC_LM_SCORES.strip()
+    return f"""
+WITH scores AS ({scores}),
+cuts AS (
+  SELECT round(quantile_cont(avg_neg_logp, 0.25), 6) AS q1,
+         round(quantile_cont(avg_neg_logp, 0.75), 6) AS q3
+  FROM scores)
+SELECT s.doc_id, s.n_tokens, s.avg_neg_logp,
+       CASE WHEN s.avg_neg_logp <= c.q1 THEN 'head'
+            WHEN s.avg_neg_logp > c.q3 THEN 'tail'
+            ELSE 'middle' END AS lm_bucket
+FROM scores s, cuts c
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic near-duplicates (trained clusters prune pairs)
 # ---------------------------------------------------------------------------
@@ -1683,6 +1705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_plan": q_token_budget_plan,
     "minhash_calibration": q_minhash_calibration,
     "span_scrubbed_docs": q_span_scrubbed_docs,
+    "lm_score_buckets": q_lm_score_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -1730,4 +1753,5 @@ ORACLES: dict[str, str] = {
     "token_budget_plan": ORACLE_TOKEN_BUDGET_PLAN,
     "minhash_calibration": _minhash_calibration_oracle(),
     "span_scrubbed_docs": ORACLE_SPAN_SCRUBBED_DOCS,
+    "lm_score_buckets": _lm_buckets_oracle(),
 }
