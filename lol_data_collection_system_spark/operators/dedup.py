@@ -133,7 +133,12 @@ def ngram_jaccard_pairs(
     space, the standard stop-shingle removal. None = exact/off (the
     oracle-checked default).
     """
-    sh = cap_shingles(shingles(df, id_col, text_col, k), id_col, max_doc_freq)
+    # Lazily checkpointed: the (capped) shingle frame is consumed by the
+    # size aggregate AND both self-join sides, and Spark recomputes an
+    # uncached subtree (scan + explode + two windows) once per consumer.
+    sh = cap_shingles(
+        shingles(df, id_col, text_col, k), id_col, max_doc_freq
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
