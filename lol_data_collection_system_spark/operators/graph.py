@@ -133,3 +133,48 @@ def dedup_clusters(
             F.coalesce("component_id", "doc_id").alias("component_id"),
         )
     )
+
+
+def quality_canonicals(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup component: keep the
+    HIGHEST-quality member (ties → smallest id), not the smallest id —
+    the policy real corpus prep uses (RefinedWeb keeps the longest
+    member of a dup cluster; any monotone quality score slots in).
+
+    `labels` is `dedup_clusters`' (doc_id, component_id) map. Returns
+    one row per component: (component_id, canonical_id, n_members,
+    canonical_quality) — filter `n_members > 1` for the clusters where
+    the policy actually changed anything.
+
+    One join keyed by doc id + one partial-agg'd groupBy per component;
+    the argmax travels as a packed struct max (quality, −id, id), so no
+    per-component sort or window appears anywhere.
+    """
+    joined = labels.join(
+        docs.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col
+    )
+    best = F.max(
+        F.struct(
+            F.col("_q").alias("q"),
+            (-F.col(id_col)).alias("neg_id"),
+            F.col(id_col).alias("id"),
+        )
+    )
+    return (
+        joined.groupBy("component_id")
+        .agg(
+            best.alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component_id",
+            F.col("_best.id").alias("canonical_id"),
+            "n_members",
+            F.col("_best.q").alias("canonical_quality"),
+        )
+    )

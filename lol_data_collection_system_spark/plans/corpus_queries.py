@@ -615,6 +615,34 @@ SELECT doc_id, component_id FROM comps
 """
 
 
+
+def q_component_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: near-dup components keep
+    their longest member (`n_chars`, ties → smallest id)."""
+    from ..operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    labels = graph_ops.dedup_clusters(docs, pairs)
+    return graph_ops.quality_canonicals(docs, labels, "n_chars")
+
+
+ORACLE_COMPONENT_CANONICALS = f"""
+{_CC_CTES},
+joined AS (
+  SELECT c.component_id, c.doc_id, d.n_chars
+  FROM comps c JOIN documents d USING (doc_id))
+SELECT component_id,
+       first(doc_id ORDER BY n_chars DESC, doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(n_chars) AS canonical_quality
+FROM joined GROUP BY component_id
+"""
+
+
 SPLIT_SALT = "corpus-v1"
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -1706,6 +1734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_calibration": q_minhash_calibration,
     "span_scrubbed_docs": q_span_scrubbed_docs,
     "lm_score_buckets": q_lm_score_buckets,
+    "component_canonicals": q_component_canonicals,
 }
 
 ORACLES: dict[str, str] = {
@@ -1754,4 +1783,5 @@ ORACLES: dict[str, str] = {
     "minhash_calibration": _minhash_calibration_oracle(),
     "span_scrubbed_docs": ORACLE_SPAN_SCRUBBED_DOCS,
     "lm_score_buckets": _lm_buckets_oracle(),
+    "component_canonicals": ORACLE_COMPONENT_CANONICALS,
 }

@@ -67,3 +67,40 @@ def test_dedup_clusters_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = sorted(map(tuple, dedup_clusters(docs, edges).collect()))
     assert got == [(i, i) for i in range(4)]
+
+
+def test_quality_canonicals_prefers_quality_over_min_id(spark):
+    from lol_data_collection_system_spark.operators.graph import (
+        quality_canonicals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5)],
+        ["doc_id", "n_chars"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)],
+        ["doc_id", "component_id"],
+    )
+    out = {r.component_id: r for r in
+           quality_canonicals(docs, labels, "n_chars").collect()}
+    # min-id policy would pick 1; quality policy picks the longest (2)
+    assert out[1].canonical_id == 2
+    assert out[1].n_members == 3
+    assert out[1].canonical_quality == 99
+    assert out[7].canonical_id == 7 and out[7].n_members == 1
+
+
+def test_quality_canonicals_ties_break_to_smaller_id(spark):
+    from lol_data_collection_system_spark.operators.graph import (
+        quality_canonicals,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, 40), (9, 40)], ["doc_id", "n_chars"]
+    )
+    labels = spark.createDataFrame(
+        [(5, 5), (9, 5)], ["doc_id", "component_id"]
+    )
+    out = quality_canonicals(docs, labels, "n_chars").collect()[0]
+    assert out.canonical_id == 5
