@@ -738,3 +738,51 @@ def remove_dup_spans(
             (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
         )
     )
+
+
+def pair_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+) -> DataFrame:
+    """Candidate-generator evaluation: one row of
+    (n_candidates, n_true, n_hit, precision, recall) comparing a
+    candidate pair set against a ground-truth pair set (both keyed
+    (id_a, id_b) with id_a < id_b) — the go/no-go table for an LSH
+    banding geometry or any other blocking scheme (low recall = dups
+    slip through; low precision = the exact verifier wastes compute).
+
+    Counts are exact integers; the ratios are integer-over-integer
+    double divisions — bit-identical cross-engine. Empty sides yield
+    NULL ratios (try_divide), not failures.
+
+    Plan shape: one inner join of the two pair sets + three broadcast
+    one-row counts — pair-bounded, no corpus access.
+    """
+    hit = candidates.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.try_divide(
+                    F.col("n_hit").cast("double"),
+                    F.col("n_candidates").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.try_divide(
+                    F.col("n_hit").cast("double"),
+                    F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )

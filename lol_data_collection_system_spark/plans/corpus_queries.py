@@ -643,6 +643,40 @@ FROM joined GROUP BY component_id
 """
 
 
+
+def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against
+    the true Jaccard pairs at the query threshold (both uncapped, so
+    the two sides see the same shingle space)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup_ops.lsh_candidate_pairs(
+        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND
+    )
+    truth = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    return dedup_ops.pair_quality(cand, truth)
+
+
+def _lsh_pair_quality_oracle() -> str:
+    cand = _minhash_oracle().strip()
+    truth = ORACLE_NGRAM_JACCARD_PAIRS.strip()
+    return f"""
+WITH cand AS ({cand}),
+truth AS ({truth}),
+hit AS (SELECT count(*) AS n_hit
+        FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       round(CAST(h.n_hit AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM cand), 6) AS precision,
+       round(CAST(h.n_hit AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM truth), 6) AS recall
+FROM hit h
+"""
+
+
 SPLIT_SALT = "corpus-v1"
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -1735,6 +1769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_scrubbed_docs": q_span_scrubbed_docs,
     "lm_score_buckets": q_lm_score_buckets,
     "component_canonicals": q_component_canonicals,
+    "lsh_pair_quality": q_lsh_pair_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -1784,4 +1819,5 @@ ORACLES: dict[str, str] = {
     "span_scrubbed_docs": ORACLE_SPAN_SCRUBBED_DOCS,
     "lm_score_buckets": _lm_buckets_oracle(),
     "component_canonicals": ORACLE_COMPONENT_CANONICALS,
+    "lsh_pair_quality": _lsh_pair_quality_oracle(),
 }
