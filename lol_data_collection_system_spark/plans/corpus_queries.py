@@ -677,6 +677,78 @@ FROM hit h
 """
 
 
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet: the one-table profile a data team
+    reads before mixing a source into training — volume (docs, tokens),
+    length distribution (median/p75 chars), quality-gate pass rate
+    (Gopher/C4 chain at the query thresholds), and language spread.
+
+    One partial-agg'd groupBy over the corpus; the length quantiles are
+    per-GROUP aggregates (bounded state), never a global sort/ntile.
+    """
+    lo, hi = QF_WORD_LEN
+    flagged = text_ops.quality_filter_flags(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        word_len_lo=lo,
+        word_len_hi=hi,
+        min_distinct_ratio=QF_MIN_DISTINCT,
+        min_stopword_ratio=QF_MIN_STOPWORD,
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text_ops.tokens(F.col("text"))).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75_chars"),
+        F.round(
+            F.sum(F.col("keep").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+def _datasheet_oracle() -> str:
+    scale = 1_000_000
+    wl_lo = int(round(QF_WORD_LEN[0] * scale))
+    wl_hi = int(round(QF_WORD_LEN[1] * scale))
+    dr = int(round(QF_MIN_DISTINCT * scale))
+    sr = int(round(QF_MIN_STOPWORD * scale))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS tok_chars
+  FROM documents),
+flags AS (
+  SELECT source, lang, n_chars, n_tok,
+         (n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
+          AND tok_chars * {scale} >= {wl_lo} * n_tok
+          AND tok_chars * {scale} <= {wl_hi} * n_tok
+          AND n_distinct * {scale} >= {dr} * n_tok
+          AND stop_hits * {scale} >= {sr} * n_tok) AS keep
+  FROM per_doc)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM flags GROUP BY source
+"""
+
+
 SPLIT_SALT = "corpus-v1"
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -1770,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score_buckets": q_lm_score_buckets,
     "component_canonicals": q_component_canonicals,
     "lsh_pair_quality": q_lsh_pair_quality,
+    "corpus_datasheet": q_corpus_datasheet,
 }
 
 ORACLES: dict[str, str] = {
@@ -1820,4 +1893,5 @@ ORACLES: dict[str, str] = {
     "lm_score_buckets": _lm_buckets_oracle(),
     "component_canonicals": ORACLE_COMPONENT_CANONICALS,
     "lsh_pair_quality": _lsh_pair_quality_oracle(),
+    "corpus_datasheet": _datasheet_oracle(),
 }
