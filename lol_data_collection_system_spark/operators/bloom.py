@@ -86,30 +86,46 @@ def might_contain(
     position of the row's key has its bit set in `bloom` (the standard
     no-false-negative, bounded-false-positive Bloom test).
 
-    Probe plan: explode the k positions, LEFT join the broadcast word
-    table (missing word ⇒ bit unset), AND the k tests back together with
-    a ``min(hit)`` groupBy on the candidate id — one shuffle, keyed by
-    the candidate, partial-agg'd."""
+    Probe plan: k successive LEFT joins against the broadcast word table
+    (one per hash, missing word ⇒ bit unset), each a BroadcastHashJoin,
+    and a codegen'd AND of the k bit tests — ZERO shuffles and no
+    stateful aggregation, so the same operator gates a STREAMING frame
+    (stream-static broadcast joins are supported; a groupBy-based probe
+    would force watermarked state). An earlier formulation exploded the
+    k positions and min()-aggregated them back — one candidate-keyed
+    shuffle per probe that this shape deletes.
+    """
     key = F.col(key_col).cast("string")
-    pos = F.explode(
-        F.array(*[_position(key, j, m_bits) for j in range(n_hashes)])
-    ).alias("pos")
-    probes = (
-        candidates.select(F.col(key_col), pos)
-        .select(
-            F.col(key_col),
-            (F.col("pos") / _WORD).cast("int").alias("word_idx"),
-            (F.col("pos") % _WORD).cast("int").alias("bit"),
+    out = candidates
+    hits = []
+    for j in range(n_hashes):
+        pos = _position(key, j, m_bits)
+        wj, bj, hj = f"_w{j}", f"_b{j}", f"_hit{j}"
+        out = (
+            out.withColumn(wj, (pos / _WORD).cast("int"))
+            .withColumn(bj, (pos % _WORD).cast("int"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word_idx").alias(wj),
+                        F.col("bits").alias(f"_bits{j}"),
+                    )
+                ),
+                wj,
+                "left",
+            )
+            .withColumn(
+                hj,
+                F.expr(
+                    f"(shiftright(coalesce(_bits{j}, 0), {bj}) & 1) = 1"
+                ),
+            )
+            .drop(wj, bj, f"_bits{j}")
         )
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            F.col(key_col),
-            F.expr(
-                "CASE WHEN (shiftright(coalesce(bits, 0), bit) & 1) = 1"
-                " THEN 1 ELSE 0 END"
-            ).alias("hit"),
-        )
-        .groupBy(key_col)
-        .agg((F.min("hit") == 1).alias("might_match"))
+        hits.append(F.col(hj))
+    might = hits[0]
+    for h in hits[1:]:
+        might = might & h
+    return out.withColumn("might_match", might).drop(
+        *[f"_hit{j}" for j in range(n_hashes)]
     )
-    return candidates.join(probes, key_col)

@@ -161,3 +161,43 @@ def set_equality_filter(
         .agg(F.array_sort(F.collect_set(item_col)).alias("item_set"))
         .filter(F.col("item_set") == want)
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join hardened against HOT KEYS on the big side: the big
+    side's rows take a salt derived from their scan partition, the small
+    side replicates each row `n_salts` times, and the join keys on
+    (key, salt) — a hot key's rows spread over up to `n_salts` shuffle
+    partitions instead of crushing one reducer.
+
+    RESULTS ARE IDENTICAL to ``big.join(small, on, how)`` — salting is a
+    physical redistribution, not a semantic change — so the oracle for
+    any salted query is simply the unsalted SQL. This is the manual
+    fallback for engines/paths where AQE skew-join splitting can't see
+    the skew (e.g. a skewed key feeding a non-sort-merge join, or a
+    deliberately disabled AQE); with AQE on, prefer the optimizer.
+
+    The salt is `pmod(spark_partition_id(), n_salts)`: rows of a hot key
+    in DIFFERENT scan partitions get different salts (which is exactly
+    the population that would pile onto one reducer), it costs no hash
+    of row content, and it keeps the operator deterministic in VALUE
+    (the salt only routes rows). Supported `how`: inner / left — the
+    replicated-right shapes where duplicate small-side rows can't
+    corrupt multiplicity (each big row still matches each small row
+    exactly once, at its own salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how}")
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")

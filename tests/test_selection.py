@@ -200,3 +200,81 @@ def test_bloom_decontamination_never_undercounts(spark):
         # Bloom has no false negatives: every exact hit is also a might
         assert r.exact_hits <= r.might_hits
         assert r.might_hits >= 1
+
+
+def test_bloom_gates_a_stream_identically_to_batch(spark, tmp_path):
+    """might_contain is shuffle-free (k broadcast joins), so the same
+    operator gates a streaming frame — stream-static join, no watermark,
+    no stateful aggregation. availableNow over a file source must equal
+    the batch twin row-for-row."""
+    import pyspark.sql.types as T
+
+    blocked = spark.range(50).select(
+        F.concat(F.lit("blk-"), F.col("id")).alias("k")
+    )
+    filt = bloom_ops.build_bloom(blocked, "k", m_bits=1 << 12, n_hashes=4)
+
+    rows = [(f"blk-{i}",) for i in range(0, 50, 5)] + [
+        (f"ok-{i}",) for i in range(20)
+    ]
+    src = tmp_path / "keys"
+    spark.createDataFrame(rows, ["k"]).coalesce(1).write.json(str(src))
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    gated = bloom_ops.might_contain(
+        stream, filt, "k", m_bits=1 << 12, n_hashes=4
+    ).filter(~F.col("might_match"))
+
+    out = []
+    q = (
+        gated.writeStream.foreachBatch(
+            lambda df, _eid: out.extend(r.k for r in df.collect())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = bloom_ops.might_contain(
+        spark.createDataFrame(rows, ["k"]), filt, "k",
+        m_bits=1 << 12, n_hashes=4,
+    ).filter(~F.col("might_match"))
+    assert sorted(out) == sorted(r.k for r in batch.collect())
+    # every blocked key is gated out in both modes (no false negatives)
+    assert not any(k.startswith("blk-") for k in out)
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    from lol_data_collection_system_spark.operators.joins import (
+        salted_skew_join,
+    )
+
+    # 10k rows where 90% share ONE key — the classic hot-key shape
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 7))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3), ("missing", 4)], ["k", "v"]
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_skew_join(big, small, "k", n_salts=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join parity incl. unmatched rows
+    pl = big.join(small, "k", "left").count()
+    sl = salted_skew_join(big, small, "k", n_salts=8, how="left").count()
+    assert pl == sl
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_skew_join(big, small, "k", how="full")
