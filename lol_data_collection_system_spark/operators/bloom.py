@@ -126,6 +126,10 @@ def might_contain(
     might = hits[0]
     for h in hits[1:]:
         might = might & h
-    return out.withColumn("might_match", might).drop(
-        *[f"_hit{j}" for j in range(n_hashes)]
-    )
+    # A NULL key makes every bit test NULL; coalesce to false so the
+    # probe matches the oracle's CASE/min formulation (a NULL key is
+    # definitionally not a member) and NOT-filters don't drop the row
+    # from both branches.
+    return out.withColumn(
+        "might_match", F.coalesce(might, F.lit(False))
+    ).drop(*[f"_hit{j}" for j in range(n_hashes)])

@@ -236,19 +236,40 @@ def lsh_candidate_pairs(
     (id_a < id_b).
     """
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes, max_doc_freq)
+    return _candidate_pairs_from_signatures(sig, id_col, n_hashes, band_size)
+
+
+def _band_hashes(n_hashes: int, band_size: int) -> Column:
+    """The banded-signature array: md5 over each `band_size`-wide slice
+    of the mh_* columns, '|'-joined. THE single definition of the
+    banding geometry — the candidate generator and the calibration
+    audit both read it, so they can never measure different schemes."""
     n_bands = n_hashes // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                    "|",
+                    *[
+                        F.col(f"mh_{b * band_size + r}")
+                        for r in range(band_size)
+                    ],
                 )
             )
             for b in range(n_bands)
         ]
     )
+
+
+def _candidate_pairs_from_signatures(
+    sig: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs agreeing on ≥1 band of `sig`."""
     banded = sig.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+        F.col(id_col),
+        F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -564,36 +585,7 @@ def minhash_jaccard_calibration(
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes).localCheckpoint(
         eager=False
     )
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh_{b * band_size + r}")
-                        for r in range(band_size)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
-    )
-    pairs = (
-        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-        .join(
-            banded.select(
-                F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _candidate_pairs_from_signatures(sig, id_col, n_hashes, band_size)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],

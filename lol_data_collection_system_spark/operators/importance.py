@@ -51,6 +51,9 @@ DSIR_BUCKETS = 512
 #: Salt for the gram hash (keeps the feature space independent of the
 #: sampling hash below).
 DSIR_SALT = "dsir-gram"
+#: Salt for the Gumbel draw — referenced by the SQL oracle too, so the
+#: two sides can never silently diverge.
+DSIR_DRAW_SALT = "dsir-draw"
 #: Uniform-draw granularity: 2^16 buckets of the md5 hash. Coarse enough
 #: that the extreme draws (±0.5/2^16 from the ends) survive 6-decimal
 #: `ln` rounding without hitting 0, fine enough for sampling.
@@ -184,7 +187,7 @@ def dsir_log_weights(
 def gumbel_topk_sample(
     weights: DataFrame,
     k: int,
-    salt: str = "dsir-draw",
+    salt: str = DSIR_DRAW_SALT,
     id_col: str = "doc_id",
     weight_col: str = "log_weight",
 ) -> DataFrame:

@@ -252,7 +252,12 @@ def lm_score_buckets(
     score frame is reused for the cutoff aggregate and the bucket
     projection.
     """
-    scores = unigram_lm_scores(df, id_col, text_col)
+    # Lazily checkpointed: the scoring pipeline feeds both the cutoff
+    # aggregate and the bucket projection, and Spark recomputes an
+    # uncached subtree once per consumer.
+    scores = unigram_lm_scores(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     cuts = scores.agg(
         F.round(F.expr("percentile(avg_neg_logp, 0.25)"), 6).alias("q1"),
         F.round(F.expr("percentile(avg_neg_logp, 0.75)"), 6).alias("q3"),

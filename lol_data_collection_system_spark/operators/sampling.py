@@ -283,10 +283,13 @@ def token_budget_plan(
     Plan shape: one partial-agg'd groupBy over the corpus + two
     broadcast one-row frames; the corpus is never reshuffled.
     """
+    # Lazily checkpointed: the corpus-wide aggregate feeds the total,
+    # the weight normalization AND the final projection — without the
+    # checkpoint it appears up to four times in one plan.
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = counts.agg(F.sum("n_tokens").alias("tok_total"))
     share = F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")
     raw_w = (

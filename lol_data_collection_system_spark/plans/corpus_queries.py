@@ -159,15 +159,19 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_filter_oracle() -> str:
+def _quality_flags_ctes(carry: str = "") -> str:
+    """The per_doc + flags CTE pair — the SINGLE SQL definition of the
+    Gopher/C4 rule chain (mirrors `text.quality_filter_flags`'s integer
+    cross-multiplications). `carry` rides extra columns (e.g.
+    ", source, lang, n_chars") through both CTEs so composite oracles
+    (datasheet) and the per-doc audit read the same rules."""
     scale = 1_000_000
     wl_lo = int(round(QF_WORD_LEN[0] * scale))
     wl_hi = int(round(QF_WORD_LEN[1] * scale))
     dr = int(round(QF_MIN_DISTINCT * scale))
     sr = int(round(QF_MIN_STOPWORD * scale))
-    return f"""
-WITH per_doc AS (
-  SELECT doc_id,
+    return f"""per_doc AS (
+  SELECT doc_id{carry},
          CAST(len({_TOKS}) AS BIGINT) AS n_tok,
          CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
@@ -176,13 +180,18 @@ WITH per_doc AS (
            AS tok_chars
   FROM documents),
 flags AS (
-  SELECT doc_id,
+  SELECT doc_id{carry}, n_tok,
          n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS} AS pass_length,
          tok_chars * {scale} >= {wl_lo} * n_tok
            AND tok_chars * {scale} <= {wl_hi} * n_tok AS pass_word_len,
          n_distinct * {scale} >= {dr} * n_tok AS pass_repetition,
          stop_hits * {scale} >= {sr} * n_tok AS pass_stopwords
-  FROM per_doc)
+  FROM per_doc)"""
+
+
+def _quality_filter_oracle() -> str:
+    return f"""
+WITH {_quality_flags_ctes()}
 SELECT doc_id, pass_length, pass_word_len, pass_repetition, pass_stopwords,
        pass_length AND pass_word_len AND pass_repetition AND pass_stopwords
          AS keep
@@ -337,7 +346,10 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(capped: bool = False) -> str:
+def _minhash_perm_exprs() -> str:
+    """The MIN-permutation select list — the SINGLE SQL definition of
+    the signature scheme (mirrors `dedup.minhash_perm`); shared by the
+    LSH-pairs oracle and the calibration oracle."""
     from ..operators.dedup import MINHASH_PRIME, minhash_perm
 
     perm_exprs = []
@@ -346,9 +358,14 @@ def _minhash_oracle(capped: bool = False) -> str:
         perm_exprs.append(
             f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
         )
-    mh_exprs = ",\n         ".join(perm_exprs)
+    return ",\n         ".join(perm_exprs)
+
+
+def _minhash_band_exprs() -> str:
+    """The band-hash list — the SINGLE SQL definition of the banding
+    geometry (mirrors `dedup._band_hashes`)."""
     n_bands = MINHASH_N // MINHASH_BAND
-    band_exprs = ", ".join(
+    return ", ".join(
         "md5("
         + " || '|' || ".join(
             f"CAST(mh_{b * MINHASH_BAND + r} AS VARCHAR)"
@@ -357,6 +374,13 @@ def _minhash_oracle(capped: bool = False) -> str:
         + ")"
         for b in range(n_bands)
     )
+
+
+def _minhash_oracle(capped: bool = False) -> str:
+    from ..operators.dedup import MINHASH_PRIME
+
+    mh_exprs = _minhash_perm_exprs()
+    band_exprs = _minhash_band_exprs()
     sig_src = "sh"
     cap_cte = ""
     if capped:
@@ -714,29 +738,13 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _datasheet_oracle() -> str:
-    scale = 1_000_000
-    wl_lo = int(round(QF_WORD_LEN[0] * scale))
-    wl_hi = int(round(QF_WORD_LEN[1] * scale))
-    dr = int(round(QF_MIN_DISTINCT * scale))
-    sr = int(round(QF_MIN_STOPWORD * scale))
     return f"""
-WITH per_doc AS (
-  SELECT doc_id, source, lang, n_chars,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
-         CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
-           AS stop_hits,
-         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
-           AS tok_chars
-  FROM documents),
-flags AS (
+WITH {_quality_flags_ctes(", source, lang, n_chars")},
+kept AS (
   SELECT source, lang, n_chars, n_tok,
-         (n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
-          AND tok_chars * {scale} >= {wl_lo} * n_tok
-          AND tok_chars * {scale} <= {wl_hi} * n_tok
-          AND n_distinct * {scale} >= {dr} * n_tok
-          AND stop_hits * {scale} >= {sr} * n_tok) AS keep
-  FROM per_doc)
+         (pass_length AND pass_word_len AND pass_repetition
+          AND pass_stopwords) AS keep
+  FROM flags)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -745,7 +753,7 @@ SELECT source,
        round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-FROM flags GROUP BY source
+FROM kept GROUP BY source
 """
 
 
@@ -1678,24 +1686,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_calibration_oracle() -> str:
-    from ..operators.dedup import MINHASH_PRIME, minhash_perm
+    from ..operators.dedup import MINHASH_PRIME
 
-    perm_exprs = ",\n         ".join(
-        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
-        for i, (a, b) in (
-            (i, minhash_perm(i)) for i in range(MINHASH_N)
-        )
-    )
-    n_bands = MINHASH_N // MINHASH_BAND
-    band_exprs = ", ".join(
-        "md5("
-        + " || '|' || ".join(
-            f"CAST(mh_{b * MINHASH_BAND + r} AS VARCHAR)"
-            for r in range(MINHASH_BAND)
-        )
-        + ")"
-        for b in range(n_bands)
-    )
+    perm_exprs = _minhash_perm_exprs()
+    band_exprs = _minhash_band_exprs()
     agree = " + ".join(
         f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(MINHASH_N)
     )

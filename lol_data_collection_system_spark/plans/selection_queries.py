@@ -98,7 +98,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dsir_sample_oracle() -> str:
     u_space = imp_ops._U_SPACE
-    salt = "dsir-draw"
+    salt = imp_ops.DSIR_DRAW_SALT
     u = (
         f"(CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), "
         f"1, 15)) AS BIGINT) % {u_space} + 0.5) / {float(u_space)}"

@@ -234,7 +234,7 @@ def test_bloom_gates_a_stream_identically_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow microbatch stalled"
 
     batch = bloom_ops.might_contain(
         spark.createDataFrame(rows, ["k"]), filt, "k",
