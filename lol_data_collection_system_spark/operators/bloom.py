@@ -96,6 +96,10 @@ def might_contain(
     shuffle per probe that this shape deletes.
     """
     key = F.col(key_col).cast("string")
+    # Lazily checkpointed: each of the k broadcast joins embeds its own
+    # copy of the word-table subtree — without the checkpoint the
+    # blocklist aggregate (a full scan of the blocklist!) runs k times.
+    bloom = bloom.localCheckpoint(eager=False)
     out = candidates
     hits = []
     for j in range(n_hashes):

@@ -360,3 +360,32 @@ def test_bloom_probe_broadcasts_word_table(spark):
 def test_rp_topk_is_take_ordered(spark):
     plan = _plan(spark, "embedding_rp_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_has_no_shuffle(spark):
+    """The probe path must be k BroadcastHashJoins with zero shuffle
+    Exchanges — the property that makes the same operator legal in a
+    stream-static join and scan-speed in batch. (The word-table BUILD
+    has its one bounded groupBy shuffle, but it is checkpointed so it
+    appears at most once, not once per hash.)"""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators import bloom as bloom_ops
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    filt = bloom_ops.build_bloom(keys, "k", 1 << 12, 4)
+    probed = bloom_ops.might_contain(keys, filt, "k", 1 << 12, 4)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probed._jdf.queryExecution().explainString(jmode)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 4
+    # every Exchange is a BroadcastExchange; no hashpartitioning shuffle
+    # (the word-table build's own groupBy hides behind the checkpoint)
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 0, f"probe path shuffles: {shuffles}\n{plan}"
