@@ -314,3 +314,90 @@ def token_budget_plan(
             planned.cast("double") / F.col("n_tokens").cast("double"), round_w
         ).alias("epochs"),
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_negatives: int = 2,
+    buckets: int = 64,
+    salt: str = "neg1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / embedding
+    training pairs: each anchor draws `n_negatives` pseudo-random
+    partners from the corpus, reproducibly (same salt ⇒ same pairs, on
+    any cluster layout).
+
+    Mechanism: every row hashes into one of `buckets` candidate buckets;
+    each (anchor, j) draw hashes to a bucket and takes the candidate
+    with the smallest draw-specific hash (anchor excluded). Uniform-ish
+    without any global ordering: the join is keyed by bucket — the same
+    bounded-fan-out equi-join shape as LSH banding, no window over the
+    corpus, no driver-side sampling state.
+
+    Returns (id, neg_idx, neg_id) with neg_idx in [0, n_negatives).
+    A draw can land on an empty-after-exclusion bucket only when a
+    bucket holds just the anchor itself — sized away by keeping
+    `buckets` ≪ corpus size.
+    """
+    key = F.col(id_col).cast("string")
+    cand = df.select(
+        F.col(id_col).alias("neg_id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b:{salt}:"), key)), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % buckets
+        ).alias("bucket"),
+    )
+    draws = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(j) for j in range(n_negatives)])).alias(
+            "neg_idx"
+        ),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"d:{salt}:"),
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        F.col("neg_idx").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets,
+    )
+    pick_hash = F.md5(
+        F.concat(
+            F.lit(f"p:{salt}:"),
+            F.col(id_col).cast("string"),
+            F.lit("|"),
+            F.col("neg_idx").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    return (
+        draws.join(cand, "bucket")
+        .filter(F.col("neg_id") != F.col(id_col))
+        .select(
+            F.col(id_col),
+            "neg_idx",
+            F.struct(pick_hash.alias("h"), F.col("neg_id").alias("n")).alias(
+                "_pick"
+            ),
+        )
+        .groupBy(id_col, "neg_idx")
+        .agg(F.min("_pick").alias("_best"))
+        .select(id_col, "neg_idx", F.col("_best.n").alias("neg_id"))
+    )

@@ -757,6 +757,57 @@ FROM kept GROUP BY source
 """
 
 
+
+NEG_SALT = "neg1"
+NEG_K = 2
+NEG_BUCKETS = 64
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.contrastive_negatives(
+        docs, "doc_id", NEG_K, NEG_BUCKETS, NEG_SALT
+    )
+
+
+def _neg_hash(prefix: str, parts: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || {parts}), 1, 15)) AS BIGINT)"
+    )
+
+
+_NEG_IDX_LIST = ", ".join(str(j) for j in range(NEG_K))
+
+ORACLE_CONTRASTIVE_NEGATIVES = f"""
+WITH cand AS (
+  SELECT doc_id AS neg_id,
+         {_neg_hash(f'b:{NEG_SALT}:', 'CAST(doc_id AS VARCHAR)')}
+           % {NEG_BUCKETS} AS bucket
+  FROM documents),
+draws AS (
+  SELECT doc_id, unnest([{_NEG_IDX_LIST}]) AS neg_idx FROM documents),
+keyed AS (
+  SELECT doc_id, neg_idx,
+         {_neg_hash(f'd:{NEG_SALT}:',
+                    "CAST(doc_id AS VARCHAR) || '|' || CAST(neg_idx AS VARCHAR)")}
+           % {NEG_BUCKETS} AS bucket
+  FROM draws),
+picks AS (
+  SELECT k.doc_id, k.neg_idx, c.neg_id,
+         md5('p:{NEG_SALT}:' || CAST(k.doc_id AS VARCHAR) || '|'
+             || CAST(k.neg_idx AS VARCHAR) || '|'
+             || CAST(c.neg_id AS VARCHAR)) AS h
+  FROM keyed k JOIN cand c USING (bucket)
+  WHERE c.neg_id != k.doc_id)
+SELECT doc_id, neg_idx, neg_id FROM (
+  SELECT doc_id, neg_idx, neg_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, neg_idx
+                            ORDER BY h, neg_id) AS rn
+  FROM picks)
+WHERE rn = 1
+"""
+
+
 SPLIT_SALT = "corpus-v1"
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -1837,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "component_canonicals": q_component_canonicals,
     "lsh_pair_quality": q_lsh_pair_quality,
     "corpus_datasheet": q_corpus_datasheet,
+    "contrastive_negatives": q_contrastive_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -1888,4 +1940,5 @@ ORACLES: dict[str, str] = {
     "component_canonicals": ORACLE_COMPONENT_CANONICALS,
     "lsh_pair_quality": _lsh_pair_quality_oracle(),
     "corpus_datasheet": _datasheet_oracle(),
+    "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
 }

@@ -278,3 +278,22 @@ def test_salted_skew_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_skew_join(big, small, "k", how="full")
+
+
+def test_contrastive_negatives_deterministic_and_self_free(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = contrastive_negatives(docs, "doc_id", 3, buckets=16).collect()
+    b = contrastive_negatives(docs, "doc_id", 3, buckets=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every anchor gets its 3 draws (buckets << corpus so none are empty)
+    assert len(a) == 300
+    for r in a:
+        assert r.neg_id != r.doc_id
+        assert 0 <= r.neg_idx < 3
+    # a different salt redraws (almost surely) different partners
+    c = contrastive_negatives(docs, "doc_id", 3, buckets=16, salt="other")
+    assert sorted(map(tuple, c.collect())) != sorted(map(tuple, a))
