@@ -488,3 +488,92 @@ def ivf_trained_topk(
         )
     )
     return _rank_topk(scored, k, id_col)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance: split vectors into `n_subspaces` blocks, quantize each
+    block to its nearest codebook centroid, and score a candidate by the
+    SUM of the query's precomputed dot products with the candidate's
+    chosen centroids — the ADC table lookup that makes PQ scans read
+    codes (bytes) instead of vectors (KBs) at billion scale.
+
+    Codebooks follow `ivf_assign_buckets`' seeding convention: the
+    subvectors of the first `n_centroids` ids (deterministic,
+    engine-portable; swap in per-subspace k-means for trained
+    codebooks — same plan shape). Code selection = argmax of the
+    rounded subspace dot with centroid-id tie-break.
+
+    Plan shape: the codebook + query-dot table is ONE broadcast row per
+    subspace (each element carries (cid, centroid, query-dot)); both
+    the code argmax and the ADC lookup happen in a single map-side
+    `array_max` per subspace — scoring never joins or shuffles; the
+    final top-k is `orderBy().limit(k)` → TakeOrderedAndProject.
+
+    Returns (id, rank, approx_ip): rank by approximate inner product
+    (rounded to 6 dp; exact parity with the SQL oracle).
+    """
+    def sub(vec: Column, m: int) -> Column:
+        return F.slice(vec, 1 + m * sub_dim, sub_dim)
+
+    q = emb.filter(F.col(id_col) == query_id).select(
+        *[sub(F.col(vec_col), m).alias(f"q{m}") for m in range(n_subspaces)]
+    )
+    # One broadcast array per subspace: (cid, centroid vec, query dot).
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            *[
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).cast("int").alias("cid"),
+                        sub(F.col(vec_col), m).alias("cvec"),
+                        F.round(
+                            dot(sub(F.col(vec_col), m), F.col(f"q{m}")), 6
+                        ).alias("qd"),
+                    )
+                ).alias(f"book{m}")
+                for m in range(n_subspaces)
+            ]
+        )
+    )
+
+    def adc(m: int) -> Column:
+        """Query-dot of the argmax centroid for subspace m: code choice
+        and table lookup fused into one array_max over the codebook."""
+        x_m = sub(F.col(vec_col), m)
+        scored = F.transform(
+            F.col(f"book{m}"),
+            lambda c: F.struct(
+                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["qd"].alias("qd"),
+            ),
+        )
+        return F.array_max(scored)["qd"]
+
+    acc = adc(0)
+    for m in range(1, n_subspaces):
+        acc = acc + adc(m)  # fixed left-to-right order, mirrored in SQL
+    approx = F.round(acc, 6)
+    scored = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), approx.alias("approx_ip"))
+    )
+    order = [F.col("approx_ip").desc(), F.col(id_col).asc()]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "approx_ip"
+    )

@@ -758,6 +758,67 @@ FROM kept GROUP BY source
 
 
 
+
+PQ_SUBSPACES = 2
+PQ_SUB_DIM = 32
+PQ_CENTROIDS = 8
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.pq_topk(
+        emb, QUERY_VEC_ID, TOPK, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS
+    )
+
+
+def _pq_oracle() -> str:
+    m, d, kc = PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS
+    sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
+    cent_cols = ", ".join(f"{sub('e', i)} AS c{i}" for i in range(m))
+    q_cols = ", ".join(f"{sub('e', i)} AS q{i}" for i in range(m))
+    qd_cols = ", ".join(
+        f"round(list_dot_product(q{i}, c{i}), 6) AS qd{i}" for i in range(m)
+    )
+    sim_cols = ", ".join(
+        f"round(list_dot_product({sub('x.e', i)}, c.c{i}), 6) AS s{i}"
+        for i in range(m)
+    )
+    best_ctes = ",\n".join(
+        f"""best{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s{i} DESC, cid)
+             AS rn
+    FROM sims) WHERE rn = 1)"""
+        for i in range(m)
+    )
+    joins = " ".join(
+        f"JOIN best{i} b{i} ON b{i}.vec_id = s.vec_id "
+        f"JOIN qd t{i} ON t{i}.cid = b{i}.cid"
+        for i in range(m)
+    )
+    ip_sum = " + ".join(f"t{i}.qd{i}" for i in range(m))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, {cent_cols} FROM v WHERE vec_id < {kc}),
+q AS (SELECT {q_cols} FROM v WHERE vec_id = {QUERY_VEC_ID}),
+qd AS (SELECT cid, {qd_cols} FROM cents, q),
+sims AS (
+  SELECT x.vec_id, c.cid, {sim_cols}
+  FROM v x, cents c WHERE x.vec_id != {QUERY_VEC_ID}),
+{best_ctes},
+approx AS (
+  SELECT s.vec_id, round({ip_sum}, 6) AS approx_ip
+  FROM (SELECT DISTINCT vec_id FROM sims) s {joins})
+SELECT vec_id, rank, approx_ip FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank,
+         approx_ip
+  FROM approx)
+WHERE rank <= {TOPK}
+"""
+
+
 NEG_SALT = "neg1"
 NEG_K = 2
 NEG_BUCKETS = 64
@@ -1889,6 +1950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_pair_quality": q_lsh_pair_quality,
     "corpus_datasheet": q_corpus_datasheet,
     "contrastive_negatives": q_contrastive_negatives,
+    "embedding_pq_topk": q_embedding_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1941,4 +2003,5 @@ ORACLES: dict[str, str] = {
     "lsh_pair_quality": _lsh_pair_quality_oracle(),
     "corpus_datasheet": _datasheet_oracle(),
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
+    "embedding_pq_topk": _pq_oracle(),
 }

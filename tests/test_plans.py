@@ -389,3 +389,14 @@ def test_bloom_probe_has_no_shuffle(spark):
     # (the word-table build's own groupBy hides behind the checkpoint)
     shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
     assert shuffles == 0, f"probe path shuffles: {shuffles}\n{plan}"
+
+
+def test_pq_topk_is_map_side_plus_take_ordered(spark):
+    """PQ scoring must be map-only (codebook broadcast, code argmax and
+    ADC lookup fused in one projection — no join/shuffle on the scan
+    side) with the TakeOrderedAndProject reduction."""
+    plan = _plan(spark, "embedding_pq_topk")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -297,3 +297,35 @@ def test_contrastive_negatives_deterministic_and_self_free(spark):
     # a different salt redraws (almost surely) different partners
     c = contrastive_negatives(docs, "doc_id", 3, buckets=16, salt="other")
     assert sorted(map(tuple, c.collect())) != sorted(map(tuple, a))
+
+
+def test_pq_topk_shape_and_code_behavior(spark):
+    from lol_data_collection_system_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(64)])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    out = pq_topk(emb, 0, 10, n_subspaces=2, sub_dim=32, n_centroids=8)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert all(r.vec_id != 0 for r in rows)
+    # approx scores are non-increasing with rank
+    scores = [r.approx_ip for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a centroid vector's own approx equals its exact subspace dots sum:
+    # vec 3 (< n_centroids) quantizes to itself, so its ADC score is its
+    # true inner product with the query, rounded per-subspace
+    import math
+
+    q = [float(((0 + 2) * (d + 5)) % 19) - 9.0 for d in range(64)]
+    v3 = [float(((3 + 2) * (d + 5)) % 19) - 9.0 for d in range(64)]
+    expect = round(
+        round(sum(a * b for a, b in zip(q[:32], v3[:32])), 6)
+        + round(sum(a * b for a, b in zip(q[32:], v3[32:])), 6),
+        6,
+    )
+    got = {r.vec_id: r.approx_ip for r in rows}
+    if 3 in got:
+        assert math.isclose(got[3], expect, rel_tol=0, abs_tol=1e-9)
