@@ -339,6 +339,12 @@ def contrastive_negatives(
     A draw can land on an empty-after-exclusion bucket only when a
     bucket holds just the anchor itself — sized away by keeping
     `buckets` ≪ corpus size.
+
+    SCALE KNOB: the candidate join produces ~n_negatives · N · (N/B)
+    rows before the per-draw pick, so `buckets` must GROW with the
+    corpus — size B ≈ N/100 for a bounded ~100-candidate scan per draw
+    (linear total work). The default 64 suits the 10³-10⁴-doc test
+    scales; a fixed B at web scale turns the join quadratic.
     """
     key = F.col(id_col).cast("string")
     cand = df.select(
