@@ -139,6 +139,15 @@ def ngram_jaccard_pairs(
     sh = cap_shingles(
         shingles(df, id_col, text_col, k), id_col, max_doc_freq
     ).localCheckpoint(eager=False)
+    return jaccard_pairs_from_shingles(sh, id_col, threshold)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Jaccard pairs from a prebuilt (id, shingle) frame (see
+    `minhash_signatures_from_shingles` for why callers share it).
+    `sh` should already be checkpointed/capped by the caller."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -202,6 +211,15 @@ def minhash_signatures(
     per signature column; 60× slower at sf0.1.)
     """
     sh = cap_shingles(shingles(df, id_col, text_col, k), id_col, max_doc_freq)
+    return minhash_signatures_from_shingles(sh, id_col, n_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """Signatures from a prebuilt (id, shingle) frame — lets callers that
+    also need the shingles themselves (Jaccard truth side, calibration)
+    build the expensive shingle assembly ONCE and share it."""
     h = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
         % MINHASH_PRIME

@@ -671,13 +671,21 @@ FROM joined GROUP BY component_id
 def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate generator against
     the true Jaccard pairs at the query threshold (both uncapped, so
-    the two sides see the same shingle space)."""
+    the two sides see the same shingle space).
+
+    The expensive shingle assembly (scan + explode + two windows) is
+    built ONCE, checkpointed, and shared by the signature side and the
+    exact-Jaccard side via the `_from_shingles` operator variants."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup_ops.lsh_candidate_pairs(
-        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND
+    sh = dedup_ops.shingles(
+        docs, "doc_id", "text", SHINGLE_K
+    ).localCheckpoint(eager=False)
+    sig = dedup_ops.minhash_signatures_from_shingles(sh, "doc_id", MINHASH_N)
+    cand = dedup_ops._candidate_pairs_from_signatures(
+        sig, "doc_id", MINHASH_N, MINHASH_BAND
     )
-    truth = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD
+    truth = dedup_ops.jaccard_pairs_from_shingles(
+        sh, "doc_id", JACCARD_THRESHOLD
     ).select("id_a", "id_b")
     return dedup_ops.pair_quality(cand, truth)
 
