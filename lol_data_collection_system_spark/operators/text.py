@@ -509,3 +509,16 @@ def token_entropy(
         6,
     )
     return per.select(id_col, "n_tok", h.alias("entropy"))
+
+
+def clean_control_chars(text: Column) -> Column:
+    """Encoding-damage scrub: NBSP → space, C0/DEL control characters →
+    space, whitespace runs collapsed, trimmed — the cheap first repair
+    pass over web-extracted text (mojibake-lite; full charset repair
+    needs a codec library, but control-character damage is the bulk of
+    what survives HTML extraction). Pure JVM regex chain — shuffle-free,
+    engine-portable (same character-class syntax in the oracle)."""
+    t = F.regexp_replace(text, " ", " ")
+    t = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

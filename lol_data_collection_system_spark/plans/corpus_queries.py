@@ -827,6 +827,38 @@ WHERE rank <= {TOPK}
 """
 
 
+
+def q_doc_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-character / NBSP scrub audit: cleaned length vs raw
+    length and whether the scrub changed anything (clean corpora report
+    changed=false everywhere — the audit proves it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = text_ops.clean_control_chars(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+        (cleaned != F.col("text")).alias("changed"),
+    )
+
+
+ORACLE_DOC_TEXT_SCRUB = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '\xA0', ' ', 'g'),
+             '[\x00-\x1F\x7F]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS cleaned
+  FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS raw_len,
+       CAST(length(cleaned) AS INT) AS clean_len,
+       cleaned != text AS changed
+FROM c
+"""
+
+
 NEG_SALT = "neg1"
 NEG_K = 2
 NEG_BUCKETS = 64
@@ -1959,6 +1991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datasheet": q_corpus_datasheet,
     "contrastive_negatives": q_contrastive_negatives,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "doc_text_scrub": q_doc_text_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -2012,4 +2045,5 @@ ORACLES: dict[str, str] = {
     "corpus_datasheet": _datasheet_oracle(),
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "embedding_pq_topk": _pq_oracle(),
+    "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
 }

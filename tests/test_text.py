@@ -261,3 +261,31 @@ def test_unigram_lm_scores_rank_rare_docs_higher(spark):
     assert rows[9].avg_neg_logp > rows[0].avg_neg_logp
     # common doc: every token p = 27/30 -> avg = -ln(0.9)
     assert abs(rows[0].avg_neg_logp - round(-math.log(27 / 30), 6)) < 2e-6
+
+
+def test_clean_control_chars_scrubs_encoding_damage(spark):
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.text import (
+        clean_control_chars,
+    )
+
+    rows = [
+        (1, "plain text stays"),
+        (2, "tab\tand\nnewline"),
+        (3, "nbsp glued"),
+        (4, "bell\x07 and null\x00 gone"),
+        (5, "  padded   runs   collapse  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", clean_control_chars(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert got[1] == "plain text stays"
+    assert got[2] == "tab and newline"
+    assert got[3] == "nbsp glued"
+    assert got[4] == "bell and null gone"
+    assert got[5] == "padded runs collapse"
