@@ -454,16 +454,21 @@ def q_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = join_ops.asof_join(
         purchases, clicks, ["user_id"], "ts", ["click_event_id"], suffix=""
     )
+    # -1 sentinel for "no prior click": keeps the column BIGINT in both
+    # engines (a NULL-bearing int64 silently becomes float64 in pandas,
+    # so 3248 vs 3248.0 would hash-mismatch on every NON-null row too).
     return out.select(
         F.col("event_id").alias("purchase_event_id"),
         "user_id",
-        F.col("click_event_id").alias("last_click_event_id"),
+        F.coalesce(F.col("click_event_id"), F.lit(-1).cast("long")).alias(
+            "last_click_event_id"
+        ),
     )
 
 
 ORACLE_PURCHASE_LAST_CLICK = """
 SELECT p.event_id AS purchase_event_id, p.user_id,
-       c.event_id AS last_click_event_id
+       COALESCE(c.event_id, -1) AS last_click_event_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -762,5 +767,8 @@ def oracle_sql() -> dict[str, str]:
         fight_oracle.ensure_fight_merge_fixture()
         out["fight_merge"] = fight_oracle.ORACLE_FIGHT_MERGE
     except Exception:
+        import traceback
+
+        traceback.print_exc()
         out.pop("fight_merge", None)
     return out

@@ -81,10 +81,13 @@ def might_contain(
     key_col: str,
     m_bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
+    out_col: str = "might_match",
 ) -> DataFrame:
-    """`candidates` plus a boolean `might_match`: true iff every hash
-    position of the row's key has its bit set in `bloom` (the standard
-    no-false-negative, bounded-false-positive Bloom test).
+    """`candidates` plus a boolean `out_col` (default ``might_match``):
+    true iff every hash position of the row's key has its bit set in
+    `bloom` (the standard no-false-negative, bounded-false-positive Bloom
+    test). Raises if `candidates` already carries `out_col` or any
+    reserved ``__bloom_*`` scratch column.
 
     Probe plan: k successive LEFT joins against the broadcast word table
     (one per hash, missing word ⇒ bit unset), each a BroadcastHashJoin,
@@ -95,6 +98,17 @@ def might_contain(
     k positions and min()-aggregated them back — one candidate-keyed
     shuffle per probe that this shape deletes.
     """
+    clash = [
+        c
+        for c in candidates.columns
+        if c == out_col or c.startswith("__bloom_")
+    ]
+    if clash:
+        raise ValueError(
+            f"might_contain: candidate columns {clash} collide with the "
+            f"output column {out_col!r} / reserved '__bloom_*' scratch "
+            "names; rename them or pass a different out_col"
+        )
     key = F.col(key_col).cast("string")
     # Lazily checkpointed: each of the k broadcast joins embeds its own
     # copy of the word-table subtree — without the checkpoint the
@@ -104,7 +118,7 @@ def might_contain(
     hits = []
     for j in range(n_hashes):
         pos = _position(key, j, m_bits)
-        wj, bj, hj = f"_w{j}", f"_b{j}", f"_hit{j}"
+        wj, bj, hj = f"__bloom_w{j}", f"__bloom_b{j}", f"__bloom_hit{j}"
         out = (
             out.withColumn(wj, (pos / _WORD).cast("int"))
             .withColumn(bj, (pos % _WORD).cast("int"))
@@ -112,7 +126,7 @@ def might_contain(
                 F.broadcast(
                     bloom.select(
                         F.col("word_idx").alias(wj),
-                        F.col("bits").alias(f"_bits{j}"),
+                        F.col("bits").alias(f"__bloom_bits{j}"),
                     )
                 ),
                 wj,
@@ -121,10 +135,10 @@ def might_contain(
             .withColumn(
                 hj,
                 F.expr(
-                    f"(shiftright(coalesce(_bits{j}, 0), {bj}) & 1) = 1"
+                    f"(shiftright(coalesce(__bloom_bits{j}, 0), {bj}) & 1) = 1"
                 ),
             )
-            .drop(wj, bj, f"_bits{j}")
+            .drop(wj, bj, f"__bloom_bits{j}")
         )
         hits.append(F.col(hj))
     might = hits[0]
@@ -135,5 +149,5 @@ def might_contain(
     # definitionally not a member) and NOT-filters don't drop the row
     # from both branches.
     return out.withColumn(
-        "might_match", F.coalesce(might, F.lit(False))
-    ).drop(*[f"_hit{j}" for j in range(n_hashes)])
+        out_col, F.coalesce(might, F.lit(False))
+    ).drop(*[f"__bloom_hit{j}" for j in range(n_hashes)])

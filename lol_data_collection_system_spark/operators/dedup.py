@@ -422,13 +422,27 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+#: Derived-k target: mean cluster size when `n_clusters=None`. SemDeDup
+#: (Abbas et al. 2023) runs ~50k clusters over ~100M-doc web corpora —
+#: mean |cluster| in the low thousands; 512 keeps the within-cluster
+#: pair scan (~512²/2 per cluster) comfortably bounded.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 512
+
+
+class PairBudgetExceeded(RuntimeError):
+    """Raised when Σ|cluster|² exceeds the declared pair budget — the
+    loud alternative to silently launching a quadratic join."""
+
+
 def semantic_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-    n_clusters: int = 6,
+    n_clusters: int | None = 6,
     iters: int = 2,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates: cluster embeddings with
     Lloyd k-means, then exact-cosine pairs WITHIN each cluster (Abbas et
@@ -442,13 +456,41 @@ def semantic_near_dup_pairs(
     skew check). The cluster id is a shuffle key like any LSH band —
     same join shape as `embedding_near_dup_pairs`, with the quantizer
     trained instead of axis-aligned.
+
+    Scale guards (both opt-in; the oracle-checked query uses a fixed k
+    for cross-engine reproducibility and enables the budget):
+
+    * ``n_clusters=None`` DERIVES k from the corpus — one ``count()``
+      scalar action, k = ceil(N / target_cluster_size) — so a 100×
+      corpus gets 100× clusters instead of 100× the mean cluster size.
+    * ``pair_budget=N`` computes Σ|cluster|² from the (k-row) cluster
+      histogram before any pair join is launched and raises
+      :class:`PairBudgetExceeded` when the skew check fails. The
+      assignment frame is lazily checkpointed, so the histogram action
+      also materializes the assignments the pair join then reuses —
+      the guard costs no extra k-means pass.
     """
     from .similarity import dot, kmeans_assign, l2_norm
 
+    if n_clusters is None:
+        n_rows = emb.count()
+        n_clusters = max(2, -(-n_rows // target_cluster_size))
     assigned = kmeans_assign(
         emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
         keep_vec=True,
     ).withColumn("l2n", l2_norm(F.col(vec_col)))
+    if pair_budget is not None:
+        assigned = assigned.localCheckpoint(eager=False)
+        sizes = assigned.groupBy("cid").count().collect()  # ≤ k rows
+        pair_space = sum(r["count"] * r["count"] for r in sizes)
+        if pair_space > pair_budget:
+            top = sorted((r["count"] for r in sizes), reverse=True)[:5]
+            raise PairBudgetExceeded(
+                f"semantic_near_dup_pairs: Σ|cluster|² = {pair_space:,} "
+                f"exceeds pair_budget {pair_budget:,} with k={n_clusters} "
+                f"(largest clusters: {top}); raise n_clusters (or pass "
+                "n_clusters=None to derive it from the corpus size)"
+            )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

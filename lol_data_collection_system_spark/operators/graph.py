@@ -151,30 +151,28 @@ def quality_canonicals(
     canonical_quality) — filter `n_members > 1` for the clusters where
     the policy actually changed anything.
 
-    One join keyed by doc id + one partial-agg'd groupBy per component;
-    the argmax travels as a packed struct max (quality, −id, id), so no
-    per-component sort or window appears anywhere.
+    Generic over id type (numeric, string, binary ids all work): pass 1
+    partial-aggs (max quality, member count) per component; pass 2 keeps
+    only max-quality members and min()s their ids. Both aggregations and
+    the rejoin are keyed by component_id, so the second pass reuses the
+    first's shuffle partitioning instead of adding a differently-keyed
+    exchange.
     """
     joined = labels.join(
         docs.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col
     )
-    best = F.max(
-        F.struct(
-            F.col("_q").alias("q"),
-            (-F.col(id_col)).alias("neg_id"),
-            F.col(id_col).alias("id"),
-        )
+    per_comp = joined.groupBy("component_id").agg(
+        F.max("_q").alias("canonical_quality"),
+        F.count(F.lit(1)).alias("n_members"),
     )
     return (
-        joined.groupBy("component_id")
-        .agg(
-            best.alias("_best"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
+        joined.join(per_comp, "component_id")
+        # null-safe: a component whose every quality is NULL still keeps
+        # a canonical (min id) instead of vanishing from the output.
+        .where(F.col("_q").eqNullSafe(F.col("canonical_quality")))
+        .groupBy("component_id", "n_members", "canonical_quality")
+        .agg(F.min(id_col).alias("canonical_id"))
         .select(
-            "component_id",
-            F.col("_best.id").alias("canonical_id"),
-            "n_members",
-            F.col("_best.q").alias("canonical_quality"),
+            "component_id", "canonical_id", "n_members", "canonical_quality"
         )
     )

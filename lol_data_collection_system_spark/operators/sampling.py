@@ -316,11 +316,17 @@ def token_budget_plan(
     )
 
 
+#: Target candidate-scan size per draw when `buckets` is derived
+#: (`buckets=None`): B = ceil(N / this), keeping per-draw work bounded
+#: and total join output ~n_negatives · N · this — linear in the corpus.
+NEG_TARGET_BUCKET_SIZE = 128
+
+
 def contrastive_negatives(
     df: DataFrame,
     id_col: str = "doc_id",
     n_negatives: int = 2,
-    buckets: int = 64,
+    buckets: int | None = 64,
     salt: str = "neg1",
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive / embedding
@@ -344,8 +350,14 @@ def contrastive_negatives(
     rows before the per-draw pick, so `buckets` must GROW with the
     corpus — size B ≈ N/100 for a bounded ~100-candidate scan per draw
     (linear total work). The default 64 suits the 10³-10⁴-doc test
-    scales; a fixed B at web scale turns the join quadratic.
+    scales; a fixed B at web scale turns the join quadratic. Pass
+    ``buckets=None`` to DERIVE B from the corpus size (one count()
+    scalar action: B = ceil(N / NEG_TARGET_BUCKET_SIZE)) — the
+    corpus-facing path; an explicit B is for oracle-reproducible tests.
     """
+    if buckets is None:
+        n = df.count()
+        buckets = max(1, -(-n // NEG_TARGET_BUCKET_SIZE))
     key = F.col(id_col).cast("string")
     cand = df.select(
         F.col(id_col).alias("neg_id"),

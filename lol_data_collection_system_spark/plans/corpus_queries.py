@@ -1643,13 +1643,23 @@ FROM scores s, cuts c
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic near-duplicates (trained clusters prune pairs)
 # ---------------------------------------------------------------------------
+#: Σ|cluster|² ceiling for the declared semantic-near-dup query. At the
+#: test sfs (≤2k embeddings, k=6 balanced-ish clusters) the pair space
+#: is ≲0.7M; a skew collapse toward one giant cluster trips the guard
+#: loudly instead of launching a quadratic join.
+SEMDEDUP_PAIR_BUDGET = 5_000_000
+
+
 def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Fixed k (not derived) so the unrolled k-means CTE oracle stays
+    # engine-reproducible; the corpus-facing derived-k path
+    # (n_clusters=None) is exercised by tests/test_graph.py.
     return dedup_ops.semantic_near_dup_pairs(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         threshold=NEAR_DUP_COS,
         n_clusters=IVF_TRAINED_K,
         iters=IVF_TRAINED_ITERS,
+        pair_budget=SEMDEDUP_PAIR_BUDGET,
     )
 
 

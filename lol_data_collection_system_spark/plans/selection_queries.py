@@ -332,7 +332,6 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decon_oracle() -> str:
-    from ..operators.importance import DSIR_SALT  # noqa: F401 (constants doc)
     from .corpus_queries import (
         SPLIT_FRACTIONS,
         SPLIT_SALT,

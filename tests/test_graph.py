@@ -104,3 +104,46 @@ def test_quality_canonicals_ties_break_to_smaller_id(spark):
     )
     out = quality_canonicals(docs, labels, "n_chars").collect()[0]
     assert out.canonical_id == 5
+
+
+def test_quality_canonicals_string_ids(spark):
+    """The canonical pick is generic over id type: string ids still get
+    max-quality, ties -> lexicographically-smallest-id semantics."""
+    from lol_data_collection_system_spark.operators.graph import (
+        quality_canonicals,
+    )
+
+    docs = spark.createDataFrame(
+        [("d-a", 10), ("d-b", 30), ("d-c", 30), ("d-z", 5)],
+        ["doc_id", "n_chars"],
+    )
+    labels = spark.createDataFrame(
+        [("d-a", "d-a"), ("d-b", "d-a"), ("d-c", "d-a"), ("d-z", "d-z")],
+        ["doc_id", "component_id"],
+    )
+    got = {
+        r.component_id: (r.canonical_id, r.n_members, r.canonical_quality)
+        for r in quality_canonicals(docs, labels, "n_chars").collect()
+    }
+    assert got["d-a"] == ("d-b", 3, 30)  # quality wins, tie -> smaller id
+    assert got["d-z"] == ("d-z", 1, 5)
+
+
+def test_quality_canonicals_all_null_quality_keeps_component(spark):
+    from pyspark.sql import types as T
+
+    from lol_data_collection_system_spark.operators.graph import (
+        quality_canonicals,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = spark.createDataFrame([(1, None), (2, None)], schema)
+    labels = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "component_id"])
+    out = quality_canonicals(docs, labels, "n_chars").collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == 1 and out[0].n_members == 2

@@ -329,3 +329,22 @@ def test_pq_topk_shape_and_code_behavior(spark):
     got = {r.vec_id: r.approx_ip for r in rows}
     if 3 in got:
         assert math.isclose(got[3], expect, rel_tol=0, abs_tol=1e-9)
+
+
+def test_might_contain_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators import bloom as bloom_ops
+
+    filt = bloom_ops.build_bloom(
+        spark.createDataFrame([("a",)], ["k"]), "k", 1 << 10, 2
+    )
+    bad = spark.createDataFrame([("a", True)], ["k", "might_match"])
+    with _pytest.raises(ValueError, match="might_match"):
+        bloom_ops.might_contain(bad, filt, "k", 1 << 10, 2)
+    # custom out_col sidesteps the clash
+    out = bloom_ops.might_contain(
+        bad, filt, "k", 1 << 10, 2, out_col="blocked"
+    )
+    assert {"k", "might_match", "blocked"} <= set(out.columns)
+    assert out.collect()[0].blocked is True
