@@ -10,11 +10,13 @@ Design (the 100 TB shape):
   per-batch, not per-row; partition boundaries are preserved (no
   shuffle); output schemas are declared up front so downstream stages
   stay fully typed.
-- The actual codec calls (PIL/ffmpeg/soundfile) are STUBBED behind
-  `_decode_payload` — the container ships no media libs. The stub is
-  deterministic (derived from the bytes), so the plumbing — schema,
-  batching, partitioning, UDF signature — is real and testable; swapping
-  in a real codec changes one function.
+- Decode is REAL for three stdlib-parseable container formats — BMP
+  (24-bit BI_RGB), WAV (PCM16 mono RIFF), and concatenated binary PPM
+  (P6) frames as a minimal "video" — implemented header-and-pixels in
+  pure Python below. Formats needing external codecs (JPEG/H.264/FLAC)
+  fall back to a deterministic md5-derived STUB, clearly marked, so the
+  pipeline shape is identical whether or not a real parser exists for a
+  payload.
 
 Reference analogue: the reference stores opaque JSON documents next to
 relational rows and parses them per use (`models.py:101-103`); the binary
@@ -25,6 +27,7 @@ pattern with the payload opaque to the planner.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,23 +61,171 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("modality", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("payload_md5", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python codecs (encode side feeds fixtures/adapters; decode side is
+# the real parser the mapInPandas stage runs)
+# ---------------------------------------------------------------------------
+def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer. `pixels` is row-major top-down
+    (r, g, b); rows are emitted bottom-up with 4-byte stride padding, per
+    the format."""
+    stride = (width * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a 24-bit uncompressed BMP: (width, height, mean_r, mean_g,
+    mean_b) over every pixel (stride-aware, bottom-up)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    height_abs = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    tr = tg = tb = 0
+    for y in range(height_abs):
+        base = data_off + y * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            tr, tg, tb = tr + r, tg + g, tb + b
+    n = width * height_abs
+    return width, height_abs, tr / n, tg / n, tb / n
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal PCM16 mono RIFF/WAVE writer."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Parse PCM16 mono WAV: (sample_rate, n_samples, mean |amplitude|).
+    Walks the RIFF chunk list — fmt/data need not be adjacent."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", chunk, 0)
+            bits = struct.unpack_from("<H", chunk, 14)[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV: need PCM16 mono")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    return sample_rate, n, (sum(abs(s) for s in samples) / n) if n else 0.0
+
+
+def encode_ppm_frames(
+    width: int, height: int, frame_colors: list[tuple[int, int, int]]
+) -> bytes:
+    """Concatenated binary-PPM (P6) frames — a minimal seekable "video":
+    each frame is its own header + raw RGB raster, solid `frame_colors[f]`."""
+    out = bytearray()
+    for r, g, b in frame_colors:
+        out += f"P6\n{width} {height}\n255\n".encode()
+        out += bytes((r, g, b)) * (width * height)
+    return bytes(out)
+
+
+def decode_ppm_frames(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse every concatenated P6 frame: (n_frames, width, height,
+    mean_r over all pixels of all frames)."""
+    pos, n_frames, width, height = 0, 0, 0, 0
+    tr = npx = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad P6 magic at offset {pos}")
+        # header = magic, whitespace, width, height, maxval, single ws
+        fields: list[int] = []
+        pos += 2
+        while len(fields) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported P6 maxval {maxval}")
+        raster = payload[pos : pos + width * height * 3]
+        tr += sum(raster[0::3])
+        npx += width * height
+        pos += width * height * 3
+        n_frames += 1
+    return n_frames, width, height, (tr / npx) if npx else 0.0
+
+
+#: Feature vector width emitted by `_decode_payload` for every modality.
+N_FEATURES = 5
+
+
 def _decode_payload(payload: bytes, modality: str) -> list[float]:
-    """STUB decode: the real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` / ``soundfile.read`` /
-    ``av.open`` — none of which ship in this container. Deterministic
-    fake: 4 floats derived from the md5 of the bytes, so tests can assert
-    exact values and the Arrow round-trip is exercised end-to-end.
+    """REAL decode for the stdlib-parseable formats, dispatched on the
+    container magic (not on `modality` — the bytes are the truth):
+
+    * BMP  → [width, height, mean_r, mean_g, mean_b]
+    * WAV  → [sample_rate, n_samples, mean |amplitude|, 0, 0]
+    * P6*  → [n_frames, width, height, mean_r, 0]
+
+    Anything else (JPEG, H.264, FLAC … — no codec libs in this
+    container) falls back to the deterministic md5 STUB so the pipeline
+    never dies on an unknown payload; stub rows are recognizable by
+    construction in tests (floats in [0, 1)).
     """
+    try:
+        if payload[:2] == b"BM":
+            return [float(v) for v in decode_bmp(payload)]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            sr, n, amp = decode_wav(payload)
+            return [float(sr), float(n), amp, 0.0, 0.0]
+        if payload[:2] == b"P6":
+            nf, w, h, mr = decode_ppm_frames(payload)
+            return [float(nf), float(w), float(h), mr, 0.0]
+    except (ValueError, struct.error, IndexError):
+        pass  # malformed container -> stub, same as unknown format
     digest = hashlib.md5(payload).digest()
     # k / 2^32 is a dyadic rational — exact in float, no rounding needed
     return [
-        int.from_bytes(digest[i : i + 4], "big") / 2**32 for i in range(0, 16, 4)
-    ]
+        int.from_bytes(digest[i : i + 4], "big") / 2**32
+        for i in range(0, 16, 4)
+    ] + [0.0]
 
 
 def decode_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
@@ -129,25 +280,72 @@ def frame_sample_plan(
     )
 
 
+#: Deterministic payload-synthesis parameters (documents adapter). Every
+#: derived quantity is a closed-form function of (doc_id, n_chars) so the
+#: DuckDB oracle can predict what the REAL decoder must recover from the
+#: encoded bytes.
+AUDIO_RATE = 16_000
+VIDEO_W = VIDEO_H = 2
+_VIDEO_FRAME_BYTES = len("P6\n2 2\n255\n") + VIDEO_W * VIDEO_H * 3  # 23
+
+
+def synth_media_row(doc_id: int, n_chars: int) -> tuple[str, bytes, dict]:
+    """(modality, payload, meta) for one document — real encoded bytes:
+
+    * doc_id % 3 == 0 → BMP image, w=(id%7)+1, h=(id%5)+1; pixel (x,y)
+      has r = id%200 + x + y (gradient — decode must read pixels, not
+      the header), g = n_chars%256, b = (id*7)%256 constant.
+    * doc_id % 3 == 1 → WAV audio, (id%32)+1 samples of alternating
+      ±(id%1000) amplitude at 16 kHz — mean |amplitude| = id%1000.
+    * doc_id % 3 == 2 → P6 frame stack, (id%300)+1 solid 2×2 frames of
+      r = id%256, g = n_chars%256, b = 0.
+    """
+    m = doc_id % 3
+    if m == 0:
+        w, h = doc_id % 7 + 1, doc_id % 5 + 1
+        base_r, g, b = doc_id % 200, n_chars % 256, (doc_id * 7) % 256
+        pixels = [
+            (base_r + x + y, g, b) for y in range(h) for x in range(w)
+        ]
+        payload = encode_bmp(w, h, pixels)
+        meta = {"width": w, "height": h, "sample_rate": 0, "n_frames": 1,
+                "codec": "bmp"}
+        return "image", payload, meta
+    if m == 1:
+        n, a = doc_id % 32 + 1, doc_id % 1000
+        payload = encode_wav(AUDIO_RATE, [a if i % 2 == 0 else -a for i in range(n)])
+        meta = {"width": 0, "height": 0, "sample_rate": AUDIO_RATE,
+                "n_frames": 1, "codec": "wav"}
+        return "audio", payload, meta
+    nf = doc_id % 300 + 1
+    payload = encode_ppm_frames(
+        VIDEO_W, VIDEO_H, [(doc_id % 256, n_chars % 256, 0)] * nf
+    )
+    meta = {"width": VIDEO_W, "height": VIDEO_H, "sample_rate": 0,
+            "n_frames": nf, "codec": "ppm"}
+    return "video", payload, meta
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter for the driver's testdata: materialize a MEDIA_SCHEMA table
-    from `documents` (payload = utf-8 bytes of text, modality assigned
-    round-robin, metadata derived deterministically). Stands in for a real
-    (id, blob) source like `spark.read.format("binaryFile")`."""
-    modality = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    meta = F.struct(
-        (F.col("n_chars") % 1920).cast("int").alias("width"),
-        (F.col("n_chars") % 1080).cast("int").alias("height"),
-        F.lit(16_000).alias("sample_rate"),
-        (F.col("n_chars") % 300 + 1).cast("int").alias("n_frames"),
-        F.lit("stub").alias("codec"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        modality.alias("modality"),
-        F.encode("text", "utf-8").alias("payload"),
-        meta.alias("meta"),
-    )
+    from `documents` with REAL encoded payloads (BMP/WAV/PPM, see
+    `synth_media_row`). Stands in for a real (id, blob) source like
+    `spark.read.format("binaryFile")` — generation is mapInPandas over
+    the scan's own partitions (no shuffle, no driver materialization)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *synth_media_row(int(i), int(c)))
+                for i, c in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "modality": [r[1] for r in rows],
+                    "payload": [r[2] for r in rows],
+                    "meta": [r[3] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)

@@ -27,6 +27,13 @@ FRAME_EVERY_N = 10
 # Multimodal decode via mapInPandas (stubbed codec, real plumbing)
 # ---------------------------------------------------------------------------
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode under the hash gate: the adapter synthesizes genuine
+    BMP/WAV/PPM containers from document fields, the mapInPandas stage
+    parses the BYTES (headers, stride-padded pixel rasters, RIFF chunk
+    walk), and the oracle predicts what the decoder must recover in
+    closed form — a wrong stride, row order, or chunk offset breaks the
+    hash. The BMP red channel is a per-pixel gradient, so a decoder that
+    read only the header could not pass."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm_ops.media_from_documents(docs)
     decoded = mm_ops.decode_features(media)
@@ -34,32 +41,44 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "modality",
         "n_bytes",
-        "payload_md5",
         *[
-            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
-            for i in range(4)
+            F.element_at("feature", i + 1).alias(f"f{i}")
+            for i in range(mm_ops.N_FEATURES)
         ],
     )
 
 
 _MODALITY_SQL = "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]"
 
-
-def _feature_sql(i: int) -> str:
-    # byte i*4..i*4+4 of the md5 digest = hex chars i*8+1..i*8+8, as uint32
-    return (
-        f"CAST(CAST(CAST(('0x' || substr(md5(text), {i * 8 + 1}, 8)) AS BIGINT)"
-        f" / 4294967296.0 AS FLOAT) AS DOUBLE) AS f{i}"
-    )
-
-
+# Mirrors multimodal.synth_media_row: every decoded quantity in closed
+# form over (doc_id, n_chars). Integer-exact or dyadic (x.0 / x.5) floats
+# only, so cross-engine doubles are bit-identical.
 ORACLE_MEDIA_DECODE_FEATURES = f"""
+WITH dims AS (
+  SELECT doc_id, n_chars,
+         doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,     -- image
+         doc_id % 32 + 1 AS ns,                        -- audio samples
+         doc_id % 300 + 1 AS nf                        -- video frames
+  FROM documents)
 SELECT doc_id AS media_id,
        {_MODALITY_SQL} AS modality,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS payload_md5,
-       {_feature_sql(0)}, {_feature_sql(1)}, {_feature_sql(2)}, {_feature_sql(3)}
-FROM documents
+       CASE doc_id % 3
+         WHEN 0 THEN 54 + h * ((w * 3 + 3) // 4 * 4)
+         WHEN 1 THEN 44 + 2 * ns
+         ELSE 23 * nf END AS n_bytes,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN w WHEN 1 THEN 16000 ELSE nf END AS DOUBLE) AS f0,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN h WHEN 1 THEN ns ELSE 2 END AS DOUBLE) AS f1,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN doc_id % 200 + (w - 1) / 2.0 + (h - 1) / 2.0
+         WHEN 1 THEN doc_id % 1000 ELSE 2 END AS DOUBLE) AS f2,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN n_chars % 256 WHEN 1 THEN 0
+         ELSE doc_id % 256 END AS DOUBLE) AS f3,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN doc_id * 7 % 256 ELSE 0 END AS DOUBLE) AS f4
+FROM dims
 """
 
 
@@ -75,7 +94,10 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MEDIA_FRAME_SAMPLE = f"""
 SELECT doc_id AS media_id,
        {_MODALITY_SQL} AS modality,
-       unnest(generate_series(0, greatest((n_chars % 300 + 1) - 1, 0), {FRAME_EVERY_N}))
+       unnest(generate_series(
+           0,
+           greatest(CASE WHEN doc_id % 3 = 2 THEN doc_id % 300 + 1 ELSE 1 END - 1, 0),
+           {FRAME_EVERY_N}))
          AS frame_idx
 FROM documents
 """

@@ -1,0 +1,112 @@
+"""Pure-Python codec round-trips + the Arrow decode pipeline.
+
+The encode side exists to synthesize fixtures; the DECODE side is the
+operator under test — real header parsing, stride-padded rasters, RIFF
+chunk walks. Malformed/unknown containers must fall back to the
+deterministic stub instead of killing the batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from lol_data_collection_system_spark.operators import multimodal as mm
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+def test_bmp_roundtrip_gradient():
+    w, h = 3, 2
+    pixels = [(10 + x + y, 77, 200) for y in range(h) for x in range(w)]
+    payload = mm.encode_bmp(w, h, pixels)
+    stride = (w * 3 + 3) // 4 * 4
+    assert len(payload) == 54 + h * stride
+    gw, gh, mr, mg, mb = mm.decode_bmp(payload)
+    assert (gw, gh) == (w, h)
+    # mean of 10+x+y over the 3x2 grid: 10 + (0+1+2)/3 + (0+1)/2 = 11.5
+    assert mr == 11.5 and mg == 77.0 and mb == 200.0
+
+
+def test_bmp_stride_padding_not_counted_as_pixels():
+    # w=1 -> 3 data bytes + 1 pad byte per row; a stride-unaware reader
+    # would fold pad bytes into the next pixel
+    payload = mm.encode_bmp(1, 4, [(50, 60, 70)] * 4)
+    _, _, mr, mg, mb = mm.decode_bmp(payload)
+    assert (mr, mg, mb) == (50.0, 60.0, 70.0)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_alternating():
+    payload = mm.encode_wav(16_000, [300, -300, 300])
+    assert len(payload) == 44 + 6
+    sr, n, amp = mm.decode_wav(payload)
+    assert (sr, n, amp) == (16_000, 3, 300.0)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    base = mm.encode_wav(8_000, [100, -100])
+    # splice a LIST chunk between fmt and data
+    head, tail = base[:36], base[36:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    payload = head[:12] + head[12:36] + extra + tail
+    sr, n, amp = mm.decode_wav(payload)
+    assert (sr, n, amp) == (8_000, 2, 100.0)
+
+
+# ---------------------------------------------------------------------------
+# PPM frame stack
+# ---------------------------------------------------------------------------
+def test_ppm_frames_roundtrip():
+    payload = mm.encode_ppm_frames(2, 2, [(9, 0, 0), (11, 0, 0)])
+    nf, w, h, mr = mm.decode_ppm_frames(payload)
+    assert (nf, w, h, mr) == (2, 2, 2, 10.0)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + stub fallback
+# ---------------------------------------------------------------------------
+def test_decode_payload_dispatches_on_magic():
+    img = mm._decode_payload(mm.encode_bmp(2, 1, [(4, 5, 6), (6, 5, 6)]), "image")
+    assert img == [2.0, 1.0, 5.0, 5.0, 6.0]
+    wav = mm._decode_payload(mm.encode_wav(16_000, [7]), "audio")
+    assert wav == [16_000.0, 1.0, 7.0, 0.0, 0.0]
+    vid = mm._decode_payload(mm.encode_ppm_frames(2, 2, [(3, 0, 0)]), "video")
+    assert vid == [1.0, 2.0, 2.0, 3.0, 0.0]
+
+
+def test_decode_payload_unknown_and_malformed_fall_back_to_stub():
+    for payload in (b"\xff\xd8\xffJPEGish", b"BMtruncated", b"RIFFxxxxWAVE"):
+        out = mm._decode_payload(payload, "image")
+        assert len(out) == mm.N_FEATURES
+        assert all(0.0 <= v < 1.0 for v in out[:4]) and out[4] == 0.0
+        assert out == mm._decode_payload(payload, "image")  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# Distributed pipeline end-to-end
+# ---------------------------------------------------------------------------
+def test_decode_features_real_bytes_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, 40 + i) for i in range(12)], ["doc_id", "n_chars"]
+    )
+    media = mm.media_from_documents(docs.repartition(4))
+    got = {r.media_id: r for r in mm.decode_features(media).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        r = got[i]
+        expect_mod = ["image", "audio", "video"][i % 3]
+        assert r.modality == expect_mod
+        if expect_mod == "image":
+            w, h = i % 7 + 1, i % 5 + 1
+            assert r.feature[0] == w and r.feature[1] == h
+            assert r.feature[2] == i % 200 + (w - 1) / 2 + (h - 1) / 2
+        elif expect_mod == "audio":
+            assert r.feature[:3] == [16_000.0, float(i % 32 + 1), float(i % 1000)]
+        else:
+            assert r.feature[0] == float(i % 300 + 1)
+            assert r.feature[3] == float(i % 256)
+        assert r.n_bytes == len(
+            mm.synth_media_row(i, 40 + i)[1]
+        )
