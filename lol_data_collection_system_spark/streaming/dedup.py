@@ -45,37 +45,20 @@ def dedup_stream(
     return fp.dropDuplicates(["fp"])
 
 
-def near_dedup_stream(
-    docs: DataFrame,
-    text_col: str = "text",
-    ts_col: str = "ts",
-    watermark_delay: str = "10 minutes",
-    k: int = 3,
-    band_hashes: int = 4,
-) -> DataFrame:
-    """Streaming NEAR-duplicate guard: keep the first arrival per MinHash
-    LSH band bucket (one band of `band_hashes` permutations over word
-    `k`-gram shingles), within the watermark horizon.
+def minhash_bands_local(
+    text_col: str, k: int = 3, n_hashes: int = 16, band_size: int = 4
+):
+    """Row-local MinHash band hashes: array of `n_hashes // band_size`
+    (band_idx, band_hash) structs, computed entirely with array
+    higher-order functions — no explode, no shuffle, no stateful
+    aggregation ahead of the dedup state. Permutations come from the
+    batch path's `minhash_perm` and the band digest mirrors
+    `dedup._band_hashes`' md5-over-"|"-joined-slice geometry, so stream
+    buckets live in the SAME space as `lsh_candidate_pairs` buckets.
 
-    The online counterpart of `operators/dedup.lsh_candidate_pairs`:
-    a pair with Jaccard similarity s lands in the same bucket with
-    probability s^band_hashes, so high-similarity rewrites are dropped
-    in-stream with that recall while dissimilar docs collide with
-    negligible probability — an intentional single-band approximation
-    (the full multi-band LSH + verification + clustering pass stays a
-    batch job; this guard just keeps the live window mostly clean).
-
-    The signature here is computed ROW-LOCALLY with array higher-order
-    functions rather than the batch path's explode + partial-agg: a
-    stateful streaming aggregation per doc would be a second stateful
-    operator ahead of the dedup state, while the row-local form needs no
-    shuffle at all — the right trade for per-event latency even though
-    interpreted HOFs cost more CPU per row than the codegen'd batch
-    shape (see `minhash_signatures`' history). State is keyed by the
-    band hash string: one small row per bucket within the horizon.
-
-    Batch frames take plain `dropDuplicates` on the same key so tests
-    can cross-check stream vs batch output.
+    Row-local vs the batch explode + partial-agg shape is the right
+    trade for per-event latency; interpreted HOFs cost more CPU per row
+    than the codegen'd batch shape (see `minhash_signatures`' history).
     """
     from ..operators.dedup import MINHASH_PRIME, minhash_perm
     from ..operators.text import normalized_text, tokens
@@ -83,11 +66,9 @@ def near_dedup_stream(
     toks = tokens(normalized_text(F.col(text_col)))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-
-    def shingle_fn(kk: int):
-        return lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kk))
-
-    sh = F.array_distinct(F.transform(idx, shingle_fn(k)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
     hashes = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
@@ -98,14 +79,103 @@ def near_dedup_stream(
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
 
     mins = []
-    for i in range(band_hashes):
+    for i in range(n_hashes):
         a, b = minhash_perm(i)
         mins.append(F.array_min(F.transform(hashes, perm_fn(a, b))))
-    banded = docs.withColumn(
-        "band", F.concat_ws(",", *[m.cast("string") for m in mins])
+    n_bands = n_hashes // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            mins[b * band_size + r].cast("string")
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    if banded.isStreaming:
-        return banded.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
-            ["band"]
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Streaming NEAR-duplicate guard with the batch banding scheme: a
+    document is kept iff it is the FIRST arrival in EVERY one of its
+    `n_hashes / band_size` MinHash band buckets — i.e. it agrees with no
+    earlier document on any band, the same "matches on ≥1 band ⇒
+    candidate duplicate" rule `lsh_candidate_pairs` applies offline.
+    Recall for a pair with Jaccard s is the full banded 1-(1-s^r)^b
+    curve, not the single-band s^r this operator shipped with first.
+
+    Plan shape (streaming): explode the row-local band structs →
+    `dropDuplicatesWithinWatermark([band_idx, band_hash])` (per-BUCKET
+    state, one small row per bucket within the horizon) → windowed
+    per-doc count with `count == n_bands` keeping only all-bucket
+    winners. That second stage is a watermarked streaming aggregation —
+    chained stateful operators in append mode — so kept rows emit when
+    the watermark passes their `emit_window`; size it to the latency the
+    guard is allowed, and note the batch twin uses event-time (min ts)
+    bucket winners where the stream uses arrival order: identical
+    whenever arrival respects event time, which the parity test pins.
+
+    Batch frames run the same explode → per-bucket first (rank over ts,
+    id) → all-winner filter, so stream==batch checks compare doc sets.
+    Output: (window, id, ts, text, bands sorted) — one row per kept doc.
+    """
+    n_bands = n_hashes // band_size
+    bands = minhash_bands_local(text_col, k, n_hashes, band_size)
+    exploded = docs.select(
+        F.col(id_col), F.col(ts_col), F.col(text_col),
+        F.explode(bands).alias("_b"),
+    ).select(
+        id_col, ts_col, text_col, "_b.band_idx", "_b.band_hash"
+    )
+    if docs.isStreaming:
+        winners = exploded.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
+        kept = (
+            winners.groupBy(F.window(ts_col, emit_window), F.col(id_col))
+            .agg(
+                F.count(F.lit(1)).alias("_won"),
+                F.first(ts_col).alias(ts_col),
+                F.first(text_col).alias(text_col),
+                F.sort_array(F.collect_list("band_hash")).alias("bands"),
+            )
+            .filter(F.col("_won") == n_bands)
+            .drop("_won")
         )
-    return banded.dropDuplicates(["band"])
+        return kept
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(ts_col, id_col)
+    winners = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        winners.groupBy(F.window(ts_col, emit_window), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("_won"),
+            F.first(ts_col).alias(ts_col),
+            F.first(text_col).alias(text_col),
+            F.sort_array(F.collect_list("band_hash")).alias("bands"),
+        )
+        .filter(F.col("_won") == n_bands)
+        .drop("_won")
+    )

@@ -500,10 +500,11 @@ def test_streaming_corpus_ingest_pipeline(spark, tmp_path):
 
 
 def test_streaming_near_dedup_drops_banded_rewrites(spark, tmp_path):
-    """Streaming near-dup guard: a case/punctuation rewrite (identical
-    shingle set -> identical band, guaranteed collision) arriving in a
-    later micro-batch is dropped; a distinct doc passes; stream output
-    equals the batch twin's bucket set."""
+    """Multi-band streaming near-dup guard: a case/punctuation rewrite
+    (identical shingle set -> identical hash in EVERY band) arriving in a
+    later micro-batch loses all its buckets and is dropped; distinct docs
+    win all their buckets and pass; stream doc set == batch twin doc set
+    (the stream==batch recall parity for the full banding scheme)."""
     from lol_data_collection_system_spark.streaming import near_dedup_stream
 
     src = tmp_path / "neardup"
@@ -527,9 +528,12 @@ def test_streaming_near_dedup_drops_banded_rewrites(spark, tmp_path):
     write("f1", [("2024-01-01 00:00:01", 1, base),
                  ("2024-01-01 00:00:02", 2, "one two three four five six")])
     # doc 3: punctuation/case rewrite of doc 1 — same normalized shingles,
-    # same band, MUST collide; doc 4: new content
+    # so every band collides; doc 4: new content
     write("f2", [("2024-01-01 00:01:00", 3, "Alpha, BETA gamma; delta epsilon ZETA eta theta!"),
                  ("2024-01-01 00:01:01", 4, "seven eight nine ten eleven twelve")])
+    # flush row: pushes the watermark far past the earlier emit windows so
+    # the chained windowed aggregation emits them (it itself stays pending)
+    write("f3", [("2024-01-01 02:00:00", 99, "flush flush flush flush")])
 
     stream = (
         spark.readStream.schema(schema)
@@ -547,10 +551,43 @@ def test_streaming_near_dedup_drops_banded_rewrites(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    kept = sorted(r.doc_id for r in spark.read.parquet(str(out_dir)).collect())
+    stream_rows = spark.read.parquet(str(out_dir)).collect()
+    kept = sorted(r.doc_id for r in stream_rows)
     assert kept == [1, 2, 4]
+    # every kept doc won ALL its bands (n_hashes/band_size = 4)
+    assert all(len(r.bands) == 4 for r in stream_rows)
 
     batch = spark.read.schema(schema).json(str(src) + "/*")
-    batch_bands = {r.band for r in near_dedup_stream(batch).collect()}
-    stream_bands = {r.band for r in spark.read.parquet(str(out_dir)).collect()}
-    assert batch_bands == stream_bands and len(batch_bands) == 3
+    batch_rows = near_dedup_stream(batch).collect()
+    batch_kept = {r.doc_id: tuple(r.bands) for r in batch_rows}
+    # batch twin sees the flush doc too (no pending-window asymmetry)
+    assert sorted(batch_kept) == [1, 2, 4, 99]
+    # per-doc band sets agree between engines for the commonly-kept docs
+    assert {i: b for i, b in batch_kept.items() if i != 99} == {
+        r.doc_id: tuple(r.bands) for r in stream_rows
+    }
+
+
+def test_near_dedup_partial_band_collision_drops_doc(spark):
+    """A doc colliding with an earlier doc on only SOME bands is still
+    dropped (matches-on-≥1-band rule): batch-mode check with a crafted
+    pair sharing most but not all shingles."""
+    from lol_data_collection_system_spark.streaming import near_dedup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 2 appends one token: most k=3 shingles (and likely most band
+    # mins) survive; if any band agrees it must be dropped
+    rows = [
+        ("2024-01-01 00:00:01", 1, base),
+        ("2024-01-01 00:00:02", 2, base + " lambda"),
+        ("2024-01-01 00:00:03", 3, "unrelated words entirely different content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "doc_id", "text"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+    )
+    kept = {r.doc_id for r in near_dedup_stream(df).collect()}
+    assert 1 in kept and 3 in kept
+    # doc 2 shares 8 of 9 base shingles with doc 1 -> essentially certain
+    # band agreement; assert it was dropped (if this ever flakes the
+    # banding geometry changed, not the operator)
+    assert 2 not in kept
