@@ -576,6 +576,99 @@ def span_dup_stats(
     )
 
 
+def cross_doc_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """CORPUS-level exact-substring dedup spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    maximal token range of a document covered by `width`-token windows
+    that occur a SECOND time anywhere in the corpus — another document
+    or another position of the same one. Lee et al. build a corpus
+    suffix array and delete any ≥50-token substring occurring twice;
+    the distributed equivalent anchors on fixed-width windows (every
+    repeat of length ≥ width contains a repeated width-window, so span
+    coverage is identical for repeats ≥ width) and merges overlapping
+    hits into maximal spans — no suffix array, no global order.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — token
+    positions [span_start, span_end) to cut, `remove_dup_spans`-style.
+
+    Plan shape (3 keyed shuffles, all partial-agg'd or windowed):
+    1. posexplode tokens → per-doc `lead()` window builds each position's
+       width-window string (one pass, same as `span_dup_stats`).
+    2. groupBy(window string) COUNT — partial-aggregated, so a
+       boilerplate window repeated 10^6× still combines map-side — keep
+       counts ≥ 2; join positions back on the window string (AQE skew
+       split absorbs hot spans; `max_span_freq` is the explicit lever
+       that drops pathological spans from BOTH sides, mirrored in the
+       oracle).
+    3. per-doc ordered window merges hit positions into islands:
+       a position starts a new span iff it clears every earlier hit's
+       reach (running max of pos+width), then one groupBy(doc, island)
+       emits the span bounds. State per doc is O(hits), never corpus-
+       global; no driver action anywhere.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, width)]
+    spans = (
+        toked.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("span"),
+            parts[-1].isNotNull().alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .select(id_col, "pos", "span")
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_n"))
+    repeated = counts.filter(F.col("_n") >= 2)
+    if max_span_freq is not None:
+        repeated = repeated.filter(F.col("_n") <= max_span_freq)
+    hits = spans.join(repeated.select("span"), "span").select(id_col, "pos")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_reach = F.max(F.col("pos") + width).over(w_prev)
+    flagged = hits.select(
+        F.col(id_col),
+        "pos",
+        (prev_reach.isNull() | (F.col("pos") > prev_reach))
+        .cast("bigint")
+        .alias("_new"),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("_island", F.sum("_new").over(w_run))
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + width).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

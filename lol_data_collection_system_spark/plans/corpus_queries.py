@@ -1153,6 +1153,47 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.span_dup_stats(docs, "doc_id", "text", width=SPAN_WIDTH)
 
 
+def q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring dedup (Lee et al. 2022 family): the
+    maximal token spans of each document covered by SPAN_WIDTH-token
+    windows occurring at least twice anywhere in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.cross_doc_repeated_spans(
+        docs, "doc_id", "text", width=SPAN_WIDTH
+    )
+
+
+ORACLE_REPEATED_SUBSTRING_SPANS = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {SPAN_WIDTH - 1})) - 1 AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {SPAN_WIDTH - 1}),
+                i -> array_to_string(t[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
+  FROM docs WHERE len(t) >= {SPAN_WIDTH}),
+rep AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM spans JOIN rep USING (span)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {SPAN_WIDTH}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_WIDTH} AS span_end,
+       MAX(pos) + {SPAN_WIDTH} - MIN(pos) AS span_tokens
+FROM islands GROUP BY doc_id, island
+"""
+
+
 ORACLE_SPAN_DUP_STATS = f"""
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1983,6 +2024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "vocab_top_terms": q_vocab_top_terms,
     "span_dup_stats": q_span_dup_stats,
+    "repeated_substring_spans": q_repeated_substring_spans,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "doc_token_entropy": q_doc_token_entropy,
@@ -2037,6 +2079,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_signals": _repetition_oracle(),
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "span_dup_stats": ORACLE_SPAN_DUP_STATS,
+    "repeated_substring_spans": ORACLE_REPEATED_SUBSTRING_SPANS,
     "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
     "bm25_search": _bm25_oracle(),
     "doc_token_entropy": ORACLE_DOC_TOKEN_ENTROPY,

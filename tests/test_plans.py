@@ -400,3 +400,79 @@ def test_pq_topk_is_map_side_plus_take_ordered(spark):
     assert "TakeOrderedAndProject" in tree
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    """Skew pin: under a hot-key fixture the salted join (a) keys the
+    shuffle on (k, _salt) — visible in the physical plan — and (b)
+    actually spreads the hot key's rows across multiple reducer groups,
+    shrinking the max per-group row count by ~n_salts vs the unsalted
+    join's single crushed reducer."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.joins import (
+        salted_skew_join,
+    )
+
+    n_salts = 8
+    # 20k rows, 90% on one hot key, spread over 16 input partitions
+    big = (
+        spark.range(0, 20_000, 1, 16)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    joined = salted_skew_join(big, small, "k", n_salts=n_salts)
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the join (and therefore its shuffle) keys on the salt too
+    assert "_salt" in plan
+
+    # empirical spread: reducer-group sizes keyed the way each join
+    # shuffles. Unsalted: one group holds all 18k hot rows; salted: the
+    # hot key splits across n_salts groups.
+    unsalted_max = (
+        big.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted_max = (
+        big.withColumn(
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        )
+        .groupBy("k", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert unsalted_max >= 18_000
+    assert salted_max * (n_salts - 1) < unsalted_max  # real spread, not 1 group
+
+    # and value parity with the plain join (salting is physical only)
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted_agg = joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted_agg.collect())
+    )
+
+
+def test_repeated_substring_spans_no_cartesian_partial_agg(spark):
+    """Cross-doc substring dedup: span counting must partial-agg (map-side
+    combine on the window string) and the hit join must be an equi-join,
+    never a cartesian/nested-loop product."""
+    plan = _plan(spark, "repeated_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

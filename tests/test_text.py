@@ -289,3 +289,58 @@ def test_clean_control_chars_scrubs_encoding_damage(spark):
     assert got[3] == "nbsp glued"
     assert got[4] == "bell and null gone"
     assert got[5] == "padded runs collapse"
+
+
+def test_cross_doc_repeated_spans_merges_overlaps(spark):
+    """A 10-token block shared by two docs yields one maximal merged span
+    per doc (its 3 width-8 windows overlap), positioned correctly inside
+    each host document; unique docs emit nothing."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        cross_doc_repeated_spans,
+    )
+
+    block = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [
+        (1, "u1 u2 u3 " + block + " t1 t2"),          # block at pos 3..13
+        (2, block + " v1 v2 v3 v4"),                   # block at pos 0..10
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), # unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in cross_doc_repeated_spans(df, width=8).collect()
+    }
+    assert got == {1: (3, 13, 10), 2: (0, 10, 10)}
+
+
+def test_cross_doc_repeated_spans_within_doc_repeat_counts(spark):
+    """Lee et al. semantics: a second occurrence INSIDE the same document
+    also marks both occurrences (suffix-array dedup is position-based,
+    not doc-pair-based)."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        cross_doc_repeated_spans,
+    )
+
+    rep = "r0 r1 r2 r3"
+    text = rep + " x1 x2 x3 " + rep  # repeat at pos 0..4 and 7..11
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        (r.span_start, r.span_end)
+        for r in cross_doc_repeated_spans(df, width=4).collect()
+    )
+    assert got == [(0, 4), (7, 11)]
+
+
+def test_cross_doc_repeated_spans_freq_cap_drops_pathological(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        cross_doc_repeated_spans,
+    )
+
+    boiler = "p0 p1 p2 p3"
+    df = spark.createDataFrame(
+        [(i, boiler + f" u{i}a u{i}b") for i in range(5)], ["doc_id", "text"]
+    )
+    uncapped = cross_doc_repeated_spans(df, width=4)
+    assert uncapped.count() == 5  # every doc flags the boilerplate
+    capped = cross_doc_repeated_spans(df, width=4, max_span_freq=3)
+    assert capped.count() == 0  # span freq 5 > cap -> dropped (documented)
