@@ -73,18 +73,48 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "survey_s2_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-            }
+    out = {
+        "metric": "survey_s2_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+
+    # Regression gate (`--gate [baseline.json]`): compare per-query mins
+    # against the recorded uncontended baseline and fail on >1.5× — the
+    # automated round-over-round catch, instead of a manual diff. Only
+    # queries present in both runs participate (new queries have no
+    # baseline yet); the gate is advisory about absolute speed, strict
+    # about regressions.
+    if "--gate" in sys.argv:
+        idx = sys.argv.index("--gate")
+        baseline_path = (
+            sys.argv[idx + 1]
+            if len(sys.argv) > idx + 1 and not sys.argv[idx + 1].startswith("-")
+            else os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_UNCONTENDED.json",
+            )
         )
-    )
+        with open(baseline_path) as f:
+            base = json.load(f).get("queries", {})
+        regressions = {
+            n: {"base": base[n], "now": t, "ratio": round(t / base[n], 2)}
+            for n, t in timings.items()
+            if n in base and base[n] > 0.05 and t > 1.5 * base[n]
+        }
+        out["gate"] = {
+            "baseline": os.path.basename(baseline_path),
+            "threshold": 1.5,
+            "compared": sum(1 for n in timings if n in base),
+            "regressions": regressions,
+        }
+        print(json.dumps(out))
+        sys.exit(1 if regressions else 0)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
