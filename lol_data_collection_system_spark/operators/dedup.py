@@ -931,3 +931,191 @@ def pair_quality(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+def incremental_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Classify each NEW document against an EXISTING corpus: `exact_dup`
+    (content fingerprint already present), `near_dup` (MinHash-LSH
+    candidate verified by capped-shingle Jaccard ≥ threshold), or `novel`.
+
+    The production shape for continuously-crawled corpora: the corpus side
+    is the indexed state (fingerprints, stop-shingle table, signatures —
+    at scale these are precomputed once and stored; here they are derived
+    in-plan from `corpus`), and every join is DELTA-DRIVEN: band-bucket
+    join delta-bands × corpus-bands, then Jaccard verification only over
+    candidate doc pairs (semi-joined shingle frames) — never
+    corpus × corpus. Cost is O(|delta| · bucket_width), independent of
+    |corpus|² .
+
+    The doc-frequency cap (`max_doc_freq`) is computed from the CORPUS
+    only (the known-distribution side): shingles hot in the corpus are
+    dropped from both sides; delta-only shingles always survive. This is
+    what a streaming ingest can actually do — the delta's own df is not
+    knowable ahead of time.
+
+    Output: one row per delta doc — (id, status, match_id, jaccard).
+    `match_id` = canonical (min) matching corpus id, −1 for novel;
+    `jaccard` = 1.0 for exact, best (max) verified Jaccard for near-dup,
+    0.0 for novel.
+    """
+    delta_ids = delta.select(F.col(id_col))
+
+    # --- exact tier: one hash-agg on the corpus, hash join on fp ---
+    corpus_fp = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("exact_match_id"))
+    )
+    delta_fp = delta.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = delta_fp.join(corpus_fp, "fp").select(id_col, "exact_match_id")
+
+    # --- shingle frames, corpus-df cap applied to BOTH sides ---
+    c_sh = shingles(corpus, id_col, text_col, k)
+    d_sh = shingles(delta, id_col, text_col, k)
+    if max_doc_freq is not None:
+        # The stop-shingle table: bounded (only shingles with df > cap),
+        # checkpointed so the two anti-joins share one build.
+        hot = (
+            c_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .localCheckpoint(eager=False)
+        )
+        c_sh = c_sh.join(hot, "shingle", "left_anti")
+        d_sh = d_sh.join(hot, "shingle", "left_anti")
+    c_sh = c_sh.localCheckpoint(eager=False)
+    d_sh = d_sh.localCheckpoint(eager=False)
+
+    # --- candidate tier: delta bands × corpus bands ---
+    c_band = minhash_signatures_from_shingles(c_sh, id_col, n_hashes).select(
+        F.col(id_col).alias("cid"),
+        F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    d_band = minhash_signatures_from_shingles(d_sh, id_col, n_hashes).select(
+        F.col(id_col).alias("did"),
+        F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    cand = (
+        d_band.join(c_band, ["band_idx", "band_hash"])
+        .select("did", "cid")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    # --- verify tier: Jaccard over candidate pairs only ---
+    d_cand_sh = d_sh.join(
+        cand.select(F.col("did").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    c_cand_sh = c_sh.join(
+        cand.select(F.col("cid").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    inter = (
+        d_cand_sh.select(F.col(id_col).alias("did"), "shingle")
+        .join(c_cand_sh.select(F.col(id_col).alias("cid"), "shingle"), "shingle")
+        .join(cand, ["did", "cid"], "left_semi")
+        .groupBy("did", "cid")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    d_sizes = d_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("d_size"))
+    c_sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_size"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("d_size") + F.col("c_size") - F.col("n_inter")
+    )
+    verified = (
+        inter.join(d_sizes.select(F.col(id_col).alias("did"), "d_size"), "did")
+        .join(c_sizes.select(F.col(id_col).alias("cid"), "c_size"), "cid")
+        .select("did", "cid", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    near = verified.groupBy("did").agg(
+        F.min("cid").alias("near_match_id"),
+        F.max("jac").alias("best_jac"),
+    )
+
+    # --- combine (exact wins over near) ---
+    out = (
+        delta_ids.join(exact, id_col, "left")
+        .join(near.withColumnRenamed("did", id_col), id_col, "left")
+    )
+    status = (
+        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    jaccard_out = (
+        F.when(F.col("exact_match_id").isNotNull(), F.lit(1.0))
+        .when(F.col("near_match_id").isNotNull(), F.col("best_jac"))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        F.col(id_col),
+        status.alias("status"),
+        F.coalesce("exact_match_id", "near_match_id", F.lit(-1))
+        .cast("bigint")
+        .alias("match_id"),
+        jaccard_out.cast("double").alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (quote / subset-duplicate detection)
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed near-containment pairs: C(A→B) = |A∩B| / |A| over word
+    k-gram shingle sets — "how much of A appears inside B". Catches
+    subset duplicates (a doc quoted or embedded in a longer one) that
+    symmetric Jaccard misses: a 50-shingle doc fully contained in a
+    1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0.
+
+    Same shingle-keyed candidate join as `ngram_jaccard_pairs` (only docs
+    sharing ≥1 surviving shingle are compared; `max_doc_freq` is the same
+    skew lever), but emits DIRECTED pairs (id_a ≠ id_b) since containment
+    is asymmetric. One extra output row per unordered pair, no extra
+    shuffle (the intersection aggregate serves both directions).
+    """
+    sh = cap_shingles(
+        shingles(df, id_col, text_col, k), id_col, max_doc_freq
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    contain = F.col("n_inter").cast("double") / F.col("size_a")
+    return (
+        inter.join(sa, "id_a")
+        .select("id_a", "id_b", F.round(contain, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

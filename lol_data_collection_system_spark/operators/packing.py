@@ -122,3 +122,55 @@ def pack_sequences(
             ).alias("tok_end"),
         )
     )
+
+
+def hash_shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic output-shard manifest: assign every document to
+    ``md5(id) mod n_shards`` and report per-shard volume (docs, tokens,
+    chars) plus each shard's share of the global token budget.
+
+    Hash sharding is the 100 TB answer for writing a training corpus:
+    embarrassingly parallel (no global sort / row_number — a
+    token-balanced striping needs a single-partition window, which is the
+    scale antipattern), stable under re-runs and corpus appends, and
+    balanced to ~1/sqrt(docs-per-shard) by the hash. The manifest IS the
+    balance audit: `token_share` deviating from 1/n_shards is the signal
+    to re-hash or split. md5-derived (not Spark's internal hash) so the
+    oracle reproduces assignments bit-exactly.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % n_shards
+    )
+    per_shard = (
+        df.select(
+            shard.alias("shard_id"),
+            token_count(F.col(text_col)).alias("n_tok"),
+            F.length(text_col).alias("n_chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    # Global token total: 1-row aggregate, broadcast back — no extra
+    # shuffle of the shard rows (n_shards rows at most anyway).
+    total = per_shard.agg(F.sum("total_tokens").alias("_g"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("total_tokens").cast("double") / F.col("_g"), 6).alias(
+            "token_share"
+        ),
+    )

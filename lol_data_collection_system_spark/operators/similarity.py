@@ -577,3 +577,77 @@ def pq_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "approx_ip"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction
+# ---------------------------------------------------------------------------
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    lsh_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
+    cosine neighbors among vectors sharing its sign-LSH bucket.
+
+    The all-pairs building block behind SemDeDup-style pruning, graph-based
+    label propagation, and kNN-classifier data curation — distinct from
+    the single-query ``*_topk`` family (one window over EVERY vector, not
+    one TakeOrdered against one query).
+
+    Scale shape: bucket self-join (pair space ~N²/2^bits, never a full
+    cross join) → per-source window ``row_number() ≤ k``, which Spark
+    executes as WindowGroupLimit (per-partition top-k before the final
+    window sort — no global sort, no single-partition exchange). Norms
+    are hoisted and carried through the join so each candidate pair costs
+    one array fold. Recall < 1 across bucket boundaries by construction
+    (the standard ANN-graph trade-off; raise `lsh_bits` ↓ recall ↑ speed).
+    """
+    from pyspark.sql import Window
+
+    with_bucket = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("l2n"),
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("l2n").alias("l2n_a"),
+        "bucket",
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("l2n").alias("l2n_b"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("l2n_a") * F.col("l2n_b")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "rank",
+            "cos_sim",
+        )
+    )

@@ -1991,6 +1991,292 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub (round 3)
+# ---------------------------------------------------------------------------
+#: The synthetic corpus contains no PII (word-salad, zero digits), so the
+#: declared queries run the operators over a DETERMINISTIC augmentation —
+#: typed PII strings derived from doc_id, appended in-plan by both engines
+#: identically. The operators themselves are corpus-agnostic; pytest
+#: additionally exercises them on handwritten fixtures.
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(c: F.Column) -> F.Column:
+        return c.cast("string")
+
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact u"), s(did), F.lit("@ex"), s(did % 7), F.lit(".com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" call (555) 01"), s(did % 10), F.lit("-"), s(F.lit(1000) + did % 9000)
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 6 == 0,
+        F.concat(F.lit(" from 10."), s(did % 256), F.lit(".0."), s(did % 100)),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+_PII_AUG_SQL = (
+    "SELECT doc_id, source, text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
+    "         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call (555) 01' || CAST(doc_id % 10 AS VARCHAR)"
+    "         || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " AS text FROM documents"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pii as pii_ops
+
+    return pii_ops.pii_report_by_source(
+        _pii_augmented(spark, sf_dir), "source", "text"
+    )
+
+
+def _pii_oracle_counts() -> str:
+    from ..operators.pii import PII_RULES
+
+    return ", ".join(
+        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name
+        for name, pat, _ in PII_RULES
+    )
+
+
+def _pii_scan_oracle() -> str:
+    from ..operators.pii import PII_RULES
+
+    names = [name for name, _, _ in PII_RULES]
+    hit = " + ".join("n_" + n for n in names)
+    totals = ",\n  ".join(
+        f"CAST(SUM(n_{n}) AS BIGINT) AS total_{n}" for n in names
+    )
+    return f"""
+WITH aug AS ({_PII_AUG_SQL}),
+per_doc AS (SELECT source, {_pii_oracle_counts()} FROM aug)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN {hit} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+  {totals}
+FROM per_doc GROUP BY source
+"""
+
+
+def q_pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pii as pii_ops
+
+    return pii_ops.scan_pii(_pii_augmented(spark, sf_dir), "doc_id", "text").filter(
+        F.col("n_pii") > 0
+    )
+
+
+def _pii_redacted_oracle() -> str:
+    from ..operators.pii import PII_RULES
+
+    names = [name for name, _, _ in PII_RULES]
+    redacted = "text"
+    for _, pat, token in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    hit = " + ".join("n_" + n for n in names)
+    return f"""
+WITH aug AS ({_PII_AUG_SQL}),
+per_doc AS (
+  SELECT doc_id, {_pii_oracle_counts()}, {redacted} AS redacted_text
+  FROM aug)
+SELECT doc_id, {", ".join("n_" + n for n in names)},
+       {hit} AS n_pii, redacted_text
+FROM per_doc WHERE {hit} > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup (round 3)
+# ---------------------------------------------------------------------------
+#: Deterministic ingest split: docs with id % 5 == 0 are the "fresh crawl"
+#: delta; docs with id % 7 == 0 (and not already delta) reappear as
+#: re-crawled copies under shifted ids — guaranteed exact dups, so all
+#: three statuses are exercised at every sf.
+RECRAWL_OFFSET = 100_000
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    fresh = docs.filter(did % 5 == 0)
+    recrawl = docs.filter((did % 7 == 0) & (did % 5 != 0)).select(
+        (did + RECRAWL_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup_ops.incremental_dedup(
+        corpus,
+        fresh.unionByName(recrawl),
+        "doc_id",
+        "text",
+        SHINGLE_K,
+        MINHASH_N,
+        MINHASH_BAND,
+        JACCARD_THRESHOLD,
+        SHINGLE_MAX_DF,
+    )
+
+
+def _incremental_oracle() -> str:
+    from ..operators.dedup import MINHASH_PRIME
+
+    mh_exprs = _minhash_perm_exprs()
+    band_exprs = _minhash_band_exprs()
+    sh = _shingle_list_sql()
+    return f"""
+WITH delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 5 != 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+corpus_fp AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS mid
+              FROM corpus GROUP BY 1),
+delta_fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM delta),
+exact AS (SELECT d.doc_id, cf.mid FROM delta_fp d JOIN corpus_fp cf USING (fp)),
+c_sh0 AS (SELECT doc_id, unnest({sh}) AS shingle
+          FROM (SELECT doc_id, {_NTOKS} AS t FROM corpus)),
+d_sh0 AS (SELECT doc_id, unnest({sh}) AS shingle
+          FROM (SELECT doc_id, {_NTOKS} AS t FROM delta)),
+hot AS (SELECT shingle FROM c_sh0 GROUP BY 1 HAVING COUNT(*) > {SHINGLE_MAX_DF}),
+c_sh AS (SELECT * FROM c_sh0 ANTI JOIN hot USING (shingle)),
+d_sh AS (SELECT * FROM d_sh0 ANTI JOIN hot USING (shingle)),
+c_hashed AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
+             FROM c_sh),
+d_hashed AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
+             FROM d_sh),
+c_sigs AS (SELECT doc_id, {mh_exprs} FROM c_hashed GROUP BY doc_id),
+d_sigs AS (SELECT doc_id, {mh_exprs} FROM d_hashed GROUP BY doc_id),
+c_band AS (SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_idx,
+                  unnest(bands) AS band_hash
+           FROM (SELECT doc_id, [{band_exprs}] AS bands FROM c_sigs)),
+d_band AS (SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_idx,
+                  unnest(bands) AS band_hash
+           FROM (SELECT doc_id, [{band_exprs}] AS bands FROM d_sigs)),
+cand AS (SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+         FROM d_band d JOIN c_band c
+           ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash),
+inter AS (
+  SELECT ca.did, ca.cid, COUNT(*) AS n_inter
+  FROM cand ca
+  JOIN d_sh d ON d.doc_id = ca.did
+  JOIN c_sh c ON c.doc_id = ca.cid AND c.shingle = d.shingle
+  GROUP BY 1, 2),
+d_sizes AS (SELECT doc_id, COUNT(*) AS d_size FROM d_sh GROUP BY 1),
+c_sizes AS (SELECT doc_id, COUNT(*) AS c_size FROM c_sh GROUP BY 1),
+ver AS (
+  SELECT i.did, i.cid,
+         ROUND(CAST(n_inter AS DOUBLE) / (ds.d_size + cs.c_size - n_inter), 6) AS jac
+  FROM inter i
+  JOIN d_sizes ds ON ds.doc_id = i.did
+  JOIN c_sizes cs ON cs.doc_id = i.cid
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (ds.d_size + cs.c_size - n_inter), 6)
+        >= {JACCARD_THRESHOLD}),
+near AS (SELECT did, MIN(cid) AS nmid, MAX(jac) AS best_jac FROM ver GROUP BY 1)
+SELECT dd.doc_id,
+  CASE WHEN e.mid IS NOT NULL THEN 'exact_dup'
+       WHEN n.nmid IS NOT NULL THEN 'near_dup'
+       ELSE 'novel' END AS status,
+  CAST(COALESCE(e.mid, n.nmid, -1) AS BIGINT) AS match_id,
+  CASE WHEN e.mid IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       WHEN n.nmid IS NOT NULL THEN n.best_jac
+       ELSE CAST(0.0 AS DOUBLE) END AS jaccard
+FROM delta dd
+LEFT JOIN exact e ON e.doc_id = dd.doc_id
+LEFT JOIN near n ON n.did = dd.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph / containment / shard manifest (round 3)
+# ---------------------------------------------------------------------------
+KNN_K = 3
+CONTAINMENT_THRESHOLD = 0.15
+N_SHARDS = 8
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph(emb, KNN_K, ANN_BITS)
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+WITH wb AS (SELECT vec_id, embedding,
+                   {_bucket_sql('embedding', ANN_BITS)} AS bucket
+            FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, ROUND({_COS_SQL}, 4) AS cos_sim
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+SELECT src AS vec_id, dst AS neighbor_id, rank, cos_sim FROM (
+  SELECT src, dst, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+  FROM scored)
+WHERE rank <= {KNN_K}
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.containment_pairs(
+        docs, "doc_id", "text", SHINGLE_K, CONTAINMENT_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+capped AS ({_CAPPED_SH_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.set_size, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.set_size, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as packing_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.hash_shard_manifest(docs, "doc_id", "text", N_SHARDS)
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH per_shard AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {N_SHARDS} AS shard_id,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1)
+SELECT shard_id, n_docs, total_tokens, total_chars,
+       ROUND(CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER (), 6)
+         AS token_share
+FROM per_shard
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2044,6 +2330,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_negatives": q_contrastive_negatives,
     "embedding_pq_topk": q_embedding_pq_topk,
     "doc_text_scrub": q_doc_text_scrub,
+    "pii_scan": q_pii_scan,
+    "pii_redacted_docs": q_pii_redacted_docs,
+    "incremental_dedup": q_incremental_dedup,
+    "knn_graph": q_knn_graph,
+    "containment_pairs": q_containment_pairs,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLES: dict[str, str] = {
@@ -2099,4 +2391,10 @@ ORACLES: dict[str, str] = {
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "embedding_pq_topk": _pq_oracle(),
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
+    "pii_scan": _pii_scan_oracle(),
+    "pii_redacted_docs": _pii_redacted_oracle(),
+    "incremental_dedup": _incremental_oracle(),
+    "knn_graph": _knn_graph_oracle(),
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
 }

@@ -1,0 +1,139 @@
+"""Incremental (delta-vs-corpus) dedup, containment pairs, k-NN graph,
+and hash-shard manifest — the round-3 operator additions."""
+
+from __future__ import annotations
+
+import pytest
+
+from lol_data_collection_system_spark.operators import dedup, packing
+from lol_data_collection_system_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def corpus_delta(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 2
+            (10, "one two three four five six seven eight nine ten"),
+            # near-dup of corpus doc 1 (one token changed at the end)
+            (11, "alpha beta gamma delta epsilon zeta eta iota"),
+            # novel
+            (12, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, delta
+
+
+def test_incremental_statuses(spark, corpus_delta):
+    corpus, delta = corpus_delta
+    out = {
+        r["doc_id"]: r
+        # band_size=2 (8 bands of 2): at J≈0.71 the default 4-row bands
+        # catch a candidate with only ~70% probability — fine at corpus
+        # scale, not for a 3-row fixture. Narrower bands trade candidate
+        # volume for recall; the md5 hashing keeps the outcome exact.
+        for r in dedup.incremental_dedup(
+            corpus, delta, "doc_id", "text", k=3, band_size=2, threshold=0.2
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[10]["status"] == "exact_dup"
+    assert out[10]["match_id"] == 2
+    assert out[10]["jaccard"] == 1.0
+    assert out[11]["status"] == "near_dup"
+    assert out[11]["match_id"] == 1
+    # 8 tokens -> 6 shingles per doc, 5 shared: J = 5/7
+    assert abs(out[11]["jaccard"] - 5 / 7) < 1e-6
+    assert out[12]["status"] == "novel"
+    assert out[12]["match_id"] == -1
+    assert out[12]["jaccard"] == 0.0
+
+
+def test_incremental_corpus_df_cap_drops_hot_shingles(spark):
+    # A shingle present in > max_doc_freq corpus docs is dropped from BOTH
+    # sides; the delta doc built only from that hot phrase becomes novel.
+    hot_text = "stop phrase here"
+    corpus = spark.createDataFrame(
+        [(i, hot_text) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame([(10, hot_text)], "doc_id long, text string")
+    out = dedup.incremental_dedup(
+        corpus, delta, "doc_id", "text", k=3, threshold=0.1, max_doc_freq=2
+    ).collect()
+    # exact tier still catches it (fingerprints ignore the cap)...
+    assert out[0]["status"] == "exact_dup"
+    # ...but with a changed token (no exact match) the capped LSH side
+    # has no surviving shingles -> novel.
+    delta2 = spark.createDataFrame(
+        [(11, "stop phrase there")], "doc_id long, text string"
+    )
+    out2 = dedup.incremental_dedup(
+        corpus, delta2, "doc_id", "text", k=3, threshold=0.1, max_doc_freq=2
+    ).collect()
+    assert out2[0]["status"] == "novel"
+
+
+def test_containment_asymmetry(spark):
+    # Doc 1's shingles are a strict subset of doc 2's: containment(1->2)=1,
+    # containment(2->1) = |A∩B|/|B-side size| < 1.
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated content in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", 3, 0.1).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    assert rows[(2, 1)] == pytest.approx(3 / 8)
+    assert not any(3 in k for k in rows)
+
+
+def test_knn_graph_neighbors(spark):
+    # All four vectors share sign bucket (all-positive first dims); exact
+    # neighbors are unambiguous.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.05, 0.1, 0.1]),
+            (2, [0.9, 0.1, 0.1, 0.1]),
+            (3, [0.1, 1.0, 0.1, 0.1]),
+            (4, [0.1, 0.9, 0.2, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.knn_graph(df, k=2, lsh_bits=4)
+    rows = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert rows[(1, 1)] == 2
+    assert rows[(2, 1)] == 1
+    assert rows[(3, 1)] == 4
+    assert rows[(4, 1)] == 3
+    # k edges per node when the bucket is large enough
+    assert len(rows) == 8
+
+
+def test_shard_manifest_conservation(spark):
+    df = spark.createDataFrame(
+        [(i, f"word{i} common text row {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = packing.hash_shard_manifest(df, "doc_id", "text", n_shards=4).collect()
+    assert sum(r["n_docs"] for r in out) == 100
+    assert sum(r["token_share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert {r["shard_id"] for r in out} <= set(range(4))
+    # deterministic: same input -> same assignment
+    out2 = packing.hash_shard_manifest(df, "doc_id", "text", n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
