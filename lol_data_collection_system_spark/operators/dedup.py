@@ -988,16 +988,22 @@ def incremental_dedup(
     c_sh = shingles(corpus, id_col, text_col, k)
     d_sh = shingles(delta, id_col, text_col, k)
     if max_doc_freq is not None:
-        # The stop-shingle table: bounded (only shingles with df > cap),
-        # checkpointed so the two anti-joins share one build.
+        # One corpus-shingle build serves both the kept side and the hot
+        # (stop-shingle) table: annotate df via a window (single shuffle
+        # on shingle) and checkpoint THAT frame — filtering twice off the
+        # checkpoint is free, where a groupBy-then-anti-join derivation
+        # would scan+explode the corpus twice.
+        from pyspark.sql import Window
+
+        c_w = c_sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).localCheckpoint(eager=False)
+        c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(id_col, "shingle")
         hot = (
-            c_sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
+            c_w.filter(F.col("_df") > max_doc_freq)
             .select("shingle")
-            .localCheckpoint(eager=False)
+            .distinct()
         )
-        c_sh = c_sh.join(hot, "shingle", "left_anti")
         d_sh = d_sh.join(hot, "shingle", "left_anti")
     c_sh = c_sh.localCheckpoint(eager=False)
     d_sh = d_sh.localCheckpoint(eager=False)
