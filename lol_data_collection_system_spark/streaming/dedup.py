@@ -179,3 +179,80 @@ def near_dedup_stream(
         .filter(F.col("_won") == n_bands)
         .drop("_won")
     )
+
+
+def corpus_guard_stream(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Guard an incoming stream against a STATIC indexed corpus: drop
+    documents that exact-duplicate (fingerprint) or near-duplicate (any
+    shared MinHash band bucket) something already in the corpus; pass
+    everything else through. The online companion of
+    `operators/dedup.incremental_dedup` — same fingerprint space, same
+    signature scheme, same banding geometry, so a doc this guard drops is
+    exactly a doc that pipeline would mark `exact_dup` or produce as an
+    LSH candidate (kept stream ⊆ its `novel` set; candidates are a
+    superset of the Jaccard-verified matches, which is the conservative
+    direction for a guard).
+
+    Plan shape: the corpus index (distinct fingerprints + distinct band
+    buckets — at scale precomputed and stored, here derived in-plan) sits
+    on the static side of two stream-static LEFT ANTI joins, which are
+    STATELESS in Structured Streaming — no per-key store, no watermark
+    eviction problem, unbounded corpus age. The only stateful operator is
+    the final windowed all-bands-survived count (a doc is kept iff every
+    one of its bands missed the corpus), identical to
+    `near_dedup_stream`'s emit stage. Batch frames take the same plan
+    minus the watermark, so stream==batch parity is testable.
+    """
+    from ..operators.dedup import (
+        _band_hashes,
+        minhash_signatures,
+    )
+
+    n_bands = n_hashes // band_size
+    corpus_fp = corpus.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    corpus_bands = (
+        minhash_signatures(corpus, id_col, text_col, k, n_hashes)
+        .select(
+            F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                "band_idx", "band_hash"
+            )
+        )
+        .distinct()
+    )
+
+    fresh = docs.withColumn("fp", fingerprint(F.col(text_col))).join(
+        corpus_fp, "fp", "left_anti"
+    )
+    bands = minhash_bands_local(text_col, k, n_hashes, band_size)
+    exploded = fresh.select(
+        F.col(id_col), F.col(ts_col), F.col(text_col),
+        F.explode(bands).alias("_b"),
+    ).select(id_col, ts_col, text_col, "_b.band_idx", "_b.band_hash")
+    survived = exploded.join(
+        corpus_bands, ["band_idx", "band_hash"], "left_anti"
+    )
+    if docs.isStreaming:
+        survived = survived.withWatermark(ts_col, watermark_delay)
+    return (
+        survived.groupBy(F.window(ts_col, emit_window), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("_miss"),
+            F.first(ts_col).alias(ts_col),
+            F.first(text_col).alias(text_col),
+        )
+        .filter(F.col("_miss") == n_bands)
+        .drop("_miss")
+    )

@@ -476,3 +476,55 @@ def test_repeated_substring_spans_no_cartesian_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pii_ops_are_map_only(spark):
+    """PII scan/redaction is pure column work: the per-doc query has no
+    Exchange (scan → project → filter), no Python UDF; the per-source
+    report's only shuffle is the final partial-agg'd groupBy."""
+    plan = _plan(spark, "pii_redacted_docs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    report = _plan(spark, "pii_scan")
+    # formatted mode prints each node twice (tree + details) — count the
+    # tree occurrence only
+    assert report.count("Exchange (") == 1
+    assert report.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in report
+
+
+def test_knn_graph_windowgrouplimit_before_exchange(spark):
+    """The per-source top-k must run as WindowGroupLimit with a Partial
+    pass BEFORE the shuffle (per-partition k rows survive, not the whole
+    bucket pair space), and the bucket self-join must be an equi-join."""
+    plan = _plan(spark, "knn_graph")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_no_cartesian(spark):
+    """Candidate generation must stay keyed on the shingle (equi-join on
+    the capped shingle space), never an all-pairs product."""
+    plan = _plan(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_partial_agg_and_broadcast_total(spark):
+    """Shard rollup partial-aggregates map-side (the md5 shard id is
+    computed in the map stage, so combine happens before the exchange);
+    the global token total joins back as a broadcast of a 1-row
+    aggregate, never re-shuffling the shard rows."""
+    plan = _plan(spark, "shard_manifest")
+    assert plan.count("HashAggregate") >= 4  # per-shard partial+final, total partial+final
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_dedup_joins_are_keyed(spark):
+    """Every join in the delta-vs-corpus pipeline is keyed (fp, shingle,
+    band hash, doc id) — no cartesian anywhere, no Python evaluation."""
+    plan = _plan(spark, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

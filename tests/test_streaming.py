@@ -591,3 +591,93 @@ def test_near_dedup_partial_band_collision_drops_doc(spark):
     # band agreement; assert it was dropped (if this ever flakes the
     # banding geometry changed, not the operator)
     assert 2 not in kept
+
+
+def test_corpus_guard_stream_filters_against_static_corpus(spark, tmp_path):
+    """Stream-vs-static-corpus guard: an exact copy of a corpus doc and a
+    one-token rewrite (shares band buckets) are dropped; novel text
+    passes. Stream and batch twins keep the same doc set, and the kept
+    set is a subset of incremental_dedup's `novel` statuses (the guard is
+    the conservative, candidate-level online tier)."""
+    from lol_data_collection_system_spark.operators.dedup import incremental_dedup
+    from lol_data_collection_system_spark.streaming import corpus_guard_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "guard_docs"
+    out_dir = tmp_path / "guard_out"
+    ckpt = tmp_path / "guard_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def write(name, rows):
+        spark.createDataFrame(rows, ["ts_s", "doc_id", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    rows1 = [
+        # exact copy of corpus doc 2 -> dropped at the fingerprint tier
+        ("2024-01-01 00:00:01", 10, "one two three four five six seven eight nine ten"),
+        # near-rewrite of corpus doc 1 (one trailing token changed) ->
+        # shares band buckets -> dropped at the band tier
+        ("2024-01-01 00:00:02", 11, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    rows2 = [
+        ("2024-01-01 00:01:01", 12, "completely different words entirely here now"),
+    ]
+    write("f1", rows1)
+    write("f2", rows2)
+    # flush row: pushes the watermark past the earlier emit windows so the
+    # final windowed aggregation emits them (it itself stays pending)
+    write("f3", [("2024-01-01 02:00:00", 99, "flush flush flush flush")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    # band_size=2 for fixture-scale recall (see test_incremental)
+    q = (
+        corpus_guard_stream(stream, corpus, band_size=2)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept_stream = sorted(
+        r.doc_id for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    assert kept_stream == [12]
+
+    batch = spark.read.schema(schema).json(str(src) + "/*")
+    kept_batch = sorted(
+        r.doc_id for r in corpus_guard_stream(batch, corpus, band_size=2).collect()
+    )
+    # batch twin sees the pending flush doc too
+    assert kept_batch == kept_stream + [99]
+
+    # guard-kept ⊆ incremental_dedup novel (same fp space / banding)
+    delta = batch.select("doc_id", "text")
+    novel = {
+        r.doc_id
+        for r in incremental_dedup(
+            corpus, delta, "doc_id", "text", k=3, band_size=2, threshold=0.2
+        ).collect()
+        if r.status == "novel"
+    }
+    assert set(kept_stream) <= novel
