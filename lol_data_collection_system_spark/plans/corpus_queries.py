@@ -2277,6 +2277,83 @@ FROM per_shard
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 3)
+# ---------------------------------------------------------------------------
+N_BPE_MERGES = 6
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as bpe_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+
+
+def q_bpe_segmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as bpe_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    return bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
+
+
+def _bpe_rounds_sql(n: int) -> str:
+    """The unrolled BPE training rounds (mirrors `bpe.bpe_merges` —
+    same pair key, same tie-break, same '|'-delimited replace), the same
+    unrolled-CTE technique as the Lloyd k-means oracle."""
+    parts = [
+        f"w AS (SELECT word, COUNT(*) AS freq FROM "
+        f"(SELECT unnest({_NTOKS}) AS word FROM documents) GROUP BY 1)",
+        "s0 AS (SELECT word, freq, regexp_replace(word, '(.)', "
+        r"'(\1)', 'g') AS seq FROM w)",
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT freq, list_filter(regexp_split_to_array(seq, '[()]+'), x -> x != '') AS syms
+          FROM s{r - 1}))
+  GROUP BY 1)"""
+        )
+        parts.append(
+            f"t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"""s{r} AS (
+  SELECT word, freq,
+         replace(seq, '(' || replace(t.pair, ' ', ')(') || ')',
+                      '(' || replace(t.pair, ' ', '') || ')') AS seq
+  FROM s{r - 1}, t{r} t)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merge_oracle(n: int = N_BPE_MERGES) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, n + 1)
+    )
+    return _bpe_rounds_sql(n) + "\n" + selects
+
+
+def _bpe_segmented_oracle(n: int = N_BPE_MERGES) -> str:
+    return (
+        _bpe_rounds_sql(n)
+        + f""",
+wp AS (SELECT word, len(list_filter(regexp_split_to_array(seq, '[()]+'), x -> x != '')) AS n_pieces
+       FROM s{n})
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+FROM (SELECT doc_id, unnest({_NTOKS}) AS word FROM documents) d
+JOIN wp USING (word)
+GROUP BY 1
+"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2336,6 +2413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
+    "bpe_merge_table": q_bpe_merge_table,
+    "bpe_segmented_docs": q_bpe_segmented_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2397,4 +2476,6 @@ ORACLES: dict[str, str] = {
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
+    "bpe_merge_table": _bpe_merge_oracle(),
+    "bpe_segmented_docs": _bpe_segmented_oracle(),
 }
