@@ -2354,6 +2354,52 @@ GROUP BY 1
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-doc novelty audit (round 3)
+# ---------------------------------------------------------------------------
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct k-gram
+    shingles that appear in NO other document — the memorization-audit
+    complement of `doc_repetition_signals` (within-doc) and
+    `repeated_substring_spans` (cross-doc spans). One shingle explode +
+    one df window (shuffle keyed by shingle, the same key every dedup op
+    uses) + one per-doc aggregate; integer ratio at the end so the
+    double is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(docs, "doc_id", "text", SHINGLE_K)
+    from pyspark.sql import Window
+
+    df_count = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_df", df_count)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("_df") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_DOC_NOVELTY_SCORES = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+df AS (SELECT shingle, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN df.n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh JOIN df USING (shingle)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2415,6 +2461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_segmented_docs": q_bpe_segmented_docs,
+    "doc_novelty_scores": q_doc_novelty_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2478,4 +2525,5 @@ ORACLES: dict[str, str] = {
     "shard_manifest": ORACLE_SHARD_MANIFEST,
     "bpe_merge_table": _bpe_merge_oracle(),
     "bpe_segmented_docs": _bpe_segmented_oracle(),
+    "doc_novelty_scores": ORACLE_DOC_NOVELTY_SCORES,
 }

@@ -528,3 +528,42 @@ def test_incremental_dedup_joins_are_keyed(spark):
     plan = _plan(spark, "incremental_dedup")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_training_partial_agg_and_take_ordered(spark):
+    """Each BPE round's pair count must map-side combine (partial + final
+    HashAggregate) and pick its winner via TakeOrderedAndProject (k=1),
+    never a global sort. (The declared query's own plan is a Union over
+    checkpointed rounds, so pin the ROUND plan the loop materializes.)"""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.bpe import _pair_counts
+    from lol_data_collection_system_spark.operators.text import (
+        normalized_text,
+        tokens,
+    )
+    from lol_data_collection_system_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    state = (
+        docs.select(F.explode(tokens(normalized_text(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.regexp_replace("word", "(.)", r"($1)").alias("seq"))
+    )
+    top = _pair_counts(state).orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = top._jdf.queryExecution().explainString(jmode)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # vocab + pair counts, each partial+final
+    assert "Sort (" not in plan  # no global sort anywhere
+
+
+def test_doc_novelty_single_shingle_shuffle(spark):
+    """The df window and the per-doc aggregate are the only exchanges —
+    novelty must not re-explode or re-shuffle the corpus per metric."""
+    plan = _plan(spark, "doc_novelty_scores")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

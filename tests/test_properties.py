@@ -280,3 +280,81 @@ def test_chunking_covers_every_token(spark, texts, chunk, overlap):
             take = ctoks[: step if start + len(ctoks) - 1 < len(toks) else len(ctoks)]
             rebuilt.extend(take[: len(toks) - len(rebuilt)])
         assert rebuilt == toks
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_containment_dominates_jaccard(spark, texts):
+    """For every unordered pair, max(C(A→B), C(B→A)) ≥ Jaccard(A,B):
+    containment's denominator is one set, Jaccard's is the union."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.0).collect()
+    }
+    con = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", 2, 0.0).collect()
+    }
+    for (a, b), j in jac.items():
+        assert max(con.get((a, b), 0.0), con.get((b, a), 0.0)) >= j - 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("xx yy zz ww vv uu tt ss".split()),
+            min_size=3,
+            max_size=10,
+        ).map(" ".join),
+        min_size=4,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_statuses_partition_delta(spark, texts):
+    """Every delta doc gets exactly one status; exact dups carry
+    jaccard 1.0 and a real corpus match; novel docs carry (-1, 0.0)."""
+    from lol_data_collection_system_spark.operators.dedup import incremental_dedup
+
+    half = max(1, len(texts) // 2)
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[:half])], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = incremental_dedup(
+        corpus, delta, "doc_id", "text", k=2, band_size=2, threshold=0.3
+    ).collect()
+    assert len(rows) == len(texts)
+    corpus_ids = set(range(half))
+    for r in rows:
+        assert r["status"] in ("exact_dup", "near_dup", "novel")
+        if r["status"] == "exact_dup":
+            assert r["jaccard"] == 1.0 and r["match_id"] in corpus_ids
+        elif r["status"] == "near_dup":
+            assert 0.0 < r["jaccard"] <= 1.0 and r["match_id"] in corpus_ids
+        else:
+            assert (r["match_id"], r["jaccard"]) == (-1, 0.0)
+    # the first half of delta exactly duplicates the corpus
+    for r in rows:
+        if r["doc_id"] < 100 + half:
+            assert r["status"] == "exact_dup"

@@ -681,3 +681,39 @@ def test_corpus_guard_stream_filters_against_static_corpus(spark, tmp_path):
         if r.status == "novel"
     }
     assert set(kept_stream) <= novel
+
+
+def test_pii_scrub_is_stream_capable(spark, tmp_path):
+    """PII redaction is pure column work, so the SAME operator runs on a
+    stream with no state, no watermark, and per-row output — the scrub
+    stage of a streaming ingest pipeline."""
+    from lol_data_collection_system_spark.operators.pii import scan_pii
+
+    src = tmp_path / "pii_docs"
+    out_dir = tmp_path / "pii_out"
+    ckpt = tmp_path / "pii_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "mail bob@x.io now"), (2, "clean row")], schema
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).json(str(src) + "/*")
+    q = (
+        scan_pii(stream, "doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert rows[1].redacted_text == "mail <EMAIL> now" and rows[1].n_pii == 1
+    assert rows[2].redacted_text == "clean row" and rows[2].n_pii == 0
