@@ -349,3 +349,89 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize (decode → nearest-neighbor resample → re-encode roundtrip)
+# ---------------------------------------------------------------------------
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width_in", T.LongType()),
+        T.StructField("height_in", T.LongType()),
+        T.StructField("width_out", T.LongType()),
+        T.StructField("height_out", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+    ]
+)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Full pixel decode (row-major top-down (r, g, b) list) — the
+    stats-only `decode_bmp` can't feed a resampler."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    height_abs = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    px: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height_abs)
+    for y_file in range(height_abs):
+        # bottom-up storage -> top-down index
+        y = height_abs - 1 - y_file
+        base = data_off + y_file * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            px[y * width + x] = (r, g, b)
+    return width, height_abs, px
+
+
+def resize_bmp_nearest(payload: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample to (tw, th): source index
+    (x·w // tw, y·h // th) — the floor-index convention the oracle
+    mirrors in closed form. Returns a re-encoded BMP."""
+    w, h, px = decode_bmp_pixels(payload)
+    out = [
+        px[(y * h // th) * w + (x * w // tw)]
+        for y in range(th)
+        for x in range(tw)
+    ]
+    return encode_bmp(tw, th, out)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, batch_limit: int = 1024
+) -> DataFrame:
+    """Resize every BMP image payload to (target_w, target_h) via
+    mapInPandas and report the roundtrip stats — the output means are
+    computed by RE-DECODING the re-encoded bytes, so header layout,
+    stride padding and row order are all under the gate twice.
+
+    Map-only (inherits the scan's partitioning); non-BMP payloads should
+    be filtered out by the caller (`modality == 'image'`).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    raw = bytes(payload)
+                    w_in, h_in, _ = decode_bmp_pixels(raw)
+                    resized = resize_bmp_nearest(raw, target_w, target_h)
+                    w_out, h_out, mr, mg, _mb = decode_bmp(resized)
+                    rows.append(
+                        (int(mid), w_in, h_in, w_out, h_out, len(resized), mr, mg)
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in RESIZED_SCHEMA.fields],
+                )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

@@ -221,10 +221,46 @@ SELECT o_orderkey,
 FROM orders, stats2
 """
 
+# ---------------------------------------------------------------------------
+# Image resize roundtrip (decode -> nearest-neighbor -> re-encode -> decode)
+# ---------------------------------------------------------------------------
+RESIZE_W = RESIZE_H = 2
+
+
+def q_media_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every synthesized BMP to 2x2 and report roundtrip stats.
+    The oracle predicts the nearest-neighbor result in closed form over
+    the known gradient (r = base + x + y with source index x*w//tw):
+    mean_r = base + (w//2)/2 + (h//2)/2 — exact dyadic floats. A
+    resampler with the wrong index convention, row order, or stride
+    breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    images = media.filter(F.col("modality") == "image")
+    return mm_ops.resize_images(images, RESIZE_W, RESIZE_H)
+
+
+ORACLE_MEDIA_RESIZED_STATS = f"""
+SELECT doc_id AS media_id,
+       doc_id % 7 + 1 AS width_in,
+       doc_id % 5 + 1 AS height_in,
+       CAST({RESIZE_W} AS BIGINT) AS width_out,
+       CAST({RESIZE_H} AS BIGINT) AS height_out,
+       CAST(54 + {RESIZE_H} * (({RESIZE_W} * 3 + 3) // 4 * 4) AS BIGINT)
+         AS n_bytes_out,
+       CAST(doc_id % 200
+            + ((doc_id % 7 + 1) // {RESIZE_W}) / CAST({RESIZE_W} AS DOUBLE)
+            + ((doc_id % 5 + 1) // {RESIZE_H}) / CAST({RESIZE_H} AS DOUBLE)
+         AS DOUBLE) AS mean_r,
+       CAST(n_chars % 256 AS DOUBLE) AS mean_g
+FROM documents WHERE doc_id % 3 = 0
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
     "normalized_order_price": q_normalized_order_price,
 }
@@ -232,6 +268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
+    "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,
     "normalized_order_price": ORACLE_NORMALIZED_ORDER_PRICE,
 }

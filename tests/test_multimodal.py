@@ -110,3 +110,35 @@ def test_decode_features_real_bytes_distributed(spark):
         assert r.n_bytes == len(
             mm.synth_media_row(i, 40 + i)[1]
         )
+
+
+def test_resize_nearest_downsample_known_pixels():
+    # 4x2 image with distinct pixels; 2x2 NN picks (x*4//2, y*2//2) =
+    # (0,0), (2,0), (0,1), (2,1)
+    px = [(10 * x + y, 0, 0) for y in range(2) for x in range(4)]
+    payload = mm.encode_bmp(4, 2, px)
+    out = mm.resize_bmp_nearest(payload, 2, 2)
+    w, h, got = mm.decode_bmp_pixels(out)
+    assert (w, h) == (2, 2)
+    assert [p[0] for p in got] == [0, 20, 1, 21]
+
+
+def test_resize_nearest_upsample_replicates():
+    payload = mm.encode_bmp(1, 1, [(7, 8, 9)])
+    out = mm.resize_bmp_nearest(payload, 3, 2)
+    w, h, got = mm.decode_bmp_pixels(out)
+    assert (w, h) == (3, 2) and set(got) == {(7, 8, 9)}
+
+
+def test_resize_images_roundtrip_stats(spark):
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(0, 12, 3)], "doc_id long, n_chars long"
+    )
+    media = mm.media_from_documents(docs).filter("modality = 'image'")
+    rows = {r.media_id: r for r in mm.resize_images(media, 2, 2).collect()}
+    for i in rows:
+        w, h = i % 7 + 1, i % 5 + 1
+        r = rows[i]
+        assert (r.width_in, r.height_in, r.width_out, r.height_out) == (w, h, 2, 2)
+        assert r.mean_r == i % 200 + (w // 2) / 2 + (h // 2) / 2
+        assert r.mean_g == (100 + i) % 256
