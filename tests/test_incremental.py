@@ -137,3 +137,27 @@ def test_shard_manifest_conservation(spark):
     # deterministic: same input -> same assignment
     out2 = packing.hash_shard_manifest(df, "doc_id", "text", n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_knn_graph_derived_bits(spark):
+    """lsh_bits=None derives the bucket width from the corpus size
+    (pair space stays ~N * KNN_TARGET_BUCKET, not N^2/2^fixed)."""
+    import math
+
+    from lol_data_collection_system_spark.operators.similarity import (
+        KNN_TARGET_BUCKET,
+    )
+
+    n = 600
+    df = spark.createDataFrame(
+        [(i, [1.0 + (i % 7), 1.0 + (i % 5), 1.0 + (i % 3), 1.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.knn_graph(df, k=2, lsh_bits=None)
+    # derived bits = ceil(log2(600/128)) = 3, capped by dim=4
+    expected_bits = min(4, math.ceil(math.log2(n / KNN_TARGET_BUCKET)))
+    assert expected_bits == 3
+    # every vector here is all-positive -> every derived bucket keys on
+    # the same sign prefix; the graph still returns k rows per node
+    rows = out.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in rows)
