@@ -358,3 +358,70 @@ def test_incremental_statuses_partition_delta(spark, texts):
     for r in rows:
         if r["doc_id"] < 100 + half:
             assert r["status"] == "exact_dup"
+
+
+def _bpe_python(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python BPE reference: leftmost non-overlapping merge of the
+    most frequent adjacent pair (ties: lexicographically smallest)."""
+    seqs = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((f"{a} {b}", a + b, cnt))
+        new_seqs = {}
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges, seqs
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_matches_python_reference(spark, words, n_merges):
+    """The distributed trainer reproduces the classic in-memory BPE
+    algorithm exactly: same merge table (pair, merged, count, order) and
+    same per-word piece counts after application."""
+    from lol_data_collection_system_spark.operators import bpe
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    expect_merges, expect_seqs = _bpe_python(freqs, n_merges)
+
+    got = [
+        (r["pair"], r["merged"], r["pair_count"])
+        for r in bpe.bpe_merges(df, "text", n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect_merges
+
+    seg = bpe.apply_bpe(df, bpe.bpe_merges(df, "text", n_merges), n_merges).collect()
+    expect_pieces = sum(len(expect_seqs[w]) for w in words)
+    assert seg[0]["n_words"] == len(words)
+    assert seg[0]["n_pieces"] == expect_pieces
