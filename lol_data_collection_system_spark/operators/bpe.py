@@ -45,7 +45,17 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts over the current sequences, weighted
     by word frequency. Pair key is "left right" (space-joined) — a plain
     string so ordering/tie-break is engine-portable."""
-    syms = F.filter(F.split(F.col("seq"), r"[()]+"), lambda x: x != "")
+    # Materialize `syms` as a column FIRST: embedding the split+filter
+    # subtree inside the transform lambda would re-evaluate it per array
+    # element in interpreted HOF execution (the antipattern the
+    # shingles() history quantifies).
+    with_syms = state.select(
+        F.col("freq"),
+        F.filter(F.split(F.col("seq"), r"[()]+"), lambda x: x != "").alias(
+            "syms"
+        ),
+    )
+    syms = F.col("syms")
     idx = F.when(
         F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -58,7 +68,7 @@ def _pair_counts(state: DataFrame) -> DataFrame:
         )
     )
     return (
-        state.select(F.col("freq"), pair.alias("pair"))
+        with_syms.select(F.col("freq"), pair.alias("pair"))
         .groupBy("pair")
         .agg(F.sum("freq").alias("cnt"))
     )

@@ -428,6 +428,11 @@ def embedding_near_dup_pairs(
 #: pair scan (~512²/2 per cluster) comfortably bounded.
 SEMDEDUP_TARGET_CLUSTER_SIZE = 512
 
+#: ``pair_budget="auto"`` headroom: budget = margin × N²/k. Balanced
+#: clusters cost ≈N²/k (passes with margin×); a collapse toward one
+#: cluster costs →N² (fires whenever k > margin).
+SEMDEDUP_BUDGET_MARGIN = 4
+
 
 class PairBudgetExceeded(RuntimeError):
     """Raised when Σ|cluster|² exceeds the declared pair budget — the
@@ -442,7 +447,7 @@ def semantic_near_dup_pairs(
     n_clusters: int | None = 6,
     iters: int = 2,
     target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
-    pair_budget: int | None = None,
+    pair_budget: int | str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates: cluster embeddings with
     Lloyd k-means, then exact-cosine pairs WITHIN each cluster (Abbas et
@@ -469,6 +474,13 @@ def semantic_near_dup_pairs(
       assignment frame is lazily checkpointed, so the histogram action
       also materializes the assignments the pair join then reuses —
       the guard costs no extra k-means pass.
+      ``pair_budget="auto"`` sets the ceiling to
+      ``SEMDEDUP_BUDGET_MARGIN × N²/k`` from the same histogram (N = Σ
+      sizes, no extra action): balanced clusters (≈N²/k) pass with
+      margin to spare, while a skew collapse toward one giant cluster
+      (→N²) fires whenever k > margin — scale-correct at every corpus
+      size, where any flat constant is either dead at small N or
+      spuriously tight at large N.
     """
     from .similarity import dot, kmeans_assign, l2_norm
 
@@ -483,6 +495,11 @@ def semantic_near_dup_pairs(
         assigned = assigned.localCheckpoint(eager=False)
         sizes = assigned.groupBy("cid").count().collect()  # ≤ k rows
         pair_space = sum(r["count"] * r["count"] for r in sizes)
+        if pair_budget == "auto":
+            n_total = sum(r["count"] for r in sizes)
+            pair_budget = max(
+                1, SEMDEDUP_BUDGET_MARGIN * n_total * n_total // n_clusters
+            )
         if pair_space > pair_budget:
             top = sorted((r["count"] for r in sizes), reverse=True)[:5]
             raise PairBudgetExceeded(
@@ -1073,11 +1090,21 @@ def incremental_dedup(
         .when(F.col("near_match_id").isNotNull(), F.col("best_jac"))
         .otherwise(F.lit(0.0))
     )
+    # Sentinel for "no match" follows the id dtype: -1 for numeric ids,
+    # '' for strings — a hard bigint cast would silently NULL string
+    # match ids.
+    from pyspark.sql.types import NumericType
+
+    id_type = delta.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        no_match = F.lit(-1).cast(id_type)
+    else:
+        no_match = F.lit("").cast(id_type)
     return out.select(
         F.col(id_col),
         status.alias("status"),
-        F.coalesce("exact_match_id", "near_match_id", F.lit(-1))
-        .cast("bigint")
+        F.coalesce("exact_match_id", "near_match_id", no_match)
+        .cast(id_type)
         .alias("match_id"),
         jaccard_out.cast("double").alias("jaccard"),
     )

@@ -110,6 +110,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]
             tr, tg, tb = tr + r, tg + g, tb + b
     n = width * height_abs
+    if n == 0:
+        raise ValueError("zero-area BMP")
     return width, height_abs, tr / n, tg / n, tb / n
 
 
@@ -173,12 +175,17 @@ def decode_ppm_frames(payload: bytes) -> tuple[int, int, int, float]:
         # header = magic, whitespace, width, height, maxval, single ws
         fields: list[int] = []
         pos += 2
+        end = len(payload)
         while len(fields) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos == start or pos >= end:
+                # truncated header: field missing or no terminating ws —
+                # raise (stub fallback) instead of scanning past the end
+                raise ValueError(f"truncated P6 header at offset {start}")
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         width, height, maxval = fields
@@ -382,8 +389,9 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
     stride = (width * 3 + 3) // 4 * 4
     px: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height_abs)
     for y_file in range(height_abs):
-        # bottom-up storage -> top-down index
-        y = height_abs - 1 - y_file
+        # positive biHeight = bottom-up storage (flip to top-down index);
+        # negative = top-down already (rows in file order)
+        y = height_abs - 1 - y_file if height > 0 else y_file
         base = data_off + y_file * stride
         for x in range(width):
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]

@@ -626,8 +626,14 @@ def knn_graph(
 
     if lsh_bits is None:
         n = emb.count()
-        dim = len(emb.select(vec_col).first()[0])
-        lsh_bits = max(1, min(dim, math.ceil(math.log2(max(n, 2) / KNN_TARGET_BUCKET))))
+        head = emb.select(vec_col).first()
+        if head is None:  # empty corpus: any width yields an empty graph
+            lsh_bits = 1
+        else:
+            dim = len(head[0])
+            lsh_bits = max(
+                1, min(dim, math.ceil(math.log2(max(n, 2) / KNN_TARGET_BUCKET)))
+            )
 
     with_bucket = emb.select(
         F.col(id_col),

@@ -1684,11 +1684,13 @@ FROM scores s, cuts c
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic near-duplicates (trained clusters prune pairs)
 # ---------------------------------------------------------------------------
-#: Σ|cluster|² ceiling for the declared semantic-near-dup query. At the
-#: test sfs (≤2k embeddings, k=6 balanced-ish clusters) the pair space
-#: is ≲0.7M; a skew collapse toward one giant cluster trips the guard
-#: loudly instead of launching a quadratic join.
-SEMDEDUP_PAIR_BUDGET = 5_000_000
+#: Σ|cluster|² ceiling for the declared semantic-near-dup query:
+#: "auto" = SEMDEDUP_BUDGET_MARGIN × N²/k from the cluster histogram —
+#: balanced clusters pass, a skew collapse toward one giant cluster
+#: trips the guard loudly at EVERY sf. (A flat constant was dead
+#: configuration: 5M exceeded even the total-collapse pair space at
+#: every shipped scale factor, so it could never fire.)
+SEMDEDUP_PAIR_BUDGET = "auto"
 
 
 def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,34 @@ def minhash_bands_local(
     )
 
 
+def _all_bands_won(
+    rows: DataFrame,
+    n_bands: int,
+    id_col: str,
+    ts_col: str,
+    text_col: str,
+    emit_window: str,
+    collect_bands: bool,
+) -> DataFrame:
+    """Shared emit stage: windowed per-doc count over surviving
+    (doc, band) rows, keeping only docs that won/missed ALL `n_bands`
+    buckets. One definition for the streaming guard, its batch twin,
+    and the corpus guard — the semantics live in exactly one place."""
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.first(ts_col).alias(ts_col),
+        F.first(text_col).alias(text_col),
+    ]
+    if collect_bands:
+        aggs.append(F.sort_array(F.collect_list("band_hash")).alias("bands"))
+    return (
+        rows.groupBy(F.window(ts_col, emit_window), F.col(id_col))
+        .agg(*aggs)
+        .filter(F.col("_n") == n_bands)
+        .drop("_n")
+    )
+
+
 def near_dedup_stream(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -148,18 +176,9 @@ def near_dedup_stream(
         winners = exploded.withWatermark(
             ts_col, watermark_delay
         ).dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
-        kept = (
-            winners.groupBy(F.window(ts_col, emit_window), F.col(id_col))
-            .agg(
-                F.count(F.lit(1)).alias("_won"),
-                F.first(ts_col).alias(ts_col),
-                F.first(text_col).alias(text_col),
-                F.sort_array(F.collect_list("band_hash")).alias("bands"),
-            )
-            .filter(F.col("_won") == n_bands)
-            .drop("_won")
+        return _all_bands_won(
+            winners, n_bands, id_col, ts_col, text_col, emit_window, True
         )
-        return kept
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_idx", "band_hash").orderBy(ts_col, id_col)
@@ -168,16 +187,8 @@ def near_dedup_stream(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return (
-        winners.groupBy(F.window(ts_col, emit_window), F.col(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("_won"),
-            F.first(ts_col).alias(ts_col),
-            F.first(text_col).alias(text_col),
-            F.sort_array(F.collect_list("band_hash")).alias("bands"),
-        )
-        .filter(F.col("_won") == n_bands)
-        .drop("_won")
+    return _all_bands_won(
+        winners, n_bands, id_col, ts_col, text_col, emit_window, True
     )
 
 
@@ -246,13 +257,6 @@ def corpus_guard_stream(
     )
     if docs.isStreaming:
         survived = survived.withWatermark(ts_col, watermark_delay)
-    return (
-        survived.groupBy(F.window(ts_col, emit_window), F.col(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("_miss"),
-            F.first(ts_col).alias(ts_col),
-            F.first(text_col).alias(text_col),
-        )
-        .filter(F.col("_miss") == n_bands)
-        .drop("_miss")
+    return _all_bands_won(
+        survived, n_bands, id_col, ts_col, text_col, emit_window, False
     )

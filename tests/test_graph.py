@@ -147,3 +147,24 @@ def test_quality_canonicals_all_null_quality_keeps_component(spark):
     out = quality_canonicals(docs, labels, "n_chars").collect()
     assert len(out) == 1
     assert out[0].canonical_id == 1 and out[0].n_members == 2
+
+
+def test_semantic_auto_budget_fires_on_cluster_collapse(spark):
+    """pair_budget='auto' (margin x N^2/k) must trip when every vector
+    lands in one cluster — the flat-constant budget it replaces could
+    never fire at shipped scale factors."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        PairBudgetExceeded,
+        semantic_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(PairBudgetExceeded):
+        semantic_near_dup_pairs(
+            emb, n_clusters=6, pair_budget="auto"
+        ).collect()

@@ -161,3 +161,26 @@ def test_knn_graph_derived_bits(spark):
     # the same sign prefix; the graph still returns k rows per node
     rows = out.groupBy("vec_id").count().collect()
     assert all(r["count"] == 2 for r in rows)
+
+
+def test_incremental_dedup_string_ids(spark):
+    corpus = spark.createDataFrame(
+        [("c1", "one two three four five six")], "doc_id string, text string"
+    )
+    delta = spark.createDataFrame(
+        [("d1", "one two three four five six"), ("d2", "totally new words here")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup(
+            corpus, delta, "doc_id", "text", k=3, band_size=2, threshold=0.2
+        ).collect()
+    }
+    assert out["d1"]["status"] == "exact_dup" and out["d1"]["match_id"] == "c1"
+    assert out["d2"]["status"] == "novel" and out["d2"]["match_id"] == ""
+
+
+def test_knn_graph_empty_corpus_derived_bits(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.knn_graph(df, k=2, lsh_bits=None).count() == 0

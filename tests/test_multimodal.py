@@ -142,3 +142,41 @@ def test_resize_images_roundtrip_stats(spark):
         assert (r.width_in, r.height_in, r.width_out, r.height_out) == (w, h, 2, 2)
         assert r.mean_r == i % 200 + (w // 2) / 2 + (h // 2) / 2
         assert r.mean_g == (100 + i) % 256
+
+
+def test_truncated_ppm_header_raises_not_hangs():
+    import pytest as _pytest
+
+    for bad in (b"P6", b"P6 1 2 255", b"P6abc", b"P6\n1 2\n"):
+        with _pytest.raises(ValueError):
+            mm.decode_ppm_frames(bad)
+    # and the dispatcher falls back to the stub instead of dying
+    out = mm._decode_payload(b"P6 1 2 255", "video")
+    assert len(out) == mm.N_FEATURES and all(0 <= v < 1 or v == 0.0 for v in out)
+
+
+def test_zero_area_bmp_falls_back_to_stub():
+    import struct as _struct
+
+    payload = bytearray(mm.encode_bmp(1, 1, [(1, 2, 3)]))
+    _struct.pack_into("<i", payload, 18, 0)  # width = 0
+    out = mm._decode_payload(bytes(payload), "image")
+    assert len(out) == mm.N_FEATURES  # stub, not ZeroDivisionError
+
+
+def test_top_down_bmp_decodes_without_flip():
+    import struct as _struct
+
+    px = [(10, 0, 0), (20, 0, 0), (30, 0, 0), (40, 0, 0)]  # 2x2 top-down
+    bottom_up = mm.encode_bmp(2, 2, px)
+    w, h, got = mm.decode_bmp_pixels(bottom_up)
+    assert got == px
+    # craft the top-down variant: negative height, rows in file order
+    data_off = _struct.unpack_from("<I", bottom_up, 10)[0]
+    stride = (2 * 3 + 3) // 4 * 4
+    body = bottom_up[data_off:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(2)]
+    top_down = bytearray(bottom_up[:data_off] + rows[1] + rows[0])
+    _struct.pack_into("<i", top_down, 22, -2)  # biHeight = -2
+    w, h, got2 = mm.decode_bmp_pixels(bytes(top_down))
+    assert (w, h) == (2, 2) and got2 == px
