@@ -1,8 +1,8 @@
 """End-to-end training-corpus preparation: the composition of the
 pipeline primitives into the job a user actually runs —
 
-    scrub PII → quality filter → exact dedup → near-dup clustering →
-    deterministic split
+    scrub encoding damage → redact PII → quality filter → exact dedup →
+    near-dup clustering → deterministic split
 
 Each stage is one of the oracle-gated operators; this module wires them
 in the canonical order (cheap row-local filters first so the expensive
@@ -72,6 +72,14 @@ def _stages(
     default); a 100 TB run would swap the persist for a
     `materialize_summary` parquet checkpoint between stages."""
     scrubbed = text_ops.scrub_patterns(docs, text_col)
+    # PII redaction rides the same codegen projection (typed placeholder
+    # tokens, operators/pii.py). Identity on the synthetic corpus (its
+    # text has no digits or '@', so no rule can match) — the funnel
+    # oracle is therefore unchanged; the stage itself is pinned by a
+    # PII-bearing fixture in tests/test_text.py.
+    from ..operators import pii as pii_ops
+
+    scrubbed = scrubbed.withColumn(text_col, pii_ops.redact(F.col(text_col)))
     quality = (
         text_ops.quality_filter_flags(
             scrubbed,

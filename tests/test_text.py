@@ -344,3 +344,30 @@ def test_cross_doc_repeated_spans_freq_cap_drops_pathological(spark):
     assert uncapped.count() == 5  # every doc flags the boilerplate
     capped = cross_doc_repeated_spans(df, width=4, max_span_freq=3)
     assert capped.count() == 0  # span freq 5 > cap -> dropped (documented)
+
+
+def test_prepare_training_corpus_redacts_pii(spark):
+    """The end-to-end prep composition includes the PII redaction stage:
+    a PII-bearing doc that survives the funnel carries placeholder
+    tokens in text_scrubbed, never the raw PII string."""
+    from lol_data_collection_system_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    base = (
+        "the data table rows value parts small brisk keys column order group "
+        "window filter stream batch merge sorts hash scan query lines and "
+        "think quick zesty vital prime acute sound metal"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " contact alice@corp.example.com please", "en", "s", 1),
+            (2, base + " nothing sensitive in here at all", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in prepare_training_corpus(docs).collect()}
+    assert 1 in out
+    assert "alice@corp.example.com" not in out[1]["text_scrubbed"]
+    # scrub_patterns lowercases downstream of the redaction
+    assert "<email>" in out[1]["text_scrubbed"]
