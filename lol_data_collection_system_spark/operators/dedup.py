@@ -1152,3 +1152,114 @@ def containment_pairs(
         .select("id_a", "id_b", F.round(contain, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def line_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Per-line corpus duplication profile: one row per distinct
+    (trimmed) line that is at least `min_chars` long, with the number of
+    documents it occurs in and its total occurrence count.
+
+    The line/paragraph-granular exact-dedup family of CCNet (Wenzek et
+    al. 2020, paragraph-hash dedup) and RefinedWeb: navigation chrome,
+    cookie banners, and boilerplate headers repeat VERBATIM at line
+    granularity across millions of pages while their documents stay
+    unique at doc granularity, so doc-level fingerprints never catch
+    them. Short lines are excluded — one-word lines ("Home", "Menu")
+    duplicate naturally and carry no signal.
+
+    Plan shape: split → posexplode → one hash-agg keyed by the line
+    text. At 100 TB this is a single shuffle whose key space is the
+    distinct-line set; the 16-byte line fingerprint (not the line
+    itself) is the join/aggregate key so shuffle rows stay fixed-width.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select(
+        F.col(id_col),
+        F.trim(F.col("_raw")).alias("line"),
+    ).filter(F.length("line") >= min_chars)
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+
+
+def remove_dup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Scrub corpus-repeated lines out of every document: any trimmed
+    line of length ≥ `min_chars` occurring in more than `max_docs`
+    distinct documents is dropped from ALL of them; everything else
+    (including short lines) is kept verbatim, and line order is
+    preserved. Returns (id, text) with the reassembled text.
+
+    Drop-from-all matches the RefinedWeb policy (the boilerplate is
+    noise wherever it appears), unlike doc-level canonical selection
+    where one copy survives.
+
+    Two shuffles: the line-frequency hash-agg (16-byte fingerprint key)
+    and the per-document reassembly agg. The frequency side joins back
+    on the fingerprint — shingle-keyed, never broadcast (the repeated-
+    line table is corpus-sized). A line repeated across half the corpus
+    is a hot join key; the join is left_anti-shaped (keep = no match
+    among over-limit lines), so only the over-limit subset — bounded by
+    `max_docs` filtering AFTER the agg, typically tiny relative to the
+    corpus — flows into the join's build side.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("_raw").alias("line"),
+        F.xxhash64(F.trim(F.col("_raw"))).alias("_fp"),
+        (F.length(F.trim(F.col("_raw"))) >= min_chars).alias("_eligible"),
+    )
+    over_limit = (
+        lines.filter(F.col("_eligible"))
+        .groupBy("_fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+        .filter(F.col("_n_docs") > max_docs)
+        .select("_fp")
+    )
+    kept = lines.join(
+        over_limit.withColumn("_drop", F.lit(True)), "_fp", "left"
+    ).filter(~(F.col("_eligible") & F.coalesce(F.col("_drop"), F.lit(False))))
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("_parts")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("_parts"), lambda s: s["line"])
+            ).alias(text_col),
+        )
+    )
+    # a doc whose EVERY line was scrubbed must survive with empty text,
+    # not vanish from the corpus (downstream joins key on the id)
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )

@@ -174,3 +174,60 @@ def hash_shard_manifest(
             "token_share"
         ),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+    max_records_per_file: int | None = None,
+    curriculum_col: str | None = None,
+) -> None:
+    """Materialize the training export: every row lands in shard
+    ``md5(id) mod n_shards`` (the `hash_shard_manifest` assignment —
+    run that first as the balance audit), rows WITHIN each shard are
+    written in the seeded deterministic global-shuffle order
+    (`pack_order(id, salt)`), and each shard is one output directory
+    `shard_id=K/`.
+
+    Why this shape at 100 TB: a training job reading shard K touches
+    exactly one directory (static file-level sharding across data-loader
+    workers, no coordination); the intra-shard order is a reproducible
+    shuffle — re-running the export with the same salt yields
+    byte-identical shard contents, and changing the salt is a fresh
+    epoch-level reshuffle with zero extra passes. The
+    `repartition(shard_col)` routes each shard to dedicated write tasks
+    (no small-files explosion: without it every task writes a sliver of
+    every shard), and the required partition-column sort prefix is
+    shard_id, so the pack_order sort survives within each directory.
+
+    `curriculum_col` swaps the shuffle order for curriculum ordering:
+    rows within each shard are written ascending by that column (e.g. a
+    quality or LM score — easy-to-hard schedules), with the seeded
+    shuffle hash as the tie-break so equal-score runs are still
+    deterministically mixed rather than layout-ordered.
+    """
+    key = F.col(id_col)
+    shard = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % n_shards
+    ).cast("int")
+    order_cols = (
+        [F.col(curriculum_col), F.col("_order")]
+        if curriculum_col
+        else [F.col("_order")]
+    )
+    out = (
+        df.withColumn("shard_id", shard)
+        .withColumn("_order", pack_order(key, salt))
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions(F.col("shard_id"), *order_cols, F.col(id_col))
+        .drop("_order")
+    )
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("shard_id").parquet(path)

@@ -13,8 +13,10 @@ both engines, hashes are md5 (identical everywhere).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: Tokenizer shared with the oracle: split on runs of whitespace.
 TOKEN_SPLIT_RE = r"\s+"
@@ -522,3 +524,47 @@ def clean_control_chars(text: Column) -> Column:
     t = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def unicode_normalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization pass (CCNet applies NFC before hashing;
+    NFKC is the tokenizer-facing variant): returns (id, text, changed)
+    where `text` is the normalized string and `changed` flags docs the
+    pass actually touched. Without it, composed "é" (U+00E9) and
+    decomposed "e"+U+0301 hash differently, silently splitting exact-dup
+    groups and BPE vocabulary entries for byte-identical-looking text.
+
+    Spark SQL has no normalization builtin, so this is the one text op
+    that crosses into Python — as an Arrow-batched pandas_udf over
+    `unicodedata` (stdlib), never per-row. Map-only: no shuffle, scales
+    as a pure scan; run it ONCE at ingest so every downstream hash
+    (fingerprints, shingles, MinHash, BPE) sees canonical bytes.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # two-step select so the UDF column is evaluated once, not once per
+    # downstream reference
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        _norm(F.col(text_col)).alias("_normed"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_normed").alias(text_col),
+        (~F.col("_normed").eqNullSafe(F.col("_orig"))).alias("changed"),
+    )

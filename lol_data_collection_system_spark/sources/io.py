@@ -119,3 +119,41 @@ def write_clustered(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed physical layout (SURVEY.md §4 item 5: co-located joins).
+
+    Hash-bucketing both sides of a repeatedly-joined pair (orders ⋈
+    lineitem on orderkey; the match store ⋈ per-participant histories on
+    (match_id, region) — the join every reference pipeline pays per
+    query, `periodical_data_repair.py:65-66`) pre-pays the shuffle ONCE
+    at write time: every later equi-join on the bucket keys with a
+    matching bucket count reads co-located buckets and the physical
+    plan has NO Exchange. At 100 TB that is the difference between an
+    all-to-all network pass per join and a per-bucket local merge.
+    `sort_cols` additionally pre-sorts each bucket file, so sort-merge
+    join can skip its per-task sort when each bucket is one file.
+
+    Equality filters on the leading bucket column also prune buckets at
+    scan time (`SelectedBucketsCount` in the plan) — a third pruning
+    tier after partition pruning and row-group stats.
+
+    The bucket layout is CATALOG metadata (`saveAsTable`): reading the
+    same files via `spark.read.parquet(path)` would not know it and
+    would shuffle again. Read back with `spark.table(table)`.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -162,3 +162,60 @@ def test_decode_with_quarantine(spark):
     assert "doc" in bad.columns
     # conservation: every input row lands in exactly one side
     assert ok.count() + bad.count() == 4
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located bucketed join (SURVEY.md §4 item 5): both sides written
+    bucketed on the join key with matching bucket counts → the sort-merge
+    join plan contains NO Exchange (the shuffle was pre-paid at write
+    time), and an equality filter on the bucket column prunes buckets at
+    scan time. This is the repeated-join strategy for the 100 TB match
+    store (orders ⋈ lineitem here ≙ matches ⋈ histories)."""
+    orders = spark.createDataFrame(
+        [(i, f"P{i % 5}") for i in range(200)], "o_key long, o_pri string"
+    )
+    items = spark.createDataFrame(
+        [(i % 200, i, float(i)) for i in range(600)],
+        "l_key long, l_num long, l_qty double",
+    )
+    io_src.write_bucketed_table(
+        orders, "tb_orders", 4, ("o_key",), ("o_key",),
+        path=str(tmp_path / "bo"),
+    )
+    io_src.write_bucketed_table(
+        items, "tb_items", 4, ("l_key",), ("l_key",),
+        path=str(tmp_path / "bi"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("tb_items").join(
+            spark.table("tb_orders"),
+            F.col("l_key") == F.col("o_key"),
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(jmode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert j.count() == 600
+
+        # bucket pruning: equality on the bucket column reads 1 of 4
+        # buckets. A filter-only query has no distribution requirement,
+        # so auto-bucketed-scan would demote to a plain file scan and
+        # hide the pruning — force the bucketed scan to pin it.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        pruned = spark.table("tb_items").filter(F.col("l_key") == 7)
+        pplan = pruned._jdf.queryExecution().explainString(jmode)
+        assert "SelectedBucketsCount: 1 out of 4" in pplan
+        assert pruned.count() == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_items")

@@ -81,3 +81,71 @@ def test_empty_docs_skipped(spark):
     out = pack_sequences(docs, seq_len=4).collect()
     assert 2 not in {r.doc_id for r in out}
     assert sum(r.tok_end - r.tok_start for r in out) == 5
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from lol_data_collection_system_spark.operators.packing import (
+        pack_order,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, salt="epoch0")
+
+    # every row in its md5-assigned shard directory
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    for r in back.select("doc_id", "shard_id").collect():
+        expect = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 4
+        assert r.shard_id == expect
+
+    # intra-shard file order == seeded pack_order (read files directly;
+    # parquet preserves row order within a file)
+    expected_order = {
+        r.doc_id: r.o
+        for r in docs.select(
+            "doc_id", pack_order(F.col("doc_id"), "epoch0").alias("o")
+        ).collect()
+    }
+    for d in glob.glob(f"{path}/shard_id=*"):
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        for fp in files:
+            ids = [r.doc_id for r in spark.read.parquet(fp).collect()]
+            orders = [expected_order[i] for i in ids]
+            assert orders == sorted(orders)
+
+    # same salt → byte-stable contents; new salt → different permutation
+    write_training_shards(docs, str(tmp_path / "s2"), n_shards=4, salt="epoch1")
+    d0 = [r.doc_id for r in spark.read.parquet(f"{path}/shard_id=0").collect()]
+    d1 = [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "s2") + "/shard_id=0").collect()
+    ]
+    assert set(d0) == set(d1)  # assignment is salt-independent
+    assert d0 != d1  # order reshuffled by the new salt
+
+
+def test_write_training_shards_curriculum_order(spark, tmp_path):
+    import glob
+
+    from lol_data_collection_system_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}", float(i % 7)) for i in range(60)],
+        "doc_id long, text string, quality double",
+    )
+    path = str(tmp_path / "cur")
+    write_training_shards(docs, path, n_shards=2, curriculum_col="quality")
+    quality = {i: float(i % 7) for i in range(60)}
+    for d in glob.glob(f"{path}/shard_id=*"):
+        for fp in sorted(glob.glob(f"{d}/*.parquet")):
+            qs = [quality[r.doc_id] for r in spark.read.parquet(fp).collect()]
+            assert qs == sorted(qs)  # easy-to-hard within each shard

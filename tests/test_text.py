@@ -371,3 +371,84 @@ def test_prepare_training_corpus_redacts_pii(spark):
     assert "alice@corp.example.com" not in out[1]["text_scrubbed"]
     # scrub_patterns lowercases downstream of the redaction
     assert "<email>" in out[1]["text_scrubbed"]
+
+
+def test_line_dup_stats_counts_cross_doc_lines(spark):
+    from lol_data_collection_system_spark.operators.dedup import line_dup_stats
+
+    banner = "Accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha content here\nHome"),
+            (2, f"{banner}\nunique beta content here\n{banner}"),
+            (3, "totally unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["line"]: r for r in line_dup_stats(docs).collect()}
+    assert rows[banner]["n_docs"] == 2
+    assert rows[banner]["n_occurrences"] == 3  # doc 2 has it twice
+    assert "Home" not in rows  # short line excluded (< min_chars)
+    assert rows["unique alpha content here"]["n_docs"] == 1
+
+
+def test_remove_dup_lines_scrubs_from_all_docs(spark):
+    from lol_data_collection_system_spark.operators.dedup import remove_dup_lines
+
+    banner = "Accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha content here"),
+            (2, f"  {banner}  \nunique beta content here"),  # trim-matched
+            (3, banner),  # becomes empty, must survive
+            (4, "ok\nshort lines stay\nok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_dup_lines(docs).collect()}
+    assert out[1] == "unique alpha content here"
+    assert out[2] == "unique beta content here"
+    assert out[3] == ""  # fully scrubbed doc kept with empty text
+    assert out[4] == "ok\nshort lines stay\nok"  # short dup lines untouched
+    # order preserved when a middle line is scrubbed
+    docs2 = spark.createDataFrame(
+        [(1, f"first line kept\n{banner}\nlast line kept"),
+         (2, banner)],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"] for r in remove_dup_lines(docs2).collect()}
+    assert out2[1] == "first line kept\nlast line kept"
+
+
+def test_unicode_normalize_nfc_merges_dup_groups(spark):
+    import unicodedata
+
+    from lol_data_collection_system_spark.operators.dedup import line_dup_stats
+    from lol_data_collection_system_spark.operators.text import unicode_normalize
+
+    composed = "café menu contents"          # é precomposed
+    decomposed = "café menu contents"       # e + combining acute
+    assert composed != decomposed
+    assert unicodedata.normalize("NFC", decomposed) == composed
+
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "plain ascii"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unicode_normalize(docs).collect()}
+    assert out[1].text == composed and out[1].changed is False
+    assert out[2].text == composed and out[2].changed is True
+    assert out[3].changed is False
+    assert out[4].text is None and out[4].changed is False
+
+    # the point of the pass: exact dedup now sees the pair
+    # the point of the pass: raw-byte line hashing now sees the dup
+    before = line_dup_stats(docs.na.drop())
+    after = line_dup_stats(unicode_normalize(docs.na.drop()).drop("changed"))
+    assert before.filter("n_docs > 1").count() == 0
+    assert after.filter("n_docs > 1").count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unicode_normalize(docs, form="NFX")
