@@ -1172,10 +1172,12 @@ def line_dup_stats(
     them. Short lines are excluded — one-word lines ("Home", "Menu")
     duplicate naturally and carry no signal.
 
-    Plan shape: split → posexplode → one hash-agg keyed by the line
-    text. At 100 TB this is a single shuffle whose key space is the
-    distinct-line set; the 16-byte line fingerprint (not the line
-    itself) is the join/aggregate key so shuffle rows stay fixed-width.
+    Plan shape: split → explode → one hash-agg keyed by the line text
+    (the line must appear in the output, so the string itself is the
+    key here — partial aggregation means each distinct line crosses the
+    network once per map task, not once per occurrence). The scrub twin
+    `remove_dup_lines` keys by the 8-byte xxhash64 fingerprint instead,
+    since it only needs membership.
     """
     lines = df.select(
         F.col(id_col),
@@ -1210,7 +1212,7 @@ def remove_dup_lines(
     noise wherever it appears), unlike doc-level canonical selection
     where one copy survives.
 
-    Two shuffles: the line-frequency hash-agg (16-byte fingerprint key)
+    Two shuffles: the line-frequency hash-agg (8-byte xxhash64 key)
     and the per-document reassembly agg. The frequency side joins back
     on the fingerprint — shingle-keyed, never broadcast (the repeated-
     line table is corpus-sized). A line repeated across half the corpus

@@ -425,3 +425,73 @@ def test_bpe_matches_python_reference(spark, words, n_merges):
     expect_pieces = sum(len(expect_seqs[w]) for w in words)
     assert seg[0]["n_words"] == len(words)
     assert seg[0]["n_pieces"] == expect_pieces
+
+
+texts_lines_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps",
+                "accept cookies to continue",
+                "subscribe to the newsletter",
+                "unique content sentence",
+                "short",
+                "",
+                "  padded boilerplate line  ",
+            ]
+        ),
+        min_size=0,
+        max_size=6,
+    ).map(lambda ls: "\n".join(ls)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=texts_lines_strategy, max_docs=st.integers(1, 3))
+@_SETTINGS
+def test_remove_dup_lines_python_twin_and_idempotent(spark, texts, max_docs):
+    """remove_dup_lines matches a pure-Python reference on arbitrary
+    corpora (conservation: kept lines are exactly the original lines
+    minus over-limit ones, order preserved, no doc vanishes) and is
+    idempotent: scrubbing an already-scrubbed corpus is a no-op."""
+    from lol_data_collection_system_spark.operators.dedup import remove_dup_lines
+
+    min_chars = 10
+    docs = [(i, t) for i, t in enumerate(texts)]
+
+    # python twin
+    from collections import defaultdict
+
+    doc_sets = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            s = ln.strip()
+            if len(s) >= min_chars:
+                doc_sets[s].add(i)
+    over = {ln for ln, ids in doc_sets.items() if len(ids) > max_docs}
+    expect = {
+        i: "\n".join(
+            ln
+            for ln in t.split("\n")
+            if not (len(ln.strip()) >= min_chars and ln.strip() in over)
+        )
+        for i, t in docs
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_dup_lines(df, max_docs=max_docs).collect()
+    }
+    assert out == expect
+
+    # idempotence
+    again = {
+        r.doc_id: r.text
+        for r in remove_dup_lines(
+            spark.createDataFrame(list(out.items()), "doc_id long, text string"),
+            max_docs=max_docs,
+        ).collect()
+    }
+    assert again == out

@@ -441,7 +441,6 @@ def test_unicode_normalize_nfc_merges_dup_groups(spark):
     assert out[3].changed is False
     assert out[4].text is None and out[4].changed is False
 
-    # the point of the pass: exact dedup now sees the pair
     # the point of the pass: raw-byte line hashing now sees the dup
     before = line_dup_stats(docs.na.drop())
     after = line_dup_stats(unicode_normalize(docs.na.drop()).drop("changed"))
