@@ -1265,3 +1265,61 @@ def remove_dup_lines(
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         )
     )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    src_pair_col: str = "id_a",
+    dst_pair_col: str = "id_b",
+) -> DataFrame:
+    """Which sources duplicate each other: fold any near-dup pair frame
+    (`ngram_jaccard_pairs`, `lsh_candidate_pairs`, `containment_pairs`,
+    `embedding_near_dup_pairs` — anything with two id columns) into a
+    source × source matrix of duplicate-pair counts, plus each side's
+    corpus share of the pair volume.
+
+    The curation question this answers comes up before any doc-level
+    action: if crawl-B is 80 % near-dup against crawl-A, you drop or
+    down-weight the SOURCE, not a million individual docs. Diagonal rows
+    (source_a == source_b) are within-source duplication; off-diagonal
+    are cross-source. `source_a <= source_b` is canonical (pair frames
+    are unordered), so each unordered source pair appears once.
+
+    Two broadcast-sized joins (pairs ↔ the (id, source) projection —
+    the doc side is 2 columns regardless of document size, but it is
+    corpus-sized, so the joins stay shuffle equi-joins keyed by id) and
+    one hash-agg on the source pair. Pair volume is bounded by whatever
+    cap the pair generator applied — inherit a capped generator
+    (`max_doc_freq`) and this never sees an uncapped pair space.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col))
+    a = src.select(
+        F.col(id_col).alias(src_pair_col), F.col(source_col).alias("_sa")
+    )
+    b = src.select(
+        F.col(id_col).alias(dst_pair_col), F.col(source_col).alias("_sb")
+    )
+    labeled = (
+        pairs.select(src_pair_col, dst_pair_col)
+        .join(a, src_pair_col)
+        .join(b, dst_pair_col)
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+        )
+    )
+    counts = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    total = counts.agg(F.sum("n_dup_pairs").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "source_a",
+        "source_b",
+        "n_dup_pairs",
+        F.round(
+            F.col("n_dup_pairs").cast("double") / F.col("_t"), 6
+        ).alias("pair_share"),
+    )

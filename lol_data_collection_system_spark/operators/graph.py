@@ -176,3 +176,90 @@ def quality_canonicals(
             "component_id", "canonical_id", "n_members", "canonical_quality"
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic PageRank over a doc-similarity graph (kNN edges,
+    near-dup pairs): (node, rank), ranks summing to 1. Centrality over
+    the `knn_graph` edge list is the graph half of representativeness-
+    based coreset selection — a doc its neighborhood keeps pointing at
+    is a cluster exemplar; combined with `quality_canonicals` it picks
+    "keep" docs by structure rather than by score alone.
+
+    Fixed `iters` power-iteration rounds (no convergence action — rank
+    deltas after 10 rounds are far below any selection threshold at
+    damping 0.85). Per round: one join of ranks onto the edge list
+    (keyed by node), one DECIMAL(38,18)-summed aggregate per
+    destination — decimal makes the shuffle-order float sum exact, so
+    ranks are bit-identical across partitionings (pinned in tests) —
+    plus one tiny aggregate for the dangling-mass scalar (nodes without
+    out-edges redistribute uniformly; for symmetrized similarity graphs
+    that set is empty, but the generic contract keeps ranks summing
+    to 1 on any input). Lineage is truncated per round with a lazy
+    localCheckpoint, same loop discipline as `connected_components`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = e.distinct().localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.join(outdeg, "node", "left").select(
+        "node",
+        "outdeg",
+        (F.lit(1.0) / F.lit(float(n))).cast("decimal(38,18)").alias("rank"),
+    ).localCheckpoint(eager=False)
+
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        # dangling mass: ranks of sink nodes spread uniformly
+        dangling = (
+            ranks.filter(F.col("outdeg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+        )
+        dangling_share = float(dangling or 0) / n
+        contrib = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base + damping * dangling_share)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow").cast("double"), F.lit(0.0))
+                )
+                .cast("decimal(38,18)")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))

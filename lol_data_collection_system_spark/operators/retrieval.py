@@ -271,3 +271,92 @@ def lm_score_buckets(
         .otherwise(F.lit("middle"))
         .alias("lm_bucket"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document interpolated bigram LM score — the next step up from
+    `unigram_lm_scores` toward CCNet's real perplexity filter: token
+    probability is `λ·p(w|w_prev) + (1−λ)·p(w)` under the corpus's own
+    bigram/unigram distributions (Jelinek-Mercer interpolation), so
+    word-order scrambles and templated phrase reuse now move the score,
+    which a unigram model is blind to. Doc-initial tokens (no context)
+    score with the unigram term alone. Tokenization matches
+    `_term_counts` (lowercased whitespace tokens), so unigram and bigram
+    scores are comparable.
+
+    Returns (id, n_tokens, avg_neg_logp), same contract as the unigram
+    variant: every `ln` rounded to 6 dp, per-position contributions
+    DECIMAL-summed (order-free), final mean rounded to 6 dp.
+
+    Plan shape: one (doc, prev, term) count frame feeds every
+    distribution — corpus bigrams (partial-agg'd (prev, term) rollup),
+    context totals ((prev) rollup of the same), unigrams ((term)
+    rollup), and the scoring joins, each keyed by a term column. The LM
+    tables shard across the cluster on the same keys the probe joins
+    use; the only broadcast is the 1-row corpus total. Because the LM
+    is trained on the scored corpus itself, every non-initial (prev,
+    term) probe hits the bigram table — the unigram fallback is a
+    modeling choice for doc starts, not an out-of-vocabulary path.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri = toked.select(
+        F.col(id_col), F.lag("term", 1).over(w).alias("prev"), "term"
+    )
+    per_doc = (
+        tri.groupBy(id_col, "prev", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    uni = per_doc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = uni.agg(F.sum("ctf").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.col("ctf").cast("double") / F.col("total").cast("double")).alias(
+            "_pu"
+        ),
+    )
+    big = (
+        per_doc.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.sum("tf").alias("cbf"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cbf").alias("cctx"))
+    p_big = big.join(ctx, "prev").select(
+        "prev",
+        "term",
+        (F.col("cbf").cast("double") / F.col("cctx").cast("double")).alias(
+            "_pb"
+        ),
+    )
+    p = F.when(F.col("prev").isNull(), F.col("_pu")).otherwise(
+        F.lit(float(lam)) * F.col("_pb")
+        + F.lit(1.0 - float(lam)) * F.col("_pu")
+    )
+    contrib = (
+        per_doc.join(p_uni, "term")
+        .join(p_big, ["prev", "term"], "left")
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            F.round(F.col("tf") * -F.round(F.log(p), 6), 6)
+            .cast("decimal(28,6)")
+            .alias("nll"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("nll").cast("double") / F.sum("tf").cast("double"), 6
+        ).alias("avg_neg_logp"),
+    )

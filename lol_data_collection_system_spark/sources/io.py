@@ -157,3 +157,54 @@ def write_bucketed_table(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_key(
+    cols: "list[tuple[F.Column, float, float]]", bits: int = 16
+) -> "F.Column":
+    """Morton / Z-order clustering key: interleave the top `bits` bits of
+    each (column, lo, hi) spec into one bigint, so sorting by the key
+    clusters rows that are close in EVERY dimension — the multi-dim
+    counterpart of `write_clustered`'s single-axis sort.
+
+    Why: a (region_hash, ts)-filtered query over a store sorted by ts
+    alone prunes nothing on region — every row group spans all regions.
+    Z-ordering the two axes makes each row group a near-rectangle in
+    (region_hash, ts) space, so min/max row-group stats prune on BOTH
+    predicates (the same reason lakehouse engines expose OPTIMIZE
+    ZORDER; here it is one pure codegen expression, no engine support
+    needed).
+
+    `lo`/`hi` are static per-column bounds (natural for epoch-ms
+    timestamps and hash buckets; compute once via a 1-row agg for data-
+    dependent axes). Values outside clamp to the edge — out-of-bounds
+    data degrades clustering quality, never correctness. k*bits must
+    fit a signed bigint (≤ 62).
+    """
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds 62 interleaved bits")
+    top = (1 << bits) - 1
+    terms = []
+    for c, (col, lo, hi) in enumerate(cols):
+        if not hi > lo:
+            raise ValueError(f"column {c}: need hi > lo, got [{lo}, {hi}]")
+        scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        ) * F.lit(float(top))
+        q = F.least(
+            F.greatest(F.floor(scaled), F.lit(0)), F.lit(top)
+        ).cast("bigint")
+        for j in range(bits):
+            # bit j of column c lands at interleaved position j*k + c;
+            # positions are disjoint across all (c, j), so + == bitwise or
+            terms.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(q, j).bitwiseAND(F.lit(1)),
+                    j * k + c,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

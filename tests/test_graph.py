@@ -168,3 +168,66 @@ def test_semantic_auto_budget_fires_on_cluster_collapse(spark):
         semantic_near_dup_pairs(
             emb, n_clusters=6, pair_budget="auto"
         ).collect()
+
+
+def _pagerank_python(edge_list, damping=0.85, iters=10, directed=False):
+    """Float power-iteration twin with the operator's update order."""
+    edges = set()
+    for u, v in edge_list:
+        edges.add((u, v))
+        if not directed:
+            edges.add((v, u))
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {x: 0 for x in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[x] for x in nodes if out[x] == 0)
+        inflow = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            inflow[v] += rank[u] / out[u]
+        rank = {
+            x: (1 - damping) / n
+            + damping * dangling / n
+            + damping * inflow[x]
+            for x in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_twin_and_sums_to_one(spark):
+    from lol_data_collection_system_spark.operators.graph import pagerank
+
+    # hub-and-spoke plus a chain and a disconnected pair — includes a
+    # dangling sink in the directed case
+    edge_list = [(1, 2), (1, 3), (1, 4), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+
+    for directed in (False, True):
+        got = {
+            r.node: r.rank
+            for r in pagerank(edges, directed=directed).collect()
+        }
+        want = _pagerank_python(edge_list, directed=directed)
+        assert set(got) == set(want)
+        for x in want:
+            assert abs(got[x] - want[x]) < 1e-9, (directed, x)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+    # undirected similarity graph: the hub out-ranks its spokes
+    und = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert und[1] > max(und[2], und[3], und[5])
+
+
+def test_pagerank_partition_invariant(spark):
+    from lol_data_collection_system_spark.operators.graph import pagerank
+
+    edge_list = [(i, (i * 7) % 23) for i in range(40)]
+    e1 = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    r1 = {r.node: r.rank for r in pagerank(e1, iters=5).collect()}
+    r2 = {
+        r.node: r.rank
+        for r in pagerank(e1.repartition(13), iters=5).collect()
+    }
+    assert r1 == r2  # decimal sums: bit-identical across layouts

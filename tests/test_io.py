@@ -219,3 +219,65 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_items")
+
+
+def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: row groups get bounded min/max extent on BOTH
+    axes, where a single-axis sort leaves the other axis full-range
+    (un-prunable). Quantified as mean row-group extent / full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lol_data_collection_system_spark.sources.io import (
+        write_clustered,
+        zorder_key,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.shiftrightunsigned(F.hash(F.col("id")), 1).alias("x"),
+        F.shiftrightunsigned(F.hash(F.col("id") + 7_777_777), 1).alias("y"),
+    )
+    hi = float(2**31)
+
+    def mean_extents(root):
+        ext = {"x": [], "y": []}
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                for cname in ("x", "y"):
+                    st = md.row_group(rg).column(names.index(cname)).statistics
+                    ext[cname].append((st.max - st.min) / hi)
+        assert len(ext["x"]) >= 8
+        return {c: sum(v) / len(v) for c, v in ext.items()}
+
+    zpath = str(tmp_path / "zordered")
+    zdf = df.withColumn(
+        "zk", zorder_key([(F.col("x"), 0.0, hi), (F.col("y"), 0.0, hi)], bits=16)
+    )
+    write_clustered(
+        zdf.coalesce(1), zpath, cluster_by=("zk",),
+        parquet_block_bytes=64 * 1024,
+    )
+    zext = mean_extents(zpath)
+    # each row group is a near-rectangle: both axes well under full range
+    assert zext["x"] < 0.5 and zext["y"] < 0.5, zext
+
+    xpath = str(tmp_path / "xsorted")
+    write_clustered(
+        df.coalesce(1), xpath, cluster_by=("x",),
+        parquet_block_bytes=64 * 1024,
+    )
+    xext = mean_extents(xpath)
+    assert xext["x"] < 0.05          # sorted axis: tight
+    assert xext["y"] > 0.9, xext     # other axis: full range, no pruning
+
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key([(F.col("x"), 0.0, hi)] * 4, bits=16)  # 64 bits > 62
+    with _pytest.raises(ValueError):
+        zorder_key([(F.col("x"), 5.0, 5.0)])

@@ -451,3 +451,70 @@ def test_unicode_normalize_nfc_merges_dup_groups(spark):
 
     with _pytest.raises(ValueError):
         unicode_normalize(docs, form="NFX")
+
+
+def test_cross_source_dup_matrix_counts_and_canonical_order(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "crawl_a"),
+            (2, "crawl_b"),
+            (3, "crawl_b"),
+            (4, "crawl_a"),
+            (5, "wiki"),
+        ],
+        "doc_id long, source string",
+    )
+    # pair frame as any generator would emit it (id_a < id_b)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_dup_matrix(docs, pairs).collect()
+    }
+    # cross-source pairs fold into one canonical (a<=b) cell
+    assert out[("crawl_a", "crawl_b")].n_dup_pairs == 2
+    # diagonal = within-source duplication
+    assert out[("crawl_b", "crawl_b")].n_dup_pairs == 1
+    assert out[("crawl_a", "crawl_a")].n_dup_pairs == 1
+    assert ("wiki", "wiki") not in out  # no pairs → no row
+    assert abs(sum(r.pair_share for r in out.values()) - 1.0) < 1e-9
+
+
+def test_bigram_lm_scores_order_sensitivity(spark):
+    import math
+
+    from lol_data_collection_system_spark.operators.retrieval import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    # Nine docs use the typical continuation (alpha -> beta); one doc
+    # takes the rare branch (alpha -> gamma). Unigram LM can't tell the
+    # docs apart; the bigram LM must.
+    common = "alpha beta gamma"
+    rare_branch = "alpha gamma beta"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, rare_branch)],
+        ["doc_id", "text"],
+    )
+    uni = {r.doc_id: r.avg_neg_logp for r in unigram_lm_scores(df).collect()}
+    assert uni[0] == uni[9]  # unigram-identical
+    bi = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert bi[0].n_tokens == 3
+    assert bi[9].avg_neg_logp > bi[0].avg_neg_logp  # bigram sees the branch
+
+    # closed form (lam=0.7). Corpus bigrams: (alpha,beta)=9,
+    # (alpha,gamma)=1 -> alpha ctx 10; (beta,gamma)=9 -> beta ctx 9;
+    # (gamma,beta)=1 -> gamma ctx 1. Unigram p = 10/30 for every token.
+    lam, pu = 0.7, 10 / 30
+    for doc, probs in (
+        (0, [pu, lam * 0.9 + (1 - lam) * pu, lam * 1.0 + (1 - lam) * pu]),
+        (9, [pu, lam * 0.1 + (1 - lam) * pu, lam * 1.0 + (1 - lam) * pu]),
+    ):
+        expect = round(sum(round(-math.log(p), 6) for p in probs) / 3, 6)
+        assert abs(bi[doc].avg_neg_logp - expect) < 2e-6
