@@ -533,9 +533,11 @@ def unicode_normalize(
     form: str = "NFC",
 ) -> DataFrame:
     """Unicode normalization pass (CCNet applies NFC before hashing;
-    NFKC is the tokenizer-facing variant): returns (id, text, changed)
-    where `text` is the normalized string and `changed` flags docs the
-    pass actually touched. Without it, composed "é" (U+00E9) and
+    NFKC is the tokenizer-facing variant): `text_col` is replaced by its
+    normalized form, a boolean `changed` column flags docs the pass
+    actually touched, and every other column passes through untouched
+    (so the pass composes mid-pipeline). Without it, composed "é"
+    (U+00E9) and
     decomposed "e"+U+0301 hash differently, silently splitting exact-dup
     groups and BPE vocabulary entries for byte-identical-looking text.
 
@@ -556,15 +558,14 @@ def unicode_normalize(
             lambda x: unicodedata.normalize(form, x) if x is not None else None
         )
 
-    # two-step select so the UDF column is evaluated once, not once per
-    # downstream reference
-    staged = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_orig"),
-        _norm(F.col(text_col)).alias("_normed"),
-    )
-    return staged.select(
-        F.col(id_col),
-        F.col("_normed").alias(text_col),
-        (~F.col("_normed").eqNullSafe(F.col("_orig"))).alias("changed"),
+    # staged projection so the UDF column is evaluated once, not once
+    # per downstream reference; every other column passes through
+    # untouched so the pass composes mid-pipeline
+    staged = df.withColumn("_normed", _norm(F.col(text_col)))
+    return (
+        staged.withColumn(
+            "changed", ~F.col("_normed").eqNullSafe(F.col(text_col))
+        )
+        .withColumn(text_col, F.col("_normed"))
+        .drop("_normed")
     )

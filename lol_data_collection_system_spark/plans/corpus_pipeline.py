@@ -48,18 +48,42 @@ from .corpus_queries import (
 
 
 def prepare_training_corpus(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize_unicode: bool = False,
+    scrub_repeated_lines: bool = False,
+    line_max_docs: int = 1,
 ) -> DataFrame:
     """The full prep: returns the surviving documents with
     `text_scrubbed`, `component_id` (near-dup cluster) and `split`
     columns. Survivors = quality-passing docs that are BOTH the
     canonical member of their exact-dup group AND of their near-dup
-    cluster."""
-    return _stages(docs, id_col, text_col)["prepared"]
+    cluster.
+
+    Opt-in pre-stages (defaults off so the oracle-gated funnel stays
+    byte-stable): `normalize_unicode` runs the NFC pass first so every
+    downstream hash sees canonical bytes; `scrub_repeated_lines` then
+    removes lines occurring in more than `line_max_docs` documents
+    (boilerplate/banner removal) before any quality or dedup decision.
+    """
+    return _stages(
+        docs,
+        id_col,
+        text_col,
+        normalize_unicode=normalize_unicode,
+        scrub_repeated_lines=scrub_repeated_lines,
+        line_max_docs=line_max_docs,
+    )["prepared"]
 
 
 def _stages(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize_unicode: bool = False,
+    scrub_repeated_lines: bool = False,
+    line_max_docs: int = 1,
 ) -> dict[str, DataFrame]:
     """All intermediate frames of the prep, with the multiply-consumed
     ones persisted: `quality` feeds the exact-dup aggregate, the
@@ -71,6 +95,19 @@ def _stages(
     full-table scans). Eviction is left to Spark's LRU (StorageLevel
     default); a 100 TB run would swap the persist for a
     `materialize_summary` parquet checkpoint between stages."""
+    if normalize_unicode:
+        # NFC first: canonical bytes for every downstream hash
+        # (fingerprints, shingles, line fps)
+        docs = text_ops.unicode_normalize(docs, id_col, text_col).drop(
+            "changed"
+        )
+    if scrub_repeated_lines:
+        # boilerplate-line removal before quality/dedup decisions; other
+        # columns rejoin around the (id, text)-shaped scrub
+        scrubbed_lines = dedup_ops.remove_dup_lines(
+            docs, id_col, text_col, max_docs=line_max_docs
+        )
+        docs = docs.drop(text_col).join(scrubbed_lines, id_col)
     scrubbed = text_ops.scrub_patterns(docs, text_col)
     # PII redaction rides the same codegen projection (typed placeholder
     # tokens, operators/pii.py). Identity on the synthetic corpus (its

@@ -518,3 +518,63 @@ def test_bigram_lm_scores_order_sensitivity(spark):
     ):
         expect = round(sum(round(-math.log(p), 6) for p in probs) / 3, 6)
         assert abs(bi[doc].avg_neg_logp - expect) < 2e-6
+
+
+def test_prepare_training_corpus_optin_prestages(spark):
+    from lol_data_collection_system_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    # bodies that pass the quality gates: ~33 tokens, mean word length
+    # ~4.7, all distinct, >5% stopwords
+    def body(tag):
+        return " ".join(
+            [f"{tag}{i:02d}a" for i in range(28)] + ["the", "of", "and", "to"]
+        )
+
+    banner = "Subscribe to our newsletter for updates"
+    composed = "caf\u00e9x " + body("tk")       # café precomposed
+    decomposed = "cafe\u0301x " + body("tk")    # cafe + combining acute
+    # doc 2 carries no banner: at the pipeline's loose 0.05 Jaccard
+    # threshold even a shared banner line would cluster it with 1/3
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n{decomposed}", "s1"),
+            (2, "plain " + body("qx"), "s1"),
+            (3, f"{banner}\n{composed}", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    # defaults: exact dedup is normalization-invariant (ascii-folding
+    # fingerprint), so 3 already collapses into 1; banner is kept
+    base = {
+        r.doc_id: r for r in prepare_training_corpus(docs).collect()
+    }
+    assert set(base) == {1, 2}
+    assert "newsletter" in base[1].text
+
+    # line scrub: the banner (docs 1+3) is scrubbed from all; the body
+    # lines differ BYTE-wise (composed vs decomposed) so they survive
+    scrubbed = {
+        r.doc_id: r
+        for r in prepare_training_corpus(
+            docs, scrub_repeated_lines=True
+        ).collect()
+    }
+    assert set(scrubbed) == {1, 2}
+    assert "newsletter" not in scrubbed[1].text
+    assert "tk00a" in scrubbed[1].text  # body kept
+    assert scrubbed[1].source == "s1"  # other columns survive the rejoin
+
+    # NFC + line scrub: normalization makes doc 1's body line
+    # byte-identical to doc 3's, the drop-from-all policy removes the
+    # shared body from BOTH, they empty out and fail quality — the
+    # normalize-before-line-hash ordering is what this pins
+    both = {
+        r.doc_id
+        for r in prepare_training_corpus(
+            docs, normalize_unicode=True, scrub_repeated_lines=True
+        ).collect()
+    }
+    assert both == {2}
