@@ -419,3 +419,96 @@ def contrastive_negatives(
         .agg(F.min("_pick").alias("_best"))
         .select(id_col, "neg_idx", F.col("_best.n").alias("neg_id"))
     )
+
+
+def capped_token_budget_plan(
+    df: DataFrame,
+    group_col: str,
+    token_count_col: Column,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+    round_w: int = 6,
+) -> DataFrame:
+    """`token_budget_plan` with the repetition ceiling enforced:
+    waterfilling allocation where no group may be planned past
+    ``max_epochs`` passes over its tokens (Muennighoff et al. 2023's
+    ~4-epoch useful ceiling), and the tokens a capped group can't absorb
+    are redistributed across the uncapped groups by the same
+    temperature-``alpha`` weights — iterated to the fixpoint, so the
+    budget is spent unless EVERY group caps out.
+
+    Returns (group, n_docs, n_tokens, planned_tokens, epochs, capped).
+    `planned_tokens` ≤ max_epochs·n_tokens always; Σ planned ≤ budget
+    with equality unless all groups are capped.
+
+    Scale shape: one partial-agg'd groupBy over the corpus, then the
+    waterfilling loop runs DRIVER-SIDE over the per-group table — the
+    standard bounded-collect exemption (rows = number of sources, not
+    corpus size; same contract as `pack_sequences`' per-partition
+    offsets). The corpus itself is aggregated once and never
+    reshuffled; the resulting plan is a literal table joined back by
+    group key.
+    """
+    counts_df = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).alias("n_tokens"),
+    )
+    rows = counts_df.collect()  # bounded: one row per source
+    if not rows:
+        return counts_df.select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("planned_tokens"),
+            F.lit(0.0).alias("epochs"),
+            F.lit(False).alias("capped"),
+        )
+    total = sum(r["n_tokens"] for r in rows)
+    w = {
+        r[group_col]: round((r["n_tokens"] / total) ** alpha, round_w)
+        for r in rows
+    }
+    cap = {r[group_col]: int(max_epochs * r["n_tokens"]) for r in rows}
+    planned = {g: 0 for g in w}
+    remaining = int(budget_tokens)
+    active = set(w)
+    # ≤ n_sources rounds: each round either spends the remainder or
+    # permanently caps at least one group
+    while remaining > 0 and active:
+        w_sum = sum(w[g] for g in active)
+        share = {g: int(remaining * w[g] / w_sum) for g in active}
+        newly_capped = {
+            g for g in active if planned[g] + share[g] >= cap[g]
+        }
+        if not newly_capped:
+            for g in active:
+                planned[g] += share[g]
+            remaining -= sum(share.values())
+            if remaining < len(active):  # floor dust: stop
+                break
+        else:
+            for g in newly_capped:
+                remaining -= cap[g] - planned[g]
+                planned[g] = cap[g]
+                active.remove(g)
+    out_rows = [
+        (
+            r[group_col],
+            r["n_docs"],
+            r["n_tokens"],
+            planned[r[group_col]],
+            round(planned[r[group_col]] / r["n_tokens"], round_w)
+            if r["n_tokens"]
+            else 0.0,
+            planned[r[group_col]] >= cap[r[group_col]],
+        )
+        for r in rows
+    ]
+    spark = df.sparkSession
+    group_type = counts_df.schema[group_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows,
+        f"{group_col} {group_type}, n_docs bigint, n_tokens bigint, "
+        "planned_tokens bigint, epochs double, capped boolean",
+    )

@@ -203,3 +203,43 @@ def test_temperature_sample_is_layout_independent(spark):
         ).collect()
     )
     assert a == b and 0 < len(a) < 400
+
+
+def test_capped_token_budget_waterfills(spark):
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.sampling import (
+        capped_token_budget_plan,
+    )
+
+    # tiny source caps out; its unspent share must flow to the others
+    docs = spark.createDataFrame(
+        [("big", 1000), ("big", 1000), ("mid", 500), ("tiny", 10)],
+        "source string, n_tok long",
+    )
+    out = {
+        r.source: r
+        for r in capped_token_budget_plan(
+            docs, "source", F.col("n_tok"), budget_tokens=2000, max_epochs=2.0
+        ).collect()
+    }
+    assert out["tiny"].capped and out["tiny"].planned_tokens == 20  # 2 epochs
+    assert not out["big"].capped and not out["mid"].capped
+    total_planned = sum(r.planned_tokens for r in out.values())
+    assert 2000 - 3 <= total_planned <= 2000  # budget spent (floor dust)
+    # big+mid absorbed tiny's unspendable share in weight proportion
+    assert out["big"].planned_tokens > out["mid"].planned_tokens
+    for r in out.values():
+        assert r.epochs <= 2.0 + 1e-9
+
+    # budget larger than every cap: all capped, Σ = Σ caps < budget
+    allcap = {
+        r.source: r
+        for r in capped_token_budget_plan(
+            docs, "source", F.col("n_tok"), budget_tokens=10**9, max_epochs=1.5
+        ).collect()
+    }
+    assert all(r.capped for r in allcap.values())
+    assert sum(r.planned_tokens for r in allcap.values()) == int(
+        1.5 * 2000 + 1.5 * 500 + 1.5 * 10
+    )
