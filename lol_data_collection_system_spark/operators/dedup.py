@@ -1184,7 +1184,9 @@ def line_dup_stats(
         F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
     ).select(
         F.col(id_col),
-        F.trim(F.col("_raw")).alias("line"),
+        # full \s strip, not F.trim (which strips only ASCII spaces and
+        # would let CRLF/tab-padded copies of a line hash apart)
+        F.regexp_replace(F.col("_raw"), r"^\s+|\s+$", "").alias("line"),
     ).filter(F.length("line") >= min_chars)
     return (
         lines.groupBy("line")
@@ -1228,8 +1230,15 @@ def remove_dup_lines(
         F.col(id_col),
         F.col("pos"),
         F.col("_raw").alias("line"),
-        F.xxhash64(F.trim(F.col("_raw"))).alias("_fp"),
-        (F.length(F.trim(F.col("_raw"))) >= min_chars).alias("_eligible"),
+        # \s-strip (not F.trim): CRLF and tab padding must not make two
+        # copies of a boilerplate line hash differently
+        F.xxhash64(
+            F.regexp_replace(F.col("_raw"), r"^\s+|\s+$", "")
+        ).alias("_fp"),
+        (
+            F.length(F.regexp_replace(F.col("_raw"), r"^\s+|\s+$", ""))
+            >= min_chars
+        ).alias("_eligible"),
     )
     over_limit = (
         lines.filter(F.col("_eligible"))
@@ -1256,13 +1265,19 @@ def remove_dup_lines(
         )
     )
     # a doc whose EVERY line was scrubbed must survive with empty text,
-    # not vanish from the corpus (downstream joins key on the id)
+    # not vanish from the corpus (downstream joins key on the id) — but
+    # a doc whose text was NULL stays NULL (never-had-text must remain
+    # distinguishable from fully-scrubbed)
     return (
-        df.select(id_col)
+        df.select(
+            F.col(id_col), F.col(text_col).isNull().alias("_was_null")
+        )
         .join(reassembled, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.when(F.col("_was_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(text_col), F.lit("")))
+            .alias(text_col),
         )
     )
 
@@ -1288,12 +1303,19 @@ def cross_source_dup_matrix(
     are cross-source. `source_a <= source_b` is canonical (pair frames
     are unordered), so each unordered source pair appears once.
 
-    Two broadcast-sized joins (pairs ↔ the (id, source) projection —
-    the doc side is 2 columns regardless of document size, but it is
-    corpus-sized, so the joins stay shuffle equi-joins keyed by id) and
-    one hash-agg on the source pair. Pair volume is bounded by whatever
-    cap the pair generator applied — inherit a capped generator
-    (`max_doc_freq`) and this never sees an uncapped pair space.
+    `pair_share` is each cell's share of the TOTAL pair volume (the
+    matrix sums to 1), so off-diagonal cells read directly as "this
+    fraction of all duplication is cross-source". The id joins are
+    INNER: pass the same `docs` frame the pair frame was generated
+    from — a pre-filtered docs frame silently drops every pair touching
+    a filtered id and renormalizes the shares over the survivors.
+
+    Two equi-joins of the pair list against the 2-column (id, source)
+    projection (shuffle joins keyed by id; the doc side is corpus-sized,
+    never broadcast) and one hash-agg on the source pair. Pair volume is
+    bounded by whatever cap the pair generator applied — inherit a
+    capped generator (`max_doc_freq`) and this never sees an uncapped
+    pair space.
     """
     src = docs.select(F.col(id_col), F.col(source_col))
     a = src.select(

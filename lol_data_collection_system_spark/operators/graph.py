@@ -217,6 +217,12 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge frame (clean corpus / high threshold): empty ranks,
+        # not a divide-by-zero at plan time
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

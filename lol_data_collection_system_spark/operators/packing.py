@@ -124,6 +124,18 @@ def pack_sequences(
     )
 
 
+def shard_of(key: "F.Column", n_shards: int) -> "F.Column":
+    """Shard id = md5(key) mod n_shards (60-bit md5 prefix, the
+    engine-portable conversion). THE single definition shared by the
+    manifest audit and the shard writer — if these ever diverged, the
+    manifest would report balance for a layout that was never written."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % n_shards
+    )
+
+
 def hash_shard_manifest(
     df: DataFrame,
     id_col: str,
@@ -143,12 +155,7 @@ def hash_shard_manifest(
     to re-hash or split. md5-derived (not Spark's internal hash) so the
     oracle reproduces assignments bit-exactly.
     """
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
-        % n_shards
-    )
+    shard = shard_of(F.col(id_col), n_shards)
     per_shard = (
         df.select(
             shard.alias("shard_id"),
@@ -197,11 +204,11 @@ def write_training_shards(
     workers, no coordination); the intra-shard order is a reproducible
     shuffle — re-running the export with the same salt yields
     byte-identical shard contents, and changing the salt is a fresh
-    epoch-level reshuffle with zero extra passes. The
-    `repartition(shard_col)` routes each shard to dedicated write tasks
-    (no small-files explosion: without it every task writes a sliver of
-    every shard), and the required partition-column sort prefix is
-    shard_id, so the pack_order sort survives within each directory.
+    epoch-level reshuffle with zero extra passes. Rows are range-
+    partitioned on (shard, order) so the write runs at full cluster
+    parallelism while each task still writes at most two shard
+    directories; the required partition-column sort prefix is shard_id,
+    so the pack_order sort survives within each directory.
 
     `curriculum_col` swaps the shuffle order for curriculum ordering:
     rows within each shard are written ascending by that column (e.g. a
@@ -210,20 +217,24 @@ def write_training_shards(
     deterministically mixed rather than layout-ordered.
     """
     key = F.col(id_col)
-    shard = (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % n_shards
-    ).cast("int")
+    shard = shard_of(key, n_shards).cast("int")
     order_cols = (
         [F.col(curriculum_col), F.col("_order")]
         if curriculum_col
         else [F.col("_order")]
     )
+    # repartitionByRange on (shard, order): write parallelism stays at
+    # the full shuffle-partition count — a plain repartition(shard_id)
+    # would funnel each ~corpus/n_shards slice through ONE task (sort +
+    # write serialized, the scale killer at the stated design point).
+    # Range boundaries follow the sort order, so each output task still
+    # writes at most 2 shard directories (one boundary straddle), no
+    # small-files explosion; reading a shard's files in name order
+    # preserves the global intra-shard order.
     out = (
         df.withColumn("shard_id", shard)
         .withColumn("_order", pack_order(key, salt))
-        .repartition(F.col("shard_id"))
+        .repartitionByRange(F.col("shard_id"), *order_cols, F.col(id_col))
         .sortWithinPartitions(F.col("shard_id"), *order_cols, F.col(id_col))
         .drop("_order")
     )

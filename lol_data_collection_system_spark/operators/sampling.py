@@ -465,14 +465,19 @@ def capped_token_budget_plan(
             F.lit(False).alias("capped"),
         )
     total = sum(r["n_tokens"] for r in rows)
+    cap = {r[group_col]: int(max_epochs * r["n_tokens"]) for r in rows}
+    planned = {r[group_col]: 0 for r in rows}
+    # weights stay UNROUNDED doubles here (this loop is driver-side
+    # Python, no cross-engine reproducibility constraint), so extreme
+    # source-size skew can't round a weight to exactly 0 and divide by
+    # zero once every heavier group has capped out
     w = {
-        r[group_col]: round((r["n_tokens"] / total) ** alpha, round_w)
+        r[group_col]: (r["n_tokens"] / total) ** alpha if total else 0.0
         for r in rows
     }
-    cap = {r[group_col]: int(max_epochs * r["n_tokens"]) for r in rows}
-    planned = {g: 0 for g in w}
-    remaining = int(budget_tokens)
-    active = set(w)
+    remaining = int(budget_tokens) if total else 0
+    # zero-token groups have cap 0 and weight 0: capped from the start
+    active = {g for g in w if w[g] > 0 and cap[g] > 0}
     # ≤ n_sources rounds: each round either spends the remainder or
     # permanently caps at least one group
     while remaining > 0 and active:

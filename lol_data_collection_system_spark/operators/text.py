@@ -528,7 +528,6 @@ def clean_control_chars(text: Column) -> Column:
 
 def unicode_normalize(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     form: str = "NFC",
 ) -> DataFrame:

@@ -98,7 +98,7 @@ def _stages(
     if normalize_unicode:
         # NFC first: canonical bytes for every downstream hash
         # (fingerprints, shingles, line fps)
-        docs = text_ops.unicode_normalize(docs, id_col, text_col).drop(
+        docs = text_ops.unicode_normalize(docs, text_col=text_col).drop(
             "changed"
         )
     if scrub_repeated_lines:

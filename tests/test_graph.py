@@ -231,3 +231,14 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank(e1.repartition(13), iters=5).collect()
     }
     assert r1 == r2  # decimal sums: bit-identical across layouts
+
+
+def test_pagerank_empty_edges(spark):
+    """Regression: an empty pair frame (routine for similarity graphs on
+    a clean corpus) must yield an empty rank frame, not DIVIDE_BY_ZERO."""
+    from lol_data_collection_system_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -438,6 +438,8 @@ texts_lines_strategy = st.lists(
                 "short",
                 "",
                 "  padded boilerplate line  ",
+                "\taccept cookies to continue\r",
+                "crlf terminated content line\r",
             ]
         ),
         min_size=0,
@@ -463,10 +465,11 @@ def test_remove_dup_lines_python_twin_and_idempotent(spark, texts, max_docs):
     # python twin
     from collections import defaultdict
 
+    ws = " \t\r\f\x0b"  # Java regex \s, minus the \n the split consumed
     doc_sets = defaultdict(set)
     for i, t in docs:
         for ln in t.split("\n"):
-            s = ln.strip()
+            s = ln.strip(ws)
             if len(s) >= min_chars:
                 doc_sets[s].add(i)
     over = {ln for ln, ids in doc_sets.items() if len(ids) > max_docs}
@@ -474,7 +477,7 @@ def test_remove_dup_lines_python_twin_and_idempotent(spark, texts, max_docs):
         i: "\n".join(
             ln
             for ln in t.split("\n")
-            if not (len(ln.strip()) >= min_chars and ln.strip() in over)
+            if not (len(ln.strip(ws)) >= min_chars and ln.strip(ws) in over)
         )
         for i, t in docs
     }

@@ -243,3 +243,34 @@ def test_capped_token_budget_waterfills(spark):
     assert sum(r.planned_tokens for r in allcap.values()) == int(
         1.5 * 2000 + 1.5 * 500 + 1.5 * 10
     )
+
+
+def test_capped_token_budget_extreme_skew_and_degenerate(spark):
+    """Regression: extreme source-size skew used to round the light
+    source's weight to 0 and divide by zero once the heavy source
+    capped; zero-token corpora and zero-token groups must also plan 0."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.sampling import (
+        capped_token_budget_plan,
+    )
+
+    skew = spark.createDataFrame(
+        [("big", 10_000_000_000_000), ("tiny", 2)], "source string, n_tok long"
+    )
+    out = {
+        r.source: r
+        for r in capped_token_budget_plan(
+            skew, "source", F.col("n_tok"), budget_tokens=50_000_000_000_000
+        ).collect()
+    }
+    assert out["big"].capped and out["big"].planned_tokens == 4 * 10**13
+    assert out["tiny"].capped and out["tiny"].planned_tokens == 8
+
+    empty_tokens = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "source string, n_tok long"
+    )
+    z = capped_token_budget_plan(
+        empty_tokens, "source", F.col("n_tok"), budget_tokens=100
+    ).collect()
+    assert all(r.planned_tokens == 0 for r in z)

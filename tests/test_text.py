@@ -407,6 +407,12 @@ def test_remove_dup_lines_scrubs_from_all_docs(spark):
     )
     out = {r["doc_id"]: r["text"] for r in remove_dup_lines(docs).collect()}
     assert out[1] == "unique alpha content here"
+    # null text stays null (never-had-text != fully-scrubbed)
+    nulldoc = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    nl = {r["doc_id"]: r["text"] for r in remove_dup_lines(nulldoc).collect()}
+    assert nl[1] is None and nl[2] == "x"
     assert out[2] == "unique beta content here"
     assert out[3] == ""  # fully scrubbed doc kept with empty text
     assert out[4] == "ok\nshort lines stay\nok"  # short dup lines untouched
