@@ -567,3 +567,55 @@ def test_doc_novelty_single_shingle_shuffle(spark):
     plan = _plan(spark, "doc_novelty_scores")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_partial_agg_no_vocab_broadcast(spark):
+    """bigram_lm_scores: every LM table aggregate is map-side combined,
+    and no unbounded vocabulary table travels by broadcast — the only
+    BroadcastExchange is the 1-row corpus total. The LM joins stay
+    shuffle equi-joins keyed by the probe's own term columns."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.retrieval import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # at test SF the LM tables are tiny enough that Catalyst would
+    # auto-broadcast them (fine at that size); disable auto-broadcast to
+    # pin that nothing FORCES a vocab broadcast at corpus scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bigram_lm_scores(docs)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert plan.count("HashAggregate") >= 6  # uni/big/ctx/doc partial+final
+        # the 1-row corpus total is the only explicit broadcast
+        # (formatted explain names each node twice: tree + detail)
+        assert plan.count("BroadcastExchange") == 2
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_remove_dup_lines_join_shape(spark):
+    """remove_dup_lines: the line join is keyed by the 8-byte
+    fingerprint (never a cartesian), and the frequency side aggregates
+    partially before its filter — the over-limit build side is post-agg,
+    post-filter."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        remove_dup_lines,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = remove_dup_lines(docs)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # freq + reassembly, partial+final
+    assert "_fp" in plan  # join keyed by the fingerprint column
