@@ -391,6 +391,15 @@ def test_line_dup_stats_counts_cross_doc_lines(spark):
     assert "Home" not in rows  # short line excluded (< min_chars)
     assert rows["unique alpha content here"]["n_docs"] == 1
 
+    # CRLF / tab padding strips to the same key (full \s class, not
+    # just ASCII spaces)
+    crlf = spark.createDataFrame(
+        [(1, f"{banner}\r\nrest of document"), (2, f"\t{banner}  ")],
+        "doc_id long, text string",
+    )
+    crows = {r["line"]: r for r in line_dup_stats(crlf).collect()}
+    assert crows[banner]["n_docs"] == 2
+
 
 def test_remove_dup_lines_scrubs_from_all_docs(spark):
     from lol_data_collection_system_spark.operators.dedup import remove_dup_lines
