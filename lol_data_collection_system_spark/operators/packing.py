@@ -202,9 +202,12 @@ def write_training_shards(
     Why this shape at 100 TB: a training job reading shard K touches
     exactly one directory (static file-level sharding across data-loader
     workers, no coordination); the intra-shard order is a reproducible
-    shuffle — re-running the export with the same salt yields
-    byte-identical shard contents, and changing the salt is a fresh
-    epoch-level reshuffle with zero extra passes. Rows are range-
+    shuffle — re-running the export with the same salt yields the same
+    rows in the same per-shard order (read a shard's files in name
+    order; INDIVIDUAL file boundaries may differ between runs, because
+    repartitionByRange samples its range bounds with an RDD-id-derived
+    seed), and changing the salt is a fresh epoch-level reshuffle with
+    zero extra passes. Rows are range-
     partitioned on (shard, order) so the write runs at full cluster
     parallelism while each task still writes at most two shard
     directories; the required partition-column sort prefix is shard_id,
@@ -216,6 +219,15 @@ def write_training_shards(
     shuffle hash as the tie-break so equal-score runs are still
     deterministically mixed rather than layout-ordered.
     """
+    # `shard_id` is a plausible upstream column name (e.g. produced by
+    # manifest tooling) — overwriting it would silently drop user data
+    # from the export; same for the internal `_order`.
+    for reserved in ("shard_id", "_order"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"write_training_shards reserves column {reserved!r}; "
+                f"rename or drop it on the input frame"
+            )
     key = F.col(id_col)
     shard = shard_of(key, n_shards).cast("int")
     order_cols = (

@@ -286,8 +286,13 @@ def bigram_lm_scores(
     word-order scrambles and templated phrase reuse now move the score,
     which a unigram model is blind to. Doc-initial tokens (no context)
     score with the unigram term alone. Tokenization matches
-    `_term_counts` (lowercased whitespace tokens), so unigram and bigram
-    scores are comparable.
+    `_term_counts` (lowercased whitespace tokens) EXCEPT that
+    zero-length tokens are dropped after the explode — `tokens('')`
+    yields `['']`, and letting that empty pseudo-term into the corpus
+    unigram/bigram tables would pollute the LM vocabulary. The
+    consequence: empty/whitespace-only documents have no scoreable
+    tokens and are absent from the output (pre-filter empty docs if
+    every id must appear).
 
     Returns (id, n_tokens, avg_neg_logp), same contract as the unigram
     variant: every `ln` rounded to 6 dp, per-position contributions
@@ -308,7 +313,7 @@ def bigram_lm_scores(
     toked = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
-    )
+    ).filter(F.col("term") != "")
     w = Window.partitionBy(id_col).orderBy("pos")
     tri = toked.select(
         F.col(id_col), F.lag("term", 1).over(w).alias("prev"), "term"

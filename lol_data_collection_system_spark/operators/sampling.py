@@ -467,21 +467,35 @@ def capped_token_budget_plan(
     total = sum(r["n_tokens"] for r in rows)
     cap = {r[group_col]: int(max_epochs * r["n_tokens"]) for r in rows}
     planned = {r[group_col]: 0 for r in rows}
-    # weights stay UNROUNDED doubles here (this loop is driver-side
-    # Python, no cross-engine reproducibility constraint), so extreme
-    # source-size skew can't round a weight to exactly 0 and divide by
-    # zero once every heavier group has capped out
-    w = {
-        r[group_col]: (r["n_tokens"] / total) ** alpha if total else 0.0
+    # Weights are quantized to a 12-dp grid (HALF_UP on the exact binary
+    # double, i.e. Spark's/DuckDB's round() semantics) for two reasons:
+    # (a) `w_sum` must be ORDER-FREE — `active` is a Python set of
+    # strings whose iteration order is hash-salted per process, so a
+    # plain float sum over it differs in the last ulp run-to-run; grid
+    # values sum EXACTLY in Decimal, killing that nondeterminism; (b) it
+    # makes every float in the loop expressible in the DuckDB oracle
+    # (round(power(...), 12) + DECIMAL sums — the repo's cross-engine
+    # pattern). 12 dp cannot round a weight to zero for any realistic
+    # skew (w < 5e-13 means a token share below 2.5e-25).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _GRID = Decimal("1e-12")
+
+    def _q12(x: float) -> Decimal:
+        return Decimal(x).quantize(_GRID, rounding=ROUND_HALF_UP)
+
+    w_dec = {
+        r[group_col]: _q12((r["n_tokens"] / total) ** alpha) if total else Decimal(0)
         for r in rows
     }
+    w = {g: float(d) for g, d in w_dec.items()}
     remaining = int(budget_tokens) if total else 0
     # zero-token groups have cap 0 and weight 0: capped from the start
     active = {g for g in w if w[g] > 0 and cap[g] > 0}
     # ≤ n_sources rounds: each round either spends the remainder or
     # permanently caps at least one group
     while remaining > 0 and active:
-        w_sum = sum(w[g] for g in active)
+        w_sum = float(sum(w_dec[g] for g in active))  # exact: grid values
         share = {g: int(remaining * w[g] / w_sum) for g in active}
         newly_capped = {
             g for g in active if planned[g] + share[g] >= cap[g]
@@ -497,13 +511,21 @@ def capped_token_budget_plan(
                 remaining -= cap[g] - planned[g]
                 planned[g] = cap[g]
                 active.remove(g)
+    # HALF_UP on the exact binary quotient — Python's round() is
+    # half-EVEN, which silently disagrees with Spark/DuckDB round() on
+    # grid boundaries; quantize like the engines do.
+    def _round_engine(x: float, nd: int) -> float:
+        return float(
+            Decimal(x).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP)
+        )
+
     out_rows = [
         (
             r[group_col],
             r["n_docs"],
             r["n_tokens"],
             planned[r[group_col]],
-            round(planned[r[group_col]] / r["n_tokens"], round_w)
+            _round_engine(planned[r[group_col]] / r["n_tokens"], round_w)
             if r["n_tokens"]
             else 0.0,
             planned[r[group_col]] >= cap[r[group_col]],

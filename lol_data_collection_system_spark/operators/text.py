@@ -530,13 +530,16 @@ def unicode_normalize(
     df: DataFrame,
     text_col: str = "text",
     form: str = "NFC",
+    changed_col: str | None = "changed",
 ) -> DataFrame:
     """Unicode normalization pass (CCNet applies NFC before hashing;
     NFKC is the tokenizer-facing variant): `text_col` is replaced by its
-    normalized form, a boolean `changed` column flags docs the pass
-    actually touched, and every other column passes through untouched
-    (so the pass composes mid-pipeline). Without it, composed "é"
-    (U+00E9) and
+    normalized form, a boolean `changed_col` column flags docs the pass
+    actually touched (pass None to skip the flag entirely), and every
+    other column passes through untouched (so the pass composes
+    mid-pipeline). Raises if `changed_col` collides with an existing
+    input column — a user column must never be silently destroyed by an
+    opt-in pre-stage. Without it, composed "é" (U+00E9) and
     decomposed "e"+U+0301 hash differently, silently splitting exact-dup
     groups and BPE vocabulary entries for byte-identical-looking text.
 
@@ -548,6 +551,11 @@ def unicode_normalize(
     """
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
+    if changed_col is not None and changed_col in df.columns:
+        raise ValueError(
+            f"unicode_normalize would overwrite existing column "
+            f"{changed_col!r}; pass changed_col=None or a free name"
+        )
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
@@ -561,10 +569,8 @@ def unicode_normalize(
     # per downstream reference; every other column passes through
     # untouched so the pass composes mid-pipeline
     staged = df.withColumn("_normed", _norm(F.col(text_col)))
-    return (
-        staged.withColumn(
-            "changed", ~F.col("_normed").eqNullSafe(F.col(text_col))
+    if changed_col is not None:
+        staged = staged.withColumn(
+            changed_col, ~F.col("_normed").eqNullSafe(F.col(text_col))
         )
-        .withColumn(text_col, F.col("_normed"))
-        .drop("_normed")
-    )
+    return staged.withColumn(text_col, F.col("_normed")).drop("_normed")

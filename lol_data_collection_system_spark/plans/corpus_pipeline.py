@@ -28,6 +28,7 @@ from ..operators import text as text_ops
 from ..sources import load_table
 from .corpus_queries import (
     JACCARD_THRESHOLD,
+    LINE_MIN_CHARS,
     QF_MAX_TOKENS,
     QF_MIN_DISTINCT,
     QF_MIN_STOPWORD,
@@ -42,6 +43,7 @@ from .corpus_queries import (
     _EN_STOPS,
     _NORM,
     _NTOKS,
+    _reflow_sql,
     _shingle_list_sql,
     _TOKS,
 )
@@ -97,9 +99,11 @@ def _stages(
     `materialize_summary` parquet checkpoint between stages."""
     if normalize_unicode:
         # NFC first: canonical bytes for every downstream hash
-        # (fingerprints, shingles, line fps)
-        docs = text_ops.unicode_normalize(docs, text_col=text_col).drop(
-            "changed"
+        # (fingerprints, shingles, line fps); changed_col=None — the
+        # pipeline doesn't consume the flag, and a user column named
+        # `changed` must survive the pass
+        docs = text_ops.unicode_normalize(
+            docs, text_col=text_col, changed_col=None
         )
     if scrub_repeated_lines:
         # boilerplate-line removal before quality/dedup decisions; other
@@ -158,8 +162,39 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage funnel of the full prep on the documents table:
     (stage, n_docs) for input → quality → exact-canonical → near-dup
     canonical → each split. One row per stage, value-checked end-to-end."""
+    return _funnel(spark, sf_dir)
+
+
+def q_corpus_funnel_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same end-to-end funnel with BOTH opt-in pre-stages ON —
+    NFC normalization and repeated-line scrubbing (docs are re-wrapped
+    to fixed-width lines first, same as `line_dup_stats`, so the
+    single-line synthetic corpus exercises real line structure). This is
+    the composition the README advertises for production prep; the
+    funnel value-checks it end-to-end rather than per-stage."""
+    return _funnel(
+        spark, sf_dir, normalize_unicode=True, scrub_repeated_lines=True
+    )
+
+
+def _funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    normalize_unicode: bool = False,
+    scrub_repeated_lines: bool = False,
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    stages = _stages(docs)
+    if scrub_repeated_lines:
+        from .corpus_queries import _reflow_lines
+
+        docs = docs.drop("text").join(
+            _reflow_lines(docs), "doc_id"
+        )
+    stages = _stages(
+        docs,
+        normalize_unicode=normalize_unicode,
+        scrub_repeated_lines=scrub_repeated_lines,
+    )
     quality, canonical, prepared = (
         stages["quality"],
         stages["canonical"],
@@ -190,7 +225,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(split_rows)
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(scrubbed: bool = False) -> str:
     scale = 1_000_000
     wl_lo = int(round(QF_WORD_LEN[0] * scale))
     wl_hi = int(round(QF_WORD_LEN[1] * scale))
@@ -200,8 +235,39 @@ def _funnel_oracle() -> str:
     for name, frac in SPLIT_FRACTIONS.items():
         hi += int(round(frac * scale))
         cases.append(f"WHEN b < {hi} THEN '{name}'")
+    # Pre-stages of the scrubbed variant (mirrors q_corpus_funnel_scrubbed):
+    # fixed-width line re-wrap -> NFC (identity on this ASCII corpus in
+    # both engines; the real behavior is pinned by a non-ASCII fixture in
+    # tests/test_text.py) -> repeated-line scrub (same SQL as
+    # ORACLE_REMOVE_DUP_LINES, p-prefixed to avoid CTE name clashes).
+    pre = ""
+    src = "documents"
+    if scrubbed:
+        pre = f"""reflow AS ({_reflow_sql()}),
+pnfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM reflow),
+plines AS (
+  SELECT doc_id, t.i AS pos, parts[t.i] AS line,
+         regexp_replace(parts[t.i], '^\\s+|\\s+$', '', 'g') AS stripped
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM pnfc),
+       unnest(generate_series(1, len(parts))) AS t(i)),
+pover AS (
+  SELECT stripped FROM plines WHERE length(stripped) >= {LINE_MIN_CHARS}
+  GROUP BY stripped HAVING COUNT(DISTINCT doc_id) > 1),
+pkept AS (
+  SELECT l.doc_id, l.pos, l.line FROM plines l
+  LEFT JOIN pover o
+    ON o.stripped = l.stripped AND length(l.stripped) >= {LINE_MIN_CHARS}
+  WHERE o.stripped IS NULL),
+pre AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM pkept GROUP BY doc_id),
+docs_s AS (
+  SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL
+                        ELSE COALESCE(p.text, '') END AS text
+  FROM pnfc d LEFT JOIN pre p USING (doc_id)),
+"""
+        src = "docs_s"
     return f"""
-WITH RECURSIVE feats AS (
+WITH RECURSIVE {pre}feats AS (
   SELECT doc_id, text,
          CAST(len({_TOKS}) AS BIGINT) AS n_tok,
          CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
@@ -209,7 +275,7 @@ WITH RECURSIVE feats AS (
            AS stop_hits,
          CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
            AS tok_chars
-  FROM documents),
+  FROM {src}),
 quality AS (
   SELECT doc_id, text FROM feats
   WHERE n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
@@ -263,5 +329,11 @@ FROM assigned GROUP BY split
 """
 
 
-QUERIES = {"corpus_funnel": q_corpus_funnel}
-ORACLES = {"corpus_funnel": _funnel_oracle()}
+QUERIES = {
+    "corpus_funnel": q_corpus_funnel,
+    "corpus_funnel_scrubbed": q_corpus_funnel_scrubbed,
+}
+ORACLES = {
+    "corpus_funnel": _funnel_oracle(),
+    "corpus_funnel_scrubbed": _funnel_oracle(scrubbed=True),
+}

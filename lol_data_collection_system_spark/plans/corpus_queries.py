@@ -2402,6 +2402,368 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 4: declared queries for the previously query-less operators —
+# line-level dedup, bigram LM, cross-source dup matrix, PageRank, and the
+# capped (waterfilling) token-budget planner. Each gets an exact DuckDB
+# oracle so the driver can hash-gate it.
+# ---------------------------------------------------------------------------
+LINE_WRAP_TOKENS = 8
+LINE_MIN_CHARS = 10
+PR_ITERS = 5
+PR_DAMPING = 0.85
+CAPPED_BUDGET_TOKENS = 105_000
+CAPPED_MAX_EPOCHS = 4.0
+CAPPED_ALPHA = 0.5
+#: oracle unroll depth for the waterfilling loop — must be >= the actual
+#: round count at the gate SFs (measured: 2 @ sf0.001, 3 @ sf0.01,
+#: 1 @ sf0.1; each capping round retires >=1 of 20 groups, so 6 is ample)
+CAPPED_ORACLE_ROUNDS = 6
+
+
+def _reflow_lines(docs: DataFrame, width: int = LINE_WRAP_TOKENS) -> DataFrame:
+    """(doc_id, text) with the text re-wrapped to `width` whitespace
+    tokens per line. The synthetic corpus is single-line; wrapping gives
+    the line-granular dedup operators real line structure to work on
+    (near-dup docs share aligned lines), deterministically and
+    SQL-expressibly in both engines."""
+    toks = text_ops.tokens(F.col("text"))
+    lines = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(width)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+    )
+    return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+def _reflow_sql(width: int = LINE_WRAP_TOKENS) -> str:
+    return f"""
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(1, greatest(len(t), 1), {width}),
+                          i -> array_to_string(t[i:i+{width - 1}], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)"""
+
+
+def q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.line_dup_stats(
+        _reflow_lines(docs), "doc_id", "text", min_chars=LINE_MIN_CHARS
+    )
+
+
+ORACLE_LINE_DUP_STATS = f"""
+WITH reflow AS ({_reflow_sql()}),
+lines AS (
+  SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM reflow))
+SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM lines WHERE length(line) >= {LINE_MIN_CHARS}
+GROUP BY line
+"""
+
+
+def q_remove_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.remove_dup_lines(
+        _reflow_lines(docs), "doc_id", "text",
+        max_docs=1, min_chars=LINE_MIN_CHARS,
+    )
+
+
+ORACLE_REMOVE_DUP_LINES = f"""
+WITH reflow AS ({_reflow_sql()}),
+lines AS (
+  SELECT doc_id, t.i AS pos, parts[t.i] AS line,
+         regexp_replace(parts[t.i], '^\\s+|\\s+$', '', 'g') AS stripped
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM reflow),
+       unnest(generate_series(1, len(parts))) AS t(i)),
+over_limit AS (
+  SELECT stripped FROM lines WHERE length(stripped) >= {LINE_MIN_CHARS}
+  GROUP BY stripped HAVING COUNT(DISTINCT doc_id) > 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  LEFT JOIN over_limit o
+    ON o.stripped = l.stripped AND length(l.stripped) >= {LINE_MIN_CHARS}
+  WHERE o.stripped IS NULL),
+re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       FROM kept GROUP BY doc_id)
+SELECT r0.doc_id,
+       CASE WHEN r0.text IS NULL THEN NULL
+            ELSE COALESCE(re.text, '') END AS text
+FROM reflow r0 LEFT JOIN re USING (doc_id)
+"""
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.bigram_lm_scores(docs)
+
+
+def _bigram_lm_oracle(lam: float = 0.7) -> str:
+    # literal doubles mirror the Spark expression exactly: lam parses to
+    # the same double from its repr; (1-lam) is COMPUTED in Python (as
+    # the operator does) and shipped as its full repr
+    lam2 = 1.0 - lam
+    return f"""
+WITH toked AS (
+  SELECT doc_id, t.i AS pos, toks[t.i] AS term
+  FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+       unnest(generate_series(1, len(toks))) AS t(i)
+  WHERE toks[t.i] != ''),
+tri AS (
+  SELECT doc_id,
+         LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, term
+  FROM toked),
+per_doc AS (
+  SELECT doc_id, prev, term, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3),
+uni AS (SELECT term, SUM(tf) AS ctf FROM per_doc GROUP BY 1),
+tot AS (SELECT SUM(ctf) AS total FROM uni),
+pu AS (SELECT term, CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE) AS pu
+       FROM uni, tot),
+big AS (SELECT prev, term, SUM(tf) AS cbf FROM per_doc
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(cbf) AS cctx FROM big GROUP BY 1),
+pb AS (SELECT b.prev, b.term,
+              CAST(b.cbf AS DOUBLE) / CAST(c.cctx AS DOUBLE) AS pb
+       FROM big b JOIN ctx c USING (prev)),
+contrib AS (
+  SELECT d.doc_id, d.tf,
+         CAST(round(d.tf * -round(ln(
+           CASE WHEN d.prev IS NULL THEN u.pu
+                ELSE {lam!r} * b.pb + {lam2!r} * u.pu END), 6), 6)
+           AS DECIMAL(28,6)) AS nll
+  FROM per_doc d
+  JOIN pu u USING (term)
+  LEFT JOIN pb b ON b.prev = d.prev AND b.term = d.term)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+         AS avg_neg_logp
+FROM contrib GROUP BY 1
+"""
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    return dedup_ops.cross_source_dup_matrix(docs, pairs)
+
+
+ORACLE_CROSS_SOURCE_DUP_MATRIX = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list_sql()}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+capped AS ({_CAPPED_SH_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+        >= {JACCARD_THRESHOLD}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b),
+counts AS (SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+           FROM lab GROUP BY 1, 2)
+SELECT source_a, source_b, n_dup_pairs,
+       round(CAST(n_dup_pairs AS DOUBLE)
+             / CAST((SELECT SUM(n_dup_pairs) FROM counts) AS DOUBLE), 6)
+         AS pair_share
+FROM counts
+"""
+
+
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the kNN similarity graph — the graph half of
+    representativeness-based coreset selection (see operators/graph.py
+    pagerank docstring)."""
+    from ..operators import graph as graph_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return graph_ops.pagerank(
+        edges, damping=PR_DAMPING, iters=PR_ITERS, directed=False
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    """Unrolled power-iteration rounds (same technique as the Lloyd
+    k-means oracle) mirroring `graph.pagerank`'s arithmetic exactly:
+    grid-quantized contributions summed as exact BIGINT micro-units,
+    full-precision double affine update (no rounding — identical IEEE
+    ops on identical inputs in both engines)."""
+    parts = [
+        f"""wb AS MATERIALIZED (SELECT vec_id, embedding,
+            {_bucket_sql('embedding', ANN_BITS)} AS bucket
+     FROM embeddings)""",
+        f"""knn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND({_COS_SQL}, 4) DESC, b.vec_id)
+             AS rank
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+  WHERE rank <= {KNN_K})""",
+        """e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM knn
+  UNION ALL SELECT dst, src FROM knn))""",
+        "deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg)",
+        """r0 AS MATERIALIZED (SELECT node, outdeg, 1.0 / CAST(n AS DOUBLE) AS rank
+     FROM deg, nn)""",
+    ]
+    # (1.0 - damping) precomputed in Python and shipped as its full repr:
+    # DuckDB parses "1.0 - 0.85" as DECIMAL literals (exact 0.15), while
+    # the operator's Python computes the double 0.15000000000000002 —
+    # a 1-ulp base difference on every node, every round.
+    base = f"{1.0 - damping!r} / CAST(nn.n AS DOUBLE)"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""i{t} AS MATERIALIZED (
+  SELECT e.v AS node,
+         SUM(CAST(round(r.rank / r.outdeg * 1.0e12) AS BIGINT)) AS inflow
+  FROM e JOIN r{t - 1} r ON r.node = e.u
+  GROUP BY 1)"""
+        )
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT r.node, r.outdeg,
+         {base} + {damping!r}
+           * (CAST(coalesce(i.inflow, 0) AS DOUBLE) / 1.0e12) AS rank
+  FROM r{t - 1} r LEFT JOIN i{t} i USING (node) CROSS JOIN nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank FROM r{iters}"
+    )
+
+
+def q_capped_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.capped_token_budget_plan(
+        docs,
+        "source",
+        text_ops.token_count(F.col("text")),
+        CAPPED_BUDGET_TOKENS,
+        alpha=CAPPED_ALPHA,
+        max_epochs=CAPPED_MAX_EPOCHS,
+    )
+
+
+def _capped_budget_oracle(
+    budget: int = CAPPED_BUDGET_TOKENS,
+    alpha: float = CAPPED_ALPHA,
+    max_epochs: float = CAPPED_MAX_EPOCHS,
+    rounds: int = CAPPED_ORACLE_ROUNDS,
+) -> str:
+    """The waterfilling fixpoint as unrolled CTE rounds with a halt flag
+    (no-op passthrough once the loop would have exited), mirroring
+    `sampling.capped_token_budget_plan` step for step: 12-dp-grid
+    weights (round-HALF_UP), exact DECIMAL weight sums, trunc'd float
+    shares, cap-retirement rounds allocating nothing to survivors, and
+    the floor-dust break after the first no-cap round."""
+    parts = [
+        f"""counts AS MATERIALIZED (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1)""",
+        "tot AS MATERIALIZED (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM counts)",
+        f"""s0 AS MATERIALIZED (
+  SELECT source, n_docs, n_tokens,
+         CAST(trunc({max_epochs!r} * n_tokens) AS BIGINT) AS cap,
+         round(power(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+                     {alpha!r}), 12) AS w,
+         CAST(0 AS BIGINT) AS planned,
+         (n_tokens > 0) AS active
+  FROM counts, tot)""",
+        f"""c0 AS MATERIALIZED (SELECT CAST({budget} AS BIGINT) AS rem,
+            FALSE AS halt FROM tot WHERE total > 0
+     UNION ALL SELECT 0, FALSE FROM tot WHERE total = 0)""",
+    ]
+    for r in range(1, rounds + 1):
+        p, q = r - 1, r
+        parts.append(
+            f"""a{q} AS MATERIALIZED (
+  SELECT COUNT(*) AS n_active,
+         CAST(COALESCE(SUM(CAST(w AS DECIMAL(30,12))), 0) AS DOUBLE) AS ws
+  FROM s{p} WHERE active)"""
+        )
+        parts.append(
+            f"""x{q} AS MATERIALIZED (
+  SELECT s.*, c.rem, c.halt, a.n_active,
+         (NOT c.halt AND c.rem > 0 AND a.n_active > 0) AS running,
+         CASE WHEN (NOT c.halt AND c.rem > 0 AND a.n_active > 0)
+                   AND s.active
+              THEN CAST(trunc(CAST(c.rem AS DOUBLE) * s.w / a.ws) AS BIGINT)
+              ELSE 0 END AS share
+  FROM s{p} s CROSS JOIN c{p} c CROSS JOIN a{q} a)"""
+        )
+        parts.append(
+            f"""y{q} AS MATERIALIZED (
+  SELECT *, (running AND active AND planned + share >= cap) AS newly
+  FROM x{q})"""
+        )
+        parts.append(
+            f"""z{q} AS MATERIALIZED (
+  SELECT COALESCE(BOOL_OR(newly), FALSE) AS anyc,
+         CAST(COALESCE(SUM(CASE WHEN newly THEN cap - planned END), 0)
+              AS BIGINT) AS freed,
+         CAST(COALESCE(SUM(CASE WHEN running AND active THEN share END), 0)
+              AS BIGINT) AS spent
+  FROM y{q})"""
+        )
+        parts.append(
+            f"""s{q} AS MATERIALIZED (
+  SELECT source, n_docs, n_tokens, cap, w,
+         CASE WHEN NOT running THEN planned
+              WHEN anyc AND newly THEN cap
+              WHEN anyc THEN planned
+              ELSE planned + share END AS planned,
+         CASE WHEN running AND anyc AND newly THEN FALSE
+              ELSE active END AS active
+  FROM y{q} CROSS JOIN z{q})"""
+        )
+        parts.append(
+            f"""c{q} AS MATERIALIZED (
+  SELECT CASE WHEN NOT running THEN rem
+              WHEN anyc THEN rem - freed
+              ELSE rem - spent END AS rem,
+         CASE WHEN NOT running THEN halt
+              WHEN anyc THEN halt
+              ELSE (rem - spent) < n_active END AS halt
+  FROM (SELECT BOOL_OR(running) AS running, MAX(rem) AS rem,
+               BOOL_OR(halt) AS halt, MAX(n_active) AS n_active
+        FROM y{q}) CROSS JOIN z{q})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT source, n_docs, n_tokens, planned AS planned_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(planned AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs,
+       planned >= cap AS capped
+FROM s{rounds}"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2464,6 +2826,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_segmented_docs": q_bpe_segmented_docs,
     "doc_novelty_scores": q_doc_novelty_scores,
+    "line_dup_stats": q_line_dup_stats,
+    "remove_dup_lines": q_remove_dup_lines,
+    "bigram_lm_scores": q_bigram_lm_scores,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
+    "pagerank_scores": q_pagerank_scores,
+    "capped_token_budget_plan": q_capped_token_budget_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -2528,4 +2896,10 @@ ORACLES: dict[str, str] = {
     "bpe_merge_table": _bpe_merge_oracle(),
     "bpe_segmented_docs": _bpe_segmented_oracle(),
     "doc_novelty_scores": ORACLE_DOC_NOVELTY_SCORES,
+    "line_dup_stats": ORACLE_LINE_DUP_STATS,
+    "remove_dup_lines": ORACLE_REMOVE_DUP_LINES,
+    "bigram_lm_scores": _bigram_lm_oracle(),
+    "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUP_MATRIX,
+    "pagerank_scores": _pagerank_oracle(),
+    "capped_token_budget_plan": _capped_budget_oracle(),
 }

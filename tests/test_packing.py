@@ -149,3 +149,20 @@ def test_write_training_shards_curriculum_order(spark, tmp_path):
         for fp in sorted(glob.glob(f"{d}/*.parquet")):
             qs = [quality[r.doc_id] for r in spark.read.parquet(fp).collect()]
             assert qs == sorted(qs)  # easy-to-hard within each shard
+
+
+def test_write_training_shards_rejects_reserved_columns(spark, tmp_path):
+    """`shard_id` is a plausible upstream name (manifest tooling) — the
+    writer must refuse to clobber it rather than silently dropping the
+    user's column from the export; same for the internal `_order`."""
+    import pytest
+
+    from lol_data_collection_system_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for col in ("shard_id", "_order"):
+        bad = base.withColumn(col, base.doc_id)
+        with pytest.raises(ValueError, match=col):
+            write_training_shards(bad, str(tmp_path / "x"), n_shards=2)

@@ -593,3 +593,24 @@ def test_prepare_training_corpus_optin_prestages(spark):
         ).collect()
     }
     assert both == {2}
+
+
+def test_unicode_normalize_changed_col_guard(spark):
+    """An opt-in pre-stage must never silently destroy a user column
+    named `changed`; changed_col=None skips the flag entirely."""
+    import pytest
+
+    from lol_data_collection_system_spark.operators.text import (
+        unicode_normalize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", True)], "doc_id long, text string, changed boolean"
+    )
+    with pytest.raises(ValueError, match="changed"):
+        unicode_normalize(docs)
+    out = unicode_normalize(docs, changed_col=None)
+    assert out.columns == ["doc_id", "text", "changed"]
+    assert out.collect()[0].changed is True  # user column untouched
+    renamed = unicode_normalize(docs, changed_col="nfc_changed")
+    assert "nfc_changed" in renamed.columns
