@@ -145,6 +145,117 @@ def asof_join(
     return u.filter(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    bucket_ms: int,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """`asof_join` hardened against HOT KEYS: identical results, but no
+    window is ever partitioned by the bare key.
+
+    The plain union+window pattern partitions by the join key, so one
+    user with 10⁹ events serializes through a single task — the same
+    skew failure `interval_self_join` avoids by banding. This variant
+    applies the same cure to the as-of frame:
+
+    1. Band both sides into (key, time-bucket) with bucket width
+       `bucket_ms`; run the union+last-ignoreNulls window WITHIN each
+       bucket — per-task work is now O(events per bucket), a knob, not
+       a data property.
+    2. Per (key, bucket), reduce the right side to its latest row (one
+       `max(struct(ts, values))` partial-agg'd aggregate), then run the
+       carry-forward window over THAT summary frame, partitioned by key
+       but over bucket-count rows (timespan / bucket_ms — e.g. 1 440
+       rows per key-day at 1-minute buckets), not event-count rows.
+    3. A left row's answer = its within-bucket last, else the carry
+       from earlier buckets.
+
+    Tie semantics: equal-ts right rows resolve via the lexicographic
+    struct max in step 2 (deterministic); the unbanded form inherits
+    whatever order the window shuffle produced (nondeterministic on
+    ties), so on tie-free data the two operators agree exactly and on
+    ties the banded form is the better-defined one.
+
+    Cost vs `asof_join`: one extra shuffle (the bucket-summary
+    aggregate + its key-window) and the carry join — all keyed by
+    (key, bucket) except the summary window, which is key-keyed but
+    bucket-sized. Use the plain form when keys are known-bounded (a
+    user's clickstream), this one when a key can be a firehose.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    for c in right_value_cols:
+        lt = lt.withColumn(
+            f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType)
+        )
+    rt = right.select(
+        *key_cols,
+        ts_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    rt = rt.select(*lt.columns)
+    u = lt.unionByName(rt).withColumn(
+        "_bucket", F.floor(F.unix_millis(F.col(ts_col)) / F.lit(bucket_ms))
+    )
+
+    vcols = [f"{c}{suffix}" for c in right_value_cols]
+    # 1: within-bucket as-of (window partitions bounded by bucket width)
+    wb = (
+        Window.partitionBy(*key_cols, "_bucket")
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in vcols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+
+    # 2: per-(key, bucket) latest right row -> carry-forward over the
+    # SUMMARY frame (bucket-count rows per key, not event-count). The
+    # summary is left-joined onto EVERY occupied (key, bucket) — a left
+    # row in a right-empty bucket still needs the carry from earlier
+    # buckets, so right-only summaries would silently null it out.
+    right_latest = (
+        rt.withColumn(
+            "_bucket",
+            F.floor(F.unix_millis(F.col(ts_col)) / F.lit(bucket_ms)),
+        )
+        .groupBy(*key_cols, "_bucket")
+        .agg(
+            F.max(F.struct(F.col(ts_col), *[F.col(c) for c in vcols])).alias(
+                "_s"
+            )
+        )
+    )
+    summary = (
+        u.select(*key_cols, "_bucket")
+        .distinct()
+        .join(right_latest, [*key_cols, "_bucket"], "left")
+    )
+    wc = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *key_cols,
+        "_bucket",
+        F.last("_s", ignorenulls=True).over(wc).alias("_carry"),
+    )
+
+    # 3: left rows take within-bucket answer, else the carry
+    out = u.filter(F.col("_side") == 1).join(
+        carry, [*key_cols, "_bucket"], "left"
+    )
+    for c in vcols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_carry.{c}")))
+    return out.drop("_side", "_bucket", "_carry")
+
+
 def set_equality_filter(
     df: DataFrame, group_cols: list[str], item_col: str, required: list[str]
 ) -> DataFrame:

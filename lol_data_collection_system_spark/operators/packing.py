@@ -72,13 +72,23 @@ def pack_sequences(
         ranged = ordered.repartitionByRange("ord", "doc_id")
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy("ord", "doc_id")
+    # Lazy checkpoint: the totals collect below is the materializing
+    # action, and the output pass then REUSES that result instead of
+    # re-running scan -> range shuffle -> window a second time. Warm
+    # min-of-5 at sf0.1 local is a wash (~0.9 s either way — the
+    # recomputed lineage is cheap at that scale), but one-shot/cold runs
+    # drop a full pipeline execution (r3's driver one-shot measured
+    # 2.4 s vs the 0.89 s warm min — the recompute tax), and at 100 TB
+    # the saved pass is a full-corpus scan+shuffle. It also pins ONE set
+    # of sampled range boundaries for both consumers rather than relying
+    # on the two executions sampling identically.
     local = ranged.withColumn(
         "_local_before",
         F.coalesce(
             F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ),
-    )
+    ).localCheckpoint(eager=False)
     # per-partition totals are one tiny row each — running offsets are a
     # driver-side scan of ≤ num_partitions rows, broadcast back
     totals = (

@@ -14,7 +14,12 @@ Every streaming job has a batch twin in `operators/` — tests assert the
 streaming result (availableNow trigger) equals the batch computation.
 """
 
-from .dedup import corpus_guard_stream, dedup_stream, near_dedup_stream
+from .dedup import (
+    classify_stream,
+    corpus_guard_stream,
+    dedup_stream,
+    near_dedup_stream,
+)
 from .heartbeat import HeartbeatListener, heartbeats_df, install_heartbeats
 from .polling import poll_until_event, start_polling_query
 from .ratelimit import sliding_quota_counts
@@ -23,6 +28,7 @@ from .upsert import latest_wins_upsert_sink, two_phase_upsert
 
 __all__ = [
     "HeartbeatListener",
+    "classify_stream",
     "corpus_guard_stream",
     "dedup_stream",
     "near_dedup_stream",

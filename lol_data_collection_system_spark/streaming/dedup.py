@@ -45,6 +45,20 @@ def dedup_stream(
     return fp.dropDuplicates(["fp"])
 
 
+def row_shingles(text_col: str, k: int = 3):
+    """Row-local distinct word k-gram shingles — the array form of
+    `dedup.shingles` (same normalization, same short-doc whole-text
+    shingle), for per-event latency where a shuffle per row is wrong."""
+    from ..operators.text import normalized_text, tokens
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
 def minhash_bands_local(
     text_col: str, k: int = 3, n_hashes: int = 16, band_size: int = 4
 ):
@@ -60,15 +74,21 @@ def minhash_bands_local(
     trade for per-event latency; interpreted HOFs cost more CPU per row
     than the codegen'd batch shape (see `minhash_signatures`' history).
     """
-    from ..operators.dedup import MINHASH_PRIME, minhash_perm
-    from ..operators.text import normalized_text, tokens
-
-    toks = tokens(normalized_text(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return bands_from_shingles(
+        row_shingles(text_col, k), n_hashes, band_size
     )
+
+
+def bands_from_shingles(
+    sh, n_hashes: int = 16, band_size: int = 4
+):
+    """Row-local band structs from a precomputed shingle-array column —
+    split out so callers that cap/filter the shingle set first (e.g.
+    `classify_stream`'s corpus-df stop-list) band the SAME set the
+    verify tier measures, exactly like the batch pipeline bands its
+    capped shingle frame."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm
+
     hashes = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
@@ -259,4 +279,203 @@ def corpus_guard_stream(
         survived = survived.withWatermark(ts_col, watermark_delay)
     return _all_bands_won(
         survived, n_bands, id_col, ts_col, text_col, emit_window, False
+    )
+
+
+def classify_stream(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    emit_window: str = "1 minute",
+    max_stop_shingles: int = 100_000,
+) -> DataFrame:
+    """Streaming twin of `operators/dedup.incremental_dedup` with EXACT
+    status parity: every incoming document is classified `exact_dup`
+    (corpus fingerprint hit), `near_dup` (MinHash-LSH candidate whose
+    capped-shingle Jaccard rounds to ≥ threshold), or `novel`, with the
+    same (status, match_id, jaccard) a batch run of `incremental_dedup`
+    over the same delta would produce — not the candidate-superset drop
+    set `corpus_guard_stream` uses (that guard stays the cheap tier:
+    no shingle sets on its index, strictly smaller state).
+
+    How the batch three-tier plan maps onto stateless stream ops:
+
+    - exact tier: stream-static LEFT join against the corpus fingerprint
+      table (fp → min corpus id). Stateless.
+    - candidate tier: the doc's bands (computed row-locally over its
+      CAPPED shingle set, mirroring the batch pipeline which bands the
+      capped shingle frame) explode into a stream-static INNER join
+      against the corpus band index. Stateless; a doc with an empty
+      capped set produces no band rows, exactly as it vanishes from the
+      batch band frame.
+    - verify tier: ROW-LOCAL. Each corpus index row carries the corpus
+      doc's full capped shingle set, so Jaccard is `array_intersect`
+      against the stream row's own set — no pairwise shuffle, no state.
+      Repeated (doc, candidate) matches from multiple bands yield
+      identical Jaccard rows, so the min/max aggregate below absorbs
+      them just like the batch `distinct`.
+    - combine: union the verify rows with one per-doc base row (so docs
+      with zero candidates still emit), then ONE watermarked windowed
+      aggregation — the only stateful operator in the plan.
+
+    The corpus-df cap (`max_doc_freq`) ships as a row-local STOP-LIST
+    (`array_except` against the corpus's hot shingles): what the batch
+    side does with an anti-join, the per-event side does with a
+    broadcast dictionary. Bounded by Σdf/max_doc_freq distinct shingles;
+    raises past `max_stop_shingles` — at that point precompute the
+    index offline and probe a Bloom filter (`operators/bloom.py`)
+    instead of an exact list.
+
+    Index cost: the band index duplicates each corpus doc's shingle set
+    once per band (n_bands ×). That is the price of a stateless verify
+    tier; the alternative (shingle-join verify like batch) needs a
+    second chained stateful aggregation. At 100 TB the index is
+    precomputed + stored, not derived in-plan as here.
+
+    Output: (window, id, status, match_id, jaccard) — one row per doc
+    per emit window; batch frames run the identical plan minus the
+    watermark, so stream==batch parity is testable (pinned in
+    tests/test_streaming.py against `incremental_dedup` itself).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    from ..operators.dedup import (
+        _band_hashes,
+        fingerprint,
+        minhash_signatures_from_shingles,
+        shingles,
+    )
+
+    # ---- static corpus index (at scale: precomputed once, stored) ----
+    corpus_fp = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("_exact_mid"))
+    )
+    c_sh = shingles(corpus, id_col, text_col, k)
+    stop_list: list[str] = []
+    if max_doc_freq is not None:
+        c_w = c_sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).localCheckpoint(eager=False)
+        c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(
+            id_col, "shingle"
+        )
+        hot = (
+            c_w.filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .distinct()
+            .collect()
+        )
+        if len(hot) > max_stop_shingles:
+            raise ValueError(
+                f"corpus stop-shingle list has {len(hot)} entries "
+                f"(> max_stop_shingles={max_stop_shingles}); precompute "
+                f"the index offline / use a Bloom-filter stop set"
+            )
+        stop_list = sorted(r["shingle"] for r in hot)
+    c_sh = c_sh.localCheckpoint(eager=False)
+    c_sets = c_sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_c_set"),
+        F.count(F.lit(1)).alias("_c_size"),
+    )
+    index = (
+        minhash_signatures_from_shingles(c_sh, id_col, n_hashes)
+        .select(
+            F.col(id_col),
+            F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        .join(c_sets, id_col)
+        .select(
+            "band_idx",
+            "band_hash",
+            F.col(id_col).alias("_cid"),
+            "_c_set",
+            "_c_size",
+        )
+    )
+
+    # ---- stream side: everything row-local until the final aggregate ----
+    d_set = row_shingles(text_col, k)
+    if stop_list:
+        d_set = F.array_except(d_set, F.lit(stop_list))
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.col(ts_col),
+            fingerprint(F.col(text_col)).alias("fp"),
+            d_set.alias("_d_set"),
+        )
+        .join(corpus_fp, "fp", "left")
+    )
+    cid_type = corpus.schema[id_col].dataType
+    a_rows = base.select(
+        id_col,
+        ts_col,
+        "_exact_mid",
+        F.lit(None).cast(cid_type).alias("_cid"),
+        F.lit(None).cast("double").alias("_jac"),
+    )
+    bands = F.when(
+        F.size("_d_set") > 0,
+        bands_from_shingles(F.col("_d_set"), n_hashes, band_size),
+    )
+    exploded = base.select(
+        id_col, ts_col, "_exact_mid", "_d_set", F.explode(bands).alias("_b")
+    ).select(
+        id_col, ts_col, "_exact_mid", "_d_set", "_b.band_idx", "_b.band_hash"
+    )
+    n_inter = F.size(F.array_intersect(F.col("_d_set"), F.col("_c_set")))
+    jac = F.round(
+        n_inter.cast("double")
+        / (F.size("_d_set") + F.col("_c_size") - n_inter),
+        6,
+    )
+    b_rows = exploded.join(index, ["band_idx", "band_hash"]).select(
+        id_col, ts_col, "_exact_mid", "_cid", jac.alias("_jac")
+    )
+    unioned = a_rows.unionByName(b_rows)
+    if docs.isStreaming:
+        unioned = unioned.withWatermark(ts_col, watermark_delay)
+    verified_cid = F.when(F.col("_jac") >= threshold, F.col("_cid"))
+    verified_jac = F.when(F.col("_jac") >= threshold, F.col("_jac"))
+    agg = unioned.groupBy(
+        F.window(ts_col, emit_window), F.col(id_col)
+    ).agg(
+        F.max("_exact_mid").alias("_emid"),
+        F.min(verified_cid).alias("_nmid"),
+        F.max(verified_jac).alias("_bjac"),
+    )
+    status = (
+        F.when(F.col("_emid").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("_nmid").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    jaccard_out = (
+        F.when(F.col("_emid").isNotNull(), F.lit(1.0))
+        .when(F.col("_nmid").isNotNull(), F.col("_bjac"))
+        .otherwise(F.lit(0.0))
+    )
+    id_type = docs.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        no_match = F.lit(-1).cast(id_type)
+    else:
+        no_match = F.lit("").cast(id_type)
+    return agg.select(
+        "window",
+        F.col(id_col),
+        status.alias("status"),
+        F.coalesce("_emid", "_nmid", no_match).cast(id_type).alias("match_id"),
+        jaccard_out.cast("double").alias("jaccard"),
     )

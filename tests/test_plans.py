@@ -619,3 +619,68 @@ def test_remove_dup_lines_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # freq + reassembly, partial+final
     assert "_fp" in plan  # join keyed by the fingerprint column
+
+
+def test_asof_join_banded_matches_plain_and_caps_partitions(spark):
+    """asof_join_banded == asof_join on tie-free data, including the
+    carry cases the banding introduces: left rows in right-empty buckets
+    (carry from older buckets), left rows before any right row (null),
+    and a hot key holding most of the events. Plan check: no window in
+    the banded plan partitions by the bare key over the EVENT frame —
+    the key-only window runs over the bucket summary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators.joins import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    rng = random.Random(7)
+    # hot key 1: 300 events; keys 2-4: a handful each. Distinct ts per
+    # side (tie-free) so both operators are fully deterministic.
+    rows_l, rows_r, seen = [], [], set()
+    for key, n in ((1, 300), (2, 8), (3, 5), (4, 1)):
+        for _ in range(n):
+            while (ts := rng.randrange(0, 3_600_000, 7)) in seen:
+                ts += 1
+            seen.add(ts)
+            rows_l.append((key, ts))
+        for _ in range(max(n // 3, 1)):
+            while (ts := rng.randrange(0, 3_600_000, 7)) in seen:
+                ts += 1
+            seen.add(ts)
+            rows_r.append((key, ts, ts * 10))
+    # key 5: left rows only -> asof value must stay NULL
+    rows_l.append((5, 1000))
+    left = spark.createDataFrame(rows_l, "user_id long, ts_ms long").select(
+        "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    right = spark.createDataFrame(
+        rows_r, "user_id long, ts_ms long, val long"
+    ).select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "val")
+
+    plain = {
+        (r.user_id, r.ts): r.val_asof
+        for r in asof_join(left, right, ["user_id"], "ts", ["val"]).collect()
+    }
+    # bucket width far below the time span -> plenty of right-empty
+    # buckets, so the carry path is genuinely exercised
+    banded = asof_join_banded(left, right, ["user_id"], "ts", ["val"], 60_000)
+    got = {(r.user_id, r.ts): r.val_asof for r in banded.collect()}
+    assert got == plain
+    assert any(v is None for v in got.values())  # key-5 no-prior case
+
+    # plan pin: every event-frame window spec carries the bucket column;
+    # the only key-only partitioning is over the bucket summary (itself
+    # fed by a partial-agg'd aggregate, not raw events)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    event_specs = [s for s in specs if "_bucket" in s]
+    key_only = [s for s in specs if "_bucket" not in s]
+    assert event_specs, specs
+    assert len(key_only) <= 1, specs  # the summary carry window only

@@ -717,3 +717,96 @@ def test_pii_scrub_is_stream_capable(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
     assert rows[1].redacted_text == "mail <EMAIL> now" and rows[1].n_pii == 1
     assert rows[2].redacted_text == "clean row" and rows[2].n_pii == 0
+
+
+def test_classify_stream_exact_status_parity(spark, tmp_path):
+    """classify_stream == incremental_dedup, per doc, on (status,
+    match_id, jaccard) — the verified three-tier classification, not the
+    candidate-superset drop set corpus_guard_stream keeps. Runs the same
+    plan as a true file-source stream and as a batch frame; both must
+    agree with the batch classifier."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            # shares the "alpha beta gamma" shingle with doc 1 so
+            # max_doc_freq=1 exercises the stop-list tier on both sides
+            (3, "alpha beta gamma completely other trailing words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        # exact copy of corpus doc 2 -> exact_dup, match 2, jaccard 1.0
+        ("2024-01-01 00:00:01", 10, "one two three four five six seven eight nine ten"),
+        # near rewrite of corpus doc 1 -> verified near_dup
+        ("2024-01-01 00:00:02", 11, "alpha beta gamma delta epsilon zeta eta iota"),
+        # shares a few shingles with doc 2: candidate territory but below
+        # the verify threshold -> the guard would drop it, the classifier
+        # must call it novel (this is the parity point of the operator)
+        ("2024-01-01 00:01:01", 12, "three four five six entirely different tail words"),
+        ("2024-01-01 00:01:02", 13, "completely unrelated text with nothing shared at all"),
+    ]
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "cls_docs"
+    src.mkdir()
+
+    def write(name, rs):
+        spark.createDataFrame(rs, ["ts_s", "doc_id", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    write("f1", rows[:2])
+    write("f2", rows[2:])
+    write("f3", [("2024-01-01 02:00:00", 99, "flush flush flush flush")])
+
+    batch = spark.read.schema(schema).json(str(src) + "/*")
+    got_batch = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in classify_stream(batch, corpus, **kw).collect()
+    }
+    want = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in incremental_dedup(
+            corpus, batch.select("doc_id", "text"), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert got_batch == want
+    assert want[10] == ("exact_dup", 2, 1.0)
+    assert want[11][0] == "near_dup" and want[11][1] == 1
+    assert want[12][0] == "novel" and want[13][0] == "novel"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "cls_out", tmp_path / "cls_ckpt"
+    q = (
+        classify_stream(stream, corpus, **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # the flush doc's window is still pending on the stream side
+    assert got_stream == {i: want[i] for i in (10, 11, 12, 13)}
