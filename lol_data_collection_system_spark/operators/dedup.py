@@ -599,6 +599,7 @@ def cross_doc_repeated_spans(
     text_col: str = "text",
     width: int = 8,
     max_span_freq: int | None = None,
+    bridge_gap: int = 0,
 ) -> DataFrame:
     """CORPUS-level exact-substring dedup spans (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -625,9 +626,21 @@ def cross_doc_repeated_spans(
        oracle).
     3. per-doc ordered window merges hit positions into islands:
        a position starts a new span iff it clears every earlier hit's
-       reach (running max of pos+width), then one groupBy(doc, island)
-       emits the span bounds. State per doc is O(hits), never corpus-
-       global; no driver action anywhere.
+       reach (running max of pos+width) by MORE than `bridge_gap`
+       uncovered tokens, then one groupBy(doc, island) emits the span
+       bounds. State per doc is O(hits), never corpus-global; no driver
+       action anywhere.
+
+    `bridge_gap` is the anchor-extension knob closing the gap to Lee et
+    al.'s suffix-array result for EDITED repeats: a long block repeated
+    with j in-place token edits loses the j*width windows crossing each
+    edit, so the tight (gap 0) pass reports it as separate islands; any
+    uncovered run of <= bridge_gap tokens between an island's reach and
+    the next anchor is absorbed into one maximal span (j consecutive
+    edited tokens produce an uncovered run of exactly j). The merged
+    span may therefore contain up to bridge_gap-token stretches that are
+    NOT verbatim repeats — intended for cut/audit pipelines where a
+    99%-repeated block should be handled as one unit.
     """
     from pyspark.sql import Window
 
@@ -661,7 +674,7 @@ def cross_doc_repeated_spans(
     flagged = hits.select(
         F.col(id_col),
         "pos",
-        (prev_reach.isNull() | (F.col("pos") > prev_reach))
+        (prev_reach.isNull() | (F.col("pos") > prev_reach + bridge_gap))
         .cast("bigint")
         .alias("_new"),
     )

@@ -121,6 +121,62 @@ def linear_score_udf(weights: dict[str, int], bias: int = 0):
     return apply
 
 
+def mlp_score_udf(
+    w1: list[list[float]],
+    b1: list[float],
+    w2: list[float],
+    b2: float,
+):
+    """Real batch model inference over Arrow: a numpy MLP (one tanh
+    hidden layer, sigmoid output) whose weights ship inside the UDF
+    closure — cloudpickled once per executor, applied per Arrow batch.
+    This replaces `linear_score_udf`'s stand-in with the actual shape of
+    the reference's model scoring (`proto_data_analysis.py:826-831`
+    calls Keras `predict_proba` over a feature matrix; the sandbox has
+    no TF, but the serving path — broadcast weights, vectorized batch
+    math, no per-row Python — is exactly this).
+
+    Determinism contract (so a SQL oracle can unroll the network):
+    - accumulate each dot product LEFT-TO-RIGHT per term (`b + w1*x1 +
+      w2*x2 + ...`), matching SQL's parse order, instead of `np.dot`
+      (whose pairwise/SIMD summation order differs);
+    - tanh is computed in its exp form `1 - 2/(exp(2z)+1)` because the
+      oracle engine exposes exp but not tanh — the SAME expression runs
+      on both sides (exp overflow at large z degrades to inf -> h = 1.0
+      identically), with every exp rounded to 6 dp — the repo's
+      standard cure for cross-engine 1-ulp libm differences;
+    - ship dyadic-rational weights (0.25, -0.5, ...) so literals parse
+      to identical doubles everywhere.
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def score(*cols: pd.Series) -> pd.Series:
+        xs = [c.to_numpy(dtype="float64") for c in cols]
+        z_out = np.full_like(xs[0], float(b2))
+        with np.errstate(over="ignore"):
+            for row, bj, wj in zip(w1, b1, w2):
+                z = np.full_like(xs[0], float(bj))
+                for wi, x in zip(row, xs):
+                    z = z + float(wi) * x
+                e = np.round(np.exp(2.0 * z), 6)
+                h = np.round(1.0 - 2.0 / (e + 1.0), 6)
+                z_out = z_out + float(wj) * h
+            p = np.round(
+                1.0 / (1.0 + np.round(np.exp(-z_out), 6)), 6
+            )
+        return pd.Series(p)
+
+    def apply(df: DataFrame, feature_cols: list[str], alias: str = "mlp_score") -> DataFrame:
+        if len(feature_cols) != len(w1[0]):
+            raise ValueError(
+                f"model expects {len(w1[0])} features, got {len(feature_cols)}"
+            )
+        return df.withColumn(alias, score(*[F.col(c) for c in feature_cols]))
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # Match flattening (U2): side × champion × attribute mixes
 # (proto_data_analysis.py:566-598,661-695)

@@ -1163,23 +1163,32 @@ def q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REPEATED_SUBSTRING_SPANS = f"""
+#: anchor-extension gap for the bridged variant: uncovered runs of up to
+#: this many tokens (= in-place edits inside a repeated block) merge into
+#: one maximal span instead of splitting the island
+REP_BRIDGE_GAP = 3
+
+
+def _repeated_spans_oracle(width: int = SPAN_WIDTH, gap: int = 0) -> str:
+    return f"""
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents),
 spans AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(t) - {SPAN_WIDTH - 1})) - 1 AS pos,
-         unnest(list_transform(generate_series(1, len(t) - {SPAN_WIDTH - 1}),
-                i -> array_to_string(t[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
-  FROM docs WHERE len(t) >= {SPAN_WIDTH}),
+         unnest(generate_series(1, len(t) - {width - 1})) - 1 AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {width - 1}),
+                i -> array_to_string(t[i:i+{width - 1}], ' '))) AS span
+  FROM docs WHERE len(t) >= {width}),
 rep AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
 hits AS (SELECT doc_id, pos FROM spans JOIN rep USING (span)),
 flagged AS (
   SELECT doc_id, pos,
-         CASE WHEN pos > COALESCE(MAX(pos + {SPAN_WIDTH}) OVER (
+         CASE WHEN pos > COALESCE(MAX(pos + {width}) OVER (
                 PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                {-1 - gap})
+                + {gap}
               THEN 1 ELSE 0 END AS new_island
   FROM hits),
 islands AS (
@@ -1188,10 +1197,25 @@ islands AS (
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS island
   FROM flagged)
-SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_WIDTH} AS span_end,
-       MAX(pos) + {SPAN_WIDTH} - MIN(pos) AS span_tokens
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {width} AS span_end,
+       MAX(pos) + {width} - MIN(pos) AS span_tokens
 FROM islands GROUP BY doc_id, island
 """
+
+
+ORACLE_REPEATED_SUBSTRING_SPANS = _repeated_spans_oracle()
+
+
+def q_repeated_spans_bridged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-extension variant of `repeated_substring_spans`: uncovered
+    runs of <= REP_BRIDGE_GAP tokens between repeated-window islands
+    (in-place edits inside a long repeated block) merge into one maximal
+    span — the edited-repeat case Lee et al.'s suffix-array pass catches
+    and the tight window anchoring splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.cross_doc_repeated_spans(
+        docs, "doc_id", "text", width=SPAN_WIDTH, bridge_gap=REP_BRIDGE_GAP
+    )
 
 
 ORACLE_SPAN_DUP_STATS = f"""
@@ -2798,6 +2822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_terms": q_vocab_top_terms,
     "span_dup_stats": q_span_dup_stats,
     "repeated_substring_spans": q_repeated_substring_spans,
+    "repeated_spans_bridged": q_repeated_spans_bridged,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "doc_token_entropy": q_doc_token_entropy,
@@ -2868,6 +2893,7 @@ ORACLES: dict[str, str] = {
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "span_dup_stats": ORACLE_SPAN_DUP_STATS,
     "repeated_substring_spans": ORACLE_REPEATED_SUBSTRING_SPANS,
+    "repeated_spans_bridged": _repeated_spans_oracle(gap=REP_BRIDGE_GAP),
     "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
     "bm25_search": _bm25_oracle(),
     "doc_token_entropy": ORACLE_DOC_TOKEN_ENTROPY,

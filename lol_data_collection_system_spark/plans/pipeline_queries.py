@@ -222,6 +222,89 @@ FROM orders, stats2
 """
 
 # ---------------------------------------------------------------------------
+# MLP batch inference (tanh hidden layer + sigmoid) over Arrow — the real
+# model-serving shape (proto_data_analysis.py:826-831's predict_proba),
+# with dyadic weights so the oracle can unroll the network exactly.
+# ---------------------------------------------------------------------------
+MLP_W1 = [
+    [0.5, -1.25, 0.75],
+    [-0.5, 1.0, 0.25],
+    [0.125, 0.5, -0.75],
+    [1.5, -0.25, 0.5],
+]
+MLP_B1 = [0.25, -0.5, 0.0, 0.125]
+MLP_W2 = [1.0, -0.75, 0.5, 1.25]
+MLP_B2 = -0.25
+
+
+def q_order_mlp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features: the decimal-moment z-score of o_totalprice (bit-exact
+    cross-engine, same construction as `normalized_order_price`) plus two
+    one-hot flags; scored by the numpy MLP over Arrow batches."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = orders.agg(
+        F.sum(d).alias("s1"), F.sum(d * d).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mu * mu) / (F.col("n") - 1)
+    stats = stats.select(mu.alias("mu"), F.sqrt(var).alias("sigma"))
+    feats = orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        (
+            (F.col("o_totalprice").cast("double") - F.col("mu"))
+            / (F.lit(2.0) * F.col("sigma"))
+        ).alias("z_price"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("is_urgent"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("is_fulfilled"),
+    )
+    scorer = feat_ops.mlp_score_udf(MLP_W1, MLP_B1, MLP_W2, MLP_B2)
+    return scorer(feats, ["z_price", "is_urgent", "is_fulfilled"]).select(
+        "o_orderkey", "mlp_score"
+    )
+
+
+def _mlp_oracle() -> str:
+    x = ["z_price", "is_urgent", "is_fulfilled"]
+    hidden = []
+    for row, bj in zip(MLP_W1, MLP_B1):
+        z = f"{bj!r}" + "".join(
+            f" + {wi!r} * {xi}" for wi, xi in zip(row, x)
+        )
+        hidden.append(
+            f"round(1.0 - 2.0 / (round(exp(2.0 * ({z})), 6) + 1.0), 6)"
+        )
+    z_out = f"{MLP_B2!r}" + "".join(
+        f" + {wj!r} * ({h})" for wj, h in zip(MLP_W2, hidden)
+    )
+    return f"""
+WITH stats AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu_pre,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM orders),
+stats2 AS (
+  SELECT mu_pre AS mu, sqrt((s2 - n * mu_pre * mu_pre) / (n - 1)) AS sigma FROM stats),
+feats AS (
+  SELECT o_orderkey,
+         (CAST(o_totalprice AS DOUBLE) - mu) / (2.0 * sigma) AS z_price,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS is_urgent,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS is_fulfilled
+  FROM orders, stats2)
+SELECT o_orderkey,
+       round(1.0 / (1.0 + round(exp(-({z_out})), 6)), 6) AS mlp_score
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
 # Image resize roundtrip (decode -> nearest-neighbor -> re-encode -> decode)
 # ---------------------------------------------------------------------------
 RESIZE_W = RESIZE_H = 2
@@ -262,6 +345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
+    "order_mlp_scores": q_order_mlp_scores,
     "normalized_order_price": q_normalized_order_price,
 }
 
@@ -270,5 +354,6 @@ ORACLES: dict[str, str] = {
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,
+    "order_mlp_scores": _mlp_oracle(),
     "normalized_order_price": ORACLE_NORMALIZED_ORDER_PRICE,
 }

@@ -90,3 +90,46 @@ def test_normalize_columns_lazy_and_correct(spark):
     # constant column: sd=0 -> 0.0
     assert all(rows[i].c == 0.0 for i in (1, 2, 3))
     assert rows[1]["id"] == 1  # non-normalized columns pass through
+
+
+def test_mlp_score_udf_is_a_real_network(spark):
+    """The MLP scorer must behave like a network, not a re-skinned
+    linear model: probabilities in (0,1), sensitive to each feature, and
+    NON-ADDITIVE (f(x1+x2 together) != independent contributions), which
+    no linear-sigmoid reparametrization could fake across these points."""
+    from lol_data_collection_system_spark.operators.features import (
+        mlp_score_udf,
+    )
+    from lol_data_collection_system_spark.plans.pipeline_queries import (
+        MLP_B1,
+        MLP_B2,
+        MLP_W1,
+        MLP_W2,
+    )
+
+    rows = [
+        (1, 0.0, 0.0, 0.0),
+        (2, 1.0, 0.0, 0.0),
+        (3, 0.0, 1.0, 0.0),
+        (4, 1.0, 1.0, 0.0),
+        (5, -2.5, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x1 double, x2 double, x3 double"
+    )
+    scorer = mlp_score_udf(MLP_W1, MLP_B1, MLP_W2, MLP_B2)
+    got = {
+        r.id: r.mlp_score
+        for r in scorer(df, ["x1", "x2", "x3"]).collect()
+    }
+    assert all(0.0 < v < 1.0 for v in got.values()), got
+    assert len(set(got.values())) == len(got)  # every input moves it
+    # non-additivity in logit space: logit(f(1,1)) != logit(f(1,0)) +
+    # logit(f(0,1)) - logit(f(0,0)) — a pure linear-sigmoid model would
+    # satisfy this exactly
+    import math
+
+    logit = lambda p: math.log(p / (1.0 - p))  # noqa: E731
+    lhs = logit(got[4])
+    rhs = logit(got[2]) + logit(got[3]) - logit(got[1])
+    assert abs(lhs - rhs) > 1e-3, (lhs, rhs)

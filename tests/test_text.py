@@ -614,3 +614,90 @@ def test_unicode_normalize_changed_col_guard(spark):
     assert out.collect()[0].changed is True  # user column untouched
     renamed = unicode_normalize(docs, changed_col="nfc_changed")
     assert "nfc_changed" in renamed.columns
+
+
+def _repeated_spans_python(docs, width, gap):
+    """Same-definition twin of cross_doc_repeated_spans: repeated
+    width-window anchors, islands merged across uncovered runs <= gap."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    counts = Counter(
+        " ".join(t[i : i + width])
+        for t in toks.values()
+        for i in range(len(t) - width + 1)
+    )
+    out = []
+    for d, t in toks.items():
+        hits = [
+            i
+            for i in range(len(t) - width + 1)
+            if counts[" ".join(t[i : i + width])] >= 2
+        ]
+        reach = None
+        for pos in hits:
+            if reach is None or pos > reach + gap:
+                out.append([d, pos, pos + width])
+            else:
+                out[-1][2] = max(out[-1][2], pos + width)
+            reach = max(reach if reach is not None else -1, pos + width)
+        # reach in the operator is the running max over EARLIER hits only
+    return {(d, a, b, b - a) for d, a, b in out}
+
+
+def test_repeated_spans_bridge_gap_spans_edited_repeats(spark):
+    """A long block repeated with one in-place token edit: the tight
+    pass (gap 0) splits it at the edit; bridge_gap >= 1 reports ONE
+    maximal span covering the whole block — the Lee et al. edited-repeat
+    case. Both settings must match the pure-Python same-definition twin
+    on a randomized fixture."""
+    import random
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        cross_doc_repeated_spans,
+    )
+
+    block = " ".join(f"b{i}" for i in range(30))
+    edited = block.split()
+    edited[15] = "EDIT"  # one in-place edit mid-block
+    docs = [
+        (1, "u1 u2 u3 " + block + " v1 v2 v3"),
+        (2, "w1 w2 " + " ".join(edited) + " x1"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def spans(gap):
+        return {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in cross_doc_repeated_spans(
+                df, width=8, bridge_gap=gap
+            ).collect()
+        }
+
+    tight, bridged = spans(0), spans(3)
+    assert tight == _repeated_spans_python(docs, 8, 0)
+    assert bridged == _repeated_spans_python(docs, 8, 3)
+    # doc 2: tight splits at the edit (two spans), bridged merges to one
+    d2_tight = sorted(s for s in tight if s[0] == 2)
+    d2_bridged = sorted(s for s in bridged if s[0] == 2)
+    assert len(d2_tight) == 2 and len(d2_bridged) == 1
+    lo = min(s[1] for s in d2_tight)
+    hi = max(s[2] for s in d2_tight)
+    assert d2_bridged[0][1] == lo and d2_bridged[0][2] == hi
+
+    # randomized cross-check vs the twin, both gaps
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    rdocs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60))))
+        for d in range(1, 9)
+    ]
+    rdf = spark.createDataFrame(rdocs, "doc_id long, text string")
+    for gap in (0, 2):
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in cross_doc_repeated_spans(
+                rdf, width=3, bridge_gap=gap
+            ).collect()
+        }
+        assert got == _repeated_spans_python(rdocs, 3, gap), gap
