@@ -242,3 +242,48 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_pagerank_no_driver_collect_in_rounds(spark, monkeypatch):
+    """The dangling-mass scalar must ride the round's own dataflow as a
+    broadcast 1-row aggregate, not a driver collect: pagerank may call
+    DataFrame.collect ZERO times and DataFrame.count exactly once (the
+    node count), for any iters and either directedness. The old shape
+    collected the dangling sum every round. (Job-count pins are
+    AQE-noisy — each lazy checkpoint materializes its shuffle stages as
+    separate jobs — so the pin instruments the driver actions
+    themselves.)"""
+    # pyspark 4 splits the API: classic sessions return
+    # pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES the
+    # abstract base's methods — patching the base would intercept
+    # nothing (and pass vacuously)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    from lol_data_collection_system_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 11) for i in range(30)], "id_a long, id_b long"
+    )
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame,
+        "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                      orig_collect(self))[1],
+    )
+    monkeypatch.setattr(
+        DataFrame,
+        "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1),
+                      orig_count(self))[1],
+    )
+    for directed in (False, True):
+        calls["collect"] = calls["count"] = 0
+        ranks = pagerank(edges, iters=10, directed=directed)
+        assert calls["collect"] == 0, (directed, calls)
+        assert calls["count"] == 1, (directed, calls)
+        assert ranks.columns == ["node", "rank"]
