@@ -49,6 +49,7 @@ def pack_sequences(
     seq_len: int = 512,
     salt: str = "",
     num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(chunk_id, doc_id, tok_start, tok_end): the half-open within-doc
     token span each context window takes from each document, where the
@@ -81,14 +82,18 @@ def pack_sequences(
     # 2.4 s vs the 0.89 s warm min — the recompute tax), and at 100 TB
     # the saved pass is a full-corpus scan+shuffle. It also pins ONE set
     # of sampled range boundaries for both consumers rather than relying
-    # on the two executions sampling identically.
+    # on the two executions sampling identically. `checkpoint=False` is
+    # for plan introspection only (tests pin the pre-checkpoint
+    # range-partitioned shape, which the truncated lineage hides).
     local = ranged.withColumn(
         "_local_before",
         F.coalesce(
             F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ),
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        local = local.localCheckpoint(eager=False)
     # per-partition totals are one tiny row each — running offsets are a
     # driver-side scan of ≤ num_partitions rows, broadcast back
     totals = (

@@ -185,11 +185,10 @@ def _funnel(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     if scrub_repeated_lines:
-        from .corpus_queries import _reflow_lines
+        # pure projection — replaces the text column in place, no join
+        from .corpus_queries import _reflow_expr
 
-        docs = docs.drop("text").join(
-            _reflow_lines(docs), "doc_id"
-        )
+        docs = docs.withColumn("text", _reflow_expr("text"))
     stages = _stages(
         docs,
         normalize_unicode=normalize_unicode,

@@ -2445,20 +2445,29 @@ CAPPED_ALPHA = 0.5
 CAPPED_ORACLE_ROUNDS = 6
 
 
-def _reflow_lines(docs: DataFrame, width: int = LINE_WRAP_TOKENS) -> DataFrame:
-    """(doc_id, text) with the text re-wrapped to `width` whitespace
-    tokens per line. The synthetic corpus is single-line; wrapping gives
-    the line-granular dedup operators real line structure to work on
-    (near-dup docs share aligned lines), deterministically and
-    SQL-expressibly in both engines."""
-    toks = text_ops.tokens(F.col("text"))
+def _reflow_expr(text_col: str = "text", width: int = LINE_WRAP_TOKENS):
+    """Column expression re-wrapping a text column to `width` whitespace
+    tokens per line — a pure projection (no join, no shuffle), so
+    callers that need the other columns keep them in place."""
+    toks = text_ops.tokens(F.col(text_col))
     lines = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(width)
         ),
         lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
     )
-    return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return F.concat_ws("\n", lines)
+
+
+def _reflow_lines(docs: DataFrame, width: int = LINE_WRAP_TOKENS) -> DataFrame:
+    """(doc_id, text) with the text re-wrapped to `width` whitespace
+    tokens per line. The synthetic corpus is single-line; wrapping gives
+    the line-granular dedup operators real line structure to work on
+    (near-dup docs share aligned lines), deterministically and
+    SQL-expressibly in both engines."""
+    return docs.select(
+        "doc_id", _reflow_expr("text", width).alias("text")
+    )
 
 
 def _reflow_sql(width: int = LINE_WRAP_TOKENS) -> str:

@@ -202,11 +202,28 @@ def test_sampling_is_pure_projection(spark):
 def test_pack_sequences_no_single_partition(spark):
     """The packing offsets must come from the two-phase distributed
     prefix sum: range partition + per-partition window + broadcast
-    offsets — never a global single-partition window."""
+    offsets — never a global single-partition window. The default path
+    pins phase 1 behind a lazy localCheckpoint (one execution shared by
+    the offsets collect and the output pass), which truncates the
+    visible lineage — so the range-partitioner property is asserted on
+    the checkpoint-free introspection plan."""
+    from lol_data_collection_system_spark.operators import packing
+    from lol_data_collection_system_spark.sources.tables import load_table
+
     plan = _plan(spark, "pack_sequences")
     assert "SinglePartition" not in plan
     assert "BroadcastExchange" in plan  # the tiny offsets table
-    assert "rangepartitioning" in plan.lower()  # sampled range partitioner
+    # phase 1 reused from the checkpoint, not recomputed per consumer
+    assert "localCheckpoint" in plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = packing.pack_sequences(docs, checkpoint=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    raw_plan = raw._jdf.queryExecution().explainString(jmode)
+    assert "SinglePartition" not in raw_plan
+    assert "rangepartitioning" in raw_plan.lower()  # sampled range partitioner
 
 
 def test_contamination_no_cartesian(spark):
