@@ -31,6 +31,7 @@ from lol_data_collection_system_spark.operators import (
     windows as window_ops,
 )
 from lol_data_collection_system_spark.plans import (
+    classifier_queries,
     corpus_pipeline,
     corpus_queries,
     domain_queries,
@@ -703,6 +704,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_page": q_orders_page,
     "part_type_bucket_pivot": q_part_type_bucket_pivot,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    **classifier_queries.QUERIES,
     **corpus_queries.QUERIES,
     **corpus_pipeline.QUERIES,
     **domain_queries.QUERIES,
@@ -819,6 +821,7 @@ _ORACLES: dict[str, str] = {
     "orders_page": ORACLE_ORDERS_PAGE,
     "part_type_bucket_pivot": ORACLE_PART_TYPE_BUCKET_PIVOT,
     "sql_revenue_by_nation": ORACLE_SQL_REVENUE_BY_NATION,
+    **classifier_queries.ORACLES,
     **corpus_queries.ORACLES,
     **corpus_pipeline.ORACLES,
     **domain_queries.ORACLES,

@@ -1,0 +1,286 @@
+"""Trained-classifier queries: distributed logistic-regression training
+over corpus quality features, AUC/confusion evaluation, and per-source
+(domain) capping — the "train a quality model, score the corpus, balance
+the domains" loop of a pretraining data pipeline.
+
+Oracle strategy: the fixed small iteration count unrolls the gradient-
+descent loop into chained CTEs (the `_kmeans_oracle` trick), and every
+float op is IEEE-exact (rational sigmoid — no `exp`), so the DuckDB
+oracle reproduces the Spark-trained weights bit-for-bit. Gradient and
+count aggregates ride DECIMAL / BIGINT so partition order can't perturb
+the sums.
+
+Feature definitions are shared textually with the quality-filter oracle
+family (same per_doc integer quantities as
+`corpus_queries._quality_flags_ctes`): token count, distinct-token
+count, stopword hits, and non-whitespace chars — each feature one
+double division of integers, identical in both engines.
+
+Reference parity: the reference trains/serves a match-outcome model
+(`proto_data_analysis.py:698-724,826-831`); here the training step
+itself is distributed (driver-held weights + one map-combined
+aggregation per round, the spark.ml LogisticRegression shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import classifier as clf_ops
+from ..operators import text as text_ops
+from ..operators import topk as topk_ops
+from ..sources import load_table
+from .corpus_queries import _EN_STOPS, _TOKS
+
+CLF_FEATURES = ("f_len", "f_dis", "f_stop", "f_wlen")
+CLF_ITERS = 4
+CLF_LR = 0.5
+CLF_THRESHOLD = 0.5
+#: Squash constant for the length feature: n_tok / (n_tok + LEN_K).
+LEN_K = 50
+#: Mean-token-length normalizer (≈ max expected mean length).
+WLEN_K = 6.0
+SRC_CAP = 40
+
+
+def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, f_len, f_dis, f_stop, f_wlen): engine-exact features
+    from integer counts, label y = (lang = 'en'). Pure projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*text_ops.LANG_STOPWORDS["en"]))
+    ).cast("bigint")
+    tok_chars = F.length(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (n_tok.cast("double") / (n_tok + F.lit(LEN_K))).alias("f_len"),
+        (n_distinct.cast("double") / n_tok).alias("f_dis"),
+        (stop_hits.cast("double") / n_tok).alias("f_stop"),
+        ((tok_chars.cast("double") / n_tok) / F.lit(WLEN_K)).alias(
+            "f_wlen"
+        ),
+    )
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    feats = doc_features(spark, sf_dir)
+    return clf_ops.logreg_train(
+        feats,
+        list(CLF_FEATURES),
+        label_col="y",
+        iters=CLF_ITERS,
+        lr=CLF_LR,
+    )
+
+
+def q_quality_classifier_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(feature, weight): the trained coefficient vector, rounded for
+    the cross-engine hash. Training runs CLF_ITERS aggregation jobs."""
+    weights = _trained_weights(spark, sf_dir)
+    rows = [("intercept", weights[0])] + [
+        (f, w) for f, w in zip(CLF_FEATURES, weights[1:])
+    ]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+def q_quality_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: n_pos, n_neg, tp, fp, fn, tn, auc — the trained model
+    scored over the full corpus and evaluated exactly (integer
+    Mann-Whitney rank statistic)."""
+    weights = _trained_weights(spark, sf_dir)
+    scored = clf_ops.logreg_score(
+        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
+    )
+    return clf_ops.binary_eval(
+        scored, label_col="y", score_col="score", threshold=CLF_THRESHOLD
+    )
+
+
+def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) cap: keep the SRC_CAP highest-stopword-density
+    docs per source (doc_id tiebreak) — the standard domain-balancing
+    guard against one crawl source flooding the corpus. WindowGroupLimit
+    per-partition top-k, never a full per-group sort."""
+    feats = doc_features(spark, sf_dir)
+    kept = topk_ops.topk_per_group(
+        feats,
+        ["source"],
+        [F.col("f_stop").desc(), F.col("doc_id").asc()],
+        SRC_CAP,
+    )
+    return kept.select(
+        "source",
+        "doc_id",
+        "rank_in_group",
+        F.round("f_stop", 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+def _feats_ctes() -> str:
+    return f"""per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_EN_STOPS}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS tok_chars
+  FROM documents),
+feats AS (
+  SELECT doc_id, source, y,
+         CAST(n_tok AS DOUBLE) / (n_tok + {LEN_K}) AS f_len,
+         CAST(n_distinct AS DOUBLE) / n_tok AS f_dis,
+         CAST(stop_hits AS DOUBLE) / n_tok AS f_stop,
+         (CAST(tok_chars AS DOUBLE) / n_tok) / {WLEN_K!r} AS f_wlen
+  FROM per_doc)"""
+
+
+def _z_sql(wref: str) -> str:
+    """w0 + w1*f1 + ... with the same left association as
+    `classifier.margin`."""
+    z = f"{wref}.w0"
+    for j, f in enumerate(CLF_FEATURES):
+        z += f" + {wref}.w{j + 1} * {f}"
+    return z
+
+
+def _p_sql(wref: str) -> str:
+    z = _z_sql(wref)
+    return f"0.5 * (1.0 + ({z}) / (1.0 + abs({z})))"
+
+
+def _train_ctes(iters: int = CLF_ITERS, lr: float = CLF_LR) -> list[str]:
+    """Unrolled gradient descent: w_0 = zeros; each round one exact
+    decimal-sum gradient aggregate and the double-arithmetic update,
+    mirroring `classifier.logreg_train` operation for operation."""
+    d = len(CLF_FEATURES)
+    parts = [_feats_ctes()]
+    zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d + 1))
+    parts.append(f"w_0 AS (SELECT {zeros})")
+    for i in range(1, iters + 1):
+        p = _p_sql(f"w_{i - 1}")
+        resid = f"({p}) - CAST(y AS DOUBLE)"
+        gsums = [
+            f"SUM(CAST(({resid}) AS DECIMAL(38,10))) AS g0",
+        ]
+        for j, f in enumerate(CLF_FEATURES):
+            gsums.append(
+                f"SUM(CAST((({resid}) * {f}) AS DECIMAL(38,10)))"
+                f" AS g{j + 1}"
+            )
+        parts.append(
+            f"g_{i} AS (\n  SELECT COUNT(*) AS n, "
+            + ",\n         ".join(gsums)
+            + f"\n  FROM feats, w_{i - 1})"
+        )
+        updates = ", ".join(
+            f"w_{i - 1}.w{j} - {lr!r} * (CAST(g{j} AS DOUBLE) / n) AS w{j}"
+            for j in range(d + 1)
+        )
+        parts.append(f"w_{i} AS (SELECT {updates} FROM g_{i}, w_{i - 1})")
+    return parts
+
+
+def _weights_oracle() -> str:
+    parts = _train_ctes()
+    names = ("intercept",) + CLF_FEATURES
+    selects = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 6) AS weight"
+        f" FROM w_{CLF_ITERS}"
+        for j, name in enumerate(names)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def _eval_oracle() -> str:
+    parts = _train_ctes()
+    parts.append(
+        f"""scored AS (
+  SELECT y, {_p_sql(f"w_{CLF_ITERS}")} AS score FROM feats, w_{CLF_ITERS})"""
+    )
+    parts.append(
+        """by_score AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM scored GROUP BY score)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM by_score)"""
+    )
+    parts.append(
+        """u AS (
+  SELECT CAST(SUM(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg
+  FROM ranked)"""
+    )
+    parts.append(
+        f"""conf AS (
+  SELECT CAST(SUM(CASE WHEN score >= {CLF_THRESHOLD!r} THEN y
+                       ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= {CLF_THRESHOLD!r} THEN 1 - y
+                       ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score < {CLF_THRESHOLD!r} THEN y
+                       ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN score < {CLF_THRESHOLD!r} THEN 1 - y
+                       ELSE 0 END) AS BIGINT) AS tn
+  FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT n_pos, n_neg, tp, fp, fn, tn,
+       round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM u, conf"""
+    )
+
+
+def _source_cap_oracle() -> str:
+    return f"""
+WITH {_feats_ctes()},
+ranked AS (
+  SELECT source, doc_id, f_stop,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY f_stop DESC, doc_id) AS INT) AS rank_in_group
+  FROM feats)
+SELECT source, doc_id, rank_in_group, round(f_stop, 6) AS quality
+FROM ranked WHERE rank_in_group <= {SRC_CAP}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_classifier_weights": q_quality_classifier_weights,
+    "quality_classifier_eval": q_quality_classifier_eval,
+    "source_capped_docs": q_source_capped_docs,
+}
+
+ORACLES: dict[str, str] = {
+    "quality_classifier_weights": _weights_oracle(),
+    "quality_classifier_eval": _eval_oracle(),
+    "source_capped_docs": _source_cap_oracle(),
+}

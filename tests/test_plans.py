@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -519,6 +520,38 @@ def test_knn_graph_windowgrouplimit_before_exchange(spark):
     assert "Partial" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_cap_windowgrouplimit(spark):
+    """The per-source cap must run as WindowGroupLimit (per-partition
+    top-k before the shuffle), never a full per-group sort."""
+    plan = _plan(spark, "source_capped_docs")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_classifier_gradient_partial_agg(spark):
+    """One training round = one map-side-combined aggregation: partial +
+    final HashAggregate over the feature projection, no Python eval, no
+    extra Exchange beyond the single agg shuffle."""
+    from lol_data_collection_system_spark.operators import classifier as clf
+    from lol_data_collection_system_spark.plans import classifier_queries as cq
+
+    feats = cq.doc_features(spark, SF_DIR)
+    resid = clf.rational_sigmoid(
+        clf.margin([0.0] * 5, list(cq.CLF_FEATURES))
+    ) - F.col("y").cast("double")
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(resid.cast("decimal(38,10)")).alias("g0"),
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = agg._jdf.queryExecution().explainString(jmode)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange (") == 1
 
 
 def test_containment_pairs_no_cartesian(spark):
