@@ -111,6 +111,19 @@ def q_quality_classifier_eval(
     )
 
 
+def q_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, score): the trained model's per-document score — pins
+    the scoring projection row-by-row (the aggregate eval query alone
+    would let per-row errors cancel)."""
+    weights = _trained_weights(spark, sf_dir)
+    scored = clf_ops.logreg_score(
+        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
+    )
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) cap: keep the SRC_CAP highest-stopword-density
     docs per source (doc_id tiebreak) — the standard domain-balancing
@@ -211,6 +224,17 @@ def _weights_oracle() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+def _scores_oracle() -> str:
+    parts = _train_ctes()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, round({_p_sql(f"w_{CLF_ITERS}")}, 6) AS score
+FROM feats, w_{CLF_ITERS}"""
+    )
+
+
 def _eval_oracle() -> str:
     parts = _train_ctes()
     parts.append(
@@ -275,12 +299,14 @@ FROM ranked WHERE rank_in_group <= {SRC_CAP}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_weights": q_quality_classifier_weights,
+    "quality_classifier_scores": q_quality_classifier_scores,
     "quality_classifier_eval": q_quality_classifier_eval,
     "source_capped_docs": q_source_capped_docs,
 }
 
 ORACLES: dict[str, str] = {
     "quality_classifier_weights": _weights_oracle(),
+    "quality_classifier_scores": _scores_oracle(),
     "quality_classifier_eval": _eval_oracle(),
     "source_capped_docs": _source_cap_oracle(),
 }
