@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import classifier as clf_ops
+from ..operators import sampling as sampling_ops
 from ..operators import text as text_ops
 from ..operators import topk as topk_ops
 from ..sources import load_table
@@ -122,6 +123,28 @@ def q_quality_classifier_scores(
         doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
     )
     return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+QWS_K = 60
+QWS_SALT = "qws"
+
+
+def q_quality_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train → score → importance-sample: Efraimidis–Spirakis without-
+    replacement sampling with the TRAINED classifier score as the
+    weight — the end-to-end 'sample the corpus proportionally to model
+    quality' composition. Pure composition of two audited parts; the
+    sample is a deterministic function of (salt, doc_id, trained
+    score)."""
+    weights = _trained_weights(spark, sf_dir)
+    scored = clf_ops.logreg_score(
+        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
+    )
+    return sampling_ops.weighted_sample_topk(
+        scored, "doc_id", "score", QWS_K, salt=QWS_SALT
+    ).select("doc_id", F.round("score", 6).alias("score"), "es_score")
 
 
 def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,6 +258,31 @@ FROM feats, w_{CLF_ITERS}"""
     )
 
 
+def _weighted_sample_oracle() -> str:
+    parts = _train_ctes()
+    p = _p_sql(f"w_{CLF_ITERS}")
+    parts.append(
+        f"scored AS (\n  SELECT doc_id, {p} AS score"
+        f" FROM feats, w_{CLF_ITERS})"
+    )
+    parts.append(
+        f"""es AS (
+  SELECT doc_id, score,
+         round(ln((CAST(CAST(('0x' || substr(md5('{QWS_SALT}'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                   + 0.5) / {float(1 << 60)!r}), 6) / score AS es_score
+  FROM scored WHERE score > 0)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, round(score, 6) AS score, es_score
+FROM es ORDER BY es_score DESC, doc_id
+LIMIT {QWS_K}"""
+    )
+
+
 def _eval_oracle() -> str:
     parts = _train_ctes()
     parts.append(
@@ -301,6 +349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_weights": q_quality_classifier_weights,
     "quality_classifier_scores": q_quality_classifier_scores,
     "quality_classifier_eval": q_quality_classifier_eval,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "source_capped_docs": q_source_capped_docs,
 }
 
@@ -308,5 +357,6 @@ ORACLES: dict[str, str] = {
     "quality_classifier_weights": _weights_oracle(),
     "quality_classifier_scores": _scores_oracle(),
     "quality_classifier_eval": _eval_oracle(),
+    "quality_weighted_sample": _weighted_sample_oracle(),
     "source_capped_docs": _source_cap_oracle(),
 }

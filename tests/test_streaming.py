@@ -810,3 +810,48 @@ def test_classify_stream_exact_status_parity(spark, tmp_path):
     }
     # the flush doc's window is still pending on the stream side
     assert got_stream == {i: want[i] for i in (10, 11, 12, 13)}
+
+
+def test_classifier_scoring_is_stream_capable(spark, tmp_path):
+    """Model serving on the ingest stream: weights trained offline fold
+    into a pure projection (`logreg_score`), so the SAME operator scores
+    a stream statelessly — and stream scores equal batch scores
+    bit-for-bit (the IEEE-exact rational sigmoid)."""
+    from lol_data_collection_system_spark.operators import classifier as clf
+
+    src = tmp_path / "clf_docs"
+    out_dir = tmp_path / "clf_out"
+    ckpt = tmp_path / "clf_ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("f1", T.DoubleType()),
+            T.StructField("f2", T.DoubleType()),
+        ]
+    )
+    rows = [(i, (i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0) for i in range(20)]
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.mode("overwrite").json(str(src / "f1"))
+    weights = [0.25, 1.5, -0.75]
+
+    stream = spark.readStream.schema(schema).json(str(src) + "/*")
+    q = (
+        clf.logreg_score(stream, weights, ["f1", "f2"])
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.score
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    want = {
+        r.doc_id: r.score
+        for r in clf.logreg_score(batch, weights, ["f1", "f2"]).collect()
+    }
+    assert got == want  # bit-exact stream == batch
