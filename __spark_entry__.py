@@ -773,7 +773,12 @@ _FRONT: tuple[str, ...] = (
     "embedding_rp_recall",
     "bloom_decontamination",
     # round-4 declarations (first four fit this round's sample window;
-    # the rest land immediately after slot 50 for the next round)
+    # the rest land immediately after slot 50 for the next round).
+    # Round-5 front-block candidates (never driver-sampled after r4):
+    # remove_dup_lines, cross_source_dup_matrix, capped_token_budget_plan,
+    # repeated_spans_bridged, order_mlp_scores, quality_classifier_weights,
+    # quality_classifier_scores, quality_classifier_eval,
+    # quality_weighted_sample, source_capped_docs.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

@@ -165,9 +165,13 @@ def binary_eval(
         "fp",
         "fn",
         "tn",
+        # try_divide: single-class input has no rankable pairs — AUC is
+        # undefined (NULL), not an ANSI divide-by-zero error
         F.round(
-            F.col("u2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            F.try_divide(
+                F.col("u2").cast("double"),
+                F.lit(2.0) * F.col("n_pos") * F.col("n_neg"),
+            ),
             6,
         ).alias("auc"),
     )

@@ -498,3 +498,84 @@ def test_remove_dup_lines_python_twin_and_idempotent(spark, texts, max_docs):
         ).collect()
     }
     assert again == out
+
+
+auc_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        # coarse score grid on dyadic rationals → plenty of exact ties,
+        # both within and across classes
+        st.integers(0, 8).map(lambda k: k / 8.0),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@_SETTINGS
+@given(auc_rows_strategy)
+def test_auc_matches_pairwise_definition(spark, rows):
+    """binary_eval's grouped rank-sum AUC == the O(n²) pairwise
+    definition (ties count half) on arbitrary tied score sets; degenerate
+    single-class inputs yield NULL auc (0/0), never a wrong number."""
+    from hypothesis import assume
+
+    from lol_data_collection_system_spark.operators import classifier as clf
+
+    df = spark.createDataFrame(rows, "label int, score double")
+    got = clf.binary_eval(df, "label", "score").collect()[0]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    assume(True)
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos
+        for q in neg
+    )
+    assert abs(got["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 10)),
+        min_size=4,
+        max_size=30,
+    ),
+    st.integers(1, 3),
+)
+def test_logreg_train_matches_python_twin(spark, rows, iters):
+    """The distributed GD loop == a pure-Python twin (same rational
+    sigmoid, same update order) to the last bit — on arbitrary integer-
+    ratio features and any iteration count."""
+    from lol_data_collection_system_spark.operators import classifier as clf
+
+    data = [
+        (i, a / 13.0, b / 11.0, 1 if (a + b) % 2 == 0 else 0)
+        for i, (a, b) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, f1 double, f2 double, label int"
+    ).repartition(3)
+    got = clf.logreg_train(df, ["f1", "f2"], iters=iters, lr=0.5)
+
+    # pure-Python twin with exact (Fraction-free) decimal-grid sums
+    from decimal import ROUND_HALF_UP, Decimal
+
+    w = [0.0, 0.0, 0.0]
+    q = Decimal(1).scaleb(-10)
+    for _ in range(iters):
+        sums = [Decimal(0)] * 3
+        for _id, f1, f2, y in data:
+            z = w[0] + w[1] * f1 + w[2] * f2
+            p = 0.5 * (1.0 + z / (1.0 + abs(z)))
+            r = p - float(y)
+            for j, x in enumerate((1.0, f1, f2)):
+                sums[j] += Decimal(r * x).quantize(q, rounding=ROUND_HALF_UP)
+        n = len(data)
+        w = [wj - 0.5 * (float(s) / n) for wj, s in zip(w, sums)]
+    assert got == w  # bit-exact
