@@ -791,7 +791,8 @@ _FRONT: tuple[str, ...] = (
 
 def _ordered(unordered: dict) -> dict:
     missing = [k for k in _FRONT if k not in unordered]
-    assert not missing, f"_FRONT names not in registry: {missing}"
+    if missing:  # explicit raise: asserts vanish under python -O
+        raise KeyError(f"_FRONT names not in registry: {missing}")
     out = {k: unordered[k] for k in _FRONT if k in unordered}
     out.update({k: v for k, v in unordered.items() if k not in out})
     return out

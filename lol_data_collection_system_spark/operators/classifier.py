@@ -75,7 +75,13 @@ def logreg_train(
     there is no separate count job); weights start at zero. The update is
     ``w_j -= lr * (grad_j / n)`` with grad_j an exact decimal sum of the
     per-row terms ``(p - y) * f_j``.
+
+    Rows with a NULL label or NULL feature are dropped up front:
+    otherwise ``sum`` would silently skip them from the gradient while
+    ``count`` still included them in n, shrinking every update by the
+    null fraction — training on a biased average.
     """
+    df = df.na.drop(subset=[*feature_cols, label_col])
     weights = [0.0] * (len(feature_cols) + 1)
     for _ in range(iters):
         resid = rational_sigmoid(margin(weights, feature_cols)) - F.col(
@@ -131,7 +137,12 @@ def binary_eval(
     scores only (bounded by score cardinality, not corpus size) — at
     100 TB this is an eval metric over an already-aggregated frame, not
     a data-path operator.
+
+    Rows with a NULL label or NULL score are excluded — an unscored row
+    has no rank, and NULL ordering differs between engines, so letting
+    them into the window would shift neg_below engine-dependently.
     """
+    scored = scored.na.drop(subset=[label_col, score_col])
     y = F.col(label_col).cast("bigint")
     by_score = scored.groupBy(score_col).agg(
         F.sum(y).alias("pos"),

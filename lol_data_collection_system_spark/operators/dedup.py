@@ -966,6 +966,53 @@ def pair_quality(
 # ---------------------------------------------------------------------------
 # Incremental (delta-vs-corpus) dedup
 # ---------------------------------------------------------------------------
+def corpus_shingle_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """The corpus-side index every delta/stream classifier probes:
+    (fingerprint table, df-capped shingle frame, hot-shingle stop set).
+
+    THE single derivation shared by batch `incremental_dedup` and the
+    streaming `classify_stream` — their advertised exact stream==batch
+    status parity depends on the cap logic staying bit-identical, so it
+    lives in one place. One corpus-shingle build serves both the kept
+    side and the hot table: df is annotated via a window (single shuffle
+    on shingle) and THAT frame is checkpointed — filtering twice off the
+    checkpoint is free, where a groupBy-then-anti-join derivation would
+    scan+explode the corpus twice. At 100 TB all three frames are
+    precomputed once and stored, not derived in-plan.
+
+    Returns: (corpus_fp(fp, _exact_match_id), kept_shingles(id, shingle)
+    — lazily checkpointed, hot_shingles(shingle) or None when no cap).
+    """
+    corpus_fp = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("_exact_match_id"))
+    )
+    c_sh = shingles(corpus, id_col, text_col, k)
+    hot = None
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        c_w = c_sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).localCheckpoint(eager=False)
+        c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(
+            id_col, "shingle"
+        )
+        hot = (
+            c_w.filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .distinct()
+        )
+    return corpus_fp, c_sh.localCheckpoint(eager=False), hot
+
+
 def incremental_dedup(
     corpus: DataFrame,
     delta: DataFrame,
@@ -1004,38 +1051,22 @@ def incremental_dedup(
     delta_ids = delta.select(F.col(id_col))
 
     # --- exact tier: one hash-agg on the corpus, hash join on fp ---
-    corpus_fp = (
-        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias("exact_match_id"))
+    # (shared index derivation — see corpus_shingle_index)
+    corpus_fp, c_sh, hot = corpus_shingle_index(
+        corpus, id_col, text_col, k, max_doc_freq
+    )
+    corpus_fp = corpus_fp.withColumnRenamed(
+        "_exact_match_id", "exact_match_id"
     )
     delta_fp = delta.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
     )
     exact = delta_fp.join(corpus_fp, "fp").select(id_col, "exact_match_id")
 
-    # --- shingle frames, corpus-df cap applied to BOTH sides ---
-    c_sh = shingles(corpus, id_col, text_col, k)
+    # --- delta shingles, corpus-df cap applied to BOTH sides ---
     d_sh = shingles(delta, id_col, text_col, k)
-    if max_doc_freq is not None:
-        # One corpus-shingle build serves both the kept side and the hot
-        # (stop-shingle) table: annotate df via a window (single shuffle
-        # on shingle) and checkpoint THAT frame — filtering twice off the
-        # checkpoint is free, where a groupBy-then-anti-join derivation
-        # would scan+explode the corpus twice.
-        from pyspark.sql import Window
-
-        c_w = c_sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).localCheckpoint(eager=False)
-        c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(id_col, "shingle")
-        hot = (
-            c_w.filter(F.col("_df") > max_doc_freq)
-            .select("shingle")
-            .distinct()
-        )
+    if hot is not None:
         d_sh = d_sh.join(hot, "shingle", "left_anti")
-    c_sh = c_sh.localCheckpoint(eager=False)
     d_sh = d_sh.localCheckpoint(eager=False)
 
     # --- candidate tier: delta bands × corpus bands ---

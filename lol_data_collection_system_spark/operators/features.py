@@ -145,10 +145,19 @@ def mlp_score_udf(
       on both sides (exp overflow at large z degrades to inf -> h = 1.0
       identically), with every exp rounded to 6 dp — the repo's
       standard cure for cross-engine 1-ulp libm differences;
+    - 6-dp rounding is floor(|x|*1e6 + 0.5), i.e. half-AWAY-FROM-ZERO,
+      matching SQL round(); `np.round` is half-to-even AND takes a
+      different scaling path, measured to disagree with the engine on
+      ordinary values (e.g. 0.1234565 → 0.123456 vs 0.123457);
     - ship dyadic-rational weights (0.25, -0.5, ...) so literals parse
       to identical doubles everywhere.
     """
     import numpy as np
+
+    def _round6(a):
+        # half-away-from-zero at 6 dp, the SQL round() rule (inf-safe:
+        # floor(inf) == inf)
+        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
     @pandas_udf("double")
     def score(*cols: pd.Series) -> pd.Series:
@@ -159,12 +168,10 @@ def mlp_score_udf(
                 z = np.full_like(xs[0], float(bj))
                 for wi, x in zip(row, xs):
                     z = z + float(wi) * x
-                e = np.round(np.exp(2.0 * z), 6)
-                h = np.round(1.0 - 2.0 / (e + 1.0), 6)
+                e = _round6(np.exp(2.0 * z))
+                h = _round6(1.0 - 2.0 / (e + 1.0))
                 z_out = z_out + float(wj) * h
-            p = np.round(
-                1.0 / (1.0 + np.round(np.exp(-z_out), 6)), 6
-            )
+            p = _round6(1.0 / (1.0 + _round6(np.exp(-z_out))))
         return pd.Series(p)
 
     def apply(df: DataFrame, feature_cols: list[str], alias: str = "mlp_score") -> DataFrame:

@@ -166,11 +166,15 @@ def asof_join_banded(
        `bucket_ms`; run the union+last-ignoreNulls window WITHIN each
        bucket — per-task work is now O(events per bucket), a knob, not
        a data property.
-    2. Per (key, bucket), reduce the right side to its latest row (one
-       `max(struct(ts, values))` partial-agg'd aggregate), then run the
-       carry-forward window over THAT summary frame, partitioned by key
-       but over bucket-count rows (timespan / bucket_ms — e.g. 1 440
-       rows per key-day at 1-minute buckets), not event-count rows.
+    2. Per (key, bucket), reduce the right side to its latest NON-NULL
+       value PER COLUMN (one `max(when(col not null, struct(ts, col)))`
+       partial-agg'd aggregate per value column — a single latest-row
+       struct would let a trailing NULL shadow an earlier non-null
+       value, diverging from `asof_join`'s per-column
+       last-ignoreNulls), then run the carry-forward window over THAT
+       summary frame, partitioned by key but over bucket-count rows
+       (timespan / bucket_ms — e.g. 1 440 rows per key-day at 1-minute
+       buckets), not event-count rows.
     3. A left row's answer = its within-bucket last, else the carry
        from earlier buckets.
 
@@ -226,9 +230,15 @@ def asof_join_banded(
         )
         .groupBy(*key_cols, "_bucket")
         .agg(
-            F.max(F.struct(F.col(ts_col), *[F.col(c) for c in vcols])).alias(
-                "_s"
-            )
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col(ts_col), F.col(c)),
+                    )
+                ).alias(f"_s_{c}")
+                for c in vcols
+            ]
         )
     )
     summary = (
@@ -244,16 +254,23 @@ def asof_join_banded(
     carry = summary.select(
         *key_cols,
         "_bucket",
-        F.last("_s", ignorenulls=True).over(wc).alias("_carry"),
+        *[
+            F.last(f"_s_{c}", ignorenulls=True)
+            .over(wc)
+            .alias(f"_carry_{c}")
+            for c in vcols
+        ],
     )
 
-    # 3: left rows take within-bucket answer, else the carry
+    # 3: left rows take within-bucket answer, else the per-column carry
     out = u.filter(F.col("_side") == 1).join(
         carry, [*key_cols, "_bucket"], "left"
     )
     for c in vcols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_carry.{c}")))
-    return out.drop("_side", "_bucket", "_carry")
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"_carry_{c}.{c}"))
+        )
+    return out.drop("_side", "_bucket", *[f"_carry_{c}" for c in vcols])
 
 
 def set_equality_filter(

@@ -501,10 +501,16 @@ def capped_token_budget_plan(
             g for g in active if planned[g] + share[g] >= cap[g]
         }
         if not newly_capped:
+            spent = sum(share.values())
             for g in active:
                 planned[g] += share[g]
-            remaining -= sum(share.values())
-            if remaining < len(active):  # floor dust: stop
+            remaining -= spent
+            # floor dust: stop when the remainder can't move — strictly
+            # below one token per active group, or a round where every
+            # floored share was 0 (possible when float rounding pushes
+            # remaining*w/w_sum just under 1 with remaining == |active|,
+            # which would otherwise repeat the same state forever)
+            if remaining < len(active) or spent == 0:
                 break
         else:
             for g in newly_capped:

@@ -73,15 +73,28 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
-    feats = doc_features(spark, sf_dir)
-    return clf_ops.logreg_train(
+def _feats_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[float]]:
+    """Shared (features, trained weights): the feature projection is
+    pinned with a lazy localCheckpoint so the 4 training aggregations,
+    the scoring pass, and the eval aggregates all reuse ONE tokenization
+    of the corpus instead of re-reading parquet and re-running
+    tokens/array_distinct per consumer (the pack_sequences recompute-tax
+    pattern)."""
+    feats = doc_features(spark, sf_dir).localCheckpoint(eager=False)
+    weights = clf_ops.logreg_train(
         feats,
         list(CLF_FEATURES),
         label_col="y",
         iters=CLF_ITERS,
         lr=CLF_LR,
     )
+    return feats, weights
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    return _feats_trained(spark, sf_dir)[1]
 
 
 def q_quality_classifier_weights(
@@ -103,10 +116,8 @@ def q_quality_classifier_eval(
     """One row: n_pos, n_neg, tp, fp, fn, tn, auc — the trained model
     scored over the full corpus and evaluated exactly (integer
     Mann-Whitney rank statistic)."""
-    weights = _trained_weights(spark, sf_dir)
-    scored = clf_ops.logreg_score(
-        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
-    )
+    feats, weights = _feats_trained(spark, sf_dir)
+    scored = clf_ops.logreg_score(feats, weights, list(CLF_FEATURES))
     return clf_ops.binary_eval(
         scored, label_col="y", score_col="score", threshold=CLF_THRESHOLD
     )
@@ -118,10 +129,8 @@ def q_quality_classifier_scores(
     """(doc_id, score): the trained model's per-document score — pins
     the scoring projection row-by-row (the aggregate eval query alone
     would let per-row errors cancel)."""
-    weights = _trained_weights(spark, sf_dir)
-    scored = clf_ops.logreg_score(
-        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
-    )
+    feats, weights = _feats_trained(spark, sf_dir)
+    scored = clf_ops.logreg_score(feats, weights, list(CLF_FEATURES))
     return scored.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -138,10 +147,8 @@ def q_quality_weighted_sample(
     quality' composition. Pure composition of two audited parts; the
     sample is a deterministic function of (salt, doc_id, trained
     score)."""
-    weights = _trained_weights(spark, sf_dir)
-    scored = clf_ops.logreg_score(
-        doc_features(spark, sf_dir), weights, list(CLF_FEATURES)
-    )
+    feats, weights = _feats_trained(spark, sf_dir)
+    scored = clf_ops.logreg_score(feats, weights, list(CLF_FEATURES))
     return sampling_ops.weighted_sample_topk(
         scored, "doc_id", "score", QWS_K, salt=QWS_SALT
     ).select("doc_id", F.round("score", 6).alias("score"), "es_score")

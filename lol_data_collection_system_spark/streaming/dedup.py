@@ -54,8 +54,16 @@ def row_shingles(text_col: str, k: int = 3):
     toks = tokens(normalized_text(F.col(text_col)))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    # NULL text parity with the batch `dedup.shingles`: posexplode(NULL)
+    # yields ZERO rows there, while the transform above would yield ['']
+    # (greatest ignores the NULL size) — and a [''] set would
+    # band-collide with genuinely-empty corpus docs, breaking the
+    # stream==batch exact-status contract for NULL-text events.
+    return F.when(toks.isNotNull(), grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -345,37 +353,26 @@ def classify_stream(
     watermark, so stream==batch parity is testable (pinned in
     tests/test_streaming.py against `incremental_dedup` itself).
     """
-    from pyspark.sql import Window
     from pyspark.sql.types import NumericType
 
     from ..operators.dedup import (
         _band_hashes,
+        corpus_shingle_index,
         fingerprint,
         minhash_signatures_from_shingles,
-        shingles,
     )
 
     # ---- static corpus index (at scale: precomputed once, stored) ----
-    corpus_fp = (
-        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias("_exact_mid"))
+    # Shared derivation with batch incremental_dedup — the exact
+    # stream==batch status parity depends on the cap logic being the
+    # SAME code (operators/dedup.corpus_shingle_index).
+    corpus_fp, c_sh, hot_df = corpus_shingle_index(
+        corpus, id_col, text_col, k, max_doc_freq
     )
-    c_sh = shingles(corpus, id_col, text_col, k)
+    corpus_fp = corpus_fp.withColumnRenamed("_exact_match_id", "_exact_mid")
     stop_list: list[str] = []
-    if max_doc_freq is not None:
-        c_w = c_sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).localCheckpoint(eager=False)
-        c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(
-            id_col, "shingle"
-        )
-        hot = (
-            c_w.filter(F.col("_df") > max_doc_freq)
-            .select("shingle")
-            .distinct()
-            .collect()
-        )
+    if hot_df is not None:
+        hot = hot_df.collect()
         if len(hot) > max_stop_shingles:
             raise ValueError(
                 f"corpus stop-shingle list has {len(hot)} entries "
@@ -383,7 +380,6 @@ def classify_stream(
                 f"the index offline / use a Bloom-filter stop set"
             )
         stop_list = sorted(r["shingle"] for r in hot)
-    c_sh = c_sh.localCheckpoint(eager=False)
     c_sets = c_sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("_c_set"),
         F.count(F.lit(1)).alias("_c_size"),

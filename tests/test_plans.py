@@ -734,3 +734,50 @@ def test_asof_join_banded_matches_plain_and_caps_partitions(spark):
     key_only = [s for s in specs if "_bucket" not in s]
     assert event_specs, specs
     assert len(key_only) <= 1, specs  # the summary carry window only
+
+
+def test_asof_join_banded_null_value_does_not_shadow(spark):
+    """A right row whose value column is NULL must not shadow an earlier
+    non-null value (asof_join's per-column last-ignoreNulls semantics):
+    the bucket summary carries the latest NON-NULL per column, not the
+    latest row. Covers both the carried-bucket case and mixed columns
+    going non-null at different times."""
+    from lol_data_collection_system_spark.operators.joins import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    right = spark.createDataFrame(
+        [
+            (1, 100_000, 5, None),
+            (1, 200_000, None, 7),  # later row, val NULL / w non-null
+            (2, 50_000, None, None),  # only all-NULL right rows
+        ],
+        "user_id long, ts_ms long, val long, w long",
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "val",
+        "w",
+    )
+    left = spark.createDataFrame(
+        [(1, 500_000), (1, 150_000), (2, 500_000)],
+        "user_id long, ts_ms long",
+    ).select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+
+    plain = {
+        (r.user_id, r.ts): (r.val_asof, r.w_asof)
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["val", "w"]
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.ts): (r.val_asof, r.w_asof)
+        for r in asof_join_banded(
+            left, right, ["user_id"], "ts", ["val", "w"], 60_000
+        ).collect()
+    }
+    assert got == plain
+    # and the plain semantics themselves: val survives the NULL row
+    k1 = [v for (u, _), v in got.items() if u == 1]
+    assert (5, 7) in k1  # left at 500s sees val=5 (not shadowed), w=7

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from lol_data_collection_system_spark.operators.graph import connected_components
 from lol_data_collection_system_spark.operators.packing import pack_sequences
@@ -579,3 +580,36 @@ def test_logreg_train_matches_python_twin(spark, rows, iters):
         n = len(data)
         w = [wj - 0.5 * (float(s) / n) for wj, s in zip(w, sums)]
     assert got == w  # bit-exact
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(1, 10**7), min_size=1, max_size=6),
+    st.integers(0, 10**7),
+    st.sampled_from([0.25, 0.5, 1.0, 8.0, 40.0]),
+)
+def test_waterfilling_terminates_and_conserves(spark, sizes, budget, alpha):
+    """capped_token_budget_plan must TERMINATE on any input (the floor-
+    dust state where every share floors to 0 used to loop forever) and
+    keep its invariants: planned ≤ cap per group, Σ planned ≤ budget.
+    Extreme alpha drives the grid-quantized weights into the dust
+    regime."""
+    from lol_data_collection_system_spark.operators.sampling import (
+        capped_token_budget_plan,
+    )
+
+    rows = [
+        (f"s{i}", j, n)
+        for i, n in enumerate(sizes)
+        for j, n in [(0, n)]
+    ]
+    df = spark.createDataFrame(rows, "source string, j int, n_tokens long")
+    plan = capped_token_budget_plan(
+        df, "source", F.col("n_tokens"), budget, alpha=alpha, max_epochs=2.0
+    ).collect()
+    got = {r["source"]: r for r in plan}
+    assert len(got) == len(sizes)
+    total_planned = sum(r["planned_tokens"] for r in plan)
+    assert total_planned <= budget
+    for i, n in enumerate(sizes):
+        assert got[f"s{i}"]["planned_tokens"] <= 2.0 * n

@@ -855,3 +855,56 @@ def test_classifier_scoring_is_stream_capable(spark, tmp_path):
         for r in clf.logreg_score(batch, weights, ["f1", "f2"]).collect()
     }
     assert got == want  # bit-exact stream == batch
+
+
+def test_classify_stream_null_and_blank_text_parity(spark, tmp_path):
+    """NULL-text parity regression: the batch classifier's shingles()
+    posexplodes NULL text to ZERO rows, so a NULL-text doc is novel even
+    when the corpus contains a blank doc (shingle set {''}); the stream
+    side's row-local shingle array must do the same — an [''] array here
+    would band-collide with the blank corpus doc and misclassify. Blank
+    (whitespace-only) delta text, by contrast, IS an exact dup of a
+    blank corpus doc in both engines (same normalized fingerprint)."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "   "),  # blank doc: shingle set {''}
+        ],
+        "doc_id long, text string",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    delta = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", 20, None),  # NULL text
+            ("2024-01-01 00:00:02", 21, ""),  # empty text
+            ("2024-01-01 00:00:03", 22, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["ts_s", "doc_id", "text"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text")
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=None)
+
+    want = {
+        r.doc_id: (r.status, r.match_id)
+        for r in incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text", **kw
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in classify_stream(delta, corpus, **kw).collect()
+    }
+    assert got == want
+    assert want[20] == ("novel", -1)  # NULL text never matches
+    assert want[21] == ("exact_dup", 4)  # blank == blank by fingerprint
+    assert want[22] == ("exact_dup", 1)
