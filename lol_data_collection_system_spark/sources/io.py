@@ -208,3 +208,51 @@ def zorder_key(
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cluster_by: tuple[str, ...] = (),
+    target_file_bytes: int = 512 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~`target_file_bytes` files, re-establishing the `cluster_by` sort so
+    row-group min/max pruning survives the rewrite. Returns the file
+    count it targeted.
+
+    The 100 TB maintenance pass every streaming/append sink eventually
+    needs: micro-batch sinks and per-trigger appends leave thousands of
+    KB-sized files per partition, and at scan time each file costs a
+    task + a footer read — list-and-plan time grows with file COUNT, not
+    data size. Compaction is the pay-once cure (the job lakehouse
+    engines call OPTIMIZE).
+
+    Shape: file count derives from the INPUT's actual on-disk bytes (one
+    driver-side listing via the files catalog — no data pass);
+    `repartitionByRange(n, cluster_by)` both sets the output file count
+    and co-locates key ranges, so each output file owns a tight
+    key-range slice (near-disjoint stats). Non-clustered compaction
+    falls back to `repartition(n)` (pure size normalization). Writes to
+    `out_path` then the caller swaps directories — compaction must never
+    rewrite in place (a failed job would destroy the input).
+    """
+    df = spark.read.parquet(path)
+    # driver-side listing: input bytes from the relation's statistics
+    # (file-catalog size — no data pass)
+    total_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+        out = out.sortWithinPartitions(*partition_by, *cluster_by)
+    else:
+        out = df.repartition(n_files)
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
+    return n_files

@@ -281,3 +281,46 @@ def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
         zorder_key([(F.col("x"), 0.0, hi)] * 4, bits=16)  # 64 bits > 62
     with _pytest.raises(ValueError):
         zorder_key([(F.col("x"), 5.0, 5.0)])
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Compaction folds a many-small-files directory into the derived
+    file count, preserves every row, and re-establishes the cluster sort
+    (each output file owns a tight, near-disjoint key range)."""
+    import glob
+
+    from lol_data_collection_system_spark.sources.io import compact_table
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    # simulate a micro-batch sink: many tiny appends
+    for i in range(12):
+        df.filter(F.col("id") % 12 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    n_in = len(glob.glob(src + "/part-*"))
+    assert n_in >= 24  # genuinely fragmented
+
+    n_files = compact_table(
+        spark, src, dst, cluster_by=("id",), target_file_bytes=64 * 1024
+    )
+    out_files = glob.glob(dst + "/part-*")
+    # ±1: repartitionByRange sampling may leave one range empty
+    assert abs(len(out_files) - n_files) <= 1
+    assert len(out_files) < n_in
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+    assert out.select(F.sum("id")).collect()[0][0] == sum(range(20_000))
+    # cluster property: per-file id ranges are near-disjoint
+    spans = []
+    for f in out_files:
+        ids = [r.id for r in spark.read.parquet(f).collect()]
+        spans.append((min(ids), max(ids)))
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c <= b
+    )
+    assert overlaps == 0, spans

@@ -781,3 +781,22 @@ def test_asof_join_banded_null_value_does_not_shadow(spark):
     # and the plain semantics themselves: val survives the NULL row
     k1 = [v for (u, _), v in got.items() if u == 1]
     assert (5, 7) in k1  # left at 500s sees val=5 (not shadowed), w=7
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    """Global plan hygiene: NO declared query may plan a
+    CartesianProduct at any SF — the one join shape that is always a
+    scale accident here (every intended cross join in the repo is a
+    broadcast of a 1-row/bounded stats frame, which plans as
+    BroadcastNestedLoopJoin instead). Catches refactors that drop an
+    equi-join key and silently degrade to all-pairs."""
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(jmode)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
