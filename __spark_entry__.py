@@ -476,6 +476,39 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_purchase_last_click_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew-capped as-of variant under the SAME oracle as the plain
+    form: on tie-free data `asof_join_banded` must reproduce
+    `asof_join` exactly (pinned locally in test_plans; this row pins it
+    cross-engine against DuckDB's ASOF JOIN — the per-column carry
+    semantics that round 4 fixed)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = join_ops.asof_join_banded(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        ["click_event_id"],
+        bucket_ms=3_600_000,
+        suffix="",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.coalesce(F.col("click_event_id"), F.lit(-1).cast("long")).alias(
+            "last_click_event_id"
+        ),
+    )
+
+
 # §2.3 J12 / §2.7 X1 — left-anti novelty (utils.py:28-29)
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -695,6 +728,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_rate_count": q_sliding_rate_count,
     "events_near_errors": q_events_near_errors,
     "purchase_last_click": q_purchase_last_click,
+    "purchase_last_click_banded": q_purchase_last_click_banded,
     "customers_without_orders": q_customers_without_orders,
     "returnflag_set_signature": q_returnflag_set_signature,
     "json_props_stats": q_json_props_stats,
@@ -818,6 +852,7 @@ _ORACLES: dict[str, str] = {
     "sliding_rate_count": ORACLE_SLIDING_RATE_COUNT,
     "events_near_errors": ORACLE_EVENTS_NEAR_ERRORS,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
+    "purchase_last_click_banded": ORACLE_PURCHASE_LAST_CLICK,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "returnflag_set_signature": ORACLE_RETURNFLAG_SET_SIGNATURE,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,

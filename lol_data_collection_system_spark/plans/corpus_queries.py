@@ -2797,6 +2797,58 @@ FROM s{rounds}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# NFC normalization under the hash gate (the synthetic corpus is ASCII, so
+# non-NFC content is injected in-plan — the same deterministic-augmentation
+# trick as the PII queries)
+# ---------------------------------------------------------------------------
+#: decomposed "é" (e + COMBINING ACUTE U+0301): NFC composes it to U+00E9
+_NFC_DECOMPOSED = " caf\u0065\u0301"
+_NFC_COMPOSED = " caf\u00e9"
+
+
+def q_nfc_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC pass row-gated cross-engine: docs get a deterministic
+    suffix — decomposed e+U+0301 (doc_id%3==0, normalization must
+    compose it), precomposed U+00E9 (doc_id%3==1, must pass through
+    unchanged), none (else) — then `text.unicode_normalize` runs and the
+    oracle predicts the exact normalized text via DuckDB's
+    `nfc_normalize`. Pins the Arrow pandas_udf path (the one text op
+    that crosses into Python) and the changed-flag semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_NFC_DECOMPOSED))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_NFC_COMPOSED))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text_ops.unicode_normalize(aug, "text", form="NFC")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("normed_text"),
+        F.length("text").alias("n_chars_normed"),
+        "changed",
+    )
+
+
+ORACLE_NFC_NORMALIZED_DOCS = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' caf' || 'e' || chr(769)
+                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(text) AS normed_text,
+       CAST(length(nfc_normalize(text)) AS INT) AS n_chars_normed,
+       nfc_normalize(text) != text AS changed
+FROM aug
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2851,6 +2903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_negatives": q_contrastive_negatives,
     "embedding_pq_topk": q_embedding_pq_topk,
     "doc_text_scrub": q_doc_text_scrub,
+    "nfc_normalized_docs": q_nfc_normalized_docs,
     "pii_scan": q_pii_scan,
     "pii_redacted_docs": q_pii_redacted_docs,
     "incremental_dedup": q_incremental_dedup,
@@ -2922,6 +2975,7 @@ ORACLES: dict[str, str] = {
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "embedding_pq_topk": _pq_oracle(),
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
+    "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
     "pii_scan": _pii_scan_oracle(),
     "pii_redacted_docs": _pii_redacted_oracle(),
     "incremental_dedup": _incremental_oracle(),
