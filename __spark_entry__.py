@@ -509,6 +509,40 @@ def q_purchase_last_click_banded(
     )
 
 
+def q_revenue_by_order_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-orders equi-join run through `salted_skew_join`
+    under a plain-SQL oracle: salting is a physical redistribution only
+    (the salt routes rows across reducers, never changes matches), so
+    the unsalted join SQL must hash-match exactly — the cross-engine pin
+    on the manual hot-key fallback for paths AQE skew splitting cannot
+    see."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice"), F.col("l_discount")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = join_ops.salted_skew_join(li, orders, "l_orderkey", n_salts=8)
+    one = F.lit(1).cast("decimal(18,2)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_REVENUE_BY_ORDER_SALTED = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # §2.3 J12 / §2.7 X1 — left-anti novelty (utils.py:28-29)
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -729,6 +763,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_near_errors": q_events_near_errors,
     "purchase_last_click": q_purchase_last_click,
     "purchase_last_click_banded": q_purchase_last_click_banded,
+    "revenue_by_order_salted": q_revenue_by_order_salted,
     "customers_without_orders": q_customers_without_orders,
     "returnflag_set_signature": q_returnflag_set_signature,
     "json_props_stats": q_json_props_stats,
@@ -812,7 +847,9 @@ _FRONT: tuple[str, ...] = (
     # remove_dup_lines, cross_source_dup_matrix, capped_token_budget_plan,
     # repeated_spans_bridged, order_mlp_scores, quality_classifier_weights,
     # quality_classifier_scores, quality_classifier_eval,
-    # quality_weighted_sample, source_capped_docs.
+    # quality_weighted_sample, source_capped_docs,
+    # purchase_last_click_banded, nfc_normalized_docs,
+    # revenue_by_order_salted.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -853,6 +890,7 @@ _ORACLES: dict[str, str] = {
     "events_near_errors": ORACLE_EVENTS_NEAR_ERRORS,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "purchase_last_click_banded": ORACLE_PURCHASE_LAST_CLICK,
+    "revenue_by_order_salted": ORACLE_REVENUE_BY_ORDER_SALTED,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "returnflag_set_signature": ORACLE_RETURNFLAG_SET_SIGNATURE,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
