@@ -2849,6 +2849,201 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (sufficient statistics + fixed-round power iteration)
+# ---------------------------------------------------------------------------
+PCA_SQUARINGS = 5
+PCA_ROUNDS = 8
+PCA_COMPONENTS = 2
+
+
+def q_embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding table: (component,
+    dim, loading, eigenvalue, explained_ratio). One sufficient-stats
+    pass (operators/pca.py), eigenvectors via scaled matrix powering +
+    power rounds — the oracle unrolls the identical steps as CTEs."""
+    from ..operators import pca as pca_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = pca_ops.fit_pca(
+        emb,
+        dim=EMB_DIM,
+        n_components=PCA_COMPONENTS,
+        squarings=PCA_SQUARINGS,
+        rounds=PCA_ROUNDS,
+    )
+    return pca_ops.components_frame(spark, fit)
+
+
+def q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the top-2 components: (vec_id,
+    pc1, pc2). Scoring is a map-only codegen projection — the fit rides
+    along as literal arrays, zero exchanges after the fit pass."""
+    from ..operators import pca as pca_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = pca_ops.fit_pca(
+        emb,
+        dim=EMB_DIM,
+        n_components=PCA_COMPONENTS,
+        squarings=PCA_SQUARINGS,
+        rounds=PCA_ROUNDS,
+    )
+    return pca_ops.pca_scores(emb, fit)
+
+
+def _pca_cte_parts(
+    dim: int = EMB_DIM,
+    squarings: int = PCA_SQUARINGS,
+    rounds: int = PCA_ROUNDS,
+) -> list[str]:
+    """Shared CTE stack mirroring operators/pca.py step-for-step:
+    decimal moment sums → quantized covariance → per component:
+    `squarings` scaled matrix squarings (order-free decimal-sum
+    matmuls + max-abs rescale) → `rounds` power rounds (ordered
+    `list_dot_product` folds, round(·,9) per round) → Rayleigh λ on the
+    ORIGINAL covariance → Hotelling deflation for component 2.
+    Everything is MATERIALIZED — the chain is ~50 CTEs deep and
+    default inlining would re-expand each level exponentially."""
+    parts = [
+        f"""pex AS MATERIALIZED (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, {dim})) AS t(i))""",
+        """pmarg AS MATERIALIZED (
+  SELECT i, SUM(CAST(val AS DECIMAL(38,10))) AS s, COUNT(*) AS n
+  FROM pex GROUP BY i)""",
+        """pmom AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(round(a.val * b.val, 10) AS DECIMAL(38,10))) AS s
+  FROM pex a JOIN pex b USING (vec_id) GROUP BY a.i, b.i)""",
+        """pm1_0 AS MATERIALIZED (
+  SELECT m.i, m.j,
+         round((CAST(m.s AS DOUBLE)
+                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / si.n)
+               / si.n, 10) AS c
+  FROM pmom m
+  JOIN pmarg si ON si.i = m.i
+  JOIN pmarg sj ON sj.i = m.j)""",
+    ]
+    for comp in (1, 2):
+        # scaled squarings: m{comp}_{s} = round(m²/max|m²|, 10)
+        for s in range(1, squarings + 1):
+            parts.append(
+                f"""pq{comp}_{s} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(SUM(CAST(round(a.c * b.c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS r
+  FROM pm{comp}_{s - 1} a JOIN pm{comp}_{s - 1} b ON a.j = b.i
+  GROUP BY a.i, b.j)"""
+            )
+            parts.append(
+                f"ps{comp}_{s} AS MATERIALIZED"
+                f" (SELECT MAX(ABS(r)) AS s FROM pq{comp}_{s})"
+            )
+            parts.append(
+                f"pm{comp}_{s} AS MATERIALIZED (SELECT i, j,"
+                f" round(r / (SELECT s FROM ps{comp}_{s}), 10) AS c"
+                f" FROM pq{comp}_{s})"
+            )
+        parts.append(
+            f"pcrow{comp} AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr"
+            f" FROM pm{comp}_{squarings} GROUP BY i)"
+        )
+        parts.append(
+            f"porow{comp} AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr"
+            f" FROM pm{comp}_0 GROUP BY i)"
+        )
+        parts.append(
+            f"pv{comp}_0 AS MATERIALIZED (SELECT i, 1.0 AS v FROM pmarg)"
+        )
+        for t in range(1, rounds + 1):
+            parts.append(
+                f"""pu{comp}_{t} AS MATERIALIZED (
+  SELECT r.i, list_dot_product(
+           r.cr, (SELECT list(v ORDER BY i) FROM pv{comp}_{t - 1})) AS u
+  FROM pcrow{comp} r)"""
+            )
+            parts.append(
+                f"pn{comp}_{t} AS MATERIALIZED"
+                f" (SELECT sqrt(list_dot_product(l, l)) AS nm"
+                f" FROM (SELECT list(u ORDER BY i) AS l FROM pu{comp}_{t}))"
+            )
+            parts.append(
+                f"pv{comp}_{t} AS MATERIALIZED (SELECT i,"
+                f" round(u / (SELECT nm FROM pn{comp}_{t}), 9) AS v"
+                f" FROM pu{comp}_{t})"
+            )
+        # Rayleigh quotient vᵀCv on the ORIGINAL (undeflated-for-this-
+        # component) covariance — ordered folds, exactly the driver math
+        parts.append(
+            f"""pw{comp} AS MATERIALIZED (
+  SELECT r.i, list_dot_product(
+           r.cr, (SELECT list(v ORDER BY i) FROM pv{comp}_{rounds})) AS w
+  FROM porow{comp} r)"""
+        )
+        parts.append(
+            f"plam{comp} AS MATERIALIZED (SELECT round(list_dot_product("
+            f" (SELECT list(v ORDER BY i) FROM pv{comp}_{rounds}),"
+            f" (SELECT list(w ORDER BY i) FROM pw{comp})), 9) AS l)"
+        )
+        if comp == 1:
+            parts.append(
+                f"""pm2_0 AS MATERIALIZED (
+  SELECT c.i, c.j, round(c.c - l.l * a.v * b.v, 10) AS c
+  FROM pm1_0 c
+  JOIN pv1_{rounds} a ON a.i = c.i
+  JOIN pv1_{rounds} b ON b.i = c.j, plam1 l)"""
+            )
+    parts.append(
+        "ptrace AS MATERIALIZED (SELECT list_reduce(list(c ORDER BY i),"
+        " (a, b) -> a + b) AS tr FROM pm1_0 WHERE i = j)"
+    )
+    return parts
+
+
+def _pca_components_oracle(
+    dim: int = EMB_DIM,
+    squarings: int = PCA_SQUARINGS,
+    rounds: int = PCA_ROUNDS,
+) -> str:
+    ctes = ",\n".join(_pca_cte_parts(dim, squarings, rounds))
+    sels = []
+    for comp in (1, 2):
+        sels.append(
+            f"""SELECT CAST({comp} AS BIGINT) AS component,
+       CAST(i - 1 AS BIGINT) AS dim,
+       round(v, 6) AS loading,
+       (SELECT round(l, 6) FROM plam{comp}) AS eigenvalue,
+       (SELECT round(l / (SELECT tr FROM ptrace), 6) FROM plam{comp})
+         AS explained_ratio
+FROM pv{comp}_{rounds}"""
+        )
+    return f"WITH {ctes}\n" + "\nUNION ALL\n".join(sels)
+
+
+def _pca_scores_oracle(
+    dim: int = EMB_DIM,
+    squarings: int = PCA_SQUARINGS,
+    rounds: int = PCA_ROUNDS,
+) -> str:
+    ctes = ",\n".join(_pca_cte_parts(dim, squarings, rounds))
+    return f"""WITH {ctes},
+pmu AS (SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS ml FROM pmarg),
+pl1 AS (SELECT list(v ORDER BY i) AS vl FROM pv1_{rounds}),
+pl2 AS (SELECT list(v ORDER BY i) AS vl FROM pv2_{rounds})
+SELECT e.vec_id,
+       round(list_dot_product(
+         list_transform(generate_series(1, {dim}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) - pmu.ml[k]),
+         pl1.vl), 6) AS pc1,
+       round(list_dot_product(
+         list_transform(generate_series(1, {dim}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) - pmu.ml[k]),
+         pl2.vl), 6) AS pc2
+FROM embeddings e, pmu, pl1, pl2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -2919,6 +3114,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "pagerank_scores": q_pagerank_scores,
     "capped_token_budget_plan": q_capped_token_budget_plan,
+    "embedding_pca_components": q_embedding_pca_components,
+    "embedding_pca_scores": q_embedding_pca_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2991,4 +3188,6 @@ ORACLES: dict[str, str] = {
     "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUP_MATRIX,
     "pagerank_scores": _pagerank_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
+    "embedding_pca_components": _pca_components_oracle(),
+    "embedding_pca_scores": _pca_scores_oracle(),
 }
