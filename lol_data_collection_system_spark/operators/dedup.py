@@ -1389,3 +1389,85 @@ def cross_source_dup_matrix(
             F.col("n_dup_pairs").cast("double") / F.col("_t"), 6
         ).alias("pair_share"),
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 8,
+    salt: str = "cdc-v1",
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup: per-doc duplicated-content
+    share, with chunk boundaries decided by CONTENT, not position.
+
+    The token-level analog of FastCDC/Gear byte chunking (Xia et al.,
+    USENIX ATC'16): a token is a cut point iff its salted hash bucket
+    ≡ 0 (mod `mod`), so the expected chunk is `mod` tokens and — the
+    property fixed-size chunking lacks — an insertion or deletion
+    anywhere in a document only reshapes the chunks it touches; all
+    other chunk boundaries (and therefore their dedup identities)
+    survive. That makes chunk-level dup counts stable across document
+    revisions, the precondition for "how much of this doc is copied
+    from elsewhere" to mean anything on a crawl with boilerplate drift.
+
+    Output: (id, n_chunks, n_dup_chunks, dup_ratio) where a chunk is a
+    dup iff its exact text occurs in >1 distinct document.
+
+    Plan: the cut predicate is a stateless hash (no rolling state, so
+    it needs no sequential scan); chunk ids come from a per-document
+    running sum (window partitioned by doc — bounded by doc length,
+    never corpus-sized); chunk assembly groups on (doc, chunk_idx); the
+    global frequency pass shuffles 16-byte md5 chunk keys, not chunk
+    text — the same shape as the exact-dup fingerprint index, so the
+    100 TB cost is one hash-agg over ~|corpus|/mod keys. Both engines
+    hash with md5 over the single-space rejoin, so the oracle
+    (ORACLE_CDC_CHUNK_DUPS) replays chunking bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import sample_bucket
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    cut = (sample_bucket(F.col("w"), salt) % mod == 0).cast("long")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum(cut).over(w_prev), F.lit(0))
+    )
+    chunks = with_chunk.groupBy(id_col, "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("chunk_key")
+    )
+    freq = chunks.groupBy("chunk_key").agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    return (
+        chunks.join(freq, "chunk_key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_ndocs") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_ratio"),
+        )
+    )

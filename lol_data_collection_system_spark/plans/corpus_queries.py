@@ -2850,6 +2850,52 @@ FROM aug
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking dedup
+# ---------------------------------------------------------------------------
+CDC_MOD = 8
+CDC_SALT = "cdc-v1"
+
+
+def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-content share under content-defined chunking
+    (operators/dedup.py `cdc_chunk_stats`): (doc_id, n_chunks,
+    n_dup_chunks, dup_ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.cdc_chunk_stats(docs, mod=CDC_MOD, salt=CDC_SALT)
+
+
+ORACLE_CDC_CHUNK_DUPS = f"""
+WITH ctoks AS (
+  SELECT doc_id, t.i AS i, parts[t.i] AS w
+  FROM (SELECT doc_id, {_TOKS} AS parts FROM documents),
+       unnest(generate_series(1, len(parts))) AS t(i)),
+ccut AS (
+  SELECT doc_id, i, w,
+         CASE WHEN {_bucket_of('w', CDC_SALT)} % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM ctoks),
+cchunk AS (
+  SELECT doc_id, i, w,
+         COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM ccut),
+cck AS (
+  SELECT doc_id, chunk_idx, md5(string_agg(w, ' ' ORDER BY i)) AS ck
+  FROM cchunk GROUP BY doc_id, chunk_idx),
+cfreq AS (SELECT ck, COUNT(DISTINCT doc_id) AS nd FROM cck GROUP BY ck)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM cck c JOIN cfreq f USING (ck)
+GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (sufficient statistics + fixed-round power iteration)
 # ---------------------------------------------------------------------------
 PCA_SQUARINGS = 5
@@ -3116,6 +3162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
+    "cdc_chunk_dups": q_cdc_chunk_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -3190,4 +3237,5 @@ ORACLES: dict[str, str] = {
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),
+    "cdc_chunk_dups": ORACLE_CDC_CHUNK_DUPS,
 }
