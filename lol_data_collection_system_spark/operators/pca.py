@@ -61,15 +61,6 @@ def _round_engine(x: float, nd: int) -> float:
     return float(Decimal(x).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
 
 
-_DEC12 = Decimal("1e-12")
-
-
-def _dec12(x: float) -> Decimal:
-    """The oracle's `CAST(round(x, 12) AS DECIMAL(38,12))` — grid-snap
-    a double so sums become exact and order-free."""
-    return Decimal(x).quantize(_DEC12, rounding=ROUND_HALF_UP)
-
-
 def _fold_dot(a: list[float], b: list[float]) -> float:
     """Ordered sequential dot — the Python twin of DuckDB's
     `list_dot_product` and Spark's `F.aggregate(zip_with(·), 0.0, +)`
@@ -85,13 +76,15 @@ def moment_frames(
 ) -> tuple[DataFrame, DataFrame]:
     """(marginal, cross-moment) sufficient-statistic frames.
 
-    marginal: (i, s DECIMAL(38,10), n)    — d rows
-    cross:    (i, j, s DECIMAL(38,10))    — d² rows
+    marginal: (i, s DECIMAL(38,10), n)        — d rows
+    cross:    (i, j, s DECIMAL(38,10)), i ≤ j — d(d+1)/2 rows
 
     One scan feeds both aggregates; the double posexplode generates
-    n·d² product rows but they partial-aggregate map-side, so the
-    shuffle carries only `shuffle_partitions · d²` decimal cells.
-    i, j are 1-based to match the oracle's `generate_series(1, d)`.
+    n·d(d+1)/2 product rows (UPPER TRIANGLE only — the moment matrix is
+    symmetric, so the lower half is mirrored driver-side for free) and
+    they partial-aggregate map-side, so the shuffle carries only
+    `shuffle_partitions · d²/2` decimal cells. i, j are 1-based to
+    match the oracle's `generate_series(1, d)`.
     """
     e1 = emb.select(
         F.col(vec_col).alias("_v"),
@@ -105,16 +98,19 @@ def moment_frames(
         F.sum(F.col("xi").cast("decimal(38,10)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    e2 = e1.select(
-        "i", "xi", F.posexplode(F.col("_v")).alias("j0", "_xj")
-    ).select(
-        "i",
-        (F.col("j0") + 1).alias("j"),
-        # quantize the product BEFORE the decimal snap so both engines
-        # land on the same 1e-10 grid point (round is HALF_UP in both)
-        F.round(F.col("xi") * F.col("_xj").cast("double"), 10)
-        .cast("decimal(38,10)")
-        .alias("p"),
+    e2 = (
+        e1.select("i", "xi", F.posexplode(F.col("_v")).alias("j0", "_xj"))
+        .filter(F.col("j0") + 1 >= F.col("i"))
+        .select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            # quantize the product BEFORE the decimal snap so both
+            # engines land on the same 1e-10 grid point (round is
+            # HALF_UP in both)
+            F.round(F.col("xi") * F.col("_xj").cast("double"), 10)
+            .cast("decimal(38,10)")
+            .alias("p"),
+        )
     )
     cross = e2.groupBy("i", "j").agg(F.sum("p").alias("s"))
     return marginal, cross
@@ -141,12 +137,21 @@ def fit_pca(
         raise ValueError("fit_pca: empty input")
     n = marg_rows[1]["n"]
     s = {i: float(marg_rows[i]["s"]) for i in marg_rows}
+    # upper triangle from the frame, lower mirrored (exact symmetry)
     mom = {(r["i"], r["j"]): float(r["s"]) for r in cross.collect()}
     # covariance, entrywise-quantized exactly as the oracle's
-    # round((s_ij - s_i*s_j/n)/n, 10)
+    # round((s_ij - s_i*s_j/n)/n, 10); s_i·s_j multiplied in (i,j)
+    # index order on BOTH triangles so mirrored entries stay identical
     cov = [
         [
-            _round_engine((mom[(i, j)] - s[i] * s[j] / n) / n, 10)
+            _round_engine(
+                (
+                    mom[(min(i, j), max(i, j))]
+                    - s[min(i, j)] * s[max(i, j)] / n
+                )
+                / n,
+                10,
+            )
             for j in range(1, dim + 1)
         ]
         for i in range(1, dim + 1)
@@ -164,10 +169,17 @@ def fit_pca(
         components.append(v)
         eigenvalues.append(lam)
         # Hotelling deflation on the quantized grid — mirrors the
-        # oracle's round(c - λ·vᵢ·vⱼ, 10)
+        # oracle's round(c - λ·v_min·v_max, 10). Multiplying in
+        # canonical (min,max) index order keeps the matrix EXACTLY
+        # symmetric (float (λ·vᵢ)·vⱼ ≠ (λ·vⱼ)·vᵢ in the last ulp),
+        # which `_scaled_square`'s row-dot identity requires.
         work = [
             [
-                _round_engine(work[i][j] - lam * v[i] * v[j], 10)
+                _round_engine(
+                    work[i][j]
+                    - lam * v[min(i, j)] * v[max(i, j)],
+                    10,
+                )
                 for j in range(dim)
             ]
             for i in range(dim)
@@ -182,19 +194,24 @@ def fit_pca(
 
 
 def _scaled_square(a: list[list[float]]) -> list[list[float]]:
-    """A ← round(A²/‖A²‖_maxabs, 10). Entries of A² are exact
-    order-free decimal sums of 12-dp-snapped products — the oracle's
-    `SUM(CAST(round(a.c*b.c,12) AS DECIMAL(38,12)))` GROUP BY —
-    so shuffle/scan order cannot perturb the grid. Rescaling keeps
-    repeated squaring from underflowing the 10-dp grid (λ^(2^s) → 0)."""
+    """A ← round(A²/‖A²‖_maxabs, 10), exploiting that every matrix in
+    the chain is EXACTLY symmetric (see below): (A²)ᵢⱼ = rowᵢ·rowⱼ, an
+    ORDERED fold the oracle replays verbatim as
+    `list_dot_product(a.cr, b.cr)` — no order-free decimal machinery
+    needed, and the driver math is plain float (O(d³/2) flops).
+    Rescaling by the max-abs entry keeps repeated squaring from
+    underflowing the 10-dp grid (λ^(2^s) → 0 otherwise).
+
+    Symmetry is exact by construction at every step: the covariance is
+    built from symmetric decimal moment sums; rowᵢ·rowⱼ runs the SAME
+    product sequence as rowⱼ·rowᵢ (commutative multiplies in the same
+    k order); rescale/round are entrywise; deflation multiplies in
+    canonical (min,max) index order (`fit_pca`)."""
     d = len(a)
-    raw = [
-        [
-            float(sum((_dec12(a[i][k] * a[k][j]) for k in range(d)), Decimal(0)))
-            for j in range(d)
-        ]
-        for i in range(d)
-    ]
+    raw = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            raw[i][j] = raw[j][i] = _fold_dot(a[i], a[j])
     scale = max(abs(x) for row in raw for x in row)
     if scale == 0.0:
         return raw  # zero matrix stays zero
