@@ -2896,6 +2896,71 @@ GROUP BY c.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Distribution-drift monitoring (PSI per source)
+# ---------------------------------------------------------------------------
+PSI_LO = 0.0
+PSI_HI = 400.0
+PSI_BUCKETS = 10
+PSI_SMOOTH = 0.5
+
+
+def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source population-stability index of the doc-length
+    distribution vs the whole corpus (operators/drift.py): (source,
+    n_rows, psi). The monitoring gate a production mixture runs before
+    trusting a refreshed source."""
+    from ..operators import drift as drift_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift_ops.psi_by_group(
+        docs,
+        "source",
+        "n_chars",
+        lo=PSI_LO,
+        hi=PSI_HI,
+        n_buckets=PSI_BUCKETS,
+        smooth=PSI_SMOOTH,
+    )
+
+
+def _psi_oracle() -> str:
+    width = (PSI_HI - PSI_LO) / PSI_BUCKETS
+    sb = PSI_SMOOTH * PSI_BUCKETS
+    return f"""
+WITH dcells AS (
+  SELECT source,
+         LEAST({PSI_BUCKETS - 1}, GREATEST(0,
+           CAST(floor((CAST(n_chars AS DOUBLE) - {PSI_LO}) / {width})
+                AS INT))) AS b,
+         COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+dgroups AS (SELECT source, SUM(c) AS n FROM dcells GROUP BY source),
+dgrid AS (
+  SELECT g.source, g.n, t.b
+  FROM dgroups g CROSS JOIN
+       (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS b) t),
+ddense AS (
+  SELECT gr.source, gr.b, gr.n, COALESCE(c.c, 0) AS c
+  FROM dgrid gr
+  LEFT JOIN dcells c ON c.source = gr.source AND c.b = gr.b),
+dbase AS (SELECT b, SUM(c) AS bc FROM ddense GROUP BY b),
+dtot AS (SELECT SUM(bc) AS tot FROM dbase),
+dj AS (
+  SELECT d.source, d.n,
+         (d.c + {PSI_SMOOTH}) / (d.n + {sb}) AS p,
+         (bb.bc + {PSI_SMOOTH}) / (CAST(t.tot AS DOUBLE) + {sb}) AS q
+  FROM ddense d JOIN dbase bb USING (b), dtot t),
+dcontrib AS (
+  SELECT source, n,
+         CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9)) AS t
+  FROM dj)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_rows,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS psi
+FROM dcontrib GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (sufficient statistics + fixed-round power iteration)
 # ---------------------------------------------------------------------------
 PCA_SQUARINGS = 5
@@ -3187,6 +3252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
     "cdc_chunk_dups": q_cdc_chunk_dups,
+    "source_drift_psi": q_source_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -3262,4 +3328,5 @@ ORACLES: dict[str, str] = {
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),
     "cdc_chunk_dups": ORACLE_CDC_CHUNK_DUPS,
+    "source_drift_psi": _psi_oracle(),
 }
