@@ -9,11 +9,13 @@ coordinated by table locks; here the same semantics are declared:
 - `sessions`   — watermarked session windows for fight grouping (T8)
 - `heartbeat`  — per-query liveness via StreamingQueryListener (T9)
 - `dedup`      — watermarked streaming exact dedup (online corpus half)
+- `drift`      — windowed per-source PSI vs a static curated baseline
 
 Every streaming job has a batch twin in `operators/` — tests assert the
 streaming result (availableNow trigger) equals the batch computation.
 """
 
+from .drift import baseline_probs, psi_stream
 from .dedup import (
     classify_stream,
     corpus_guard_stream,
@@ -32,6 +34,8 @@ __all__ = [
     "corpus_guard_stream",
     "dedup_stream",
     "near_dedup_stream",
+    "baseline_probs",
+    "psi_stream",
     "heartbeats_df",
     "install_heartbeats",
     "poll_until_event",
