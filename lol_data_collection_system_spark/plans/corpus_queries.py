@@ -2380,6 +2380,65 @@ GROUP BY 1
     )
 
 
+def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: chars-per-BPE-piece after
+    segmenting with the corpus-trained merge table — the go/no-go
+    metric when choosing whether a tokenizer (or a source) is
+    token-efficient enough to train on. Composes `bpe.bpe_merges` ∘
+    `bpe.apply_bpe` (broadcast merge ranks, map-only segmentation) with
+    one per-source aggregate; integer sums → one double division at
+    the end keeps both engines identical."""
+    from ..operators import bpe as bpe_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    seg = bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
+    return (
+        seg.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_pieces",
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_pieces"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )
+
+
+def _bpe_fertility_oracle(n: int = N_BPE_MERGES) -> str:
+    return (
+        _bpe_rounds_sql(n)
+        + f""",
+wp AS (SELECT word,
+              len(list_filter(regexp_split_to_array(seq, '[()]+'),
+                              x -> x != '')) AS n_pieces
+       FROM s{n}),
+perdoc AS (
+  SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+  FROM (SELECT doc_id, unnest({_NTOKS}) AS word FROM documents) d
+  JOIN wp USING (word)
+  GROUP BY 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(p.n_pieces) AS DOUBLE),
+             6) AS chars_per_piece
+FROM perdoc p JOIN documents USING (doc_id)
+GROUP BY source
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-doc novelty audit (round 3)
 # ---------------------------------------------------------------------------
@@ -3253,6 +3312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_scores": q_embedding_pca_scores,
     "cdc_chunk_dups": q_cdc_chunk_dups,
     "source_drift_psi": q_source_drift_psi,
+    "bpe_fertility_by_source": q_bpe_fertility_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -3329,4 +3389,5 @@ ORACLES: dict[str, str] = {
     "embedding_pca_scores": _pca_scores_oracle(),
     "cdc_chunk_dups": ORACLE_CDC_CHUNK_DUPS,
     "source_drift_psi": _psi_oracle(),
+    "bpe_fertility_by_source": _bpe_fertility_oracle(),
 }
