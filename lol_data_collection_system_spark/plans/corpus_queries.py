@@ -2982,41 +2982,65 @@ def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _psi_oracle() -> str:
-    width = (PSI_HI - PSI_LO) / PSI_BUCKETS
-    sb = PSI_SMOOTH * PSI_BUCKETS
-    return f"""
-WITH dcells AS (
-  SELECT source,
-         LEAST({PSI_BUCKETS - 1}, GREATEST(0,
-           CAST(floor((CAST(n_chars AS DOUBLE) - {PSI_LO}) / {width})
+def _psi_cte_parts(
+    rows_sql: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    smooth: float,
+    group_alias: str,
+) -> tuple[list[str], str]:
+    """Generic PSI CTE chain over `rows_sql` (any SELECT yielding
+    (grp, val)) — mirrors operators/drift.py `psi_by_group`. Returns
+    (cte_list, final_select) so callers can prepend other CTE stacks
+    (the embedding-drift oracle chains it after the PCA parts)."""
+    width = (hi - lo) / n_buckets
+    sb = smooth * n_buckets
+    ctes = [
+        f"""dcells AS (
+  SELECT grp,
+         LEAST({n_buckets - 1}, GREATEST(0,
+           CAST(floor((CAST(val AS DOUBLE) - {lo}) / {width})
                 AS INT))) AS b,
          COUNT(*) AS c
-  FROM documents GROUP BY 1, 2),
-dgroups AS (SELECT source, SUM(c) AS n FROM dcells GROUP BY source),
-dgrid AS (
-  SELECT g.source, g.n, t.b
+  FROM ({rows_sql}) GROUP BY 1, 2)""",
+        "dgroups AS (SELECT grp, SUM(c) AS n FROM dcells GROUP BY grp)",
+        f"""dgrid AS (
+  SELECT g.grp, g.n, t.b
   FROM dgroups g CROSS JOIN
-       (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS b) t),
-ddense AS (
-  SELECT gr.source, gr.b, gr.n, COALESCE(c.c, 0) AS c
+       (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b) t)""",
+        """ddense AS (
+  SELECT gr.grp, gr.b, gr.n, COALESCE(c.c, 0) AS c
   FROM dgrid gr
-  LEFT JOIN dcells c ON c.source = gr.source AND c.b = gr.b),
-dbase AS (SELECT b, SUM(c) AS bc FROM ddense GROUP BY b),
-dtot AS (SELECT SUM(bc) AS tot FROM dbase),
-dj AS (
-  SELECT d.source, d.n,
-         (d.c + {PSI_SMOOTH}) / (d.n + {sb}) AS p,
-         (bb.bc + {PSI_SMOOTH}) / (CAST(t.tot AS DOUBLE) + {sb}) AS q
-  FROM ddense d JOIN dbase bb USING (b), dtot t),
-dcontrib AS (
-  SELECT source, n,
+  LEFT JOIN dcells c ON c.grp = gr.grp AND c.b = gr.b)""",
+        "dbase AS (SELECT b, SUM(c) AS bc FROM ddense GROUP BY b)",
+        "dtot AS (SELECT SUM(bc) AS tot FROM dbase)",
+        f"""dj AS (
+  SELECT d.grp, d.n,
+         (d.c + {smooth}) / (d.n + {sb}) AS p,
+         (bb.bc + {smooth}) / (CAST(t.tot AS DOUBLE) + {sb}) AS q
+  FROM ddense d JOIN dbase bb USING (b), dtot t)""",
+        """dcontrib AS (
+  SELECT grp, n,
          CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9)) AS t
-  FROM dj)
-SELECT source, CAST(MAX(n) AS BIGINT) AS n_rows,
+  FROM dj)""",
+    ]
+    final = f"""SELECT grp AS {group_alias}, CAST(MAX(n) AS BIGINT) AS n_rows,
        round(CAST(SUM(t) AS DOUBLE), 6) AS psi
-FROM dcontrib GROUP BY source
-"""
+FROM dcontrib GROUP BY grp"""
+    return ctes, final
+
+
+def _psi_oracle() -> str:
+    ctes, final = _psi_cte_parts(
+        "SELECT source AS grp, n_chars AS val FROM documents",
+        PSI_LO,
+        PSI_HI,
+        PSI_BUCKETS,
+        PSI_SMOOTH,
+        "source",
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 # ---------------------------------------------------------------------------
@@ -3238,6 +3262,61 @@ FROM embeddings e, pmu, pl1, pl2
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-space drift (PCA ∘ PSI composition)
+# ---------------------------------------------------------------------------
+EMB_PSI_LO = -0.6
+EMB_PSI_HI = 0.6
+EMB_PSI_BUCKETS = 12
+
+
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: PSI of each label's pc1-score
+    distribution vs the whole table — the monitoring composition
+    (`pca.pca_scores` ∘ `drift.psi_by_group`) that catches a drifting
+    encoder or a drifted subpopulation in ONE projection + one cell
+    aggregation. pc1 carries the largest variance direction, so shifts
+    show up here first; the [lo, hi) grid is fixed (scores of a
+    centered projection live in a norm-bounded band), and out-of-band
+    mass clamps into edge buckets like every PSI monitor here."""
+    from ..operators import drift as drift_ops
+    from ..operators import pca as pca_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = pca_ops.pca_scores(emb, _pca_fit(spark, sf_dir))
+    scored = scores.join(emb.select("vec_id", "label"), "vec_id")
+    return drift_ops.psi_by_group(
+        scored,
+        "label",
+        "pc1",
+        lo=EMB_PSI_LO,
+        hi=EMB_PSI_HI,
+        n_buckets=EMB_PSI_BUCKETS,
+        smooth=PSI_SMOOTH,
+    )
+
+
+def _embedding_drift_oracle() -> str:
+    pca = _pca_cte_parts()
+    rows = f"""SELECT e.label AS grp,
+       round(list_dot_product(
+         list_transform(generate_series(1, {EMB_DIM}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) - pmu.ml[k]),
+         pl1.vl), 6) AS val
+FROM embeddings e,
+     (SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS ml FROM pmarg) pmu,
+     (SELECT list(v ORDER BY i) AS vl FROM pv1_{PCA_ROUNDS}) pl1"""
+    psi, final = _psi_cte_parts(
+        rows,
+        EMB_PSI_LO,
+        EMB_PSI_HI,
+        EMB_PSI_BUCKETS,
+        PSI_SMOOTH,
+        "label",
+    )
+    return "WITH " + ",\n".join(pca + psi) + "\n" + final
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -3313,6 +3392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dups": q_cdc_chunk_dups,
     "source_drift_psi": q_source_drift_psi,
     "bpe_fertility_by_source": q_bpe_fertility_by_source,
+    "embedding_drift_psi": q_embedding_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -3390,4 +3470,5 @@ ORACLES: dict[str, str] = {
     "cdc_chunk_dups": ORACLE_CDC_CHUNK_DUPS,
     "source_drift_psi": _psi_oracle(),
     "bpe_fertility_by_source": _bpe_fertility_oracle(),
+    "embedding_drift_psi": _embedding_drift_oracle(),
 }
