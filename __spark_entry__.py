@@ -636,6 +636,79 @@ WHERE rn = 1
 """
 
 
+# Event-sequence analytics (operators/funnels.py): the general forms of
+# the reference's stage-count monitor (monitor/views/gathering.py:25-71)
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_S = 86_400  # each step within 24 h of the previous
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order first-occurrence conversion funnel
+    view→click→purchase, each step within 24 h of the previous:
+    (step, event_type, n_users, conversion)."""
+    from lol_data_collection_system_spark.operators import funnels
+
+    events = _t(spark, sf_dir, "events")
+    return funnels.funnel(events, FUNNEL_STEPS, FUNNEL_WITHIN_S)
+
+
+def _funnel_oracle() -> str:
+    within_us = FUNNEL_WITHIN_S * 1_000_000
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t
+            FROM events),
+f1 AS (SELECT u, MIN(t) AS prev FROM ev WHERE e = '{s1}' GROUP BY u),
+f2 AS (SELECT ev.u, MIN(t) AS prev
+       FROM ev JOIN f1 USING (u)
+       WHERE e = '{s2}' AND t > f1.prev AND t <= f1.prev + {within_us}
+       GROUP BY ev.u),
+f3 AS (SELECT ev.u, MIN(t) AS prev
+       FROM ev JOIN f2 USING (u)
+       WHERE e = '{s3}' AND t > f2.prev AND t <= f2.prev + {within_us}
+       GROUP BY ev.u),
+counts AS (
+  SELECT CAST(1 AS BIGINT) AS step, '{s1}' AS event_type,
+         COUNT(*) AS n_users FROM f1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{s2}', COUNT(*) FROM f2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), '{s3}', COUNT(*) FROM f3),
+base AS (SELECT COUNT(*) AS n1 FROM f1)
+SELECT step, event_type, n_users,
+       round(CAST(n_users AS DOUBLE) / n1, 6) AS conversion
+FROM counts, base
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-seen day, distinct
+    actives per week offset: (cohort_day_ms, week_offset, n_users,
+    retention)."""
+    from lol_data_collection_system_spark.operators import funnels
+
+    events = _t(spark, sf_dir, "events")
+    return funnels.cohort_retention(events)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id AS u,
+                   epoch_ms(date_trunc('day', ts)) AS d
+            FROM events),
+cohort AS (SELECT u, MIN(d) AS c FROM ev GROUP BY u),
+joined AS (
+  SELECT ev.u, c,
+         CAST(floor((d - c) / 604800000.0) AS BIGINT) AS w
+  FROM ev JOIN cohort USING (u)),
+cell AS (SELECT c, w, COUNT(DISTINCT u) AS n_users
+         FROM joined GROUP BY c, w),
+sz AS (SELECT c, COUNT(*) AS s FROM cohort GROUP BY c)
+SELECT c AS cohort_day_ms, w AS week_offset, n_users,
+       round(CAST(n_users AS DOUBLE) / s, 6) AS retention
+FROM cell JOIN sz USING (c)
+"""
+
+
 # §2.2 P15 — trailing time-window filter (monitor/views/ratelimit.py:88-95)
 def q_last_week_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -768,6 +841,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_set_signature": q_returnflag_set_signature,
     "json_props_stats": q_json_props_stats,
     "hourly_event_counts": q_hourly_event_counts,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
@@ -895,6 +970,8 @@ _ORACLES: dict[str, str] = {
     "returnflag_set_signature": ORACLE_RETURNFLAG_SET_SIGNATURE,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "hourly_event_counts": ORACLE_HOURLY_EVENT_COUNTS,
+    "event_funnel": _funnel_oracle(),
+    "cohort_retention": ORACLE_COHORT_RETENTION,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,

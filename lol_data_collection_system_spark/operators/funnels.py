@@ -1,0 +1,119 @@
+"""Event-sequence analytics: conversion funnels and cohort retention.
+
+The reference's monitor answers "how many matches reached each gathering
+stage" with per-stage Django counts (monitor/views/gathering.py:25-71);
+these are the general forms every event-analytics engine ships:
+
+- `funnel`: how many users performed step₁ → step₂ → … in ORDER, each
+  within a time budget of the previous step (strict-order,
+  first-occurrence semantics — the standard product-analytics funnel).
+- `cohort_retention`: users bucketed by first-seen day, activity
+  counted per week offset (the retention triangle).
+
+Scale shape: both are chains of user-keyed hash joins/aggregates — the
+canonical funnel plan. Step k's frame only contains users who survived
+step k-1, so the join inputs SHRINK down the funnel; nothing is
+corpus-wide after the first per-user min. Time arithmetic is integer
+microseconds end-to-end (`unix_micros` / `epoch_us`), so both engines
+compare identical integers — no interval/timezone semantics in play.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MILLIS_PER_WEEK = 7 * 86_400_000
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step, event_type, n_users, conversion) — one row per funnel
+    step; `conversion` is vs step 1 (round 6). A user reaches step k
+    iff their FIRST qualifying step-k event is strictly after their
+    step-(k-1) time and within `within_seconds` of it."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    within_us = int(within_seconds) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+    )
+    reached = (
+        ev.filter(F.col("_e") == steps[0]).groupBy("_u").agg(F.min("_t").alias("_prev"))
+    )
+    frames = [reached]
+    for step in steps[1:]:
+        nxt = (
+            ev.filter(F.col("_e") == step)
+            .join(frames[-1], "_u")
+            .filter(
+                (F.col("_t") > F.col("_prev"))
+                & (F.col("_t") <= F.col("_prev") + F.lit(within_us))
+            )
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_prev"))
+        )
+        frames.append(nxt)
+    counts = None
+    for k, (step, fr) in enumerate(zip(steps, frames), 1):
+        row = fr.agg(
+            F.lit(k).cast("bigint").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    base = frames[0].agg(F.count(F.lit(1)).alias("_n1"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias(
+            "conversion"
+        ),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day_ms, week_offset, n_users, retention) — the retention
+    triangle: users bucketed by first-seen DAY, distinct actives per
+    WEEK offset, `retention` vs the cohort's size (week 0 row is 1.0 by
+    construction). Two user-keyed aggregates + one matrix aggregate —
+    never row²."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_millis(F.date_trunc("day", F.col(ts_col))).alias("_d"),
+    )
+    cohort = ev.groupBy("_u").agg(F.min("_d").alias("_c"))
+    joined = ev.join(cohort, "_u").select(
+        "_u",
+        "_c",
+        # explicit floor: Spark casts double→bigint by truncation but
+        # DuckDB rounds, so the floor must happen before any cast
+        F.floor((F.col("_d") - F.col("_c")) / F.lit(MILLIS_PER_WEEK))
+        .cast("bigint")
+        .alias("_w"),
+    )
+    cell = joined.groupBy("_c", "_w").agg(
+        F.count_distinct(F.col("_u")).alias("n_users")
+    )
+    size = cohort.groupBy("_c").agg(F.count(F.lit(1)).alias("_sz"))
+    return cell.join(size, "_c").select(
+        F.col("_c").alias("cohort_day_ms"),
+        F.col("_w").alias("week_offset"),
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_sz"), 6).alias(
+            "retention"
+        ),
+    )

@@ -1,0 +1,95 @@
+"""Funnel / retention semantics on crafted event fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators import funnels
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["ts_s", "user_id", "event_type"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+
+
+def test_funnel_order_and_window_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes in order, inside the windows
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 01:00:00", 1, "click"),
+            ("2024-01-01 02:00:00", 1, "purchase"),
+            # u2 clicks BEFORE viewing — strict order: click not counted
+            ("2024-01-01 00:30:00", 2, "click"),
+            ("2024-01-01 01:00:00", 2, "view"),
+            # u3 views, clicks a day+ later — outside the 1 h budget
+            ("2024-01-01 00:00:00", 3, "view"),
+            ("2024-01-01 02:00:01", 3, "click"),
+            # u4 never enters the funnel
+            ("2024-01-01 00:00:00", 4, "purchase"),
+        ],
+    )
+    out = {
+        r["step"]: r
+        for r in funnels.funnel(
+            ev, ["view", "click", "purchase"], within_seconds=7200
+        ).collect()
+    }
+    assert out[1]["n_users"] == 3  # u1, u2, u3 all viewed
+    assert out[2]["n_users"] == 1  # only u1's click is in-order+in-window
+    assert out[3]["n_users"] == 1
+    assert out[1]["conversion"] == 1.0
+    assert out[3]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_funnel_first_occurrence_defines_the_clock(spark):
+    """The FIRST qualifying step-k event starts step k+1's window — a
+    later repeat cannot re-arm an expired funnel."""
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 05:00:00", 1, "view"),  # repeat, ignored
+            ("2024-01-01 05:30:00", 1, "click"),  # 5.5 h after FIRST view
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnels.funnel(ev, ["view", "click"], within_seconds=3600).collect()
+    }
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_requires_two_steps(spark):
+    ev = _events(spark, [("2024-01-01 00:00:00", 1, "view")])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnels.funnel(ev, ["view"], within_seconds=60)
+
+
+def test_retention_triangle(spark):
+    ev = _events(
+        spark,
+        [
+            # cohort day 1: u1 active weeks 0 and 1; u2 only week 0
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-09 10:00:00", 1, "view"),
+            ("2024-01-01 12:00:00", 2, "view"),
+            # cohort day 2: u3
+            ("2024-01-02 00:00:00", 3, "view"),
+        ],
+    )
+    out = {
+        (r["cohort_day_ms"], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in funnels.cohort_retention(ev).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    assert len(cohorts) == 2
+    c1, c2 = cohorts
+    assert out[(c1, 0)] == (2, 1.0)
+    assert out[(c1, 1)] == (1, 0.5)
+    assert out[(c2, 0)] == (1, 1.0)
+    # week-0 retention is 1.0 for every cohort by construction
+    assert all(v[1] == 1.0 for (c, w), v in out.items() if w == 0)
