@@ -309,3 +309,63 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("rank").alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph: (node, degree, n_triangles, clustering_coeff).
+
+    The neighborhood-density companion to `pagerank` (global
+    centrality) and `connected_components` (reachability): a node whose
+    neighbors also neighbor each other sits inside a tight semantic
+    cluster (redundant — a dedup/coreset candidate), while a
+    low-coefficient node bridges regions (informative — keep it).
+
+    Plan: canonical orientation (u < v, each undirected edge once)
+    kills the 3!-fold duplicate enumeration, then triangles are ONE
+    wedge self-join closed by ONE edge join — the standard distributed
+    triangle plan. Pair volume is Σ deg(v)²-bounded on the oriented
+    frame; on a kNN graph degree ≤ 2k, so wedges are O(nodes·k²),
+    never all-pairs. Every join is an equi-join on edge keys (shuffle
+    or broadcast as the optimizer sizes them).
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .union(edges.select(v.alias("u"), u.alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    o = und.filter(F.col("u") < F.col("v"))
+    a = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    b = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedge = a.join(b, "y")
+    c = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = wedge.join(c, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    ntri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = deg.withColumnRenamed("u", "node").join(ntri, "node", "left")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    d = F.col("degree")
+    coeff = F.when(
+        d >= 2,
+        F.round(
+            F.lit(2.0) * t / (d * (d - F.lit(1.0))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "node",
+        d.cast("bigint").alias("degree"),
+        t.alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )

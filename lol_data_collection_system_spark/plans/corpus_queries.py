@@ -2693,13 +2693,11 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
-    """Unrolled power-iteration rounds (same technique as the Lloyd
-    k-means oracle) mirroring `graph.pagerank`'s arithmetic exactly:
-    grid-quantized contributions summed as exact BIGINT micro-units,
-    full-precision double affine update (no rounding — identical IEEE
-    ops on identical inputs in both engines)."""
-    parts = [
+def _knn_edge_ctes() -> list[str]:
+    """wb → knn → symmetrized-distinct `e` — the kNN similarity-graph
+    edge CTEs shared by the pagerank and triangle oracles (mirrors
+    `sim_ops.knn_graph` + undirected symmetrization)."""
+    return [
         f"""wb AS MATERIALIZED (SELECT vec_id, embedding,
             {_bucket_sql('embedding', ANN_BITS)} AS bucket
      FROM embeddings)""",
@@ -2714,6 +2712,16 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
         """e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
   SELECT src AS u, dst AS v FROM knn
   UNION ALL SELECT dst, src FROM knn))""",
+    ]
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    """Unrolled power-iteration rounds (same technique as the Lloyd
+    k-means oracle) mirroring `graph.pagerank`'s arithmetic exactly:
+    grid-quantized contributions summed as exact BIGINT micro-units,
+    full-precision double affine update (no rounding — identical IEEE
+    ops on identical inputs in both engines)."""
+    parts = _knn_edge_ctes() + [
         "deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)",
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg)",
         """r0 AS MATERIALIZED (SELECT node, outdeg, 1.0 / CAST(n AS DOUBLE) AS rank
@@ -2743,6 +2751,54 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT CAST(node AS BIGINT) AS node, rank FROM r{iters}"
+    )
+
+
+def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood density of the kNN similarity graph: per-node
+    triangle counts + local clustering coefficient
+    (operators/graph.py `triangle_stats`) — high-coefficient nodes sit
+    inside tight semantic clusters (dedup/coreset candidates),
+    low-coefficient nodes bridge regions."""
+    from ..operators import graph as graph_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return graph_ops.triangle_stats(edges)
+
+
+def _triangle_oracle() -> str:
+    ctes = _knn_edge_ctes() + [
+        "tdeg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS degree"
+        " FROM e GROUP BY 1)",
+        "od AS MATERIALIZED (SELECT u, v FROM e WHERE u < v)",
+        """tri AS MATERIALIZED (
+  SELECT w.x, w.y, w.z
+  FROM (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM od a JOIN od b ON a.v = b.u) w
+  JOIN od c ON c.u = w.x AND c.v = w.z)""",
+        """ntri AS MATERIALIZED (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(n.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(2 * COALESCE(n.t, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - CAST(1.0 AS DOUBLE))), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM tdeg d LEFT JOIN ntri n USING (node)
+"""
     )
 
 
@@ -3393,6 +3449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_drift_psi": q_source_drift_psi,
     "bpe_fertility_by_source": q_bpe_fertility_by_source,
     "embedding_drift_psi": q_embedding_drift_psi,
+    "knn_triangle_stats": q_knn_triangle_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3471,4 +3528,5 @@ ORACLES: dict[str, str] = {
     "source_drift_psi": _psi_oracle(),
     "bpe_fertility_by_source": _bpe_fertility_oracle(),
     "embedding_drift_psi": _embedding_drift_oracle(),
+    "knn_triangle_stats": _triangle_oracle(),
 }

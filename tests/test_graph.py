@@ -287,3 +287,41 @@ def test_pagerank_no_driver_collect_in_rounds(spark, monkeypatch):
         assert calls["collect"] == 0, (directed, calls)
         assert calls["count"] == 1, (directed, calls)
         assert ranks.columns == ["node", "rank"]
+
+
+def test_triangle_stats_known_graph(spark):
+    """K3 plus a pendant node: triangle corners have coeff 1.0 (their
+    2 neighbors are connected... except the corner carrying the
+    pendant), the pendant has degree 1 → coeff 0."""
+    from lol_data_collection_system_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert {n: r["n_triangles"] for n, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 0,
+    }
+    assert out[1]["clustering_coeff"] == 1.0
+    assert out[2]["clustering_coeff"] == 1.0
+    # node 3 has degree 3 (1,2,4): one closed pair of three → 1/3
+    assert out[3]["degree"] == 3
+    assert abs(out[3]["clustering_coeff"] - round(1 / 3, 6)) < 1e-9
+    assert out[4]["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_direction_and_duplicate_invariance(spark):
+    """Reversed / duplicated directed edges describe the SAME undirected
+    graph and must not change any count."""
+    from lol_data_collection_system_spark.operators.graph import triangle_stats
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    noisy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1), (1, 3)],
+        "id_a long, id_b long",
+    )
+    a = sorted(tuple(r) for r in triangle_stats(base).collect())
+    b = sorted(tuple(r) for r in triangle_stats(noisy).collect())
+    assert a == b
