@@ -636,6 +636,60 @@ WHERE rn = 1
 """
 
 
+# Exact per-group percentiles (the exact twin of the GK-sketch quantile
+# family in operators/sketches.py): Spark `percentile` and DuckDB
+# `quantile_cont` share the p·(n−1) linear-interpolation definition, so
+# a 6-dp round absorbs only last-ulp float noise.
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), pct.alias("_p")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("_p")[0], 6).alias("p50"),
+        F.round(F.col("_p")[1], 6).alias("p90"),
+        F.round(F.col("_p")[2], 6).alias("p99"),
+    )
+
+
+ORACLE_ORDER_PRICE_PERCENTILES = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ROLLUP subtotals (multi-level aggregation surface): NULL group labels
+# from the rollup are coalesced to 'ALL' so both engines emit identical
+# subtotal rows without relying on grouping-id bit conventions.
+def q_order_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_ORDER_ROLLUP_COUNTS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 # Event-sequence analytics (operators/funnels.py): the general forms of
 # the reference's stage-count monitor (monitor/views/gathering.py:25-71)
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -843,6 +897,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_counts": q_hourly_event_counts,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "order_price_percentiles": q_order_price_percentiles,
+    "order_rollup_counts": q_order_rollup_counts,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
@@ -972,6 +1028,8 @@ _ORACLES: dict[str, str] = {
     "hourly_event_counts": ORACLE_HOURLY_EVENT_COUNTS,
     "event_funnel": _funnel_oracle(),
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
+    "order_rollup_counts": ORACLE_ORDER_ROLLUP_COUNTS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,
