@@ -211,16 +211,24 @@ def _p_sql(wref: str) -> str:
     return f"0.5 * (1.0 + ({z}) / (1.0 + abs({z})))"
 
 
-def _train_ctes(iters: int = CLF_ITERS, lr: float = CLF_LR) -> list[str]:
-    """Unrolled gradient descent: w_0 = zeros; each round one exact
-    decimal-sum gradient aggregate and the double-arithmetic update,
-    mirroring `classifier.logreg_train` operation for operation."""
+def _train_ctes(
+    iters: int = CLF_ITERS,
+    lr: float = CLF_LR,
+    feats_cte: str = "feats",
+    suffix: str = "",
+    include_feats: bool = True,
+) -> list[str]:
+    """Unrolled gradient descent: w{suffix}_0 = zeros; each round one
+    exact decimal-sum gradient aggregate and the double-arithmetic
+    update, mirroring `classifier.logreg_train` operation for
+    operation. `feats_cte`/`suffix` let the CV oracle train on each
+    fold's complement inside one statement."""
     d = len(CLF_FEATURES)
-    parts = [_feats_ctes()]
+    parts = [_feats_ctes()] if include_feats else []
     zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d + 1))
-    parts.append(f"w_0 AS (SELECT {zeros})")
+    parts.append(f"w{suffix}_0 AS (SELECT {zeros})")
     for i in range(1, iters + 1):
-        p = _p_sql(f"w_{i - 1}")
+        p = _p_sql(f"w{suffix}_{i - 1}")
         resid = f"({p}) - CAST(y AS DOUBLE)"
         gsums = [
             f"SUM(CAST(({resid}) AS DECIMAL(38,10))) AS g0",
@@ -231,15 +239,19 @@ def _train_ctes(iters: int = CLF_ITERS, lr: float = CLF_LR) -> list[str]:
                 f" AS g{j + 1}"
             )
         parts.append(
-            f"g_{i} AS (\n  SELECT COUNT(*) AS n, "
+            f"g{suffix}_{i} AS (\n  SELECT COUNT(*) AS n, "
             + ",\n         ".join(gsums)
-            + f"\n  FROM feats, w_{i - 1})"
+            + f"\n  FROM {feats_cte}, w{suffix}_{i - 1})"
         )
         updates = ", ".join(
-            f"w_{i - 1}.w{j} - {lr!r} * (CAST(g{j} AS DOUBLE) / n) AS w{j}"
+            f"w{suffix}_{i - 1}.w{j} - {lr!r} * (CAST(g{j} AS DOUBLE) / n)"
+            f" AS w{j}"
             for j in range(d + 1)
         )
-        parts.append(f"w_{i} AS (SELECT {updates} FROM g_{i}, w_{i - 1})")
+        parts.append(
+            f"w{suffix}_{i} AS (SELECT {updates}"
+            f" FROM g{suffix}_{i}, w{suffix}_{i - 1})"
+        )
     return parts
 
 
@@ -339,6 +351,98 @@ FROM u, conf"""
     )
 
 
+CV_FOLDS = 3
+CV_SALT = "cv-v1"
+
+
+def q_classifier_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated AUC — the model-selection gate run before
+    trusting a quality classifier's threshold: (fold, n_pos, n_neg,
+    auc). Folds are deterministic hash buckets of doc_id (layout- and
+    engine-independent); each fold's model trains on the other folds
+    with the SAME GD recipe as `quality_classifier_weights` and is
+    evaluated on the held-out fold with the exact Mann-Whitney AUC.
+    3 × CLF_ITERS map-combined gradient aggregates over one pinned
+    feature projection — nothing here is corpus² at any scale."""
+    feats = doc_features(spark, sf_dir).withColumn(
+        "_fold", sampling_ops.sample_bucket(F.col("doc_id"), CV_SALT) % CV_FOLDS
+    ).localCheckpoint(eager=False)
+    out = None
+    for f in range(CV_FOLDS):
+        train = feats.filter(F.col("_fold") != f)
+        weights = clf_ops.logreg_train(
+            train, list(CLF_FEATURES), label_col="y",
+            iters=CLF_ITERS, lr=CLF_LR,
+        )
+        scored = clf_ops.logreg_score(
+            feats.filter(F.col("_fold") == f), weights, list(CLF_FEATURES)
+        )
+        ev = clf_ops.binary_eval(
+            scored, label_col="y", score_col="score",
+            threshold=CLF_THRESHOLD,
+        ).select(
+            F.lit(f).cast("bigint").alias("fold"),
+            "n_pos",
+            "n_neg",
+            "auc",
+        )
+        out = ev if out is None else out.unionByName(ev)
+    return out
+
+
+def _cv_oracle() -> str:
+    from .corpus_queries import _bucket_of
+
+    parts = [_feats_ctes()]
+    parts.append(
+        f"cfold AS (SELECT *, {_bucket_of('doc_id', CV_SALT)} % {CV_FOLDS}"
+        f" AS fold FROM feats)"
+    )
+    selects = []
+    for f in range(CV_FOLDS):
+        sfx = f"cv{f}"
+        parts.append(
+            f"feats_{sfx} AS (SELECT * FROM cfold WHERE fold != {f})"
+        )
+        parts.extend(
+            _train_ctes(
+                feats_cte=f"feats_{sfx}", suffix=sfx, include_feats=False
+            )
+        )
+        parts.append(
+            f"""scored_{sfx} AS (
+  SELECT y, {_p_sql(f"w{sfx}_{CLF_ITERS}")} AS score
+  FROM cfold, w{sfx}_{CLF_ITERS} WHERE fold = {f})"""
+        )
+        parts.append(
+            f"""bs_{sfx} AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM scored_{sfx} GROUP BY score)"""
+        )
+        parts.append(
+            f"""rk_{sfx} AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM bs_{sfx})"""
+        )
+        parts.append(
+            f"""u_{sfx} AS (
+  SELECT CAST(SUM(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg
+  FROM rk_{sfx})"""
+        )
+        selects.append(
+            f"""SELECT CAST({f} AS BIGINT) AS fold, n_pos, n_neg,
+       round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM u_{sfx}"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _source_cap_oracle() -> str:
     return f"""
 WITH {_feats_ctes()},
@@ -358,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_eval": q_quality_classifier_eval,
     "quality_weighted_sample": q_quality_weighted_sample,
     "source_capped_docs": q_source_capped_docs,
+    "classifier_cv_eval": q_classifier_cv_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -366,4 +471,5 @@ ORACLES: dict[str, str] = {
     "quality_classifier_eval": _eval_oracle(),
     "quality_weighted_sample": _weighted_sample_oracle(),
     "source_capped_docs": _source_cap_oracle(),
+    "classifier_cv_eval": _cv_oracle(),
 }
