@@ -980,7 +980,11 @@ _FRONT: tuple[str, ...] = (
     # quality_classifier_scores, quality_classifier_eval,
     # quality_weighted_sample, source_capped_docs,
     # purchase_last_click_banded, nfc_normalized_docs,
-    # revenue_by_order_salted.
+    # revenue_by_order_salted — plus the late-round-4 additions:
+    # embedding_pca_components, embedding_pca_scores, cdc_chunk_dups,
+    # source_drift_psi, bpe_fertility_by_source, embedding_drift_psi,
+    # knn_triangle_stats, event_funnel, cohort_retention,
+    # order_price_percentiles, order_rollup_counts, classifier_cv_eval.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
