@@ -636,6 +636,25 @@ WHERE rn = 1
 """
 
 
+# Shuffle-skew diagnostic (the measurement behind the salting/capping
+# levers: operators/aggregates.py key_skew_profile)
+def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return agg_ops.key_skew_profile(events, "user_id", top_n=10)
+
+
+ORACLE_USER_KEY_SKEW = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+           FROM events GROUP BY 1),
+t AS (SELECT SUM(n_rows) AS tot FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS BIGINT) AS rank,
+       key, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM top, t
+"""
+
+
 # Exact per-group percentiles (the exact twin of the GK-sketch quantile
 # family in operators/sketches.py): Spark `percentile` and DuckDB
 # `quantile_cont` share the p·(n−1) linear-interpolation definition, so
@@ -899,6 +918,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "order_price_percentiles": q_order_price_percentiles,
     "order_rollup_counts": q_order_rollup_counts,
+    "user_key_skew": q_user_key_skew,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
@@ -1034,6 +1054,7 @@ _ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
     "order_rollup_counts": ORACLE_ORDER_ROLLUP_COUNTS,
+    "user_key_skew": ORACLE_USER_KEY_SKEW,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,

@@ -94,3 +94,43 @@ def histogram(df: DataFrame, bucket_col: Column, alias: str = "bucket") -> DataF
     (``utils.py:745-752,910-912``).
     """
     return df.groupBy(bucket_col.alias(alias)).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic: (rank, key, n_rows, share)
+    for the `top_n` heaviest values of `key_col`.
+
+    This is the measurement behind every skew decision in the repo —
+    whether a join needs `salted_skew_join`, whether a shingle needs
+    the `max_doc_freq` cap, whether AQE's skew threshold will even
+    trigger. A key with share ≫ 1/shuffle_partitions serializes one
+    task; read the profile BEFORE paying for a bad shuffle, not from
+    its straggler afterwards.
+
+    Plan: one map-combined hash-agg over the key, a 1-row broadcast
+    total, and TakeOrderedAndProject for the top-N (never a global
+    sort); the ranking window runs on the ≤ top_n survivors only. Key
+    values are emitted as strings so the profile is type-generic.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_tot"))
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_tot"), 6
+            ).alias("share"),
+        )
+    )

@@ -132,6 +132,53 @@ def fit_pca(
     no-collect rule (same class as k-means centroids / packing offsets).
     """
     marginal, cross = moment_frames(emb, vec_col, dim)
+    return fit_from_moments(
+        marginal,
+        cross,
+        dim=dim,
+        n_components=n_components,
+        squarings=squarings,
+        rounds=rounds,
+    )
+
+
+def combine_moments(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two (marginal, cross) sufficient-statistic pairs — the
+    incremental-fit primitive. Decimal sums are EXACTLY associative
+    (every product was grid-snapped before summation), so
+    fit_from_moments(combine(moments(A), moments(B))) is bit-identical
+    to fit_pca(A ∪ B) — pinned in tests/test_pca.py. This is how a
+    100 TB corpus PCA absorbs a daily delta: moments of the delta (one
+    scan of the delta only) folded into the stored corpus moments
+    (d + d² persisted decimals)."""
+    ma, ca = a
+    mb, cb = b
+    marginal = (
+        ma.unionByName(mb)
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    cross = (
+        ca.unionByName(cb)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    return marginal, cross
+
+
+def fit_from_moments(
+    marginal: DataFrame,
+    cross: DataFrame,
+    dim: int = 64,
+    n_components: int = 2,
+    squarings: int = 5,
+    rounds: int = 8,
+) -> dict:
+    """The driver half of `fit_pca`: collect the bounded moment frames
+    and eigensolve. Exposed so incremental pipelines can feed merged /
+    persisted moments (see `combine_moments`)."""
     marg_rows = {r["i"]: r for r in marginal.collect()}
     if not marg_rows:
         raise ValueError("fit_pca: empty input")

@@ -107,3 +107,23 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id int, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         pca_ops.fit_pca(df, dim=DIM, n_components=1)
+
+
+def test_incremental_moments_exactly_equal_full_fit(spark, emb):
+    """combine_moments(moments(A), moments(B)) must reproduce
+    fit_pca(A ∪ B) BIT-FOR-BIT — decimal sums of grid-snapped products
+    are exactly associative, so the incremental path is not an
+    approximation. This is the property that lets a corpus PCA absorb
+    a delta without rescanning the corpus."""
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    merged = pca_ops.combine_moments(
+        pca_ops.moment_frames(a, "embedding", DIM),
+        pca_ops.moment_frames(b, "embedding", DIM),
+    )
+    inc = pca_ops.fit_from_moments(*merged, dim=DIM, n_components=2)
+    full = pca_ops.fit_pca(emb, dim=DIM, n_components=2)
+    assert inc["means"] == full["means"]
+    assert inc["components"] == full["components"]
+    assert inc["eigenvalues"] == full["eigenvalues"]
+    assert inc["n"] == full["n"]
