@@ -636,6 +636,130 @@ WHERE rn = 1
 """
 
 
+# Association mining over event types (operators/funnels.py)
+def q_event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lol_data_collection_system_spark.operators import funnels
+
+    events = _t(spark, sf_dir, "events")
+    return funnels.pair_affinity(events)
+
+
+ORACLE_EVENT_PAIR_AFFINITY = """
+WITH sets AS (SELECT DISTINCT user_id AS u, event_type AS e FROM events),
+nu AS (SELECT COUNT(DISTINCT u) AS n FROM sets),
+singles AS (SELECT e, COUNT(*) AS c FROM sets GROUP BY e),
+pairs AS (
+  SELECT a.e AS type_a, b.e AS type_b, COUNT(*) AS n_users_both
+  FROM sets a JOIN sets b ON a.u = b.u AND a.e < b.e
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_users_both,
+       round(CAST(n_users_both AS DOUBLE) / n, 6) AS support,
+       round(CAST(n_users_both AS DOUBLE) / sa.c, 6) AS confidence_a_to_b,
+       round((CAST(n_users_both AS DOUBLE) * n) / (sa.c * sb.c), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.e = type_a
+JOIN singles sb ON sb.e = type_b, nu
+"""
+
+
+# TPC-H Q3 analog (shipping-priority top-k): segment filter → dim join →
+# date-bracketed revenue agg → TakeOrderedAndProject. The benchmark's
+# pushdown/top-k shape; money stays DECIMAL(18,2) until the end.
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_millis(F.col("o_orderdate")).alias("o_orderdate_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_UNSHIPPED_ORDERS = f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# TPC-H Q18 analog (large-volume customers): HAVING over an exact
+# decimal per-order quantity sum, semi-joined back through the dims.
+Q18_MIN_QTY = 250
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate")).alias("o_orderdate_ms"),
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY})
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       CAST(q AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # Shuffle-skew diagnostic (the measurement behind the salting/capping
 # levers: operators/aggregates.py key_skew_profile)
 def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1043,9 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_price_percentiles": q_order_price_percentiles,
     "order_rollup_counts": q_order_rollup_counts,
     "user_key_skew": q_user_key_skew,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "large_volume_customers": q_large_volume_customers,
+    "event_pair_affinity": q_event_pair_affinity,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
@@ -1055,6 +1182,9 @@ _ORACLES: dict[str, str] = {
     "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
     "order_rollup_counts": ORACLE_ORDER_ROLLUP_COUNTS,
     "user_key_skew": ORACLE_USER_KEY_SKEW,
+    "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,

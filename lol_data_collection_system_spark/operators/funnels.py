@@ -117,3 +117,69 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def pair_affinity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Association mining over event types: for every unordered type
+    pair, (type_a, type_b, n_users_both, support, confidence_a_to_b,
+    lift) — the market-basket statistics ("users who X also Y") on the
+    per-user distinct-type sets.
+
+    lift > 1 means the pair co-occurs more than independent types
+    would; confidence is directional P(b|a) for the canonical a < b
+    ordering (swap the columns for the other direction — the inputs
+    are symmetric).
+
+    Plan: one distinct (user, type) projection; the pair space is a
+    self-join on user with type_a < type_b — per-user work is
+    |types|², and the type vocabulary is small by definition (event
+    taxonomies, not free text), so this never approaches user². All
+    counts are exact integers; the three ratios are single double
+    divisions, identical across engines.
+    """
+    sets = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_e")
+    ).distinct()
+    n_users = sets.select("_u").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    singles = sets.groupBy("_e").agg(F.count(F.lit(1)).alias("_c"))
+    a = sets.select("_u", F.col("_e").alias("type_a"))
+    b = sets.select("_u", F.col("_e").alias("type_b"))
+    pairs = (
+        a.join(b, "_u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+    )
+    sa = singles.select(
+        F.col("_e").alias("type_a"), F.col("_c").alias("_ca")
+    )
+    sb = singles.select(
+        F.col("_e").alias("type_b"), F.col("_c").alias("_cb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.round(
+                F.col("n_users_both").cast("double") / F.col("_n"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_users_both").cast("double") / F.col("_ca"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                (F.col("n_users_both").cast("double") * F.col("_n"))
+                / (F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -93,3 +93,38 @@ def test_retention_triangle(spark):
     assert out[(c2, 0)] == (1, 1.0)
     # week-0 retention is 1.0 for every cohort by construction
     assert all(v[1] == 1.0 for (c, w), v in out.items() if w == 0)
+
+
+def test_pair_affinity_lift_semantics(spark):
+    """Perfectly coupled types have lift = n/ca (>1); a type occurring
+    with everything has lift 1 against an independent partner."""
+    rows = []
+    # users 1-4: A and B always together (coupled)
+    for u in (1, 2, 3, 4):
+        rows += [("2024-01-01 00:00:00", u, "A"), ("2024-01-01 00:01:00", u, "B")]
+    # users 5-8: C alone
+    for u in (5, 6, 7, 8):
+        rows.append(("2024-01-01 00:00:00", u, "C"))
+    ev = _events(spark, rows)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in funnels.pair_affinity(ev).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_users_both"] == 4
+    assert ab["support"] == 0.5          # 4 of 8 users
+    assert ab["confidence_a_to_b"] == 1.0
+    assert ab["lift"] == 2.0             # 0.5 / (0.5 * 0.5)
+    assert ("A", "C") not in out         # never co-occur -> no row
+
+
+def test_pair_affinity_repeat_events_dont_inflate(spark):
+    """Counts are over distinct (user, type) sets — a user clicking
+    1000 times is still one basket member."""
+    rows = [("2024-01-01 00:00:00", 1, "A")] * 5 + [
+        ("2024-01-01 00:01:00", 1, "B")
+    ] * 7
+    ev = _events(spark, rows)
+    out = funnels.pair_affinity(ev).collect()
+    assert len(out) == 1
+    assert out[0]["n_users_both"] == 1
