@@ -800,3 +800,37 @@ def test_no_cartesian_product_in_any_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_key_skew_profile_take_ordered(spark):
+    """The top-N selection must plan as TakeOrderedAndProject (never a
+    global sort of the distinct-key space), with partial aggregation on
+    the count."""
+    plan = _plan(spark, "user_key_skew")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_q3_pushdown_and_top_k(spark):
+    """The TPC-H Q3 analog must push the segment + both date filters to
+    the scans and keep the top-10 as TakeOrderedAndProject."""
+    plan = _plan(spark, "top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan
+    flat = plan.replace("\n", "")
+    assert "EqualTo(c_mktsegment,BUILDING)" in flat
+    assert "LessThan(o_orderdate" in flat
+    assert "GreaterThan(l_shipdate" in flat
+
+
+def test_pca_moment_pass_partial_agg(spark):
+    """The PCA sufficient-statistics aggregation must combine map-side
+    (the whole 100 TB story: the shuffle carries partitions·d² decimal
+    cells, not n·d² product rows)."""
+    from lol_data_collection_system_spark.operators import pca as pca_ops
+    from lol_data_collection_system_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, cross = pca_ops.moment_frames(emb, "embedding", 64)
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1  # one shuffle, keyed by (i, j)
