@@ -636,6 +636,86 @@ WHERE rn = 1
 """
 
 
+# Data-profiling audit (operators/aggregates.py profile_columns)
+PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return agg_ops.profile_columns(orders, PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    selects = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       round(CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*), 6)
+         AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM orders"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+# Per-group robust outlier audit (median/MAD; uses the exact percentile
+# machinery): which sources emit length outliers.
+MAD_K = 3.0
+
+
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_outliers, outlier_frac): docs whose length
+    sits more than MAD_K robust deviations from their source's median.
+    Two grouped percentile passes (median, then MAD on the residuals)
+    joined back — robust to the outliers it hunts, unlike mean/stddev."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("_x")
+    )
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(_x, 0.5D)").alias("_med")
+    )
+    resid = docs.join(F.broadcast(med), "source").withColumn(
+        "_r", F.abs(F.col("_x") - F.col("_med"))
+    )
+    mad = resid.groupBy("source").agg(
+        F.expr("percentile(_r, 0.5D)").alias("_mad")
+    )
+    flagged = resid.join(F.broadcast(mad), "source").select(
+        "source",
+        (
+            (F.col("_mad") > 0)
+            & (F.col("_r") > F.lit(MAD_K) * F.col("_mad"))
+        )
+        .cast("long")
+        .alias("_o"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_o").alias("n_outliers"),
+        F.round(
+            F.sum("_o").cast("double") / F.count(F.lit(1)), 6
+        ).alias("outlier_frac"),
+    )
+
+
+ORACLE_DOC_LENGTH_OUTLIERS = f"""
+WITH x AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+med AS (SELECT source, quantile_cont(x, 0.5) AS med FROM x GROUP BY source),
+resid AS (SELECT x.source, abs(x.x - med.med) AS r
+          FROM x JOIN med USING (source)),
+mad AS (SELECT source, quantile_cont(r, 0.5) AS mad FROM resid GROUP BY source),
+flags AS (
+  SELECT r.source,
+         CASE WHEN m.mad > 0 AND r.r > {MAD_K!r} * m.mad
+              THEN 1 ELSE 0 END AS o
+  FROM resid r JOIN mad m USING (source))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(o) AS BIGINT) AS n_outliers,
+       round(CAST(SUM(o) AS DOUBLE) / COUNT(*), 6) AS outlier_frac
+FROM flags GROUP BY source
+"""
+
+
 # Association mining over event types (operators/funnels.py)
 def q_event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lol_data_collection_system_spark.operators import funnels
@@ -1046,6 +1126,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "event_pair_affinity": q_event_pair_affinity,
+    "orders_profile": q_orders_profile,
+    "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "last_week_event_mix": q_last_week_event_mix,
     "orders_page": q_orders_page,
@@ -1185,6 +1267,8 @@ _ORACLES: dict[str, str] = {
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
+    "orders_profile": _profile_oracle(),
+    "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
     "last_week_event_mix": ORACLE_LAST_WEEK_EVENT_MIX,
     "orders_page": ORACLE_ORDERS_PAGE,

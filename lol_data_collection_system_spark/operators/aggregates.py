@@ -134,3 +134,47 @@ def key_skew_profile(
             ).alias("share"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling audit: (column, n_rows, n_nulls, null_frac,
+    n_distinct) for every listed column — the schema-health check run
+    before trusting a new snapshot of a table (a column whose null rate
+    jumped is the classic silent upstream breakage).
+
+    ONE pass: all per-column aggregates ride a single `agg` (multiple
+    exact count-distincts plan through Spark's Expand — one scan with a
+    cols-fold row multiplication, the standard exact-profile cost), and
+    the wide result unpivots through a literal struct array. Counts
+    only — min/max are omitted deliberately: their string rendering is
+    type- and engine-specific, while counts compare exactly everywhere.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.col("_n"), F.explode(entries).alias("_e"))
+        .select(
+            F.col("_e.column").alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col("_e.n_nulls").alias("n_nulls"),
+            F.round(
+                F.col("_e.n_nulls").cast("double") / F.col("_n"), 6
+            ).alias("null_frac"),
+            F.col("_e.n_distinct").alias("n_distinct"),
+        )
+    )

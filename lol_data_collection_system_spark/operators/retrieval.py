@@ -365,3 +365,73 @@ def bigram_lm_scores(
             F.sum("nll").cast("double") / F.sum("tf").cast("double"), 6
         ).alias("avg_neg_logp"),
     )
+
+
+def term_pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    max_df: int = 1_000_000,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information for within-document term pairs —
+    the phrase/collocation detector: (term_a, term_b, n_pairs, pmi)
+    for the `top_k` highest-PMI pairs.
+
+    PMI = ln(P(a,b) / (P(a)·P(b))) over document co-occurrence, all
+    probabilities as exact integer document counts, so the only float
+    is one ln of one ratio (rounded 6 dp — the repo's transcendental
+    discipline).
+
+    Scale: the pair generator is a per-document self-join on the doc
+    key over DISTINCT kept terms — per-doc cost (kept terms)², with
+    `max_df` as the stop-word cap bounding any term's corpus-wide pair
+    contribution (the same df-cap lever as the shingle joins, see
+    `dedup.cap_shingles`). Final selection is TakeOrderedAndProject.
+    """
+    from .text import normalized_text, tokens
+
+    terms = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(tokens(normalized_text(F.col(text_col))))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    kept = dfreq.filter(
+        (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
+    )
+    t = terms.join(kept, "term")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    a = t.select(
+        "_id", F.col("term").alias("term_a"), F.col("_df").alias("_dfa")
+    )
+    b = t.select(
+        "_id", F.col("term").alias("term_b"), F.col("_df").alias("_dfb")
+    )
+    pairs = (
+        a.join(b, "_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "_dfa", "_dfb")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pairs",
+            F.round(
+                F.log(
+                    (F.col("n_pairs") * F.col("_n")).cast("double")
+                    / (F.col("_dfa") * F.col("_dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi").desc(), F.col("term_a"), F.col("term_b")
+        )
+        .limit(top_k)
+    )

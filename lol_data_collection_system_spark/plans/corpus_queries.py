@@ -3319,6 +3319,44 @@ FROM embeddings e, pmu, pl1, pl2
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations (phrase detection over document co-occurrence)
+# ---------------------------------------------------------------------------
+PMI_MIN_DF = 3
+PMI_TOP_K = 50
+
+
+def q_term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI within-document term pairs (retrieval.term_pmi_pairs):
+    the collocation/phrase-detection statistic, df-capped like every
+    term-keyed join here."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ops.term_pmi_pairs(
+        docs, min_df=PMI_MIN_DF, top_k=PMI_TOP_K
+    )
+
+
+ORACLE_TERM_PMI_PAIRS = f"""
+WITH pt AS (
+  SELECT doc_id, unnest(list_distinct({_NTOKS})) AS term FROM documents),
+ptf AS (SELECT doc_id, term FROM pt WHERE term != ''),
+pdf AS (SELECT term, COUNT(*) AS df FROM ptf GROUP BY term),
+pk AS (SELECT term, df FROM pdf WHERE df >= {PMI_MIN_DF}),
+pj AS (SELECT p.doc_id, p.term, k.df FROM ptf p JOIN pk k USING (term)),
+pn AS (SELECT COUNT(*) AS n FROM documents),
+pp AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS dfa, b.df AS dfb,
+         COUNT(*) AS n_pairs
+  FROM pj a JOIN pj b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4)
+SELECT term_a, term_b, n_pairs,
+       round(ln(CAST(n_pairs * n AS DOUBLE) / (dfa * dfb)), 6) AS pmi
+FROM pp, pn
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-space drift (PCA ∘ PSI composition)
 # ---------------------------------------------------------------------------
 EMB_PSI_LO = -0.6
@@ -3450,6 +3488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_fertility_by_source": q_bpe_fertility_by_source,
     "embedding_drift_psi": q_embedding_drift_psi,
     "knn_triangle_stats": q_knn_triangle_stats,
+    "term_pmi_pairs": q_term_pmi_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3529,4 +3568,5 @@ ORACLES: dict[str, str] = {
     "bpe_fertility_by_source": _bpe_fertility_oracle(),
     "embedding_drift_psi": _embedding_drift_oracle(),
     "knn_triangle_stats": _triangle_oracle(),
+    "term_pmi_pairs": ORACLE_TERM_PMI_PAIRS,
 }
