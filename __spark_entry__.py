@@ -953,7 +953,9 @@ counts AS (
   SELECT CAST(3 AS BIGINT), '{s3}', COUNT(*) FROM f3),
 base AS (SELECT COUNT(*) AS n1 FROM f1)
 SELECT step, event_type, n_users,
-       round(CAST(n_users AS DOUBLE) / n1, 6) AS conversion
+       CASE WHEN n1 > 0
+            THEN round(CAST(n_users AS DOUBLE) / n1, 6)
+            ELSE 0.0 END AS conversion
 FROM counts, base
 """
 

@@ -75,9 +75,16 @@ def funnel(
         "step",
         "event_type",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias(
-            "conversion"
-        ),
+        # empty funnel entry (no step-1 users) → conversion 0.0, not a
+        # divide-by-zero (ANSI mode errors on x/0)
+        F.when(
+            F.col("_n1") > 0,
+            F.round(
+                F.col("n_users").cast("double") / F.col("_n1"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conversion"),
     )
 
 

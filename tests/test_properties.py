@@ -613,3 +613,115 @@ def test_waterfilling_terminates_and_conserves(spark, sizes, budget, alpha):
     assert total_planned <= budget
     for i, n in enumerate(sizes):
         assert got[f"s{i}"]["planned_tokens"] <= 2.0 * n
+
+
+# ---------------------------------------------------------------------------
+# Funnel vs a pure-Python simulator (strict order, first occurrence,
+# per-step window) — randomized event streams incl. repeats/disorder.
+# ---------------------------------------------------------------------------
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6),           # user
+        st.sampled_from("ABC"),      # event type
+        st.integers(0, 5000),        # ts seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_funnel(rows, steps, within_s):
+    reach = {}
+    by_user: dict[int, list] = {}
+    for u, e, t in rows:
+        by_user.setdefault(u, []).append((e, t))
+    counts = [0] * len(steps)
+    for u, evs in by_user.items():
+        prev = None
+        for k, step in enumerate(steps):
+            ts = sorted(
+                t
+                for e, t in evs
+                if e == step
+                and (k == 0 or (prev < t <= prev + within_s))
+            )
+            if not ts:
+                break
+            prev = ts[0]
+            counts[k] += 1
+    return counts
+
+
+@_SETTINGS
+@given(events_strategy, st.integers(1, 600))
+def test_funnel_matches_python_simulator(spark, rows, within_s):
+    from lol_data_collection_system_spark.operators import funnels
+
+    df = spark.createDataFrame(
+        [(u, e, t) for u, e, t in rows], "user_id long, event_type string, sec long"
+    ).select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    steps = ["A", "B", "C"]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnels.funnel(df, steps, within_seconds=within_s).collect()
+    }
+    want = _py_funnel(rows, steps, within_s)
+    assert [got[k] for k in (1, 2, 3)] == want
+
+
+# ---------------------------------------------------------------------------
+# PSI vs a pure-Python twin (same bucketing, smoothing, rounding).
+# ---------------------------------------------------------------------------
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xyz"), st.integers(-50, 150)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_psi_matches_python_twin(spark, rows):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lol_data_collection_system_spark.operators import drift as drift_ops
+
+    lo, hi, nb, sm = 0.0, 100.0, 10, 0.5
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {
+        r["src"]: (r["n_rows"], r["psi"])
+        for r in drift_ops.psi_by_group(
+            df, "src", "v", lo=lo, hi=hi, n_buckets=nb, smooth=sm
+        ).collect()
+    }
+
+    def bucket(v):
+        return min(nb - 1, max(0, int((v - lo) // ((hi - lo) / nb))))
+
+    cells: dict[str, list[int]] = {}
+    for s, v in rows:
+        cells.setdefault(s, [0] * nb)[bucket(v)] += 1
+    base = [sum(c[b] for c in cells.values()) for b in range(nb)]
+    tot = sum(base)
+    want = {}
+    for s, c in cells.items():
+        n = sum(c)
+        acc = Decimal(0)
+        for b in range(nb):
+            p = (c[b] + sm) / (n + sm * nb)
+            q = (base[b] + sm) / (float(tot) + sm * nb)
+            term = Decimal((p - q) * math.log(p / q)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+            acc += term
+        psi = float(
+            Decimal(float(acc)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+        want[s] = (n, psi)
+    assert got == want
