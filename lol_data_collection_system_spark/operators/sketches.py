@@ -152,3 +152,82 @@ def frequent_terms(
         .filter(F.col("tf") * k > F.col("n_total"))
         .select("term", "tf")
     )
+
+
+def cms_cells(
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame aggregate: (row, bucket, cnt),
+    depth·width cells TOTAL regardless of corpus size (the whole point —
+    the shuffle after the map-side combine carries ≤ partitions·d·w
+    cells). Hashing is the repo's engine-portable md5 bucket, so unlike
+    HLL/GK the ENTIRE sketch is reproducible in DuckDB and the estimate
+    query can be hash-gated end-to-end (`cms_frequency_estimates`).
+    """
+    from .sampling import sample_bucket
+
+    rows = terms.select(
+        F.col(term_col).alias("_t"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
+    )
+    bucket = (
+        sample_bucket(
+            F.concat(F.col("_r").cast("string"), F.lit(":"), F.col("_t")),
+            salt,
+        )
+        % width
+    )
+    return (
+        rows.select("_r", bucket.alias("_b"))
+        .groupBy("_r", "_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """(term, exact_freq, cms_est, overestimate) for every distinct
+    term: the Count-Min guarantee made visible — est ≥ exact always
+    (min over depth rows of non-negative collision sums), and
+    E[overestimate] ≤ N/width per row. The exact side rides the same
+    scan; in production you keep only the w·d-cell sketch and probe it
+    (broadcast join), which is what the plan does here.
+    """
+    from .sampling import sample_bucket
+
+    cells = cms_cells(terms, term_col, width, depth, salt)
+    exact = terms.groupBy(F.col(term_col).alias("term")).agg(
+        F.count(F.lit(1)).alias("exact_freq")
+    )
+    probe = exact.select(
+        "term",
+        "exact_freq",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
+    ).withColumn(
+        "_b",
+        sample_bucket(
+            F.concat(F.col("_r").cast("string"), F.lit(":"), F.col("term")),
+            salt,
+        )
+        % width,
+    )
+    return (
+        probe.join(F.broadcast(cells), ["_r", "_b"])
+        .groupBy("term", "exact_freq")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "term",
+            "exact_freq",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_freq")).alias("overestimate"),
+        )
+    )

@@ -3319,6 +3319,55 @@ FROM embeddings e, pmu, pl1, pl2
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch frequency estimates (hash-gateable sketch)
+# ---------------------------------------------------------------------------
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+CMS_SALT = "cms-v1"
+
+
+def q_cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency estimates vs exact counts
+    (sketches.cms_estimates): the d·w-cell sketch, probed with every
+    distinct term — unlike HLL/GK this sketch is md5-deterministic, so
+    the whole construction hash-gates across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            text_ops.tokens(text_ops.normalized_text(F.col("text")))
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    return sketch_ops.cms_estimates(
+        terms, width=CMS_WIDTH, depth=CMS_DEPTH, salt=CMS_SALT
+    )
+
+
+def _cms_oracle() -> str:
+    b = _bucket_of("r || ':' || term", CMS_SALT)
+    return f"""
+WITH ct AS (
+  SELECT unnest({_NTOKS}) AS term FROM documents),
+ctf AS (SELECT term FROM ct WHERE term != ''),
+cr AS (SELECT term, unnest(generate_series(0, {CMS_DEPTH - 1})) AS r
+       FROM ctf),
+cells AS (
+  SELECT r, {b} % {CMS_WIDTH} AS bkt, COUNT(*) AS cnt
+  FROM cr GROUP BY 1, 2),
+exact AS (SELECT term, COUNT(*) AS exact_freq FROM ctf GROUP BY term),
+probe AS (
+  SELECT term, exact_freq,
+         unnest(generate_series(0, {CMS_DEPTH - 1})) AS r
+  FROM exact),
+pb AS (SELECT term, exact_freq, r, {b} % {CMS_WIDTH} AS bkt FROM probe)
+SELECT p.term, p.exact_freq,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - p.exact_freq AS BIGINT) AS overestimate
+FROM pb p JOIN cells c ON c.r = p.r AND c.bkt = p.bkt
+GROUP BY p.term, p.exact_freq
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations (phrase detection over document co-occurrence)
 # ---------------------------------------------------------------------------
 PMI_MIN_DF = 3
@@ -3489,6 +3538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift_psi": q_embedding_drift_psi,
     "knn_triangle_stats": q_knn_triangle_stats,
     "term_pmi_pairs": q_term_pmi_pairs,
+    "cms_frequency_estimates": q_cms_frequency_estimates,
 }
 
 ORACLES: dict[str, str] = {
@@ -3569,4 +3619,5 @@ ORACLES: dict[str, str] = {
     "embedding_drift_psi": _embedding_drift_oracle(),
     "knn_triangle_stats": _triangle_oracle(),
     "term_pmi_pairs": ORACLE_TERM_PMI_PAIRS,
+    "cms_frequency_estimates": _cms_oracle(),
 }
