@@ -679,3 +679,85 @@ def knn_graph(
             "cos_sim",
         )
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the sign-LSH bucket path against the exact
+    ranking, over a deterministic probe set (ids < `n_queries`):
+    (query_id, n_hits, recall) per probe.
+
+    This is the benchmark harness for the bits/recall trade-off every
+    `lsh_topk` deployment has to tune: run it once per candidate `bits`
+    and read the recall column — the single-query `rp_recall_at_k` twin
+    generalized to a probe SET in one pass. The exact side scores the
+    whole table against a BROADCAST probe frame (n·n_queries map-side
+    rows, WindowGroupLimit prunes each probe's top-k per partition);
+    the ANN side joins on bucket equality first. Nothing shuffles more
+    than the two per-probe top-k reductions.
+    """
+    probes = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("_qb"),
+    )
+    from pyspark.sql import Window
+
+    def _top(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_cos").desc(), F.col(id_col)
+        )
+        return scored.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+
+    exact = _top(
+        emb.crossJoin(F.broadcast(probes.select("_qid", "_qvec")))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("_cos"),
+        )
+    )
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("_b"),
+    )
+    ann = _top(
+        base.join(
+            F.broadcast(probes), F.col("_b") == F.col("_qb")
+        )
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("_cos"),
+        )
+    )
+    hits = (
+        exact.select("_qid", id_col)
+        .join(ann.select("_qid", id_col), ["_qid", id_col])
+        .groupBy("_qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select("_qid")
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / k, 6
+            ).alias("recall"),
+        )
+    )

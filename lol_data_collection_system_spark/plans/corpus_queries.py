@@ -3319,6 +3319,70 @@ FROM embeddings e, pmu, pl1, pl2
 
 
 # ---------------------------------------------------------------------------
+# ANN recall benchmark (probe-set recall@k of the LSH path vs exact)
+# ---------------------------------------------------------------------------
+ANN_EVAL_QUERIES = 20
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of sign-LSH bucketing vs the exact ranking over
+    a 20-probe set (sim_ops.ann_recall_eval) — the tuning harness for
+    the bits/recall trade-off."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_recall_eval(
+        emb, n_queries=ANN_EVAL_QUERIES, k=TOPK, bits=ANN_BITS
+    )
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH pr AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         {_bucket_sql('embedding', ANN_BITS)} AS qb
+  FROM embeddings WHERE vec_id < {ANN_EVAL_QUERIES}),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(p.qvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(p.qvec AS DOUBLE[]),
+                                          CAST(p.qvec AS DOUBLE[])))), 4)
+               DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN pr p
+    WHERE e.vec_id != p.qid)
+  WHERE rn <= {TOPK}),
+an AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(p.qvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(p.qvec AS DOUBLE[]),
+                                          CAST(p.qvec AS DOUBLE[])))), 4)
+               DESC, e.vec_id) AS rn
+    FROM embeddings e JOIN pr p
+      ON {_bucket_sql('e.embedding', ANN_BITS)} = p.qb
+    WHERE e.vec_id != p.qid)
+  WHERE rn <= {TOPK}),
+hits AS (
+  SELECT ex.qid, COUNT(*) AS n_hits
+  FROM ex JOIN an ON ex.qid = an.qid AND ex.vec_id = an.vec_id
+  GROUP BY ex.qid)
+SELECT p.qid AS query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOPK}, 6) AS recall
+FROM pr p LEFT JOIN hits h ON h.qid = p.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch frequency estimates (hash-gateable sketch)
 # ---------------------------------------------------------------------------
 CMS_WIDTH = 256
@@ -3539,6 +3603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_triangle_stats": q_knn_triangle_stats,
     "term_pmi_pairs": q_term_pmi_pairs,
     "cms_frequency_estimates": q_cms_frequency_estimates,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -3620,4 +3685,5 @@ ORACLES: dict[str, str] = {
     "knn_triangle_stats": _triangle_oracle(),
     "term_pmi_pairs": ORACLE_TERM_PMI_PAIRS,
     "cms_frequency_estimates": _cms_oracle(),
+    "ann_recall_eval": _ann_recall_oracle(),
 }
