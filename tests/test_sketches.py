@@ -304,3 +304,40 @@ def test_semantic_near_dup_derives_k_from_corpus_size(spark):
     # derived k is visible through the assignment stage: re-run the same
     # derivation the operator applies and check the bound
     assert max(2, -(-64 // 10)) == 7
+
+
+def test_cms_overestimates_only_and_tight_when_sparse(spark):
+    """Count-Min guarantee: estimate ≥ exact for EVERY key (min over
+    rows of non-negative collision sums); with far fewer keys than
+    cells the estimates are exact."""
+    from lol_data_collection_system_spark.operators.sketches import (
+        cms_estimates,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    terms = spark.createDataFrame(rows, "term string")
+    out = {r["term"]: r for r in cms_estimates(terms).collect()}
+    assert {t: r["exact_freq"] for t, r in out.items()} == {
+        "a": 50, "b": 7, "c": 1,
+    }
+    for r in out.values():
+        assert r["overestimate"] >= 0
+        assert r["cms_est"] >= r["exact_freq"]
+    # 3 keys in 4x256 cells: collision-free -> exact
+    assert all(r["overestimate"] == 0 for r in out.values())
+
+
+def test_cms_forced_collisions_still_bounded(spark):
+    """Squeeze many keys into a tiny sketch: estimates may overshoot
+    but never undershoot, and the min-over-rows bound holds (est ≤
+    exact + total stream length)."""
+    from lol_data_collection_system_spark.operators.sketches import (
+        cms_estimates,
+    )
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(i % 5 + 1)]
+    terms = spark.createDataFrame(rows, "term string")
+    total = len(rows)
+    for r in cms_estimates(terms, width=8, depth=2).collect():
+        assert r["cms_est"] >= r["exact_freq"]
+        assert r["cms_est"] <= r["exact_freq"] + total
