@@ -1215,7 +1215,8 @@ _FRONT: tuple[str, ...] = (
     # embedding_pca_components, embedding_pca_scores, cdc_chunk_dups,
     # source_drift_psi, bpe_fertility_by_source, embedding_drift_psi,
     # knn_triangle_stats, event_funnel, cohort_retention,
-    # order_price_percentiles, order_rollup_counts, classifier_cv_eval.
+    # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
+    # cms_frequency_estimates, ann_recall_eval, embedding_kcenter.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

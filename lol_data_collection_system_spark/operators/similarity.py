@@ -761,3 +761,98 @@ def ann_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985) in cosine
+    space — the coreset-selection primitive behind diversity-maximizing
+    curation (pick k exemplars such that every vector is close to one of
+    them; a 2-approximation of the optimal k-center cover).
+
+    Returns one row per selected exemplar: ``(sel_round, vec_id,
+    gap_sim)`` where ``gap_sim`` is the point's best similarity to the
+    already-selected set at the moment it was picked (NULL for the seed)
+    — monotonically non-decreasing, so it doubles as the coverage-radius
+    curve for choosing k.
+
+    Scale shape (the kmeans/BPE discipline):
+
+    - State is one ``best_sim`` column on the corpus — each round updates
+      it against ONLY the newly-picked center (k cosines per point total,
+      not k² — the standard incremental farthest-first recurrence).
+    - The next center is a 1-row ``min(struct(best_sim, id))`` aggregate
+      (map-combined partial min; the driver never sees the corpus) that
+      joins back as a broadcast single row. No ``collect()`` in the loop.
+    - Picked points set ``best_sim = 2.0`` (> any cosine), excluding them
+      from later argmins without an anti-join.
+    - Rounds are lazily localCheckpoint'd: k is small and fixed, and the
+      update→argmin cycle would otherwise double the plan per round.
+
+    Determinism: cosines round to 6 dp and ties break toward the smaller
+    id (the family's standard contract), so the selection is reproducible
+    across partitionings and engines — the DuckDB oracle unrolls the same
+    k rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # Seed = smallest id (engine-portable, mirrors kmeans' id<k seeding).
+    state = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.lit(-2.0).alias("best_sim"),  # below any cosine
+    )
+    seed = state.select(F.min(F.struct("id", "vec")).alias("s")).select(
+        F.col("s.id").alias("pick_id"),
+        F.col("s.vec").alias("pick_vec"),
+        F.lit(None).cast("double").alias("gap_sim"),
+        F.lit(0).cast("int").alias("sel_round"),
+    )
+    picks = [seed.select("sel_round", "pick_id", "gap_sim")]
+    pick = seed
+    for r in range(1, k):
+        # Fold the new center into the running best-similarity state.
+        state = state.crossJoin(
+            F.broadcast(pick.select("pick_id", "pick_vec"))
+        ).select(
+            "id",
+            "vec",
+            F.when(F.col("id") == F.col("pick_id"), F.lit(2.0))
+            .otherwise(
+                F.greatest(
+                    F.col("best_sim"),
+                    F.round(cosine(F.col("vec"), F.col("pick_vec")), 6),
+                )
+            )
+            .alias("best_sim"),
+        )
+        if checkpoint_rounds:
+            state = state.localCheckpoint(eager=False)
+        # Farthest point = least similar to the selected set; 1-row agg.
+        pick = state.select(
+            F.min(F.struct("best_sim", "id", "vec")).alias("s")
+        ).select(
+            F.col("s.id").alias("pick_id"),
+            F.col("s.vec").alias("pick_vec"),
+            F.col("s.best_sim").alias("gap_sim"),
+            F.lit(r).cast("int").alias("sel_round"),
+        )
+        picks.append(pick.select("sel_round", "pick_id", "gap_sim"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    # k > |corpus|: once every point is selected, the argmin can only
+    # return an already-picked row (best_sim == 2.0 sentinel) — drop
+    # those phantom rounds instead of emitting duplicate exemplars.
+    return out.filter(
+        F.col("gap_sim").isNull() | (F.col("gap_sim") < 1.5)
+    ).select(
+        "sel_round",
+        F.col("pick_id").alias(id_col),
+        "gap_sim",
+    )

@@ -388,6 +388,68 @@ HAVING sum(h.all_hit) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# k-center coreset selection (farthest-first exemplars)
+# ---------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def q_embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center exemplar selection over the embedding corpus —
+    diversity-maximizing coreset picking (the dual of SemDeDup: instead
+    of dropping near-duplicates, keep the k points that best SPREAD over
+    the space). ``gap_sim`` is the coverage curve: the similarity of each
+    pick to the already-selected set at selection time.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.kcenter_select(emb, k=KCENTER_K)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-first rounds (same trick as the kmeans oracle):
+    per round, fold the last pick into the running best-similarity state
+    and take the (best_sim, id)-min row. Cosine = ordered list_dot_product
+    rounded to 6 dp — the family's cross-engine contract."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "p0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1)",
+        "b1 AS (SELECT e.id, e.v, CASE WHEN e.id = p.id THEN 2.0 ELSE "
+        + cos("e.v", "p.v")
+        + " END AS bs FROM e CROSS JOIN p0 p)",
+    ]
+    for r in range(1, KCENTER_K):
+        parts.append(
+            f"p{r} AS (SELECT id, v, bs FROM b{r} ORDER BY bs, id LIMIT 1)"
+        )
+        if r < KCENTER_K - 1:
+            parts.append(
+                f"b{r + 1} AS (SELECT b.id, b.v, "
+                "CASE WHEN b.id = p.id THEN 2.0 ELSE greatest(b.bs, "
+                + cos("b.v", "p.v")
+                + f") END AS bs FROM b{r} b CROSS JOIN p{r} p)"
+            )
+    selects = [
+        "SELECT CAST(0 AS INT) AS sel_round, id AS vec_id,"
+        " CAST(NULL AS DOUBLE) AS gap_sim FROM p0"
+    ]
+    for r in range(1, KCENTER_K):
+        selects.append(
+            f"SELECT CAST({r} AS INT), id, bs FROM p{r}"
+        )
+    return (
+        ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_doc_weights": q_dsir_doc_weights,
     "dsir_sample": q_dsir_sample,
@@ -395,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_rp_topk": q_embedding_rp_topk,
     "embedding_rp_recall": q_embedding_rp_recall,
     "bloom_decontamination": q_bloom_decontamination,
+    "embedding_kcenter": q_embedding_kcenter,
 }
 
 ORACLES: dict[str, str] = {
@@ -404,4 +467,5 @@ ORACLES: dict[str, str] = {
     "embedding_rp_topk": _rp_topk_oracle(),
     "embedding_rp_recall": _rp_recall_oracle(),
     "bloom_decontamination": _decon_oracle(),
+    "embedding_kcenter": _kcenter_oracle(),
 }

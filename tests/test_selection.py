@@ -348,3 +348,76 @@ def test_might_contain_rejects_colliding_columns(spark):
     )
     assert {"k", "might_match", "blocked"} <= set(out.columns)
     assert out.collect()[0].blocked is True
+
+
+def test_kcenter_matches_python_greedy_and_is_monotone(spark):
+    """Farthest-first twin: the Spark selection must equal a pure-Python
+    greedy with the same 6-dp-rounded cosine and (best_sim, id) tie-break,
+    and the coverage curve (gap_sim) must be non-decreasing."""
+    import math
+
+    from lol_data_collection_system_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0],       # near 1
+        3: [-1.0, 0.05, 0.0],     # opposite pole
+        4: [0.0, 1.0, 0.0],       # orthogonal
+        5: [0.0, -1.0, 0.2],
+        6: [0.57, 0.57, 0.59],
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    k = 4
+    best = {i: -2.0 for i in vecs}
+    picks, gaps = [min(vecs)], [None]
+    for _ in range(1, k):
+        p = picks[-1]
+        for i in vecs:
+            best[i] = 2.0 if i in picks else max(best[i], cos(vecs[i], vecs[p]))
+        nxt = min((b, i) for i, b in best.items())
+        picks.append(nxt[1])
+        gaps.append(nxt[0])
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = kcenter_select(df, k=k).orderBy("sel_round").collect()
+    assert [r.vec_id for r in got] == picks
+    assert got[0].gap_sim is None
+    got_gaps = [r.gap_sim for r in got[1:]]
+    assert got_gaps == pytest.approx(gaps[1:], abs=1e-9)
+    assert all(a <= b + 1e-12 for a, b in zip(got_gaps, got_gaps[1:]))
+
+
+def test_kcenter_k_exceeding_corpus_and_k1(spark):
+    from lol_data_collection_system_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    one = kcenter_select(df, k=1).collect()
+    assert len(one) == 1 and one[0].vec_id == 1
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+
+
+def test_kcenter_k_beyond_corpus_emits_no_phantom_rounds(spark):
+    from lol_data_collection_system_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    got = kcenter_select(df, k=5).orderBy("sel_round").collect()
+    assert [r.vec_id for r in got] == [1, 2]  # every point once, no dups
