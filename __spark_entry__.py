@@ -35,6 +35,7 @@ from lol_data_collection_system_spark.plans import (
     corpus_pipeline,
     corpus_queries,
     domain_queries,
+    linkage_queries,
     pipeline_queries,
     selection_queries,
 )
@@ -1139,6 +1140,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **corpus_queries.QUERIES,
     **corpus_pipeline.QUERIES,
     **domain_queries.QUERIES,
+    **linkage_queries.QUERIES,
     **pipeline_queries.QUERIES,
     **selection_queries.QUERIES,
 }
@@ -1216,7 +1218,8 @@ _FRONT: tuple[str, ...] = (
     # source_drift_psi, bpe_fertility_by_source, embedding_drift_psi,
     # knn_triangle_stats, event_funnel, cohort_retention,
     # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
-    # cms_frequency_estimates, ann_recall_eval, embedding_kcenter.
+    # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
+    # fuzzy_part_linkage.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1281,6 +1284,7 @@ _ORACLES: dict[str, str] = {
     **corpus_queries.ORACLES,
     **corpus_pipeline.ORACLES,
     **domain_queries.ORACLES,
+    **linkage_queries.ORACLES,
     **pipeline_queries.ORACLES,
     **selection_queries.ORACLES,
 }
