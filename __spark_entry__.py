@@ -989,6 +989,58 @@ FROM cell JOIN sz USING (c)
 """
 
 
+EWMA_TOPK = 20
+EWMA_WINDOW = 24
+
+
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-rate spikes: hourly buckets whose count most exceeds
+    the α=1/2 EWMA of the previous 24 buckets on a DENSIFIED per-type
+    grid (silent hours decay the rate; see
+    operators/windows.ewma_anomaly_topk for the integer-exact Horner
+    numerator that makes both engines agree bit-for-bit)."""
+    events = _t(spark, sf_dir, "events")
+    return window_ops.ewma_anomaly_topk(
+        events, "event_type", "ts", k=EWMA_TOPK, window=EWMA_WINDOW
+    )
+
+
+ORACLE_EVENT_RATE_ANOMALIES = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx FROM events),
+types AS (SELECT DISTINCT event_type AS g FROM events),
+grid AS (
+  SELECT t.g, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS b
+  FROM types t CROSS JOIN bounds b),
+cnts AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2),
+dense AS (
+  SELECT grid.g, grid.b, CAST(coalesce(cnts.c, 0) AS BIGINT) AS c
+  FROM grid LEFT JOIN cnts ON grid.g = cnts.g AND grid.b = cnts.b),
+win AS (
+  SELECT g, b, c,
+         list_reverse(list(c) OVER (
+           PARTITION BY g ORDER BY b
+           ROWS BETWEEN {EWMA_WINDOW} PRECEDING AND 1 PRECEDING)) AS prev
+  FROM dense),
+sc AS (
+  SELECT g, epoch_ms(b) AS bucket_ms, c,
+         CASE WHEN len(prev) = 0 THEN CAST(0 AS BIGINT)
+              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), prev),
+                               (acc, x) -> acc * 2 + x) END AS num,
+         (CAST(1 AS BIGINT) << len(prev)) - 1 AS den
+  FROM win)
+SELECT g AS event_type, bucket_ms, c AS cnt,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS decayed_prev,
+       round(CAST(c AS DOUBLE) / (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)),
+             6) AS ratio
+FROM sc WHERE num > 0
+ORDER BY ratio DESC, event_type, bucket_ms LIMIT {EWMA_TOPK}
+"""
+
+
 # §2.2 P15 — trailing time-window filter (monitor/views/ratelimit.py:88-95)
 def q_last_week_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -1129,6 +1181,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "event_pair_affinity": q_event_pair_affinity,
+    "event_rate_anomalies": q_event_rate_anomalies,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1219,7 +1272,7 @@ _FRONT: tuple[str, ...] = (
     # knn_triangle_stats, event_funnel, cohort_retention,
     # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
-    # fuzzy_part_linkage.
+    # fuzzy_part_linkage, event_rate_anomalies.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1273,6 +1326,7 @@ _ORACLES: dict[str, str] = {
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
+    "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

@@ -129,3 +129,92 @@ def sessionize(
     out = df.withColumn("_new", new_sess)
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
     return out.withColumn("session_id", F.sum("_new").over(w_cum)).drop("_new")
+
+
+def ewma_anomaly_topk(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    k: int = 20,
+    window: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Top-k rate anomalies per group: buckets whose event count most
+    exceeds the exponentially-decayed trailing rate (EWMA, α=1/2) of the
+    previous `window` buckets — the streaming-monitoring classic
+    (spike/outage detection on event volumes) as one batch plan.
+
+    Scale + determinism shape:
+
+    - The bucket grid is DENSIFIED (groups × sequence(min..max bucket))
+      so silent buckets count as zero — an EWMA that only sees non-empty
+      buckets never decays and misses every post-lull spike. Grid size
+      is time-span × |groups|, independent of row count.
+    - The decayed rate is computed EXACTLY in integers: with α=1/2 the
+      trailing weights are 2^(n-1-j), so the weighted sum is a Horner
+      fold (`acc*2 + x`) over the previous-`window` counts — BIGINT all
+      the way, one final double division by (2^n − 1). No float
+      accumulation order anywhere, so both engines agree bit-for-bit.
+    - Output is `orderBy(...).limit(k)` — TakeOrderedAndProject, never a
+      global window over the grid.
+
+    Returns (group, bucket_ms, cnt, decayed_prev, ratio) rows, ratio
+    rounded to 6 dp, ordered by (ratio desc, group, bucket_ms).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    cnts = df.select(F.col(group_col).alias("g"), b.alias("b")).groupBy(
+        "g", "b"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = df.select(
+        F.date_trunc(bucket, F.min(ts_col)).alias("mn"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("mx"),
+    )
+    groups = df.select(F.col(group_col).alias("g")).distinct()
+    grid = groups.crossJoin(F.broadcast(bounds)).select(
+        "g",
+        F.explode(
+            F.sequence(
+                F.col("mn"), F.col("mx"), F.expr(f"interval 1 {bucket}")
+            )
+        ).alias("b"),
+    )
+    dense = grid.join(cnts, ["g", "b"], "left").select(
+        "g", "b", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(-window, -1)
+    )
+    # newest-first so Horner gives the newest bucket the largest weight
+    prev = F.reverse(F.collect_list("c").over(w))
+    with_prev = dense.withColumn("prev", prev)
+    num = F.aggregate(
+        F.col("prev"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * F.lit(2).cast("bigint") + x,
+    )
+    den = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), size(prev)) - CAST(1 AS BIGINT)"
+    )
+    scored = (
+        with_prev.withColumn("num", num)
+        .withColumn("den", den)
+        .filter(F.col("num") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            F.unix_millis("b").alias("bucket_ms"),
+            F.col("c").alias("cnt"),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("decayed_prev"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("num").cast("double") / F.col("den").cast("double")),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ratio").desc(), F.col(group_col), F.col("bucket_ms")
+    ).limit(k)

@@ -1,0 +1,72 @@
+"""EWMA rate-anomaly operator tests (operators/windows.ewma_anomaly_topk)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from lol_data_collection_system_spark.operators.windows import (
+    ewma_anomaly_topk,
+)
+
+H0 = dt.datetime(2024, 1, 1, 0, 30)
+
+
+def _events(spark, spec):
+    """spec: list of (type, hour_offset, n_events)."""
+    rows = []
+    for typ, h, n in spec:
+        for i in range(n):
+            rows.append((typ, H0 + dt.timedelta(hours=h, seconds=i)))
+    return spark.createDataFrame(rows, ["event_type", "ts"])
+
+
+def test_spike_ranks_first_with_exact_ewma(spark):
+    """Flat rate 2/hour then a 50-burst: decayed_prev is exactly
+    2*(2^4+...+1)/(2^5-1) = 2.0 and the ratio 25.0 — the integer Horner
+    numerator hand-checked."""
+    df = _events(spark, [("a", h, 2) for h in range(5)] + [("a", 5, 50)])
+    top = ewma_anomaly_topk(df, "event_type", "ts", k=3).collect()
+    assert top[0].event_type == "a" and top[0].cnt == 50
+    assert top[0].decayed_prev == pytest.approx(2.0)
+    assert top[0].ratio == pytest.approx(25.0)
+
+
+def test_silent_hours_decay_through_densified_grid(spark):
+    """3 events, then 4 silent hours, then 1 event: the EWMA must have
+    decayed to 3/31 (zeros fill the grid), making a single event a
+    10.3x anomaly. Without densification the decayed rate would still
+    be 3 and the ratio 1/3."""
+    df = _events(
+        spark,
+        [("a", h, 2) for h in range(6)]  # anchor type spans the grid
+        + [("b", 0, 3), ("b", 5, 1)],
+    )
+    rows = {
+        (r.event_type, r.cnt): r
+        for r in ewma_anomaly_topk(df, "event_type", "ts", k=20).collect()
+    }
+    b = rows[("b", 1)]
+    assert b.decayed_prev == pytest.approx(round(3 / 31, 6))
+    assert b.ratio == pytest.approx(round(1 / (3 / 31), 6))
+
+
+def test_first_bucket_and_empty_history_are_excluded(spark):
+    df = _events(spark, [("a", 0, 5), ("a", 1, 5)])
+    got = ewma_anomaly_topk(df, "event_type", "ts", k=10).collect()
+    # only the second bucket has history; the first (num=0) is dropped
+    assert len(got) == 1
+    assert got[0].decayed_prev == pytest.approx(5.0)
+    assert got[0].ratio == pytest.approx(1.0)
+
+
+def test_window_truncation_drops_old_history(spark):
+    """window=2: only the two previous buckets feed the EWMA —
+    weights 2 and 1 over [h1, h0]."""
+    df = _events(spark, [("a", 0, 6), ("a", 1, 3), ("a", 2, 9)])
+    got = ewma_anomaly_topk(df, "event_type", "ts", k=10, window=2).collect()
+    by_cnt = {r.cnt: r for r in got}
+    # at h2: prev=[6,3] -> num = 3*2 + 6 = 12, den = 3 -> 4.0
+    assert by_cnt[9].decayed_prev == pytest.approx(4.0)
+    assert by_cnt[9].ratio == pytest.approx(2.25)
