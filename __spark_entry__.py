@@ -989,6 +989,69 @@ FROM cell JOIN sz USING (c)
 """
 
 
+def q_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event `value` over time (slope per hour,
+    intercept, r²) — closed-form OLS from exact decimal moments in ONE
+    map-combined pass (`aggregates.linreg_by_group`). x is the integer
+    hour index since the corpus start (centered so the moment products
+    stay small and exact — raw epoch hours squared would throw away the
+    sub-unit digits of the x moments)."""
+    events = _t(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_millis(ts) DIV 3600000")
+    mn = events.select(F.min(hour_idx).alias("mn"))
+    base = events.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        (hour_idx - F.col("mn")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return agg_ops.linreg_by_group(
+        base, ["event_type"], F.col("x"), F.col("y")
+    )
+
+
+ORACLE_EVENT_VALUE_TREND = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 3600000
+              - (SELECT min(epoch_ms(ts) // 3600000) FROM events)
+              AS DOUBLE) AS x,
+         value AS y
+  FROM events),
+snapped AS (
+  SELECT event_type,
+         CAST(x AS DECIMAL(18,6)) AS xd,
+         CAST(y AS DECIMAL(18,6)) AS yd
+  FROM base),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(xd) AS sx, sum(yd) AS sy,
+         sum(xd * yd) AS sxy,
+         sum(xd * xd) AS sxx,
+         sum(yd * yd) AS syy
+  FROM snapped GROUP BY event_type),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m)
+SELECT event_type, n,
+       round(CASE WHEN nd * sxx - sx * sx <> 0
+                  THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 6)
+         AS slope,
+       round(CASE WHEN nd * sxx - sx * sx <> 0
+                  THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+                        * sx) / nd END, 6) AS intercept,
+       round(CASE WHEN nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+                  THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                       / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 6)
+         AS r2
+FROM d
+"""
+
+
 EWMA_TOPK = 20
 EWMA_WINDOW = 24
 
@@ -1182,6 +1245,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
+    "event_value_trend": q_event_value_trend,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1272,7 +1336,8 @@ _FRONT: tuple[str, ...] = (
     # knn_triangle_stats, event_funnel, cohort_retention,
     # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
-    # fuzzy_part_linkage, event_rate_anomalies.
+    # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
+    # curriculum_pack.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1327,6 +1392,7 @@ _ORACLES: dict[str, str] = {
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
+    "event_value_trend": ORACLE_EVENT_VALUE_TREND,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

@@ -178,3 +178,63 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col("_e.n_distinct").alias("n_distinct"),
         )
     )
+
+
+def linreg_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    x_scale: int = 6,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (slope / intercept / r²) from
+    closed-form moments — distributed trend detection (volume ramps,
+    quality drift over time) in ONE map-combined aggregation pass.
+
+    The five sufficient moments (n, Σx, Σy, Σxy, Σx², Σy²) are DECIMAL
+    sums of grid-snapped inputs (x, y quantized to `x_scale`/`y_scale`
+    decimals first) — exact and order-free, the `fit_pca`/`cluster_stats`
+    discipline — so every group's fit is bit-identical across
+    partitionings and engines. The closed forms then run as one fixed
+    sequence of double ops (identical in the oracle), rounded to 6 dp.
+
+    Degenerate groups (all x equal: zero variance) emit NULL slope/
+    intercept/r²; a zero-variance y with varying x emits slope 0 and
+    NULL r² (r² is 0/0 there).
+
+    At 100 TB this is the cheapest possible shape: no shuffle beyond one
+    partial-agg row per (group, mapper); never a sort, never a window.
+    """
+    # decimal(18,s) × decimal(18,s) → decimal(37, 2s): fits the 38-digit
+    # cap with NO precision-loss truncation (a 28-digit operand would
+    # overflow the product type and silently round — engine-divergent).
+    xd = x.cast("double").cast(f"decimal(18,{x_scale})")
+    yd = y.cast("double").cast(f"decimal(18,{y_scale})")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = F.when(den_x != 0, (sy - (num / den_x) * sx) / n)
+    r2 = F.when((den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y))
+    return m.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

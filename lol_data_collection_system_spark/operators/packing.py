@@ -50,22 +50,33 @@ def pack_sequences(
     salt: str = "",
     num_partitions: int | None = None,
     checkpoint: bool = True,
+    order_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """(chunk_id, doc_id, tok_start, tok_end): the half-open within-doc
     token span each context window takes from each document, where the
     token stream is all documents concatenated in `pack_order`. A doc
     longer than the remaining room in a chunk spills into the next
     (standard pretraining packing — no padding, no truncation).
+
+    ``order_expr`` overrides the hash order with a caller-supplied sort
+    key over `docs`' columns (ties still break by id) — curriculum
+    ordering (easy-first by model score), length-grouped packing, or any
+    other deterministic schedule reuses the same two-phase prefix sum.
     """
     # whitespace-split of an empty string is [''] (size 1) in every
     # engine — count a blank doc as zero tokens explicitly
     n_tok = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
     ).otherwise(token_count(F.col(text_col)))
+    ord_col = (
+        order_expr
+        if order_expr is not None
+        else pack_order(F.col(id_col), salt)
+    )
     ordered = docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("bigint").alias("n_tok"),
-        pack_order(F.col(id_col), salt).alias("ord"),
+        ord_col.alias("ord"),
     )
     if num_partitions:
         ranged = ordered.repartitionByRange(num_partitions, "ord", "doc_id")

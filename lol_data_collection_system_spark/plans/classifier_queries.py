@@ -456,6 +456,71 @@ FROM ranked WHERE rank_in_group <= {SRC_CAP}
 """
 
 
+CURR_SEQ_LEN = 512
+
+
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered sequence packing: train the quality
+    classifier, score every document, concatenate the corpus
+    HIGHEST-SCORE-FIRST (easy/clean-first curriculum), and cut into
+    fixed context windows — the train→score→schedule→pack composition a
+    pretraining data pipeline actually ships. Pure composition of
+    audited parts; `pack_sequences`' two-phase prefix sum runs over the
+    score order via its ``order_expr`` hook."""
+    from ..operators import packing as packing_ops
+
+    feats, weights = _feats_trained(spark, sf_dir)
+    scored = clf_ops.logreg_score(feats, weights, list(CLF_FEATURES)).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    docs = load_table(spark, sf_dir, "documents").join(scored, "doc_id")
+    return packing_ops.pack_sequences(
+        docs,
+        "doc_id",
+        "text",
+        CURR_SEQ_LEN,
+        order_expr=-F.col("score"),
+    )
+
+
+def _curriculum_pack_oracle() -> str:
+    parts = _train_ctes()
+    p = _p_sql(f"w_{CLF_ITERS}")
+    parts.append(
+        f"scored AS (\n  SELECT doc_id, round({p}, 6) AS score"
+        f" FROM feats, w_{CLF_ITERS})"
+    )
+    parts.append(
+        f"""ordered AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tok,
+         -score AS ord
+  FROM documents JOIN scored USING (doc_id))"""
+    )
+    parts.append(
+        """placed AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM ordered WHERE n_tok > 0)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT chunk_id, doc_id,
+       CAST(GREATEST(chunk_id * {CURR_SEQ_LEN} - start, 0) AS BIGINT)
+         AS tok_start,
+       CAST(LEAST((chunk_id + 1) * {CURR_SEQ_LEN} - start, n_tok) AS BIGINT)
+         AS tok_end
+FROM placed,
+     unnest(generate_series(CAST(start // {CURR_SEQ_LEN} AS BIGINT),
+       CAST((start + n_tok - 1) // {CURR_SEQ_LEN} AS BIGINT)))
+       AS t(chunk_id)"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_weights": q_quality_classifier_weights,
     "quality_classifier_scores": q_quality_classifier_scores,
@@ -463,6 +528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "source_capped_docs": q_source_capped_docs,
     "classifier_cv_eval": q_classifier_cv_eval,
+    "curriculum_pack": q_curriculum_pack,
 }
 
 ORACLES: dict[str, str] = {
@@ -472,4 +538,5 @@ ORACLES: dict[str, str] = {
     "quality_weighted_sample": _weighted_sample_oracle(),
     "source_capped_docs": _source_cap_oracle(),
     "classifier_cv_eval": _cv_oracle(),
+    "curriculum_pack": _curriculum_pack_oracle(),
 }

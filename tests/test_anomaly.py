@@ -70,3 +70,60 @@ def test_window_truncation_drops_old_history(spark):
     # at h2: prev=[6,3] -> num = 3*2 + 6 = 12, den = 3 -> 4.0
     assert by_cnt[9].decayed_prev == pytest.approx(4.0)
     assert by_cnt[9].ratio == pytest.approx(2.25)
+
+
+def test_linreg_matches_numpy_and_handles_degenerates(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.aggregates import (
+        linreg_by_group,
+    )
+
+    pts = {
+        "up": [(0.0, 1.0), (1.0, 3.0), (2.0, 5.25), (3.0, 6.75)],
+        "flat_y": [(0.0, 2.0), (1.0, 2.0), (2.0, 2.0)],
+        "flat_x": [(4.0, 1.0), (4.0, 2.0), (4.0, 3.0)],
+    }
+    rows = [(g, x, y) for g, xy in pts.items() for x, y in xy]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {
+        r.g: r
+        for r in linreg_by_group(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+
+    xs, ys = zip(*pts["up"])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert got["up"].slope == pytest.approx(round(float(slope), 6), abs=2e-6)
+    assert got["up"].intercept == pytest.approx(
+        round(float(intercept), 6), abs=2e-6
+    )
+    assert got["up"].r2 == pytest.approx(round(float(r * r), 6), abs=2e-6)
+
+    assert got["flat_y"].slope == 0.0          # zero y-variance: flat fit
+    assert got["flat_y"].r2 is None            # 0/0 correlation
+    assert got["flat_x"].slope is None         # zero x-variance: no fit
+    assert got["flat_x"].intercept is None
+
+
+def test_linreg_is_partition_invariant(spark):
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.aggregates import (
+        linreg_by_group,
+    )
+
+    rows = [("a", float(i % 17), float((i * 7) % 23) / 3.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    one = linreg_by_group(
+        df.coalesce(1), ["g"], F.col("x"), F.col("y")
+    ).collect()[0]
+    many = linreg_by_group(
+        df.repartition(13), ["g"], F.col("x"), F.col("y")
+    ).collect()[0]
+    assert (one.slope, one.intercept, one.r2) == (
+        many.slope,
+        many.intercept,
+        many.r2,
+    )

@@ -166,3 +166,32 @@ def test_write_training_shards_rejects_reserved_columns(spark, tmp_path):
         bad = base.withColumn(col, base.doc_id)
         with pytest.raises(ValueError, match=col):
             write_training_shards(bad, str(tmp_path / "x"), n_shards=2)
+
+
+def test_pack_sequences_order_expr_overrides_hash_order(spark):
+    """Curriculum hook: with order_expr the token stream follows the
+    caller's schedule (here: score descending), not the salt hash."""
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        (1, "a b c", 0.2),
+        (2, "d e f g", 0.9),   # best doc -> must open chunk 0
+        (3, "h i", 0.5),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    out = pack_sequences(
+        docs, "doc_id", "text", seq_len=4, order_expr=-F.col("score")
+    ).collect()
+    chunk0 = sorted(
+        [r for r in out if r.chunk_id == 0], key=lambda r: r.tok_start
+    )
+    # stream order: doc2 (4 toks) fills chunk 0; doc3 then doc1 follow
+    assert [r.doc_id for r in chunk0] == [2]
+    chunk1 = sorted(
+        [r for r in out if r.chunk_id == 1], key=lambda r: (r.doc_id,)
+    )
+    assert {r.doc_id for r in chunk1} == {1, 3}
