@@ -989,6 +989,56 @@ FROM cell JOIN sz USING (c)
 """
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | current_type) with counts — the
+    order-SENSITIVE complement of `event_pair_affinity`'s co-occurrence
+    view (lag window per user; ms+event_id total order so both engines
+    walk identical sequences). Per-state totals come from a tiny
+    states×states aggregate self-join, never a window over the counts."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("prob"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (
+  SELECT prev_type, sum(n_transitions) AS n_from FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type,
+       CAST(p.n_transitions AS BIGINT) AS n_transitions,
+       round(CAST(p.n_transitions AS DOUBLE) / n_from, 6) AS prob
+FROM pairs p JOIN totals USING (prev_type)
+"""
+
+
 def q_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type linear trend of event `value` over time (slope per hour,
     intercept, r²) — closed-form OLS from exact decimal moments in ONE
@@ -1246,6 +1296,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
+    "event_transition_matrix": q_event_transition_matrix,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1337,7 +1388,7 @@ _FRONT: tuple[str, ...] = (
     # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
-    # curriculum_pack.
+    # curriculum_pack, event_transition_matrix.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1393,6 +1444,7 @@ _ORACLES: dict[str, str] = {
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

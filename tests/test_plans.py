@@ -834,3 +834,40 @@ def test_pca_moment_pass_partial_agg(spark):
     plan = cross._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1  # one shuffle, keyed by (i, j)
+
+
+def test_linreg_trend_single_agg_no_window(spark):
+    """The OLS moments must plan as ONE partial+final hash-aggregate
+    pair with no Sort/Window anywhere — the cheapest possible shape for
+    a full-corpus trend fit."""
+    plan = _plan(spark, "event_value_trend")
+    assert "Window" not in plan and "Sort" not in plan
+    assert "partial_sum" in plan  # map-side combine on the moment sums
+    # all six moments ride ONE grouped aggregation — no second pass
+    # over the data (the only other aggregate is the 1-row global min)
+    assert "partial_count(1), partial_sum" in plan
+
+
+def test_ewma_anomaly_take_ordered(spark):
+    """Top-k spike selection must be TakeOrderedAndProject over the
+    scored grid, never a global sort."""
+    plan = _plan(spark, "event_rate_anomalies")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_transition_matrix_broadcast_totals(spark):
+    """Per-state totals join back as a broadcast of the states×states
+    counts frame — the probability division must not shuffle the pair
+    frame a second time."""
+    plan = _plan(spark, "event_transition_matrix")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_linkage_blocking_is_equi_join(spark):
+    """The linkage candidate stage must be a gram equi-join (hash or
+    sort-merge), with the levenshtein verify AFTER blocking — no
+    cartesian, no BroadcastNestedLoop over the vocabularies."""
+    plan = _plan(spark, "fuzzy_part_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
