@@ -131,18 +131,18 @@ def sessionize(
     return out.withColumn("session_id", F.sum("_new").over(w_cum)).drop("_new")
 
 
-def ewma_anomaly_topk(
+def ewma_scores(
     df: DataFrame,
     group_col: str,
     ts_col: str,
-    k: int = 20,
     window: int = 24,
     bucket: str = "hour",
 ) -> DataFrame:
-    """Top-k rate anomalies per group: buckets whose event count most
-    exceeds the exponentially-decayed trailing rate (EWMA, α=1/2) of the
-    previous `window` buckets — the streaming-monitoring classic
-    (spike/outage detection on event volumes) as one batch plan.
+    """EWMA anomaly score for EVERY bucket with non-zero history —
+    the full scored grid behind `ewma_anomaly_topk` (and the batch twin
+    of `streaming/anomaly.ewma_stream`): event count vs the
+    exponentially-decayed trailing rate (α=1/2) of the previous
+    `window` buckets.
 
     Scale + determinism shape:
 
@@ -155,11 +155,8 @@ def ewma_anomaly_topk(
       fold (`acc*2 + x`) over the previous-`window` counts — BIGINT all
       the way, one final double division by (2^n − 1). No float
       accumulation order anywhere, so both engines agree bit-for-bit.
-    - Output is `orderBy(...).limit(k)` — TakeOrderedAndProject, never a
-      global window over the grid.
-
     Returns (group, bucket_ms, cnt, decayed_prev, ratio) rows, ratio
-    rounded to 6 dp, ordered by (ratio desc, group, bucket_ms).
+    rounded to 6 dp, unordered.
     """
     b = F.date_trunc(bucket, F.col(ts_col))
     cnts = df.select(F.col(group_col).alias("g"), b.alias("b")).groupBy(
@@ -215,6 +212,22 @@ def ewma_anomaly_topk(
             ).alias("ratio"),
         )
     )
+    return scored
+
+
+def ewma_anomaly_topk(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    k: int = 20,
+    window: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Top-k rate anomalies per group — `ewma_scores` followed by
+    `orderBy(...).limit(k)` (TakeOrderedAndProject, never a global
+    window over the grid), ordered by (ratio desc, group, bucket_ms).
+    """
+    scored = ewma_scores(df, group_col, ts_col, window=window, bucket=bucket)
     return scored.orderBy(
         F.col("ratio").desc(), F.col(group_col), F.col("bucket_ms")
     ).limit(k)

@@ -1,0 +1,155 @@
+"""Streaming EWMA rate-anomaly scoring — the live twin of
+`operators/windows.ewma_scores` (T2-style custom stateful operator).
+
+Per group, `applyInPandasWithState` holds exactly the state the batch
+recurrence needs: the next bucket still open, its accumulated count, and
+the trailing closed-bucket counts (≤ `window` of them). A bucket closes
+when a strictly later bucket arrives for the group; closing emits the
+scored row using the SAME integer Horner numerator as the batch plan
+(BIGINT fold, one double division), then pushes the count into the
+trailing history. Gap buckets between the closed bucket and the next
+observed one are synthesized as zeros — the batch op's densified grid,
+reproduced incrementally — and scored/emitted too.
+
+Semantics vs batch (documented, pinned by the stream==batch test):
+
+- The stream scores each group's buckets from that group's FIRST
+  observed bucket; the batch grid spans the GLOBAL min..max. Groups
+  born late have no synthetic leading zeros on the stream side.
+- The newest (still-open) bucket per group is never emitted — it closes
+  when a later one arrives. The batch side scores it immediately.
+- Rows arriving for an already-closed bucket are dropped (the watermark
+  analog; state retention is the closure policy here).
+
+State is O(window) longs per group — the state store scales with
+|groups|, never with row volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("g", T.StringType()),
+        T.StructField("bucket_ms", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("decayed_prev", T.DoubleType()),
+        T.StructField("ratio", T.DoubleType()),
+    ]
+)
+
+#: (next open bucket index, its accumulated count, trailing closed
+#: counts oldest→newest)
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("pending_bucket", T.LongType()),
+        T.StructField("pending_count", T.LongType()),
+        T.StructField("trailing", T.ArrayType(T.LongType())),
+    ]
+)
+
+_BUCKET_MS = {"hour": 3_600_000, "minute": 60_000, "day": 86_400_000}
+
+
+def _score(cnt: int, trailing: list[int]) -> tuple[float, float] | None:
+    """The batch recurrence on one bucket: Horner over newest-first
+    trailing counts (integer-exact), None when there is no history."""
+    num = 0
+    for x in reversed(trailing):  # newest first -> largest weight
+        num = num * 2 + x
+    if num <= 0:
+        return None
+    den = (1 << len(trailing)) - 1
+    decayed = num / den
+    return round(decayed, 6), round(cnt / decayed, 6)
+
+
+def ewma_stream(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    window: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Streaming per-bucket EWMA anomaly scores (see module docstring
+    for the exact batch-parity contract)."""
+    bucket_ms = _BUCKET_MS[bucket]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            pending_b, pending_c, trailing = state.get
+            trailing = list(trailing)
+        else:
+            pending_b, pending_c, trailing = None, 0, []
+
+        # per-bucket counts in this batch
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            idx = (
+                pdf[ts_col].astype("int64") // 1_000_000 // bucket_ms
+            )
+            for b, c in idx.value_counts().items():
+                batch[int(b)] = batch.get(int(b), 0) + int(c)
+        if not batch:
+            state.update((pending_b, pending_c, trailing))
+            yield pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype=object),
+                    "bucket_ms": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "decayed_prev": pd.Series([], dtype=float),
+                    "ratio": pd.Series([], dtype=float),
+                }
+            )
+            return
+
+        if pending_b is None:
+            pending_b = min(batch)
+
+        out_rows = []
+        last = max(max(batch), pending_b)
+        # close every bucket strictly before the newest observed one,
+        # synthesizing zero counts for the silent gaps (the densified
+        # grid, incrementally)
+        b = pending_b
+        while b < last:
+            cnt = pending_c + batch.pop(b, 0) if b == pending_b else batch.pop(b, 0)
+            scored = _score(cnt, trailing)
+            if scored is not None:
+                out_rows.append((g, b * bucket_ms, cnt, *scored))
+            trailing.append(cnt)
+            if len(trailing) > window:
+                trailing = trailing[-window:]
+            b += 1
+        pending_c = (pending_c if pending_b == last else 0) + batch.pop(
+            last, 0
+        )
+        pending_b = last
+        # anything left in `batch` was below the closure line: late rows
+        # for already-closed buckets — dropped by policy.
+        state.update((pending_b, pending_c, trailing))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["g", "bucket_ms", "cnt", "decayed_prev", "ratio"],
+        )
+
+    grouped = events.select(
+        F.col(group_col).cast("string").alias("g"), F.col(ts_col).alias(ts_col)
+    ).groupBy("g")
+    return grouped.applyInPandasWithState(
+        update,
+        EWMA_OUTPUT,
+        EWMA_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    ).withColumnRenamed("g", group_col)

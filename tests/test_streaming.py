@@ -908,3 +908,82 @@ def test_classify_stream_null_and_blank_text_parity(spark, tmp_path):
     assert want[20] == ("novel", -1)  # NULL text never matches
     assert want[21] == ("exact_dup", 4)  # blank == blank by fingerprint
     assert want[22] == ("exact_dup", 1)
+
+
+def test_streaming_ewma_equals_batch_on_closed_buckets(spark, tmp_path):
+    """The streaming EWMA scorer must emit exactly the batch
+    `ewma_scores` rows for every CLOSED bucket (state carries counts and
+    trailing history across micro-batches; gaps are synthesized as
+    zeros), including after a multi-hour silence."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators.windows import ewma_scores
+    from lol_data_collection_system_spark.streaming.anomaly import ewma_stream
+
+    h0 = dt.datetime(2024, 3, 1, 0, 15)
+    rows = []
+    # both groups span the same buckets so batch's global grid == each
+    # group's stream grid; 'b' is silent h2-h4 (gap synthesis)
+    for h, n in [(0, 2), (1, 3), (2, 9), (3, 1), (4, 2), (5, 4), (6, 1)]:
+        for i in range(n):
+            rows.append(("a", h0 + dt.timedelta(hours=h, seconds=i)))
+    for h, n in [(0, 4), (1, 1), (5, 7), (6, 1)]:
+        for i in range(n):
+            rows.append(("b", h0 + dt.timedelta(hours=h, seconds=i)))
+
+    schema = T2.StructType(
+        [
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("ts", T2.TimestampType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "ewma_src"
+    out_dir = tmp_path / "ewma_out"
+    ckpt = tmp_path / "ewma_ckpt"
+    src.mkdir()
+    # split by time into two files -> two micro-batches; state must
+    # carry the h<=2 history into the h>=3 batch
+    cut = h0 + dt.timedelta(hours=3)
+    spark.createDataFrame(
+        [r for r in rows if r[1] < cut], schema
+    ).coalesce(1).write.json(str(src / "f1"))
+    spark.createDataFrame(
+        [r for r in rows if r[1] >= cut], schema
+    ).coalesce(1).write.json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+
+    def sink(batch_df_, _bid):
+        batch_df_.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        ewma_stream(stream, "event_type", "ts", window=4)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.bucket_ms): (r.cnt, r.decayed_prev, r.ratio)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    scored = ewma_scores(batch_df, "event_type", "ts", window=4).collect()
+    max_bucket = max(r.bucket_ms for r in scored)
+    want = {
+        (r.event_type, r.bucket_ms): (r.cnt, r.decayed_prev, r.ratio)
+        for r in scored
+        if r.bucket_ms < max_bucket  # newest bucket never closes
+    }
+    assert got == want
+    assert len(want) >= 10  # gap buckets for 'b' included
