@@ -1102,6 +1102,57 @@ FROM d
 """
 
 
+ROLL_P = 0.95
+ROLL_WINDOW = 24
+
+
+def q_rolling_p95_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling p95 of the hourly event rate per type (trailing 24
+    buckets, current inclusive) — the SLA-dashboard shape: exact
+    order-statistics over a BOUNDED frame (`array_sort` on ≤24 elements
+    per row), never a partition-global sort
+    (`windows.rolling_percentile`)."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = window_ops.rolling_percentile(
+        hourly,
+        ["event_type"],
+        [F.col("b")],
+        F.col("cnt"),
+        ROLL_WINDOW,
+        ROLL_P,
+        alias="p95",
+    )
+    return out.select(
+        "event_type", F.unix_millis("b").alias("bucket_ms"), "cnt", "p95"
+    )
+
+
+ORACLE_ROLLING_P95_RATE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, b, cnt,
+         list_sort(list(CAST(cnt AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS l
+  FROM hourly),
+sc AS (
+  SELECT event_type, b, cnt, l,
+         {ROLL_P} * (len(l) - 1) AS idx,
+         CAST(floor({ROLL_P} * (len(l) - 1)) AS INT) AS lo
+  FROM win)
+SELECT event_type, epoch_ms(b) AS bucket_ms, cnt,
+       round(l[lo + 1] * (1.0 - (idx - CAST(lo AS DOUBLE)))
+             + l[least(lo + 2, CAST(len(l) AS INT))]
+               * (idx - CAST(lo AS DOUBLE)), 6) AS p95
+FROM sc
+"""
+
+
 EWMA_TOPK = 20
 EWMA_WINDOW = 24
 
@@ -1297,6 +1348,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
     "event_transition_matrix": q_event_transition_matrix,
+    "rolling_p95_rate": q_rolling_p95_rate,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1388,7 +1440,8 @@ _FRONT: tuple[str, ...] = (
     # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
-    # curriculum_pack, event_transition_matrix.
+    # curriculum_pack, event_transition_matrix, classifier_calibration,
+    # rolling_p95_rate.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1445,6 +1498,7 @@ _ORACLES: dict[str, str] = {
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
+    "rolling_p95_rate": ORACLE_ROLLING_P95_RATE,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

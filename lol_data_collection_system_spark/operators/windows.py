@@ -231,3 +231,44 @@ def ewma_anomaly_topk(
     return scored.orderBy(
         F.col("ratio").desc(), F.col(group_col), F.col("bucket_ms")
     ).limit(k)
+
+
+def rolling_percentile(
+    df: DataFrame,
+    partition: list[str],
+    order: list[Column],
+    value: Column,
+    window: int,
+    p: float,
+    alias: str = "rolling_p",
+) -> DataFrame:
+    """Exact percentile of the trailing `window` rows per partition
+    (current row inclusive) — rolling p95/p99 monitoring without ever
+    sorting the partition globally: the only sort is `array_sort` over
+    each row's ≤`window`-element frame, and the linear interpolation
+    (the percentile/quantile_cont convention: rank p·(n−1)) is a fixed
+    double-op sequence identical in the oracle.
+
+    The frame list is O(window) per row — bounded state, the same
+    contract as the EWMA fold; never use this with an unbounded frame
+    (that is `percentile` after a groupBy, a different shape).
+    """
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(value.cast("double")).over(w))
+    out = df.withColumn("_arr", arr)
+    n = F.size("_arr")
+    idx = F.lit(p) * (n - F.lit(1)).cast("double")
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    interp = (
+        F.element_at("_arr", lo + 1) * (F.lit(1.0) - frac)
+        + F.element_at(
+            "_arr", F.least(lo + 2, n)  # hi clamps at the last element
+        )
+        * frac
+    )
+    return out.withColumn(alias, F.round(interp, 6)).drop("_arr")

@@ -456,6 +456,66 @@ FROM ranked WHERE rank_in_group <= {SRC_CAP}
 """
 
 
+CAL_BUCKETS = 10
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: trained scores bucketed into score deciles,
+    each bucket's observed positive rate vs its mean predicted score —
+    the calibration gate behind using classifier scores as sampling
+    WEIGHTS (miscalibrated scores skew every downstream weighted draw).
+    Integer counts + decimal mean of 6-dp scores: engine-exact."""
+    feats, weights = _feats_trained(spark, sf_dir)
+    scored = clf_ops.logreg_score(feats, weights, list(CLF_FEATURES)).select(
+        F.round("score", 6).alias("score"), F.col("y")
+    )
+    b = F.least(
+        F.floor(F.col("score") * CAL_BUCKETS).cast("int"),
+        F.lit(CAL_BUCKETS - 1),
+    )
+    return (
+        scored.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("y").cast("bigint")).alias("n_pos"),
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("_ssum"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(F.col("_ssum").cast("double") / F.col("n"), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n"), 6
+            ).alias("pos_rate"),
+        )
+    )
+
+
+def _calibration_oracle() -> str:
+    parts = _train_ctes()
+    p = _p_sql(f"w_{CLF_ITERS}")
+    parts.append(
+        f"scored AS (\n  SELECT round({p}, 6) AS score, y"
+        f" FROM feats, w_{CLF_ITERS})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(least(floor(score * {CAL_BUCKETS}), {CAL_BUCKETS - 1}) AS INT)
+         AS bucket,
+       count(*) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM scored GROUP BY 1"""
+    )
+
+
 CURR_SEQ_LEN = 512
 
 
@@ -529,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_capped_docs": q_source_capped_docs,
     "classifier_cv_eval": q_classifier_cv_eval,
     "curriculum_pack": q_curriculum_pack,
+    "classifier_calibration": q_classifier_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -539,4 +600,5 @@ ORACLES: dict[str, str] = {
     "source_capped_docs": _source_cap_oracle(),
     "classifier_cv_eval": _cv_oracle(),
     "curriculum_pack": _curriculum_pack_oracle(),
+    "classifier_calibration": _calibration_oracle(),
 }

@@ -127,3 +127,41 @@ def test_linreg_is_partition_invariant(spark):
         many.intercept,
         many.r2,
     )
+
+
+def test_rolling_percentile_matches_numpy(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.windows import (
+        rolling_percentile,
+    )
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["g", "i", "v"]
+    )
+    got = {
+        r.i: r.p
+        for r in rolling_percentile(
+            df, ["g"], [F.col("i")], F.col("v"), window=3, p=0.95, alias="p"
+        ).collect()
+    }
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 2) : i + 1]
+        want = float(np.percentile(frame, 95))  # linear interpolation
+        assert got[i] == pytest.approx(round(want, 6), abs=1e-9), i
+
+
+def test_rolling_percentile_single_row_frame(spark):
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.windows import (
+        rolling_percentile,
+    )
+
+    df = spark.createDataFrame([("a", 0, 4.5)], ["g", "i", "v"])
+    got = rolling_percentile(
+        df, ["g"], [F.col("i")], F.col("v"), window=5, p=0.5, alias="p"
+    ).collect()[0]
+    assert got.p == 4.5
