@@ -914,6 +914,37 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_order_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completion of the multi-level agg surface (ROLLUP above):
+    all four grouping combinations of (priority, status) in ONE Expand
+    pass — counts + exact decimal revenue, NULL cells labeled 'ALL'."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_ORDER_CUBE_TOTALS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 # Event-sequence analytics (operators/funnels.py): the general forms of
 # the reference's stage-count monitor (monitor/views/gathering.py:25-71)
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -1099,6 +1130,66 @@ SELECT event_type, n,
                        / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 6)
          AS r2
 FROM d
+"""
+
+
+DAU_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the rolling-MAU/DAU
+    cardinality classic. Distinct window aggregates don't exist in any
+    engine, and the naive self-join is days×corpus; the scalable rewrite
+    is CONTRIBUTION EXPLOSION: dedupe to (user, active_day) first (the
+    only corpus-sized shuffle, partial-agg'd), explode each such pair
+    into the ≤7 later days it keeps the user 'active' for, and
+    count-distinct per target day — fan-out is a constant ×window on the
+    ALREADY-deduped frame, never on raw events."""
+    events = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    user_days = events.select(
+        F.col("user_id"), day.alias("d")
+    ).distinct()
+    bounds = events.select(F.date_trunc("day", F.max("ts")).alias("mx"))
+    contrib = (
+        user_days.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.col("d")
+                        + F.expr(f"interval {DAU_WINDOW_DAYS - 1} days"),
+                        F.col("mx"),
+                    ),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("target_day"),
+        )
+    )
+    return (
+        contrib.groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.unix_millis("target_day").alias("day_ms"), "active_users"
+        )
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+mx AS (SELECT date_trunc('day', max(ts)) AS mx FROM events),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(
+           d, least(d + INTERVAL {DAU_WINDOW_DAYS - 1} DAY, mx.mx),
+           INTERVAL 1 DAY)) AS target_day
+  FROM user_days CROSS JOIN mx)
+SELECT epoch_ms(target_day) AS day_ms,
+       count(DISTINCT user_id) AS active_users
+FROM contrib GROUP BY 1
 """
 
 
@@ -1341,6 +1432,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "order_price_percentiles": q_order_price_percentiles,
     "order_rollup_counts": q_order_rollup_counts,
+    "order_cube_totals": q_order_cube_totals,
     "user_key_skew": q_user_key_skew,
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
@@ -1349,6 +1441,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_trend": q_event_value_trend,
     "event_transition_matrix": q_event_transition_matrix,
     "rolling_p95_rate": q_rolling_p95_rate,
+    "rolling_active_users": q_rolling_active_users,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1441,7 +1534,7 @@ _FRONT: tuple[str, ...] = (
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
     # curriculum_pack, event_transition_matrix, classifier_calibration,
-    # rolling_p95_rate.
+    # rolling_p95_rate, rolling_active_users, order_cube_totals.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1491,6 +1584,7 @@ _ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
     "order_rollup_counts": ORACLE_ORDER_ROLLUP_COUNTS,
+    "order_cube_totals": ORACLE_ORDER_CUBE_TOTALS,
     "user_key_skew": ORACLE_USER_KEY_SKEW,
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
@@ -1499,6 +1593,7 @@ _ORACLES: dict[str, str] = {
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "rolling_p95_rate": ORACLE_ROLLING_P95_RATE,
+    "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
