@@ -1534,7 +1534,8 @@ _FRONT: tuple[str, ...] = (
     # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
     # curriculum_pack, event_transition_matrix, classifier_calibration,
-    # rolling_p95_rate, rolling_active_users, order_cube_totals.
+    # rolling_p95_rate, rolling_active_users, order_cube_totals,
+    # knn_label_propagation.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

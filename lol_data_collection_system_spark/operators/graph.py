@@ -369,3 +369,92 @@ def triangle_stats(
         t.alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected graph
+    (Zhu & Ghahramani 2002's hard-label variant): seed nodes keep their
+    labels; every other node takes, each synchronous round, the
+    MAJORITY label of its labeled neighbors (integer counts; ties break
+    toward the smaller label — deterministic across partitionings and
+    engines). Nodes no labeled neighbor has reached yet stay NULL; on a
+    kNN similarity graph this auto-labels the unlabeled corpus from a
+    small labeled subset — the cheap pseudo-labeling pass before
+    training a quality/domain classifier.
+
+    Scale shape (the `pagerank`/`connected_components` discipline):
+    per round ONE edge⋈label join + ONE (node, label)-keyed count agg +
+    ONE argmax struct-max agg — everything keyed and partial-agg'd;
+    state is (node, label) pairs only; rounds are lazily
+    localCheckpoint'd so the plan stays linear in `iters`. Labels
+    propagate at one hop per round (`iters` bounds the reach radius,
+    matching the CC short-diameter argument for near-dup graphs).
+
+    Returns (node, label, src) with src = 'seed' | 'propagated' and
+    NULL-labeled rows kept as src = NULL (unreached).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+    seed = seeds.select(
+        F.col(node_col).alias("n"),
+        F.col(label_col).cast("bigint").alias("seed_label"),
+    )
+    universe = (
+        sym.select(F.col("u").alias("n"))
+        .unionByName(seed.select("n"))
+        .distinct()
+        .join(seed, "n", "left")
+    )
+    cur = universe.select(
+        "n", "seed_label", F.col("seed_label").alias("cur_label")
+    )
+    for _ in range(iters):
+        labeled = cur.filter(F.col("cur_label").isNotNull()).select(
+            F.col("n").alias("u"), F.col("cur_label").alias("nbr_label")
+        )
+        votes = (
+            sym.join(labeled, "u")
+            .groupBy(F.col("v").alias("n"), "nbr_label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        best = votes.groupBy("n").agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes"), (-F.col("nbr_label")).alias("neg"),
+                    F.col("nbr_label"),
+                )
+            )["nbr_label"].alias("maj_label")
+        )
+        cur = (
+            universe.join(best, "n", "left")
+            .select(
+                "n",
+                "seed_label",
+                F.coalesce(F.col("seed_label"), F.col("maj_label")).alias(
+                    "cur_label"
+                ),
+            )
+        )
+        if checkpoint_rounds:
+            cur = cur.localCheckpoint(eager=False)
+    return cur.select(
+        F.col("n").alias(node_col),
+        F.col("cur_label").alias(label_col),
+        F.when(F.col("seed_label").isNotNull(), F.lit("seed"))
+        .when(F.col("cur_label").isNotNull(), F.lit("propagated"))
+        .alias("src"),
+    )

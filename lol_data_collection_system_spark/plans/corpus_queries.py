@@ -3524,6 +3524,75 @@ FROM embeddings e,
     return "WITH " + ",\n".join(pca + psi) + "\n" + final
 
 
+LP_ITERS = 3
+LP_SEED_MOD = 5
+
+
+def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised auto-labeling: every fifth embedding keeps its
+    true label (the 20%-labeled semi-supervised mask, key-derived so
+    both engines pick the same seeds); 3 majority-vote rounds over the
+    kNN similarity graph pseudo-label the rest
+    (`graph.label_propagation` — the cheap labeling pass before
+    training a domain classifier)."""
+    from ..operators import graph as graph_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    seeds = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        F.col("vec_id").alias("node"), F.col("label")
+    )
+    return graph_ops.label_propagation(edges, seeds, iters=LP_ITERS)
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled majority-vote rounds over the shared kNN edge CTEs;
+    the argmax tie-break (votes desc, label asc) mirrors the operator's
+    (n_votes, -label) struct max."""
+    parts = _knn_edge_ctes() + [
+        f"""seed AS (SELECT vec_id AS n, CAST(label AS BIGINT) AS seed_label
+     FROM embeddings WHERE vec_id % {LP_SEED_MOD} = 0)""",
+        """universe AS MATERIALIZED (
+  SELECT x.n, s.seed_label
+  FROM (SELECT u AS n FROM e UNION SELECT n FROM seed) x
+  LEFT JOIN seed s USING (n))""",
+        "c0 AS (SELECT n, seed_label, seed_label AS cur_label FROM universe)",
+    ]
+    for t in range(1, LP_ITERS + 1):
+        parts.append(
+            f"""v{t} AS (
+  SELECT e.v AS n, c.cur_label AS nbr_label, COUNT(*) AS n_votes
+  FROM e JOIN c{t - 1} c ON c.n = e.u AND c.cur_label IS NOT NULL
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{t} AS (
+  SELECT n, nbr_label AS maj_label FROM (
+    SELECT n, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY n
+                              ORDER BY n_votes DESC, nbr_label) AS rk
+    FROM v{t})
+  WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT u.n, u.seed_label,
+         COALESCE(u.seed_label, b.maj_label) AS cur_label
+  FROM universe u LEFT JOIN b{t} b USING (n))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(n AS BIGINT) AS node, cur_label AS label,
+       CASE WHEN seed_label IS NOT NULL THEN 'seed'
+            WHEN cur_label IS NOT NULL THEN 'propagated' END AS src
+FROM c{LP_ITERS}"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
@@ -3593,6 +3662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_scores": q_bigram_lm_scores,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "pagerank_scores": q_pagerank_scores,
+    "knn_label_propagation": q_knn_label_propagation,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3675,6 +3745,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm_scores": _bigram_lm_oracle(),
     "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUP_MATRIX,
     "pagerank_scores": _pagerank_oracle(),
+    "knn_label_propagation": _label_prop_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),

@@ -325,3 +325,52 @@ def test_triangle_stats_direction_and_duplicate_invariance(spark):
     a = sorted(tuple(r) for r in triangle_stats(base).collect())
     b = sorted(tuple(r) for r in triangle_stats(noisy).collect())
     assert a == b
+
+
+def test_label_propagation_majority_ties_and_reach(spark):
+    """Hard-label propagation twin: majority vote per round, ties to the
+    smaller label, seeds immutable, unreached nodes NULL, reach bounded
+    by iters hops."""
+    from lol_data_collection_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # chain 1-2-3-4-5 plus hub 10 connected to two seeds with labels
+    # 7 and 3 (one vote each -> tie -> smaller label 3 wins)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (20, 10), (30, 10)],
+        ["id_a", "id_b"],
+    )
+    seeds = spark.createDataFrame(
+        [(1, 7), (20, 7), (30, 3)], ["node", "label"]
+    )
+    got = {
+        r.node: (r.label, r.src)
+        for r in label_propagation(edges, seeds, iters=2).collect()
+    }
+    assert got[1] == (7, "seed")
+    assert got[2] == (7, "propagated")   # 1 hop
+    assert got[3] == (7, "propagated")   # 2 hops
+    assert got[4][0] is None             # 3 hops > iters
+    assert got[5][0] is None and got[5][1] is None
+    assert got[10] == (3, "propagated")  # tie 7-vs-3 -> smaller label
+
+
+def test_label_propagation_seed_never_flips(spark):
+    from lol_data_collection_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # seed 1 (label 9) surrounded by three label-2 seeds: stays 9
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    seeds = spark.createDataFrame(
+        [(1, 9), (2, 2), (3, 2), (4, 2)], ["node", "label"]
+    )
+    got = {
+        r.node: (r.label, r.src)
+        for r in label_propagation(edges, seeds, iters=3).collect()
+    }
+    assert got[1] == (9, "seed")
+    assert got[2] == (2, "seed")
