@@ -1535,7 +1535,7 @@ _FRONT: tuple[str, ...] = (
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
     # curriculum_pack, event_transition_matrix, classifier_calibration,
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
-    # knn_label_propagation.
+    # knn_label_propagation, embedding_outlier_scores.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

@@ -3524,6 +3524,62 @@ FROM embeddings e,
     return "WITH " + ",\n".join(pca + psi) + "\n" + final
 
 
+OUTLIER_TOPK = 25
+
+
+def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier audit: the 25 embeddings whose mean cosine
+    to their k nearest (bucketed) neighbors is LOWEST — isolated points
+    are mislabeled/garbage-encoder candidates (the kNN-outlier classic,
+    Ramaswamy et al. 2000, in cosine form). Nodes whose LSH bucket holds
+    no neighbor rank as maximally isolated (mean_sim NULL-first) —
+    exactly the points a bucketed index can't vouch for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = sim_ops.knn_graph(emb, KNN_K, ANN_BITS)
+    per_node = knn.groupBy(F.col("vec_id")).agg(
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(18,4)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+    scored = emb.select("vec_id").join(per_node, "vec_id", "left")
+    return scored.orderBy(
+        F.col("mean_sim").asc_nulls_first(), F.col("vec_id")
+    ).limit(OUTLIER_TOPK)
+
+
+def _outlier_oracle() -> str:
+    return f"""
+WITH wb AS (SELECT vec_id, embedding,
+                   {_bucket_sql('embedding', ANN_BITS)} AS bucket
+            FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, ROUND({_COS_SQL}, 4) AS cos_sim
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+knn AS (
+  SELECT src, cos_sim FROM (
+    SELECT src, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst) AS rank
+    FROM scored)
+  WHERE rank <= {KNN_K}),
+per_node AS (
+  SELECT src AS vec_id,
+         round(CAST(sum(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 6) AS mean_sim,
+         count(*) AS n_neighbors
+  FROM knn GROUP BY 1)
+SELECT e.vec_id, p.mean_sim, p.n_neighbors
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN per_node p USING (vec_id)
+ORDER BY p.mean_sim ASC NULLS FIRST, e.vec_id
+LIMIT {OUTLIER_TOPK}
+"""
+
+
 LP_ITERS = 3
 LP_SEED_MOD = 5
 
@@ -3663,6 +3719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "pagerank_scores": q_pagerank_scores,
     "knn_label_propagation": q_knn_label_propagation,
+    "embedding_outlier_scores": q_embedding_outlier_scores,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3746,6 +3803,7 @@ ORACLES: dict[str, str] = {
     "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUP_MATRIX,
     "pagerank_scores": _pagerank_oracle(),
     "knn_label_propagation": _label_prop_oracle(),
+    "embedding_outlier_scores": _outlier_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),
