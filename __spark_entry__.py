@@ -1133,6 +1133,72 @@ FROM d
 """
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_FROM = "1996-01-01"
+Q5_DATE_TO = "1997-01-01"
+
+
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: per-nation revenue from LOCAL supply chains
+    (customer and supplier share the nation) inside one region and one
+    order-date year. The deepest join pipeline in the suite — two
+    fact-fact equi-joins (orders⋈lineitem, lineitem⋈supplier) with
+    every dim broadcast and the c_nationkey = s_nationkey locality
+    predicate applied at the last join; date bracket pushed to the
+    orders scan; DECIMAL revenue."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_FROM))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_TO))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    one = F.lit(1).cast("decimal(18,2)")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_REVENUE = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_FROM}'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_TO}'
+  AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
 DAU_WINDOW_DAYS = 7
 
 
@@ -1436,6 +1502,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_key_skew": q_user_key_skew,
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
+    "local_supplier_revenue": q_local_supplier_revenue,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1535,7 +1602,8 @@ _FRONT: tuple[str, ...] = (
     # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
     # curriculum_pack, event_transition_matrix, classifier_calibration,
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
-    # knn_label_propagation, embedding_outlier_scores.
+    # knn_label_propagation, embedding_outlier_scores,
+    # local_supplier_revenue.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1589,6 +1657,7 @@ _ORACLES: dict[str, str] = {
     "user_key_skew": ORACLE_USER_KEY_SKEW,
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
