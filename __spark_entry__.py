@@ -1603,7 +1603,7 @@ _FRONT: tuple[str, ...] = (
     # curriculum_pack, event_transition_matrix, classifier_calibration,
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
     # knn_label_propagation, embedding_outlier_scores,
-    # local_supplier_revenue.
+    # local_supplier_revenue, interleaved_mix_order.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

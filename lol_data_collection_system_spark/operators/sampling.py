@@ -545,3 +545,56 @@ def capped_token_budget_plan(
         f"{group_col} {group_type}, n_docs bigint, n_tokens bigint, "
         "planned_tokens bigint, epochs double, capped boolean",
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic round-robin interleave across sources: rows get a
+    GLOBAL position such that reading in position order alternates
+    sources as evenly as their sizes allow — the balanced-mix schedule
+    a multi-source training run streams (no long single-source runs,
+    unlike a plain hash shuffle, and no rate tables to maintain,
+    unlike `weighted_mix`).
+
+    position = within_source_rank * n_sources + source_index, where the
+    within-source rank follows the seeded hash order (`md5(salt, id)`)
+    and source_index is the source's rank in the sorted distinct-source
+    list. Exhausted (smaller) sources simply leave gaps — position
+    stays strictly increasing and deterministic, which is what a
+    data-loader needs; it never re-balances mid-epoch.
+
+    Scale: one window rank per source partition (the per-source order),
+    one tiny broadcast of the sorted source list. No global window —
+    the global position is ARITHMETIC, not a global sort.
+    """
+    from pyspark.sql import Window
+
+    src_list = (
+        df.select(F.col(source_col).alias("s"))
+        .distinct()
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("s")).alias("sources"))
+    )
+    order_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(source_col).orderBy(order_key, F.col(id_col))
+    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
+    return (
+        ranked.crossJoin(F.broadcast(src_list))
+        .withColumn(
+            "position",
+            F.col("_rank") * F.size("sources")
+            + F.array_position(F.col("sources"), F.col(source_col))
+            - F.lit(1),
+        )
+        .drop("_rank", "sources")
+    )

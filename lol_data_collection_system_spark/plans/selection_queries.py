@@ -450,6 +450,48 @@ def _kcenter_oracle() -> str:
     )
 
 
+INTERLEAVE_SALT = "mix"
+INTERLEAVE_HEAD = 100
+
+
+def q_interleaved_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 positions of the deterministic round-robin source
+    interleave (`sampling.interleave_sources`) — the balanced multi-
+    source schedule a training data-loader streams; the head is what a
+    resume-from-position check inspects."""
+    from ..operators import sampling as sampling_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling_ops.interleave_sources(
+        docs, "source", "doc_id", salt=INTERLEAVE_SALT
+    )
+    return (
+        out.select("position", "doc_id", "source")
+        .orderBy("position")
+        .limit(INTERLEAVE_HEAD)
+    )
+
+
+def _interleave_oracle() -> str:
+    return f"""
+WITH srcs AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) - 1 AS sidx,
+         COUNT(*) OVER () AS nsrc
+  FROM (SELECT DISTINCT source AS s FROM documents)),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('{INTERLEAVE_SALT}'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id) - 1 AS rk
+  FROM documents)
+SELECT rk * nsrc + sidx AS position, doc_id, source
+FROM ranked JOIN srcs ON source = s
+ORDER BY position LIMIT {INTERLEAVE_HEAD}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_doc_weights": q_dsir_doc_weights,
     "dsir_sample": q_dsir_sample,
@@ -458,6 +500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_rp_recall": q_embedding_rp_recall,
     "bloom_decontamination": q_bloom_decontamination,
     "embedding_kcenter": q_embedding_kcenter,
+    "interleaved_mix_order": q_interleaved_mix_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -468,4 +511,5 @@ ORACLES: dict[str, str] = {
     "embedding_rp_recall": _rp_recall_oracle(),
     "bloom_decontamination": _decon_oracle(),
     "embedding_kcenter": _kcenter_oracle(),
+    "interleaved_mix_order": _interleave_oracle(),
 }

@@ -421,3 +421,33 @@ def test_kcenter_k_beyond_corpus_emits_no_phantom_rounds(spark):
     )
     got = kcenter_select(df, k=5).orderBy("sel_round").collect()
     assert [r.vec_id for r in got] == [1, 2]  # every point once, no dups
+
+
+def test_interleave_alternates_sources_and_is_deterministic(spark):
+    from lol_data_collection_system_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    rows = [(i, "a" if i < 6 else "b") for i in range(9)]  # 6 a's, 3 b's
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sorted(
+        interleave_sources(df, "source", "doc_id", salt="t").collect(),
+        key=lambda r: r.position,
+    )
+    # positions are unique and strictly increasing
+    assert len({r.position for r in out}) == 9
+    # while both sources have rows left, the schedule strictly
+    # alternates: first 6 positions = a,b,a,b,a,b
+    assert [r.source for r in out[:6]] == ["a", "b", "a", "b", "a", "b"]
+    # then the exhausted source leaves gaps, remaining a's keep order
+    assert all(r.source == "a" for r in out[6:])
+    # deterministic under repartitioning
+    again = sorted(
+        interleave_sources(
+            df.repartition(7), "source", "doc_id", salt="t"
+        ).collect(),
+        key=lambda r: r.position,
+    )
+    assert [(r.position, r.doc_id) for r in again] == [
+        (r.position, r.doc_id) for r in out
+    ]
