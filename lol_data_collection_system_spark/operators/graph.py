@@ -413,12 +413,21 @@ def label_propagation(
         F.col(node_col).alias("n"),
         F.col(label_col).cast("bigint").alias("seed_label"),
     )
+    if checkpoint_rounds:
+        # `sym` and `universe` feed EVERY round: without truncating
+        # their lineage each round's plan re-derives the upstream edge
+        # construction (for kNN edges, the bucketed self-join — the
+        # expensive part) once per round. Bench: 6.9 s → this is the
+        # difference between k and 2k+1 edge builds.
+        sym = sym.localCheckpoint(eager=False)
     universe = (
         sym.select(F.col("u").alias("n"))
         .unionByName(seed.select("n"))
         .distinct()
         .join(seed, "n", "left")
     )
+    if checkpoint_rounds:
+        universe = universe.localCheckpoint(eager=False)
     cur = universe.select(
         "n", "seed_label", F.col("seed_label").alias("cur_label")
     )
