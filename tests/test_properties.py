@@ -6,6 +6,7 @@ a full Spark job."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -725,3 +726,151 @@ def test_psi_matches_python_twin(spark, rows):
         )
         want[s] = (n, psi)
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    max_dist=st.integers(0, 2),
+)
+@_SETTINGS
+def test_fuzzy_linkage_matches_python_blocking(spark, names, max_dist):
+    """Spark linkage == pure-Python q-gram blocking + Levenshtein on
+    arbitrary strings (uncapped), including the normalization dedupe."""
+    import re
+
+    from lol_data_collection_system_spark.operators.linkage import (
+        fuzzy_link_names,
+    )
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    def grams(s, q=3):
+        return {s[i : i + q] for i in range(max(len(s) - q + 1, 1))}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    dirty = [n for n in names if norm(n)]
+    clean = [n[::-1] for n in names if norm(n[::-1])]
+    if not dirty or not clean:
+        return
+    dn = {}
+    for s in dirty:
+        dn[norm(s)] = dn.get(norm(s), 0) + 1
+    cn = {}
+    for s in clean:
+        cn[norm(s)] = cn.get(norm(s), 0) + 1
+    want = set()
+    for a in dn:
+        for b in cn:
+            if grams(a) & grams(b) and lev(a, b) <= max_dist:
+                want.add((a, b, lev(a, b), dn[a], cn[b]))
+
+    d = spark.createDataFrame([(s,) for s in dirty], ["name"])
+    c = spark.createDataFrame([(s,) for s in clean], ["name"])
+    got = {
+        (r.dirty_name, r.clean_name, r.edit_dist, r.n_dirty, r.n_clean)
+        for r in fuzzy_link_names(
+            d, c, "name", "name", max_dist=max_dist
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    series=st.lists(st.integers(0, 9), min_size=2, max_size=20),
+    window=st.integers(1, 6),
+)
+@_SETTINGS
+def test_ewma_scores_match_python(spark, series, window):
+    """Batch EWMA on a dense single-group series == the Python
+    recurrence (Horner numerator over the trailing window)."""
+    import datetime as dt
+
+    from lol_data_collection_system_spark.operators.windows import ewma_scores
+
+    h0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for h, n in enumerate(series):
+        for i in range(n):
+            rows.append(("g", h0 + dt.timedelta(hours=h, seconds=i)))
+    if not rows:
+        return
+    # silent leading/trailing hours vanish from the grid (min..max of
+    # observed data); compute the python twin on the observed span
+    hours = [h for h, n in enumerate(series) if n > 0]
+    lo, hi = min(hours), max(hours)
+    span = series[lo : hi + 1]
+    want = {}
+    for t in range(len(span)):
+        prev = span[max(0, t - window) : t]
+        num = 0
+        for x in reversed(prev):  # newest first -> largest weight
+            num = num * 2 + x
+        if num <= 0:
+            continue
+        den = (1 << len(prev)) - 1
+        decayed = num / den
+        ms = int(
+            (h0 + dt.timedelta(hours=lo + t))
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1000
+        )
+        want[ms] = (span[t], round(decayed, 6), round(span[t] / decayed, 6))
+
+    df = spark.createDataFrame(rows, ["g", "ts"])
+    got = {
+        r.bucket_ms: (r.cnt, r.decayed_prev, r.ratio)
+        for r in ewma_scores(df, "g", "ts", window=window).collect()
+    }
+    assert got == want
+
+
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_linreg_matches_numpy_on_random_groups(spark, xy):
+    """linreg_by_group == numpy polyfit on arbitrary (x, y) sets
+    (6-dp inputs; degenerate x-variance -> NULL)."""
+    import numpy as np
+
+    from lol_data_collection_system_spark.operators.aggregates import (
+        linreg_by_group,
+    )
+
+    pts = [(round(float(x), 6), round(float(y), 6)) for x, y in xy]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], ["g", "x", "y"]
+    )
+    got = linreg_by_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    if np.all(xs == xs[0]):
+        assert got.slope is None and got.intercept is None
+        return
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert got.slope == pytest.approx(float(slope), abs=2e-5)
+    assert got.intercept == pytest.approx(float(intercept), abs=2e-4)
