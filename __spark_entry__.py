@@ -1133,6 +1133,80 @@ FROM d
 """
 
 
+SCD2_T0 = 1_000
+SCD2_T1 = 2_000
+
+
+def q_customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history end-to-end: bootstrap the customer
+    dimension at T0, then fold in a key-derived second snapshot at T1
+    (every 13th key vanished, every 7th changed balance, every 11th
+    key re-registered under a new id) — closes/opens validity intervals
+    per `sources/snapshot.scd2_apply`. Both engines derive the same
+    snapshots, so the full history table is hash-gated."""
+    from lol_data_collection_system_spark.sources.snapshot import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    keys = ["c_custkey"]
+    tracked = ["c_acctbal", "c_mktsegment"]
+    snap1 = cust.select(*keys, *tracked)
+    hist0 = scd2_init(snap1, keys, tracked, SCD2_T0)
+    survivors = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    newcomers = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    snap2 = survivors.unionByName(newcomers)
+    return scd2_apply(hist0, snap2, keys, tracked, SCD2_T1)
+
+
+ORACLE_CUSTOMER_SCD2_HISTORY = f"""
+WITH snap2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 13 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 11 = 0),
+j AS (
+  SELECT coalesce(h.c_custkey, s.c_custkey) AS c_custkey,
+         h.c_acctbal AS h_bal, h.c_mktsegment AS h_seg,
+         s.c_acctbal AS s_bal, s.c_mktsegment AS s_seg,
+         h.c_custkey IS NOT NULL AS in_hist,
+         s.c_custkey IS NOT NULL AS in_snap,
+         NOT (h.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+              AND h.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment)
+           AS changed
+  FROM customer h FULL OUTER JOIN snap2 s USING (c_custkey))
+SELECT c_custkey, h_bal AS c_acctbal, h_seg AS c_mktsegment,
+       CAST({SCD2_T0} AS BIGINT) AS valid_from_ms,
+       CAST(NULL AS BIGINT) AS valid_to_ms
+FROM j WHERE in_hist AND in_snap AND NOT changed
+UNION ALL
+SELECT c_custkey, h_bal, h_seg,
+       CAST({SCD2_T0} AS BIGINT), CAST({SCD2_T1} AS BIGINT)
+FROM j WHERE in_hist AND (NOT in_snap OR changed)
+UNION ALL
+SELECT c_custkey, s_bal, s_seg,
+       CAST({SCD2_T1} AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE in_snap AND (NOT in_hist OR changed)
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_DATE_FROM = "1996-01-01"
 Q5_DATE_TO = "1997-01-01"
@@ -1503,6 +1577,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "customer_scd2_history": q_customer_scd2_history,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1603,7 +1678,7 @@ _FRONT: tuple[str, ...] = (
     # curriculum_pack, event_transition_matrix, classifier_calibration,
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
     # knn_label_propagation, embedding_outlier_scores,
-    # local_supplier_revenue, interleaved_mix_order.
+    # local_supplier_revenue, interleaved_mix_order, customer_scd2_history.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1658,6 +1733,7 @@ _ORACLES: dict[str, str] = {
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
+    "customer_scd2_history": ORACLE_CUSTOMER_SCD2_HISTORY,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,

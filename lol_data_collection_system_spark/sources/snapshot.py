@@ -155,3 +155,94 @@ def load_snapshot(
         name: spark.read.parquet(str(root / name))
         for name in manifest.get("tables", {})
     }
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_ms: int,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: fold a new snapshot into
+    a validity-interval history table — the warehouse-standard way to
+    keep every historical version of a dimension row queryable
+    ("what was this customer's balance when the order shipped?").
+
+    `history` carries `key_cols + tracked_cols + (valid_from_ms,
+    valid_to_ms)` with ``valid_to_ms IS NULL`` marking the open
+    version. One application of the snapshot at `ts_ms`:
+
+    - open rows whose key vanished from the snapshot close at `ts_ms`;
+    - open rows whose tracked values changed close at `ts_ms` AND emit
+      a fresh open row with the new values;
+    - unchanged open rows and all already-closed rows pass through;
+    - snapshot keys with no open row emit a fresh open row.
+
+    Plan shape: ONE full-outer equi-join between the open slice and the
+    snapshot (both keyed — broadcast-able when the dimension is small),
+    then unions of projections. Change detection compares the tracked
+    columns as a struct, with null-safe equality (`eqNullSafe`) per
+    field so NULL→value transitions count as changes. At 100 TB the
+    closed slice never joins anything — history grows append-only and
+    the merge cost tracks the OPEN slice + snapshot size only.
+    """
+    from pyspark.sql import functions as F
+
+    open_rows = history.filter(F.col("valid_to_ms").isNull())
+    closed_rows = history.filter(F.col("valid_to_ms").isNotNull())
+    snap = snapshot.select(
+        *key_cols, *[F.col(c).alias(f"__s_{c}") for c in tracked_cols]
+    )
+    # presence flags must not depend on a tracked value being non-null:
+    # tag each side explicitly
+    open_tag = open_rows.withColumn("__h", F.lit(1))
+    snap_tag = snap.withColumn("__s", F.lit(1))
+    j = open_tag.join(snap_tag, key_cols, "full_outer")
+    in_hist = F.col("__h").isNotNull()
+    in_snap = F.col("__s").isNotNull()
+    changed = ~F.struct(
+        *[F.col(c) for c in tracked_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__s_{c}") for c in tracked_cols]))
+
+    kept_open = j.filter(in_hist & in_snap & ~changed).select(
+        *key_cols, *tracked_cols, "valid_from_ms", "valid_to_ms"
+    )
+    closed_now = j.filter(in_hist & (~in_snap | changed)).select(
+        *key_cols,
+        *tracked_cols,
+        "valid_from_ms",
+        F.lit(ts_ms).cast("bigint").alias("valid_to_ms"),
+    )
+    new_open = j.filter(in_snap & (~in_hist | changed)).select(
+        *key_cols,
+        *[F.col(f"__s_{c}").alias(c) for c in tracked_cols],
+        F.lit(ts_ms).cast("bigint").alias("valid_from_ms"),
+        F.lit(None).cast("bigint").alias("valid_to_ms"),
+    )
+    return (
+        closed_rows.select(
+            *key_cols, *tracked_cols, "valid_from_ms", "valid_to_ms"
+        )
+        .unionByName(kept_open)
+        .unionByName(closed_now)
+        .unionByName(new_open)
+    )
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_ms: int,
+) -> DataFrame:
+    """Bootstrap an SCD2 history from the first snapshot: every row
+    opens at `ts_ms`."""
+    from pyspark.sql import functions as F
+
+    return snapshot.select(
+        *key_cols,
+        *tracked_cols,
+        F.lit(ts_ms).cast("bigint").alias("valid_from_ms"),
+        F.lit(None).cast("bigint").alias("valid_to_ms"),
+    )

@@ -86,3 +86,41 @@ def test_snapshot_manifest_shape(spark, tmp_path):
     create_snapshot(spark, _tables(spark), str(path))
     manifest = json.loads((path / "_MANIFEST.json").read_text())
     assert set(manifest) == {"created_at", "tables"}
+
+
+def test_scd2_apply_classifies_every_transition(spark):
+    """One merge covers all four cases: unchanged pass-through, value
+    change (close + reopen), key vanish (close only), new key (open
+    only); already-closed rows pass untouched; NULL->value counts as a
+    change (eqNullSafe struct compare)."""
+    from lol_data_collection_system_spark.sources.snapshot import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    snap1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k bigint, v double",
+    )
+    hist0 = scd2_init(snap1, ["k"], ["v"], 100)
+    snap2 = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 30.0), (5, 50.0)],
+        "k bigint, v double",
+    )
+    hist1 = scd2_apply(hist0, snap2, ["k"], ["v"], 200)
+    rows = {(r.k, r.valid_from_ms, r.valid_to_ms): r.v for r in hist1.collect()}
+    assert rows[(1, 100, None)] == 10.0          # unchanged
+    assert rows[(2, 100, 200)] == 20.0           # closed old version
+    assert rows[(2, 200, None)] == 25.0          # reopened new version
+    assert rows[(3, 100, 200)] is None           # NULL->30 is a change
+    assert rows[(3, 200, None)] == 30.0
+    assert rows[(4, 100, 200)] == 40.0           # vanished: closed only
+    assert rows[(5, 200, None)] == 50.0          # new key
+    assert len(rows) == 7
+
+    # a second application with an identical snapshot is a no-op on the
+    # open slice and never touches closed rows
+    hist2 = scd2_apply(hist1, snap2, ["k"], ["v"], 300)
+    assert sorted(
+        (r.k, r.valid_from_ms, r.valid_to_ms) for r in hist2.collect()
+    ) == sorted((r.k, r.valid_from_ms, r.valid_to_ms) for r in hist1.collect())
