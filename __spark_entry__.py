@@ -1678,7 +1678,8 @@ _FRONT: tuple[str, ...] = (
     # curriculum_pack, event_transition_matrix, classifier_calibration,
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
     # knn_label_propagation, embedding_outlier_scores,
-    # local_supplier_revenue, interleaved_mix_order, customer_scd2_history.
+    # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
+    # customer_golden_records.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

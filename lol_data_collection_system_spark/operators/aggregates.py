@@ -238,3 +238,41 @@ def linreg_by_group(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    priority: Column,
+) -> DataFrame:
+    """Survivorship merge (master-data "golden record"): one row per
+    key where EACH value column independently takes the value from the
+    highest-priority row that has it non-null — the standard rule for
+    consolidating an entity that several feeds describe partially
+    (CRM has the segment, billing has the balance, ...).
+
+    `priority` must be unique per (key, row) — e.g. a source rank when
+    each source contributes at most one row per key. That uniqueness is
+    what makes the per-column argmax a pure `max(struct(non_null,
+    priority, value))` whose comparison never reaches the value field
+    (so NULL values never enter a struct comparison — engine-divergent
+    territory), and it makes the merge deterministic by construction.
+
+    Plan: ONE map-combined hash aggregate, all columns at once — no
+    joins, no windows; the survivorship of d columns costs the same
+    shuffle as a plain groupBy.
+    """
+    aggs = [
+        F.max(
+            F.struct(
+                F.col(c).isNotNull().alias("has"),
+                priority.alias("pri"),
+                F.col(c).alias("v"),
+            )
+        )["v"].alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(*key_cols).agg(
+        *aggs, F.count(F.lit(1)).alias("n_feed_rows")
+    )

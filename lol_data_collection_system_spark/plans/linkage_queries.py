@@ -116,10 +116,76 @@ WHERE levenshtein(cand.dirty_name, cand.clean_name) <= {LINK_MAX_DIST}
 """
 
 
+def q_customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over a three-feed customer registry (derived
+    in-plan: the CRM feed misses every third balance, the billing feed
+    covers even keys with no segment, a VIP feed tags every fifth key):
+    per customer, each column independently survives from the
+    highest-priority feed that has it — `aggregates.golden_records`,
+    ONE hash aggregate for the whole consolidation."""
+    from ..operators.aggregates import golden_records
+
+    cust = load_table(spark, sf_dir, "customer")
+    crm = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+        "c_mktsegment",
+        F.lit(1).alias("pri"),
+    )
+    billing = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(2).alias("pri"),
+    )
+    vip = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("VIP").alias("c_mktsegment"),
+        F.lit(3).alias("pri"),
+    )
+    feed = crm.unionByName(billing).unionByName(vip)
+    return golden_records(
+        feed,
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+        F.col("pri"),
+    )
+
+
+def _golden_oracle() -> str:
+    surv = (
+        "struct_extract(max(struct_pack(has := {c} IS NOT NULL, "
+        "pri := pri, v := {c})), 'v')"
+    )
+    return f"""
+WITH feed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 != 0 THEN c_acctbal END AS c_acctbal,
+         c_mktsegment, 1 AS pri
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR), 2
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS DOUBLE), 'VIP', 3
+  FROM customer WHERE c_custkey % 5 = 0)
+SELECT c_custkey,
+       {surv.format(c='c_acctbal')} AS c_acctbal,
+       {surv.format(c='c_mktsegment')} AS c_mktsegment,
+       count(*) AS n_feed_rows
+FROM feed GROUP BY c_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_linkage": q_fuzzy_part_linkage,
+    "customer_golden_records": q_customer_golden_records,
 }
 
 ORACLES: dict[str, str] = {
     "fuzzy_part_linkage": _linkage_oracle(),
+    "customer_golden_records": _golden_oracle(),
 }

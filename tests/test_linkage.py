@@ -85,3 +85,36 @@ def test_qgrams_and_normalize_shapes(spark):
     ).collect()[0]
     assert out.n == "red bolt"
     assert out.g == ["red", "ed ", "d b", " bo", "bol", "olt"]
+
+
+def test_golden_records_column_level_survivorship(spark):
+    """Each column independently survives from the highest-priority
+    feed that has it non-null; all-null columns stay NULL."""
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.aggregates import (
+        golden_records,
+    )
+
+    feed = spark.createDataFrame(
+        [
+            # key 1: balance only in pri-1, segment only in pri-2
+            (1, 10.0, None, 1),
+            (1, None, "B", 2),
+            # key 2: both feeds have balance -> higher priority wins
+            (2, 20.0, "A", 1),
+            (2, 25.0, None, 2),
+            # key 3: nothing anywhere
+            (3, None, None, 1),
+        ],
+        "k bigint, bal double, seg string, pri int",
+    )
+    got = {
+        r.k: (r.bal, r.seg, r.n_feed_rows)
+        for r in golden_records(
+            feed, ["k"], ["bal", "seg"], F.col("pri")
+        ).collect()
+    }
+    assert got[1] == (10.0, "B", 2)   # stitched across feeds
+    assert got[2] == (25.0, "A", 2)   # priority beats completeness
+    assert got[3] == (None, None, 1)
