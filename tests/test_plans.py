@@ -871,3 +871,50 @@ def test_fuzzy_linkage_blocking_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_golden_records_single_hash_agg(spark):
+    """The whole survivorship merge must be ONE partial+final hash
+    aggregate — no joins, no windows, regardless of column count."""
+    plan = _plan(spark, "customer_golden_records")
+    assert "Join" not in plan.replace("union", "")  # feeds union, never join
+    assert "Window" not in plan
+    assert "partial_max" in plan or "Partial" in plan
+
+
+def test_scd2_merge_is_one_keyed_outer_join(spark):
+    """The SCD2 merge joins the open slice to the snapshot ONCE, keyed
+    (SortMergeJoin/ShuffledHashJoin on the business key) — no
+    cartesian, no nested-loop."""
+    plan = _plan(spark, "customer_scd2_history")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Catalyst is free to specialize the full-outer into per-branch
+    # inner/left/right joins (each union branch filters on a presence
+    # flag) — what's pinned is that every join stays a KEYED hash join
+    assert "HashJoin" in plan
+
+
+def test_interleave_head_is_take_ordered(spark):
+    """The interleave head must plan as TakeOrderedAndProject over the
+    arithmetic positions; the only window is the per-source rank."""
+    plan = _plan(spark, "interleaved_mix_order")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_active_users_partial_agg(spark):
+    """Both the (user, day) dedupe and the per-day distinct count must
+    partial-aggregate map-side (the explode rides the deduped frame)."""
+    plan = _plan(spark, "rolling_active_users")
+    # two aggregation pairs (dedupe + distinct count), each partial+final
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_plans_one_expand(spark):
+    """CUBE must plan through one Expand node feeding one aggregate —
+    never one scan per grouping set."""
+    plan = _plan(spark, "order_cube_totals")
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1  # one scan for all 4 sets
