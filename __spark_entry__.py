@@ -1133,6 +1133,79 @@ FROM d
 """
 
 
+GAP_MOD = 4  # every 4th hour bucket is dropped -> a real gap to repair
+
+
+def q_gap_filled_value_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: hourly mean event value per type with
+    every {GAP_MOD}th bucket deterministically dropped (the in-plan
+    damage trick), then densified and LINEARLY INTERPOLATED between
+    known neighbors (`windows.gap_fill_interpolate`). Edge gaps stay
+    NULL; `filled` flags synthesized buckets."""
+    events = _t(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_millis(ts) DIV 3600000")
+    hourly = (
+        events.filter(hour_idx % GAP_MOD != 0)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value")
+        )
+    )
+    return window_ops.gap_fill_interpolate(
+        hourly, ["event_type"], "b", "mean_value"
+    )
+
+
+ORACLE_GAP_FILLED_VALUE_SERIES = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM events
+  WHERE (epoch_ms(ts) // 3600000) % {GAP_MOD} != 0
+  GROUP BY 1, 2),
+bounds AS (SELECT min(b) AS mn, max(b) AS mx FROM hourly),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+grid AS (
+  SELECT k.event_type, unnest(generate_series(o.mn, o.mx, INTERVAL 1 HOUR))
+           AS b
+  FROM keys k CROSS JOIN bounds o),
+dense AS (
+  SELECT grid.event_type, grid.b, hourly.v
+  FROM grid LEFT JOIN hourly
+    ON grid.event_type = hourly.event_type AND grid.b = hourly.b),
+w AS (
+  SELECT event_type, epoch_ms(b) AS ms, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch_ms(b) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch_ms(b) END
+                     IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM dense)
+SELECT event_type, ms AS bucket_ms,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv)
+                 * (CAST(ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       END AS mean_value,
+       v IS NULL AS filled
+FROM w
+"""
+
+
 SCD2_T0 = 1_000
 SCD2_T1 = 2_000
 
@@ -1578,6 +1651,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_scd2_history": q_customer_scd2_history,
+    "gap_filled_value_series": q_gap_filled_value_series,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1679,7 +1753,7 @@ _FRONT: tuple[str, ...] = (
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
     # knn_label_propagation, embedding_outlier_scores,
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
-    # customer_golden_records.
+    # customer_golden_records, gap_filled_value_series.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1735,6 +1809,7 @@ _ORACLES: dict[str, str] = {
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
     "customer_scd2_history": ORACLE_CUSTOMER_SCD2_HISTORY,
+    "gap_filled_value_series": ORACLE_GAP_FILLED_VALUE_SERIES,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,

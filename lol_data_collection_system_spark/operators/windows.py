@@ -272,3 +272,79 @@ def rolling_percentile(
         * frac
     )
     return out.withColumn(alias, F.round(interp, 6)).drop("_arr")
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    partition: list[str],
+    bucket_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Densify a per-key time series onto its full bucket grid and
+    linearly interpolate the missing values between known neighbors —
+    the sensor/metric gap-repair classic. Leading/trailing gaps (no
+    known point on one side) stay NULL; `filled` flags synthesized
+    rows.
+
+    Shape: the grid explode is span-bounded (same contract as
+    `ewma_scores`); the interpolation needs ONE ordered window pass per
+    direction (`last(ignorenulls)` backward, `first(ignorenulls)`
+    forward) — no self-joins, no per-gap work. The interpolation
+    weight (gap position / gap width) and the affine combination are a
+    fixed double-op sequence, reproducible across engines.
+    """
+    b = F.date_trunc(bucket, F.col(bucket_col))
+    known = df.select(
+        *partition, b.alias("b"), F.col(value_col).cast("double").alias("v")
+    )
+    bounds = known.select(F.min("b").alias("mn"), F.max("b").alias("mx"))
+    keys = known.select(*partition).distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        *partition,
+        F.explode(
+            F.sequence(
+                F.col("mn"), F.col("mx"), F.expr(f"interval 1 {bucket}")
+            )
+        ).alias("b"),
+    )
+    dense = grid.join(known, [*partition, "b"], "left")
+    w_back = (
+        Window.partitionBy(*partition)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*partition)
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ms = F.unix_millis("b")
+    prev_v = F.last("v", ignorenulls=True).over(w_back)
+    prev_t = F.last(F.when(F.col("v").isNotNull(), ms), ignorenulls=True).over(
+        w_back
+    )
+    next_v = F.first("v", ignorenulls=True).over(w_fwd)
+    next_t = F.first(
+        F.when(F.col("v").isNotNull(), ms), ignorenulls=True
+    ).over(w_fwd)
+    frac = (ms - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    # NO rounding on the interpolated branch: both engines evaluate the
+    # identical IEEE op tree on identical inputs, so the doubles already
+    # agree bit-for-bit — while round-to-6 would CREATE divergence
+    # (midpoints of 6-dp neighbors land exactly on the x.xxxxxx5 tie,
+    # where Spark's HALF_UP and DuckDB's binary rounding disagree).
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return dense.select(
+        *partition,
+        ms.alias("bucket_ms"),
+        interp.alias(value_col),
+        F.col("v").isNull().alias("filled"),
+    )

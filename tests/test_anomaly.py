@@ -165,3 +165,36 @@ def test_rolling_percentile_single_row_frame(spark):
         df, ["g"], [F.col("i")], F.col("v"), window=5, p=0.5, alias="p"
     ).collect()[0]
     assert got.p == 4.5
+
+
+def test_gap_fill_interpolates_between_known_points(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from lol_data_collection_system_spark.operators.windows import (
+        gap_fill_interpolate,
+    )
+
+    h0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("a", h0, 10.0),
+        ("a", h0 + dt.timedelta(hours=3), 16.0),  # gap at h1, h2
+        ("b", h0 + dt.timedelta(hours=1), 5.0),   # leading/trailing gaps
+    ]
+    df = spark.createDataFrame(rows, ["g", "b", "v"])
+    got = {
+        (r.g, r.bucket_ms): (r.v, r.filled)
+        for r in gap_fill_interpolate(df, ["g"], "b", "v").collect()
+    }
+    ms0 = int(h0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    H = 3_600_000
+    assert got[("a", ms0)] == (10.0, False)
+    assert got[("a", ms0 + H)] == (12.0, True)      # 10 + 6*(1/3)
+    assert got[("a", ms0 + 2 * H)] == (14.0, True)  # 10 + 6*(2/3)
+    assert got[("a", ms0 + 3 * H)] == (16.0, False)
+    # 'b': single known point -> edges stay NULL, known row passes
+    assert got[("b", ms0)] == (None, True)          # leading edge
+    assert got[("b", ms0 + H)] == (5.0, False)
+    assert got[("b", ms0 + 2 * H)] == (None, True)  # trailing edge
+    assert got[("b", ms0 + 3 * H)] == (None, True)
