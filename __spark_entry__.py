@@ -1133,6 +1133,66 @@ FROM d
 """
 
 
+EQD_BUCKETS = 8
+
+
+def q_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of lineitem prices: 8
+    buckets split at exact octile cutoffs — the selectivity-estimation
+    staple (equi-WIDTH histograms hide skew; equi-depth is what a
+    query optimizer's stats store). Cutoffs come from ONE exact
+    `percentile` aggregate (1-row broadcast); bucket assignment is a
+    codegen comparison chain against the cutoff array — the corpus
+    never sorts. Counts are exact; bounds reported per bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
+    cuts = li.select(
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(repr(p) for p in ps)
+            + "))"
+        ).alias("cuts")
+    )
+    bucket = F.lit(0)
+    for i in range(len(ps)):
+        bucket = bucket + F.when(
+            F.col("l_extendedprice") > F.element_at("cuts", i + 1), 1
+        ).otherwise(0)
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+def _equidepth_oracle() -> str:
+    ps = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
+    cases = " + ".join(
+        f"CASE WHEN l_extendedprice > cuts[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(len(ps))
+    )
+    return f"""
+WITH c AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [{', '.join(repr(p) for p in ps)}]) AS cuts
+  FROM lineitem)
+SELECT ({cases}) AS bucket,
+       count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem CROSS JOIN c
+GROUP BY 1
+"""
+
+
+ORACLE_PRICE_EQUIDEPTH_HISTOGRAM = _equidepth_oracle()
+
+
 GAP_MOD = 4  # every 4th hour bucket is dropped -> a real gap to repair
 
 
@@ -1652,6 +1712,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_scd2_history": q_customer_scd2_history,
     "gap_filled_value_series": q_gap_filled_value_series,
+    "price_equidepth_histogram": q_price_equidepth_histogram,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1753,7 +1814,8 @@ _FRONT: tuple[str, ...] = (
     # rolling_p95_rate, rolling_active_users, order_cube_totals,
     # knn_label_propagation, embedding_outlier_scores,
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
-    # customer_golden_records, gap_filled_value_series.
+    # customer_golden_records, gap_filled_value_series,
+    # price_equidepth_histogram.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1810,6 +1872,7 @@ _ORACLES: dict[str, str] = {
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
     "customer_scd2_history": ORACLE_CUSTOMER_SCD2_HISTORY,
     "gap_filled_value_series": ORACLE_GAP_FILLED_VALUE_SERIES,
+    "price_equidepth_histogram": ORACLE_PRICE_EQUIDEPTH_HISTOGRAM,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
