@@ -1133,6 +1133,64 @@ FROM d
 """
 
 
+CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem
+    numeric measures in one moment pass
+    (`aggregates.correlation_matrix`) — the feature-engineering /
+    stats-collection staple, decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.correlation_matrix(li, CORR_COLS)
+
+
+def _corr_oracle() -> str:
+    cols = sorted(CORR_COLS)
+    # DECIMAL(19,6), not 18: DuckDB stores <=18-digit decimals in int64
+    # and overflows their products instead of widening — precision 19
+    # promotes to HUGEINT storage, giving the exact (38,12) products
+    # that mirror Spark's decimal(18,6)x(18,6)->(37,12). Same rationals,
+    # same sums.
+    snap = {c: f"CAST(CAST({c} AS DOUBLE) AS DECIMAL(19,6))" for c in cols}
+    sums = ["count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum({snap[c]}) AS s_{c}")
+        sums.append(f"sum({snap[c]} * {snap[c]}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"sum({snap[a]} * {snap[b]}) AS sp_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        cov = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        va = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        vb = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        sel.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+            f"       CASE WHEN {va} <> 0 AND {vb} <> 0 THEN\n"
+            f"         round({cov} / sqrt({va} * {vb}), 6) END AS corr\n"
+            f"FROM m"
+        )
+    return (
+        "WITH m AS (\n  SELECT "
+        + ",\n         ".join(sums)
+        + "\n  FROM lineitem)\n"
+        + "\nUNION ALL ".join(sel)
+    )
+
+
+ORACLE_LINEITEM_CORRELATIONS = _corr_oracle()
+
+
 EQD_BUCKETS = 8
 
 
@@ -1713,6 +1771,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_scd2_history": q_customer_scd2_history,
     "gap_filled_value_series": q_gap_filled_value_series,
     "price_equidepth_histogram": q_price_equidepth_histogram,
+    "lineitem_correlations": q_lineitem_correlations,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1815,7 +1874,7 @@ _FRONT: tuple[str, ...] = (
     # knn_label_propagation, embedding_outlier_scores,
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
     # customer_golden_records, gap_filled_value_series,
-    # price_equidepth_histogram.
+    # price_equidepth_histogram, lineitem_correlations.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1873,6 +1932,7 @@ _ORACLES: dict[str, str] = {
     "customer_scd2_history": ORACLE_CUSTOMER_SCD2_HISTORY,
     "gap_filled_value_series": ORACLE_GAP_FILLED_VALUE_SERIES,
     "price_equidepth_histogram": ORACLE_PRICE_EQUIDEPTH_HISTOGRAM,
+    "lineitem_correlations": ORACLE_LINEITEM_CORRELATIONS,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,

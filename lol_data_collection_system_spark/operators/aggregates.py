@@ -276,3 +276,66 @@ def golden_records(
     return df.groupBy(*key_cols).agg(
         *aggs, F.count(F.lit(1)).alias("n_feed_rows")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """All pairwise Pearson correlations of `cols` in ONE map-combined
+    aggregation pass — the feature-engineering / stats staple. Emits
+    (col_a, col_b, n, corr) for every unordered pair a < b (column-name
+    order), corr rounded to 6 dp, NULL when either side has zero
+    variance.
+
+    Moments are DECIMAL(18,scale) grid-snapped sums (the
+    `linreg_by_group` discipline — exact, order-free, products inside
+    the 38-digit cap), so every correlation is bit-identical across
+    partitionings and engines. d columns cost d + d(d+1)/2 sums in the
+    single aggregate — no joins, no second pass.
+    """
+    snapped = {c: F.col(c).cast("double").cast(f"decimal(18,{scale})") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(snapped[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(snapped[c] * snapped[c]).alias(f"_ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(sorted(cols)) for b in sorted(cols)[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(snapped[a] * snapped[b]).alias(f"_sp_{a}_{b}"))
+    wide = df.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+
+    def _corr(a: str, b: str) -> Column:
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        ssa = F.col(f"_ss_{a}").cast("double")
+        ssb = F.col(f"_ss_{b}").cast("double")
+        sab = F.col(f"_sp_{a}_{b}").cast("double")
+        cov = n * sab - sa * sb
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        return F.when(
+            (va != 0) & (vb != 0),
+            F.round(cov / F.sqrt(va * vb), 6),
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                _corr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.col("_n"), F.explode(entries).alias("_e")).select(
+        F.col("_e.col_a").alias("col_a"),
+        F.col("_e.col_b").alias("col_b"),
+        F.col("_n").alias("n"),
+        F.col("_e.corr").alias("corr"),
+    )

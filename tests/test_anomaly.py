@@ -198,3 +198,24 @@ def test_gap_fill_interpolates_between_known_points(spark):
     assert got[("b", ms0 + H)] == (5.0, False)
     assert got[("b", ms0 + 2 * H)] == (None, True)  # trailing edge
     assert got[("b", ms0 + 3 * H)] == (None, True)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from lol_data_collection_system_spark.operators.aggregates import (
+        correlation_matrix,
+    )
+
+    rng = [(float(i % 7), float((i * 3) % 5), 2.0) for i in range(40)]
+    df = spark.createDataFrame(rng, ["a", "b", "c"])
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    xs = np.array([r[0] for r in rng])
+    ys = np.array([r[1] for r in rng])
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert got[("a", "b")] == pytest.approx(round(want, 6), abs=2e-6)
+    # constant column -> NULL correlation on both its pairs
+    assert got[("a", "c")] is None and got[("b", "c")] is None
