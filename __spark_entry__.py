@@ -1133,6 +1133,73 @@ FROM d
 """
 
 
+PATH_GAP_MIN = 30
+PATH_TOPK = 15
+PATH_MAX_STEPS = 8
+
+
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 15 most common session paths, where a
+    path is the ordered event-type sequence of one session (30-minute
+    inactivity gap), truncated to its first 8 steps. The path string is
+    assembled per session with an ordered window collect (bounded by
+    session length), paths count via one hash agg, and the head is
+    TakeOrderedAndProject — the corpus never sorts globally."""
+    events = _t(spark, sf_dir, "events")
+    sess = window_ops.sessionize(events, ["user_id"], "ts", PATH_GAP_MIN * 60_000)
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy(F.unix_millis("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_session = (
+        sess.withColumn("path_arr", F.collect_list("event_type").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">", F.slice(F.first("path_arr"), 1, PATH_MAX_STEPS)
+            ).alias("path")
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+ORACLE_TOP_SESSION_PATHS = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts) AS prev_ms
+  FROM events),
+flagged AS (
+  SELECT user_id, event_type, ms, event_id,
+         CASE WHEN prev_ms IS NULL
+                   OR ms - prev_ms > {PATH_GAP_MIN * 60_000} THEN 1
+              ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT user_id, event_type, ms, event_id,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           list(event_type ORDER BY ms, event_id)[1:{PATH_MAX_STEPS}],
+           '>') AS path
+  FROM sess GROUP BY user_id, session_id)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+"""
+
+
 CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
@@ -1772,6 +1839,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_filled_value_series": q_gap_filled_value_series,
     "price_equidepth_histogram": q_price_equidepth_histogram,
     "lineitem_correlations": q_lineitem_correlations,
+    "top_session_paths": q_top_session_paths,
     "event_pair_affinity": q_event_pair_affinity,
     "event_rate_anomalies": q_event_rate_anomalies,
     "event_value_trend": q_event_value_trend,
@@ -1874,7 +1942,7 @@ _FRONT: tuple[str, ...] = (
     # knn_label_propagation, embedding_outlier_scores,
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
     # customer_golden_records, gap_filled_value_series,
-    # price_equidepth_histogram, lineitem_correlations.
+    # price_equidepth_histogram, lineitem_correlations, top_session_paths.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -1933,6 +2001,7 @@ _ORACLES: dict[str, str] = {
     "gap_filled_value_series": ORACLE_GAP_FILLED_VALUE_SERIES,
     "price_equidepth_histogram": ORACLE_PRICE_EQUIDEPTH_HISTOGRAM,
     "lineitem_correlations": ORACLE_LINEITEM_CORRELATIONS,
+    "top_session_paths": ORACLE_TOP_SESSION_PATHS,
     "event_pair_affinity": ORACLE_EVENT_PAIR_AFFINITY,
     "event_rate_anomalies": ORACLE_EVENT_RATE_ANOMALIES,
     "event_value_trend": ORACLE_EVENT_VALUE_TREND,
