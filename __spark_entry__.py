@@ -1942,7 +1942,8 @@ _FRONT: tuple[str, ...] = (
     # knn_label_propagation, embedding_outlier_scores,
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
     # customer_golden_records, gap_filled_value_series,
-    # price_equidepth_histogram, lineitem_correlations, top_session_paths.
+    # price_equidepth_histogram, lineitem_correlations, top_session_paths,
+    # knn_random_walks.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

@@ -467,3 +467,80 @@ def label_propagation(
         .when(F.col("cur_label").isNotNull(), F.lit("propagated"))
         .alias("src"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    salt: str = "",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Deterministic 'random'-walk sampling over an undirected graph —
+    the DeepWalk/node2vec corpus generator: one walk starts at every
+    node and takes `walk_len` steps; at each step the walker moves to
+    the neighbor minimizing ``md5(salt, walk_id, step, neighbor)``
+    (the repo's seeded-hash replacement for a random draw — uniform
+    over neighbors, reproducible across runs, partitionings, and
+    engines). Dead-end nodes (no neighbors) end their walk early.
+
+    Per step: ONE frontier⋈edges equi-join + ONE per-walk struct-min
+    aggregate — frontier stays one row per walk, so step cost is
+    O(edges touched), state O(nodes). Steps are lazily checkpointed
+    (the `pagerank` discipline: the plan would otherwise double per
+    step, and the symmetrized edge frame is reused by every step).
+
+    Returns (walk_id, step, node): step 0 is the start node.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+    if checkpoint_rounds:
+        sym = sym.localCheckpoint(eager=False)
+    frontier = sym.select(F.col("u").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("cur")
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
+    )
+    for step in range(1, walk_len + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        nxt = (
+            frontier.join(sym, frontier.cur == sym.u)
+            .select("walk_id", "v", draw.alias("h"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("h", "v")).alias("s"))
+            .select("walk_id", F.col("s.v").alias("cur"))
+        )
+        if checkpoint_rounds:
+            nxt = nxt.localCheckpoint(eager=False)
+        frontier = nxt
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(step).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -3524,6 +3524,60 @@ FROM embeddings e,
     return "WITH " + ",\n".join(pca + psi) + "\n" + final
 
 
+WALK_LEN = 3
+WALK_SALT = "walk"
+
+
+def q_knn_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the kNN similarity graph: one
+    3-step walk per node, next hop = seeded-hash-min neighbor
+    (`graph.random_walks`) — the graph-embedding training-data
+    generator, fully deterministic so both engines take identical
+    walks."""
+    from ..operators import graph as graph_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return graph_ops.random_walks(edges, walk_len=WALK_LEN, salt=WALK_SALT)
+
+
+def _walks_oracle() -> str:
+    parts = _knn_edge_ctes() + [
+        "f0 AS (SELECT DISTINCT u AS walk_id, u AS cur FROM e)",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        draw = (
+            f"CAST(('0x' || substr(md5('{WALK_SALT}' || '|' "
+            f"|| CAST(f.walk_id AS VARCHAR) || '|' || '{t}' || '|' "
+            f"|| CAST(e.v AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        parts.append(
+            f"""n{t} AS (
+  SELECT f.walk_id, e.v, {draw} AS h
+  FROM f{t - 1} f JOIN e ON e.u = f.cur)"""
+        )
+        parts.append(
+            f"""f{t} AS (
+  SELECT walk_id, v AS cur FROM (
+    SELECT walk_id, v,
+           ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY h, v) AS rk
+    FROM n{t})
+  WHERE rk = 1)"""
+        )
+    selects = [
+        "SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM f0"
+    ]
+    for t in range(1, WALK_LEN + 1):
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS INT), cur FROM f{t}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
 OUTLIER_TOPK = 25
 
 
@@ -3720,6 +3774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_scores": q_pagerank_scores,
     "knn_label_propagation": q_knn_label_propagation,
     "embedding_outlier_scores": q_embedding_outlier_scores,
+    "knn_random_walks": q_knn_random_walks,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3804,6 +3859,7 @@ ORACLES: dict[str, str] = {
     "pagerank_scores": _pagerank_oracle(),
     "knn_label_propagation": _label_prop_oracle(),
     "embedding_outlier_scores": _outlier_oracle(),
+    "knn_random_walks": _walks_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),

@@ -374,3 +374,35 @@ def test_label_propagation_seed_never_flips(spark):
     }
     assert got[1] == (9, "seed")
     assert got[2] == (2, "seed")
+
+
+def test_random_walks_step_validity_and_determinism(spark):
+    """Every consecutive (node, next) in a walk must be a graph edge;
+    every node starts one walk; dead ends stop early; re-running (and
+    repartitioning) gives identical walks."""
+    from lol_data_collection_system_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (5, 5)], ["id_a", "id_b"]
+    )
+    sym = {(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (4, 1), (5, 5)]}
+    sym |= {(b, a) for a, b in sym}
+    out = random_walks(edges, walk_len=3, salt="t").collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r.walk_id, {})[r.step] = r.node
+    assert set(walks) == {1, 2, 3, 4, 5}
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        for s in range(1, max(steps) + 1):
+            assert (steps[s - 1], steps[s]) in sym
+    # node 5 only self-loops: its walk stays at 5
+    assert all(n == 5 for n in walks[5].values())
+    again = random_walks(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1), (5, 5)], ["id_a", "id_b"]
+        ).repartition(7),
+        walk_len=3,
+        salt="t",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
