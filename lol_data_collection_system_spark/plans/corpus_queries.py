@@ -3578,6 +3578,60 @@ def _walks_oracle() -> str:
     )
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus (the DeepWalk
+    pipeline's second half): for every walk, all (center, context)
+    node pairs within {SKIPGRAM_WINDOW} steps, aggregated to
+    (node_a < node_b, n_pairs) co-occurrence counts — the input a
+    node-embedding trainer consumes. One walk self-join keyed by
+    walk_id with a step-distance band (walks are `walk_len+1` rows, so
+    the per-key pair space is a constant)."""
+    from ..operators import graph as graph_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    walks = graph_ops.random_walks(edges, walk_len=WALK_LEN, salt=WALK_SALT)
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_a"), F.col("node").alias("n_a")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s_b"), F.col("node").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("s_a") < F.col("s_b"))
+            & (F.col("s_b") - F.col("s_a") <= SKIPGRAM_WINDOW)
+        )
+        .select(
+            F.least("n_a", "n_b").alias("node_a"),
+            F.greatest("n_a", "n_b").alias("node_b"),
+        )
+    )
+    return pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _skipgram_oracle() -> str:
+    walks = _walks_oracle()
+    return f"""
+WITH walks AS ({walks})
+SELECT least(a.node, b.node) AS node_a,
+       greatest(a.node, b.node) AS node_b,
+       count(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND a.step < b.step AND b.step - a.step <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
 OUTLIER_TOPK = 25
 
 
@@ -3775,6 +3829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_propagation": q_knn_label_propagation,
     "embedding_outlier_scores": q_embedding_outlier_scores,
     "knn_random_walks": q_knn_random_walks,
+    "walk_skipgram_pairs": q_walk_skipgram_pairs,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3860,6 +3915,7 @@ ORACLES: dict[str, str] = {
     "knn_label_propagation": _label_prop_oracle(),
     "embedding_outlier_scores": _outlier_oracle(),
     "knn_random_walks": _walks_oracle(),
+    "walk_skipgram_pairs": _skipgram_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),

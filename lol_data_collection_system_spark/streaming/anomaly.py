@@ -153,3 +153,87 @@ def ewma_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     ).withColumnRenamed("g", group_col)
+
+
+TRANSITION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("ms", T.LongType()),
+    ]
+)
+
+#: (last event's epoch ms, last event id, last event type)
+TRANSITION_STATE = T.StructType(
+    [
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def transition_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the batch Markov transition pairs
+    (`q_event_transition_matrix`'s lag stage): per user the state is
+    ONE row — the last event seen — and each arriving event emits its
+    (prev_type, next_type) pair. Rows inside a batch are folded in the
+    batch op's exact (ms, event_id) total order, and the carried state
+    makes cross-batch adjacency identical to the batch lag window, so
+    aggregated pair counts match the batch matrix exactly (pinned by
+    test_streaming). Late rows older than the carried state are
+    dropped by policy (the watermark analog).
+
+    State is O(1) per user — the smallest possible stateful-streaming
+    footprint; the downstream matrix aggregation is a stateless
+    windowed count over the emitted pairs.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            last_ms, last_id, last_type = state.get
+        else:
+            last_ms, last_id, last_type = None, None, None
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            ms = pdf[ts_col].astype("int64") // 1_000_000
+            for m, i, t in zip(
+                ms.tolist(), pdf[id_col].tolist(), pdf[type_col].tolist()
+            ):
+                batch.append((int(m), int(i), str(t)))
+        for m, i, t in sorted(batch):
+            if last_type is not None:
+                if (m, i) < (last_ms, last_id):
+                    continue  # late arrival behind the carried state
+                rows.append((user, last_type, t, m))
+            last_ms, last_id, last_type = m, i, t
+        if last_type is not None:
+            state.update((last_ms, last_id, last_type))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "prev_type", "next_type", "ms"]
+        )
+
+    grouped = events.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        update,
+        TRANSITION_OUTPUT,
+        TRANSITION_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -987,3 +987,88 @@ def test_streaming_ewma_equals_batch_on_closed_buckets(spark, tmp_path):
     }
     assert got == want
     assert len(want) >= 10  # gap buckets for 'b' included
+
+
+def test_streaming_transitions_equal_batch_lag(spark, tmp_path):
+    """Aggregated streaming (prev,next) pair counts must equal the
+    batch lag-window pairs exactly, with state carrying the last event
+    across micro-batches."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.streaming.anomaly import (
+        transition_stream,
+    )
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    for u, seq in [(1, "abcab"), (2, "aabb"), (3, "c")]:
+        for i, ch in enumerate(seq):
+            rows.append((u, eid, t0 + dt.timedelta(minutes=i), ch))
+            eid += 1
+    schema = T2.StructType(
+        [
+            T2.StructField("user_id", T2.LongType()),
+            T2.StructField("event_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("event_type", T2.StringType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "tr_src"
+    out_dir = tmp_path / "tr_out"
+    ckpt = tmp_path / "tr_ckpt"
+    src.mkdir()
+    cut = t0 + dt.timedelta(minutes=2)
+    spark.createDataFrame(
+        [r for r in rows if r[2] < cut], schema
+    ).coalesce(1).write.json(str(src / "f1"))
+    spark.createDataFrame(
+        [r for r in rows if r[2] >= cut], schema
+    ).coalesce(1).write.json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        transition_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(out_dir))
+        .groupBy("prev_type", "next_type")
+        .count()
+        .collect()
+    )
+    got_map = {(r.prev_type, r.next_type): r["count"] for r in got}
+
+    w = Window.partitionBy("user_id").orderBy(
+        F2.unix_millis("ts"), F2.col("event_id")
+    )
+    want = (
+        batch_df.withColumn("prev_type", F2.lag("event_type").over(w))
+        .filter(F2.col("prev_type").isNotNull())
+        .groupBy("prev_type", F2.col("event_type").alias("next_type"))
+        .count()
+        .collect()
+    )
+    want_map = {(r.prev_type, r.next_type): r["count"] for r in want}
+    assert got_map == want_map
+    assert sum(got_map.values()) == 4 + 3 + 0  # per-user n-1 pairs
