@@ -574,3 +574,30 @@ def unicode_normalize(
             changed_col, ~F.col("_normed").eqNullSafe(F.col(text_col))
         )
     return staged.withColumn(text_col, F.col("_normed")).drop("_normed")
+
+
+def strip_html(text: Column) -> Column:
+    """Web-corpus HTML removal: drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace — the
+    extraction pass between raw crawl HTML and every text operator in
+    this package. Pure JVM regex chain (codegen, shuffle-free).
+
+    Entity order matters: ``&amp;`` decodes LAST, otherwise
+    ``&amp;lt;`` would double-decode to ``<`` and re-introduce tag
+    characters the tag pass already ran over — the classic extraction
+    bug, pinned in test_text.
+    """
+    s = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST — see docstring
+    ):
+        s = F.regexp_replace(s, ent, rep)
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

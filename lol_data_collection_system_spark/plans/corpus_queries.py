@@ -3578,6 +3578,41 @@ def _walks_oracle() -> str:
     )
 
 
+def q_html_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML extraction round-trip: every document is wrapped in-plan in
+    a realistic page shell (script with a `<` inside, style, comment,
+    heading, entities) and `text.strip_html` must recover exactly the
+    known text content — so the oracle is a CLOSED-FORM expression over
+    the original text, proving the whole strip pipeline (block removal,
+    tag strip, entity decode order, whitespace collapse) byte-exact."""
+    from ..operators.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>.a { color: red; }</style></head>"
+            '<body class="doc"><h1>Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- crawler artifact --><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail&nbsp;end</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_html(page).alias("text")
+    )
+
+
+ORACLE_HTML_STRIPPED_DOCS = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+         || ' & tail end' AS text
+FROM documents
+"""
+
+
 SKIPGRAM_WINDOW = 2
 
 
@@ -3830,6 +3865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outlier_scores": q_embedding_outlier_scores,
     "knn_random_walks": q_knn_random_walks,
     "walk_skipgram_pairs": q_walk_skipgram_pairs,
+    "html_stripped_docs": q_html_stripped_docs,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3916,6 +3952,7 @@ ORACLES: dict[str, str] = {
     "embedding_outlier_scores": _outlier_oracle(),
     "knn_random_walks": _walks_oracle(),
     "walk_skipgram_pairs": _skipgram_oracle(),
+    "html_stripped_docs": ORACLE_HTML_STRIPPED_DOCS,
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),

@@ -701,3 +701,28 @@ def test_repeated_spans_bridge_gap_spans_edited_repeats(spark):
             ).collect()
         }
         assert got == _repeated_spans_python(rdocs, 3, gap), gap
+
+
+def test_strip_html_blocks_tags_entities_and_decode_order(spark):
+    """Script/style/comment blocks vanish wholesale (including a raw
+    `<` inside the script), tags strip, entities decode exactly once:
+    because &amp; decodes LAST, double-encoded `&amp;lt;` yields the
+    literal text `&lt;` — never a second decode to `<`."""
+    import pyspark.sql.functions as F
+
+    from lol_data_collection_system_spark.operators.text import strip_html
+
+    cases = [
+        ("<p>a  b</p>", "a b"),
+        ("<script>if (1 < 2) { x(); }</script>ok", "ok"),
+        ("<style>p { a: b; }</style>ok", "ok"),
+        ("a<!-- hidden -->b", "a b"),
+        ("x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;!", "x & y <tag> \"q\" 's' !"),
+        # double-encoded ampersand decodes ONCE: &amp;lt; -> &lt;
+        ("&amp;lt;", "&lt;"),
+        ('<a href="u">link</a> text', "link text"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "s"])
+    got = {r.i: r.o for r in df.select("i", strip_html(F.col("s")).alias("o")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
