@@ -1943,7 +1943,8 @@ _FRONT: tuple[str, ...] = (
     # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
     # customer_golden_records, gap_filled_value_series,
     # price_equidepth_histogram, lineitem_correlations, top_session_paths,
-    # knn_random_walks, walk_skipgram_pairs, html_stripped_docs.
+    # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
+    # doc_lang_mix.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

@@ -3578,6 +3578,88 @@ def _walks_oracle() -> str:
     )
 
 
+def q_doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit: per document, how many languages its LINES
+    predict (per-line n-gram lang-id over the reflowed line structure),
+    the majority language, and the minority-line fraction — the signal
+    behind 'mostly-English doc with embedded other-language boilerplate'
+    curation rules. Line work is map-side (the lang scorer is pure
+    expressions); the only shuffles are the two doc-keyed aggregates."""
+    docs = _reflow_lines(load_table(spark, sf_dir, "documents"))
+    lines = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\n")).alias("line")
+        )
+        .select("doc_id", F.trim("line").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    scored = text_ops.language_scores(lines, "line").select(
+        "doc_id", "lang_pred"
+    )
+    per_lang = scored.groupBy("doc_id", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.min(
+        F.struct((-F.col("n")).alias("negn"), F.col("lang_pred"))
+    )
+    return per_lang.groupBy("doc_id").agg(
+        F.sum("n").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_langs"),
+        best["lang_pred"].alias("majority_lang"),
+        F.round(
+            F.lit(1.0)
+            + (best["negn"].cast("double") / F.sum("n")),
+            6,
+        ).alias("minority_frac"),
+    )
+
+
+def _lang_mix_oracle() -> str:
+    langs = list(text_ops.LANG_STOPWORDS)
+    hit_exprs = ",\n         ".join(
+        f"{_stop_hits_sql(text_ops.LANG_STOPWORDS[lang])} AS hits_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if i < j else ">"
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    toks_line = _TOKS_LOWER.replace("text", "line")
+    return f"""
+WITH reflow AS ({_reflow_sql()}),
+lines AS (
+  SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM reflow)),
+scored AS (
+  SELECT doc_id, {case_sql} AS lang_pred
+  FROM (SELECT doc_id, {hit_exprs}
+        FROM (SELECT doc_id, {toks_line} AS toks FROM lines
+              WHERE length(line) > 0))),
+per_lang AS (
+  SELECT doc_id, lang_pred, count(*) AS n FROM scored GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         sum(n) AS n_lines,
+         count(*) AS n_langs,
+         min(struct_pack(negn := -n, lang := lang_pred)) AS best
+  FROM per_lang GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       struct_extract(best, 'lang') AS majority_lang,
+       round(1.0 + CAST(struct_extract(best, 'negn') AS DOUBLE)
+                   / n_lines, 6) AS minority_frac
+FROM agg
+"""
+
+
 def q_html_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML extraction round-trip: every document is wrapped in-plan in
     a realistic page shell (script with a `<` inside, style, comment,
@@ -3866,6 +3948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_random_walks": q_knn_random_walks,
     "walk_skipgram_pairs": q_walk_skipgram_pairs,
     "html_stripped_docs": q_html_stripped_docs,
+    "doc_lang_mix": q_doc_lang_mix,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -3953,6 +4036,7 @@ ORACLES: dict[str, str] = {
     "knn_random_walks": _walks_oracle(),
     "walk_skipgram_pairs": _skipgram_oracle(),
     "html_stripped_docs": ORACLE_HTML_STRIPPED_DOCS,
+    "doc_lang_mix": _lang_mix_oracle(),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),
