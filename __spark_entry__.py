@@ -1531,6 +1531,64 @@ GROUP BY n_name
 """
 
 
+def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users split into NEW (first
+    ever seen that day) vs RETURNING, plus the running total of
+    distinct users ever seen — the standard product-analytics ledger.
+    First-seen day is one user-keyed min; the running total is a
+    cumulative sum over the per-day new-user counts (a days-sized
+    frame), so no distinct-over-window and no day×corpus join."""
+    events = _t(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    first_seen = user_days.groupBy("user_id").agg(F.min("d").alias("fs"))
+    per_day = (
+        user_days.join(first_seen, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum((F.col("d") == F.col("fs")).cast("bigint")).alias(
+                "new_users"
+            ),
+        )
+        .withColumn(
+            "returning_users", F.col("active_users") - F.col("new_users")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.unix_millis("d").alias("day_ms"),
+        "active_users",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+ORACLE_USER_GROWTH_ACCOUNTING = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+first_seen AS (
+  SELECT user_id, min(d) AS fs FROM user_days GROUP BY 1),
+per_day AS (
+  SELECT d,
+         count(*) AS active_users,
+         CAST(sum(CASE WHEN d = fs THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users
+  FROM user_days JOIN first_seen USING (user_id)
+  GROUP BY d)
+SELECT epoch_ms(d) AS day_ms,
+       active_users,
+       new_users,
+       active_users - new_users AS returning_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
 DAU_WINDOW_DAYS = 7
 
 
@@ -1846,6 +1904,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": q_event_transition_matrix,
     "rolling_p95_rate": q_rolling_p95_rate,
     "rolling_active_users": q_rolling_active_users,
+    "user_growth_accounting": q_user_growth_accounting,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1944,7 +2003,7 @@ _FRONT: tuple[str, ...] = (
     # customer_golden_records, gap_filled_value_series,
     # price_equidepth_histogram, lineitem_correlations, top_session_paths,
     # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
-    # doc_lang_mix.
+    # doc_lang_mix, user_growth_accounting.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2010,6 +2069,7 @@ _ORACLES: dict[str, str] = {
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "rolling_p95_rate": ORACLE_ROLLING_P95_RATE,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
+    "user_growth_accounting": ORACLE_USER_GROWTH_ACCOUNTING,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
