@@ -2003,7 +2003,7 @@ _FRONT: tuple[str, ...] = (
     # customer_golden_records, gap_filled_value_series,
     # price_equidepth_histogram, lineitem_correlations, top_session_paths,
     # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
-    # doc_lang_mix, user_growth_accounting.
+    # doc_lang_mix, user_growth_accounting, cos_sim_histogram.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

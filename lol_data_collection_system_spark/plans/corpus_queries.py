@@ -3578,6 +3578,50 @@ def _walks_oracle() -> str:
     )
 
 
+def q_cos_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration tool for the embedding near-dup family:
+    the distribution of pairwise cosines among LSH-bucket candidate
+    pairs, as 0.1-wide histogram buckets — read this BEFORE picking
+    `NEAR_DUP_COS`. Only bucketed pairs are scored (the same candidate
+    space every ANN/near-dup query joins), so the histogram costs what
+    one near-dup pass costs, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        sim_ops.sign_lsh_bucket(F.col("embedding"), LSH_BITS).alias("bucket"),
+    )
+    a = wb.alias("a")
+    b = wb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.round(
+            sim_ops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cos_sim")
+    )
+    bucket = F.floor(F.col("cos_sim") * 10).cast("int")
+    return pairs.groupBy(bucket.alias("sim_bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+ORACLE_COS_SIM_HISTOGRAM = f"""
+WITH wb AS (SELECT vec_id, embedding,
+                   {{bucket_sql}} AS bucket
+            FROM embeddings),
+pairs AS (
+  SELECT ROUND({{cos_sql}}, 6) AS cos_sim
+  FROM wb a JOIN wb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT CAST(floor(cos_sim * 10) AS INT) AS sim_bucket,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
 def q_doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-switching audit: per document, how many languages its LINES
     predict (per-line n-gram lang-id over the reflowed line structure),
@@ -3949,6 +3993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "walk_skipgram_pairs": q_walk_skipgram_pairs,
     "html_stripped_docs": q_html_stripped_docs,
     "doc_lang_mix": q_doc_lang_mix,
+    "cos_sim_histogram": q_cos_sim_histogram,
     "capped_token_budget_plan": q_capped_token_budget_plan,
     "embedding_pca_components": q_embedding_pca_components,
     "embedding_pca_scores": q_embedding_pca_scores,
@@ -4037,6 +4082,9 @@ ORACLES: dict[str, str] = {
     "walk_skipgram_pairs": _skipgram_oracle(),
     "html_stripped_docs": ORACLE_HTML_STRIPPED_DOCS,
     "doc_lang_mix": _lang_mix_oracle(),
+    "cos_sim_histogram": ORACLE_COS_SIM_HISTOGRAM.format(
+        bucket_sql=_bucket_sql("embedding", LSH_BITS), cos_sql=_COS_SQL
+    ),
     "capped_token_budget_plan": _capped_budget_oracle(),
     "embedding_pca_components": _pca_components_oracle(),
     "embedding_pca_scores": _pca_scores_oracle(),
