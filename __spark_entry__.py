@@ -992,6 +992,53 @@ FROM counts, base
 """
 
 
+def q_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution for the standard funnel: exact
+    p25/p50/p75/p90 of seconds from first view to the completing
+    purchase (same strict-order fold as `event_funnel`, carrying the
+    step-1 time through; `funnels.conversion_latency`). One row."""
+    from lol_data_collection_system_spark.operators import funnels
+
+    events = _t(spark, sf_dir, "events")
+    lat = funnels.conversion_latency(events, FUNNEL_STEPS, FUNNEL_WITHIN_S)
+    pct = F.expr("percentile(latency_s, array(0.25, 0.5, 0.75, 0.9))")
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.element_at(pct, 1), 6).alias("p25_s"),
+        F.round(F.element_at(pct, 2), 6).alias("p50_s"),
+        F.round(F.element_at(pct, 3), 6).alias("p75_s"),
+        F.round(F.element_at(pct, 4), 6).alias("p90_s"),
+    )
+
+
+def _latency_oracle() -> str:
+    within_us = FUNNEL_WITHIN_S * 1_000_000
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t
+            FROM events),
+f1 AS (SELECT u, MIN(t) AS prev, MIN(t) AS t0 FROM ev WHERE e = '{s1}'
+       GROUP BY u),
+f2 AS (SELECT ev.u, f1.t0, MIN(t) AS prev
+       FROM ev JOIN f1 USING (u)
+       WHERE e = '{s2}' AND t > f1.prev AND t <= f1.prev + {within_us}
+       GROUP BY ev.u, f1.t0),
+f3 AS (SELECT ev.u, f2.t0, MIN(t) AS prev
+       FROM ev JOIN f2 USING (u)
+       WHERE e = '{s3}' AND t > f2.prev AND t <= f2.prev + {within_us}
+       GROUP BY ev.u, f2.t0),
+lat AS (SELECT round((prev - t0) / 1000000.0, 6) AS latency_s FROM f3)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.25), 6) AS p25_s,
+       round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(latency_s, 0.75), 6) AS p75_s,
+       round(quantile_cont(latency_s, 0.9), 6) AS p90_s
+FROM lat
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: users bucketed by first-seen day, distinct
     actives per week offset: (cohort_day_ms, week_offset, n_users,
@@ -1905,6 +1952,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_p95_rate": q_rolling_p95_rate,
     "rolling_active_users": q_rolling_active_users,
     "user_growth_accounting": q_user_growth_accounting,
+    "conversion_latency_quartiles": q_conversion_latency_quartiles,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2003,7 +2051,8 @@ _FRONT: tuple[str, ...] = (
     # customer_golden_records, gap_filled_value_series,
     # price_equidepth_histogram, lineitem_correlations, top_session_paths,
     # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
-    # doc_lang_mix, user_growth_accounting, cos_sim_histogram.
+    # doc_lang_mix, user_growth_accounting, cos_sim_histogram,
+    # conversion_latency_quartiles.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2070,6 +2119,7 @@ _ORACLES: dict[str, str] = {
     "rolling_p95_rate": ORACLE_ROLLING_P95_RATE,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "user_growth_accounting": ORACLE_USER_GROWTH_ACCOUNTING,
+    "conversion_latency_quartiles": _latency_oracle(),
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

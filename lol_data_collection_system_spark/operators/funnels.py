@@ -190,3 +190,54 @@ def pair_affinity(
             ).alias("lift"),
         )
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per converted user: seconds from their step-1 time to their
+    final-step time — the time-to-convert distribution behind funnel
+    SLAs ('how long does view→purchase actually take?'). Same
+    strict-order first-occurrence fold as `funnel` (each step joins the
+    survivors of the previous one — inputs shrink down the funnel),
+    carrying the step-1 timestamp through. Integer-microsecond
+    arithmetic; one final division to seconds (round 6).
+
+    Returns (user, latency_s) for users who complete ALL steps.
+    """
+    if len(steps) < 2:
+        raise ValueError("conversion_latency needs at least 2 steps")
+    within_us = int(within_seconds) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+    )
+    cur = (
+        ev.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_prev"))
+        .withColumn("_t0", F.col("_prev"))
+    )
+    for step in steps[1:]:
+        cur = (
+            ev.filter(F.col("_e") == step)
+            .join(cur, "_u")
+            .filter(
+                (F.col("_t") > F.col("_prev"))
+                & (F.col("_t") <= F.col("_prev") + F.lit(within_us))
+            )
+            .groupBy("_u", "_t0")
+            .agg(F.min("_t").alias("_prev"))
+        )
+    return cur.select(
+        F.col("_u").alias(user_col),
+        F.round((F.col("_prev") - F.col("_t0")) / F.lit(1_000_000.0), 6).alias(
+            "latency_s"
+        ),
+    )

@@ -128,3 +128,36 @@ def test_pair_affinity_repeat_events_dont_inflate(spark):
     out = funnels.pair_affinity(ev).collect()
     assert len(out) == 1
     assert out[0]["n_users_both"] == 1
+
+
+def test_conversion_latency_measures_first_to_final(spark):
+    """Latency = step-1 first event -> final completing event, with the
+    same strict-order within-window semantics as funnel(); incomplete
+    users emit nothing."""
+    import datetime as dt
+
+    from lol_data_collection_system_spark.operators.funnels import (
+        conversion_latency,
+    )
+
+    t0 = dt.datetime(2024, 8, 1)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # user 1 converts: view@0, click@10, purchase@25 -> 1500 s
+        (1, "view", at(0)), (1, "click", at(10)), (1, "purchase", at(25)),
+        # user 2 stalls at click
+        (2, "view", at(0)), (2, "click", at(5)),
+        # user 3: purchase BEFORE click -> not a conversion
+        (3, "view", at(0)), (3, "purchase", at(1)), (3, "click", at(2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r.user_id: r.latency_s
+        for r in conversion_latency(
+            df, ["view", "click", "purchase"], 86_400
+        ).collect()
+    }
+    assert got == {1: 1500.0}
