@@ -1512,6 +1512,167 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+COPURCHASE_TOPK = 20
+
+
+def q_brand_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over ORDERS (the lineitem twin of the
+    event-type `event_pair_affinity`): top-20 part-BRAND pairs bought
+    together in one order, with support counts and lift. Distinct
+    (order, brand) sets first — the dedupe bounds the per-order pair
+    space at brands² (25² here), never lineitems²; exact integer
+    counts, single double divisions for lift."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_bb")
+    )
+    lift = F.round(
+        (F.col("n_together").cast("double") * F.col("n_orders").cast("double"))
+        / (F.col("n_a") * F.col("n_bb")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(totals))
+        .select("brand_a", "brand_b", "n_together", lift.alias("lift"))
+        .orderBy(F.col("n_together").desc(), "brand_a", "brand_b")
+        .limit(COPURCHASE_TOPK)
+    )
+
+
+ORACLE_BRAND_COPURCHASE_AFFINITY = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+bn AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         count(*) AS n_together
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, n_together,
+       round((CAST(n_together AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / CAST(na.n_b * nb.n_b AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN bn na ON na.p_brand = brand_a
+JOIN bn nb ON nb.p_brand = brand_b
+CROSS JOIN n
+ORDER BY n_together DESC, brand_a, brand_b LIMIT {COPURCHASE_TOPK}
+"""
+
+
+WILSON_Z2 = 3.8416  # z^2 at 95% (1.96^2) — engine-identical literal
+
+
+def q_brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate with the WILSON lower bound at 95% — the
+    proportion-CI standard for ranking small-sample rates (a brand
+    with 2/2 returns must NOT outrank one with 90/100; the plain rate
+    says it does, the Wilson bound says otherwise). Exact integer
+    counts; the bound is one fixed double-op sequence mirrored in the
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias(
+                "n_returned"
+            ),
+        )
+    )
+    n = F.col("n_items").cast("double")
+    p = F.col("n_returned").cast("double") / n
+    z2 = F.lit(WILSON_Z2)
+    wilson_low = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.sqrt(z2) * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        "p_brand",
+        "n_items",
+        "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round(wilson_low, 6).alias("wilson_low"),
+    )
+
+
+ORACLE_BRAND_RETURN_RATES = f"""
+WITH agg AS (
+  SELECT p_brand,
+         count(*) AS n_items,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, n_items, n_returned,
+       round(CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+         AS return_rate,
+       round((
+          (CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE))
+          + {WILSON_Z2} / (2.0 * CAST(n_items AS DOUBLE))
+          - sqrt({WILSON_Z2})
+            * sqrt(((CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE))
+                    * (1.0 - CAST(n_returned AS DOUBLE)
+                             / CAST(n_items AS DOUBLE))
+                    + {WILSON_Z2} / (4.0 * CAST(n_items AS DOUBLE)))
+                   / CAST(n_items AS DOUBLE))
+        ) / (1.0 + {WILSON_Z2} / CAST(n_items AS DOUBLE)), 6) AS wilson_low
+FROM agg
+"""
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity matrix (the dashboard heatmap): event
+    counts per (day-of-week, hour-of-day). Day-of-week is normalized to
+    0=Sunday in BOTH engines (Spark dayofweek() is 1-based
+    Sunday-first; DuckDB dow() is 0-based Sunday-first)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+ORACLE_ACTIVITY_HEATMAP = """
+SELECT CAST(dayofweek(ts) AS INT) AS dow,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_DATE_FROM = "1996-01-01"
 Q5_DATE_TO = "1997-01-01"
@@ -1953,6 +2114,9 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
     "user_growth_accounting": q_user_growth_accounting,
     "conversion_latency_quartiles": q_conversion_latency_quartiles,
+    "brand_copurchase_affinity": q_brand_copurchase_affinity,
+    "brand_return_rates": q_brand_return_rates,
+    "activity_heatmap": q_activity_heatmap,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2052,7 +2216,8 @@ _FRONT: tuple[str, ...] = (
     # price_equidepth_histogram, lineitem_correlations, top_session_paths,
     # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
     # doc_lang_mix, user_growth_accounting, cos_sim_histogram,
-    # conversion_latency_quartiles.
+    # conversion_latency_quartiles, brand_copurchase_affinity,
+    # brand_return_rates, activity_heatmap.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2120,6 +2285,9 @@ _ORACLES: dict[str, str] = {
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "user_growth_accounting": ORACLE_USER_GROWTH_ACCOUNTING,
     "conversion_latency_quartiles": _latency_oracle(),
+    "brand_copurchase_affinity": ORACLE_BRAND_COPURCHASE_AFFINITY,
+    "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
+    "activity_heatmap": ORACLE_ACTIVITY_HEATMAP,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
