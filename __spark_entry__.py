@@ -1512,6 +1512,151 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto analysis: parts ranked by revenue, bucketed into
+    rank deciles, each decile's share of total revenue — 'do 20% of
+    parts carry 80% of revenue?'. The rank window runs over the
+    PART-level aggregate (parts-bounded, never lineitems); revenue is
+    exact decimal; shares are single divisions by a broadcast total."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        .alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    ranked = per_part.withColumn("rank", F.row_number().over(w))
+    totals = per_part.agg(
+        F.sum("rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    decile = F.least(
+        (F.lit(10) * (F.col("rank") - 1) / F.col("n_parts")).cast("int"),
+        F.lit(9),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_in_decile"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.first("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ORACLE_REVENUE_PARETO_DECILES = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT l_partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank
+  FROM per_part),
+t AS (SELECT sum(rev) AS total_rev, count(*) AS n_parts FROM per_part)
+SELECT least(CAST(floor(10 * (rank - 1) / n_parts) AS INT), 9) AS decile,
+       count(*) AS n_parts_in_decile,
+       round(CAST(sum(rev) AS DOUBLE) / CAST(any_value(total_rev) AS DOUBLE),
+             6) AS revenue_share
+FROM ranked CROSS JOIN t
+GROUP BY 1
+"""
+
+
+def q_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA: per order priority, exact p50/p90 of days from
+    order date to the order's LAST ship date (one order-keyed max, then
+    grouped exact percentiles — the operational-latency dashboard)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.to_date("last_ship"), F.to_date("o_orderdate")
+                )
+            ).cast("double").alias("days"),
+        )
+    )
+    pct = F.expr("percentile(days, array(0.5, 0.9))")
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_days"),
+        F.round(F.element_at(pct, 2), 6).alias("p90_days"),
+    )
+
+
+ORACLE_SHIP_LATENCY_BY_PRIORITY = """
+WITH per_order AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(max(l_shipdate) AS DATE)) AS DOUBLE) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(days, 0.5), 6) AS p50_days,
+       round(quantile_cont(days, 0.9), 6) AS p90_days
+FROM per_order GROUP BY 1
+"""
+
+
+def q_discount_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 'elasticity' read: OLS slope of quantity on discount —
+    `aggregates.linreg_by_group` reused over a broadcast-joined
+    dimension (the operator is input-agnostic: one moment pass per
+    group regardless of the grouping column's origin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return agg_ops.linreg_by_group(
+        joined, ["p_brand"], F.col("l_discount"), F.col("l_quantity")
+    )
+
+
+ORACLE_DISCOUNT_QUANTITY_TREND = """
+WITH snapped AS (
+  SELECT p_brand,
+         CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(19,6)) AS xd,
+         CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(19,6)) AS yd
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+m AS (
+  SELECT p_brand, count(*) AS n,
+         sum(xd) AS sx, sum(yd) AS sy, sum(xd * yd) AS sxy,
+         sum(xd * xd) AS sxx, sum(yd * yd) AS syy
+  FROM snapped GROUP BY 1),
+d AS (
+  SELECT p_brand, n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m)
+SELECT p_brand, n,
+       round(CASE WHEN nd * sxx - sx * sx <> 0
+                  THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 6)
+         AS slope,
+       round(CASE WHEN nd * sxx - sx * sx <> 0
+                  THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+                        * sx) / nd END, 6) AS intercept,
+       round(CASE WHEN nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+                  THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                       / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 6)
+         AS r2
+FROM d
+"""
+
+
 COPURCHASE_TOPK = 20
 
 
@@ -2117,6 +2262,9 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_copurchase_affinity": q_brand_copurchase_affinity,
     "brand_return_rates": q_brand_return_rates,
     "activity_heatmap": q_activity_heatmap,
+    "revenue_pareto_deciles": q_revenue_pareto_deciles,
+    "ship_latency_by_priority": q_ship_latency_by_priority,
+    "discount_quantity_trend": q_discount_quantity_trend,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2217,7 +2365,8 @@ _FRONT: tuple[str, ...] = (
     # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
     # doc_lang_mix, user_growth_accounting, cos_sim_histogram,
     # conversion_latency_quartiles, brand_copurchase_affinity,
-    # brand_return_rates, activity_heatmap.
+    # brand_return_rates, activity_heatmap, revenue_pareto_deciles,
+    # ship_latency_by_priority, discount_quantity_trend.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2288,6 +2437,9 @@ _ORACLES: dict[str, str] = {
     "brand_copurchase_affinity": ORACLE_BRAND_COPURCHASE_AFFINITY,
     "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
     "activity_heatmap": ORACLE_ACTIVITY_HEATMAP,
+    "revenue_pareto_deciles": ORACLE_REVENUE_PARETO_DECILES,
+    "ship_latency_by_priority": ORACLE_SHIP_LATENCY_BY_PRIORITY,
+    "discount_quantity_trend": ORACLE_DISCOUNT_QUANTITY_TREND,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
