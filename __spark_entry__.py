@@ -1512,6 +1512,113 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+BOOT_B = 16
+
+
+def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap: 95% CI for the mean lineitem
+    price from 32 seeded-hash resamples
+    (`sampling.bootstrap_mean_ci`) — uncertainty quantification as one
+    deterministic, oracle-gateable plan."""
+    from lol_data_collection_system_spark.operators import (
+        sampling as sampling_ops,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws("#", "l_orderkey", "l_linenumber").alias("rid"),
+        "l_extendedprice",
+    )
+    return sampling_ops.bootstrap_mean_ci(
+        li, "rid", "l_extendedprice", BOOT_B
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from lol_data_collection_system_spark.operators.sampling import (
+        POISSON1_CDF,
+    )
+
+    n_digests = (BOOT_B + 6) // 7
+    digests = ",\n         ".join(
+        "CAST(('0x' || substr(md5('boot' || '|' || '"
+        + str(d)
+        + "' || '|' || rid), 1, 15)) AS BIGINT) AS h"
+        + str(d)
+        for d in range(n_digests)
+    )
+    harr = "[" + ", ".join(f"h{d}" for d in range(n_digests)) + "]"
+    w_cases = " ".join(
+        f"WHEN u <= {thr!r} THEN {k}" for k, thr in enumerate(POISSON1_CDF)
+    )
+    w_sql = f"(CASE {w_cases} ELSE {len(POISSON1_CDF)} END)"
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(19,6)) AS v,
+         {digests}
+  FROM (SELECT l_extendedprice,
+               CAST(l_orderkey AS VARCHAR) || '#'
+                 || CAST(l_linenumber AS VARCHAR) AS rid
+        FROM lineitem)),
+ex AS (
+  SELECT v, {harr} AS hs, b
+  FROM base, unnest(generate_series(0, {BOOT_B - 1})) t(b)),
+drawn AS (
+  SELECT b, v, {w_sql} AS w
+  FROM (SELECT b, v,
+               CAST(((hs[CAST(b // 7 AS INT) + 1] >> ((b % 7) * 8)) & 255)
+                    AS DOUBLE) / 256.0 AS u
+        FROM ex)),
+reps AS (
+  SELECT b,
+         CAST(sum(v * CAST(w AS DECIMAL(2,0))) AS DOUBLE)
+           / CAST(sum(w) AS DOUBLE) AS rep_mean
+  FROM drawn GROUP BY b),
+stats AS (
+  SELECT count(*) AS n_rows,
+         round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean
+  FROM base),
+ci AS (
+  SELECT round(quantile_cont(rep_mean, 0.025), 6) AS ci_low,
+         round(quantile_cont(rep_mean, 0.975), 6) AS ci_high,
+         count(*) AS n_replicates
+  FROM reps)
+SELECT n_rows, mean, ci_low, ci_high, n_replicates
+FROM stats CROSS JOIN ci
+"""
+
+
+def q_join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight profile of the orders⋈lineitem equi-join: exact
+    output cardinality from per-key COUNT joins (never the data), the
+    heaviest key's contribution, and its share — the number the
+    salting / broadcast decision reads before paying for the shuffle
+    (`joins.join_cardinality_profile`)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_ops.join_cardinality_profile(
+        orders, li, "o_orderkey", "l_orderkey"
+    )
+
+
+ORACLE_JOIN_CARDINALITY_PROFILE = """
+WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+pk AS (SELECT ca.k, na * nb AS contrib FROM ca JOIN cb ON ca.k = cb.k),
+agg AS (
+  SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
+         count(*) AS n_matching_keys,
+         max(struct_pack(contrib := contrib,
+                         key := CAST(k AS VARCHAR))) AS best
+  FROM pk)
+SELECT est_rows, n_matching_keys,
+       struct_extract(best, 'key') AS max_key,
+       CAST(struct_extract(best, 'contrib') AS BIGINT) AS max_key_rows,
+       round(CAST(struct_extract(best, 'contrib') AS DOUBLE)
+             / CAST(est_rows AS DOUBLE), 6) AS skew_share
+FROM agg
+"""
+
+
 def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC/Pareto analysis: parts ranked by revenue, bucketed into
     rank deciles, each decile's share of total revenue — 'do 20% of
@@ -2265,6 +2372,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_pareto_deciles": q_revenue_pareto_deciles,
     "ship_latency_by_priority": q_ship_latency_by_priority,
     "discount_quantity_trend": q_discount_quantity_trend,
+    "join_cardinality_profile": q_join_cardinality_profile,
+    "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2366,7 +2475,8 @@ _FRONT: tuple[str, ...] = (
     # doc_lang_mix, user_growth_accounting, cos_sim_histogram,
     # conversion_latency_quartiles, brand_copurchase_affinity,
     # brand_return_rates, activity_heatmap, revenue_pareto_deciles,
-    # ship_latency_by_priority, discount_quantity_trend.
+    # ship_latency_by_priority, discount_quantity_trend,
+    # join_cardinality_profile, revenue_bootstrap_ci.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2440,6 +2550,8 @@ _ORACLES: dict[str, str] = {
     "revenue_pareto_deciles": ORACLE_REVENUE_PARETO_DECILES,
     "ship_latency_by_priority": ORACLE_SHIP_LATENCY_BY_PRIORITY,
     "discount_quantity_trend": ORACLE_DISCOUNT_QUANTITY_TREND,
+    "join_cardinality_profile": ORACLE_JOIN_CARDINALITY_PROFILE,
+    "revenue_bootstrap_ci": _bootstrap_oracle(),
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

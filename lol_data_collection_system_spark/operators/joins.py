@@ -329,3 +329,54 @@ def salted_skew_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def join_cardinality_profile(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+) -> DataFrame:
+    """Pre-flight join planner: the EXACT output cardinality of
+    ``a ⋈ b`` on the given keys plus its skew anatomy, computed from
+    two per-key count aggregates and a key-matched join of COUNTS
+    (never the data): one row —
+    ``(est_rows, n_matching_keys, max_key, max_key_rows, skew_share)``.
+
+    The companion to `aggregates.key_skew_profile`: that one profiles a
+    single frame's key; this one answers "what does the JOIN produce,
+    and does one key dominate it?" before paying for a bad shuffle.
+    Σ n_a(k)·n_b(k) is exact for inner equi-joins; max contribution /
+    total is the salting decision number.
+    """
+    ca = a.groupBy(F.col(key_a).alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cb = b.groupBy(F.col(key_b).alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    per_key = ca.join(cb, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("contrib")
+    )
+    best = F.max(
+        F.struct(
+            F.col("contrib").alias("contrib"),
+            F.col("k").cast("string").alias("key"),
+        )
+    )
+    return per_key.agg(
+        F.sum("contrib").alias("est_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        best["key"].alias("max_key"),
+        best["contrib"].alias("max_key_rows"),
+    ).select(
+        "est_rows",
+        "n_matching_keys",
+        "max_key",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows").cast("double")
+            / F.col("est_rows").cast("double"),
+            6,
+        ).alias("skew_share"),
+    )

@@ -274,3 +274,37 @@ def test_capped_token_budget_extreme_skew_and_degenerate(spark):
         empty_tokens, "source", F.col("n_tok"), budget_tokens=100
     ).collect()
     assert all(r.planned_tokens == 0 for r in z)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_layout_invariant(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from lol_data_collection_system_spark.operators.sampling import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, float(50 + (i * 13) % 25)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["rid", "x"])
+    one = bootstrap_mean_ci(df.coalesce(1), "rid", "x", 16).collect()[0]
+    many = bootstrap_mean_ci(df.repartition(11), "rid", "x", 16).collect()[0]
+    assert one == many  # resamples are a pure function of (salt, id)
+    assert one.ci_low <= one.mean <= one.ci_high
+    # CI is tight for 400 iid-ish values but not degenerate
+    assert 0 < one.ci_high - one.ci_low < 5.0
+    assert one.n_rows == 400 and one.n_replicates == 16
+
+
+def test_join_cardinality_profile_exact(spark):
+    from lol_data_collection_system_spark.operators.joins import (
+        join_cardinality_profile,
+    )
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(1,), (1,), (1,), (2,), (9,)], ["j"])
+    got = join_cardinality_profile(a, b, "k", "j").collect()[0]
+    assert got.est_rows == 2 * 3 + 1 * 1  # keys 1 and 2 match
+    assert got.n_matching_keys == 2
+    assert got.max_key == "1" and got.max_key_rows == 6
+    assert got.skew_share == round(6 / 7, 6)
+    # ground truth: the actual join
+    assert a.join(b, a.k == b.j).count() == got.est_rows
