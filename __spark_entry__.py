@@ -17,6 +17,7 @@ Determinism notes (the driver hash-compares values):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1512,6 +1513,158 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+AB_GROUP_A = "purchase"
+AB_GROUP_B = "click"
+
+
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on event `value` between two event
+    types — the A/B-comparison statistic, from the same exact decimal
+    moment discipline as `linreg_by_group`: per-group n/Σx/Σx² in ONE
+    map-combined pass, then the t statistic and Welch–Satterthwaite
+    degrees of freedom as a fixed double-op sequence. One row."""
+    events = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("double").cast("decimal(18,6)")
+    m = (
+        events.filter(F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vd).alias("s"),
+            F.sum(vd * vd).alias("ss"),
+        )
+    )
+    a = m.filter(F.col("event_type") == AB_GROUP_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = m.filter(F.col("event_type") == AB_GROUP_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("ssa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("ssb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / F.sqrt(se2)
+    df_ws = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return j.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df_ws, 6).alias("welch_df"),
+    )
+
+
+ORACLE_AB_TEST_WELCH = f"""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6))) AS s,
+         sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6))
+             * CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6))) AS ss
+  FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY 1),
+a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m
+      WHERE event_type = '{AB_GROUP_A}'),
+b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m
+      WHERE event_type = '{AB_GROUP_B}'),
+d AS (
+  SELECT na, nb,
+         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         CAST(ssa AS DOUBLE) AS ssa, CAST(ssb AS DOUBLE) AS ssb
+  FROM a CROSS JOIN b),
+v AS (
+  SELECT na, nb, nad, nbd, ma, mb,
+         (ssa - nad * ma * ma) / (nad - 1.0) AS va,
+         (ssb - nbd * mb * mb) / (nbd - 1.0) AS vb
+  FROM d)
+SELECT na AS n_a, nb AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(va / nad + vb / nbd), 6) AS t_stat,
+       round(((va / nad + vb / nbd) * (va / nad + vb / nbd))
+             / ((va / nad) * (va / nad) / (nad - 1.0)
+                + (vb / nbd) * (vb / nbd) / (nbd - 1.0)), 6) AS welch_df
+FROM v
+"""
+
+
+BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit of prices: observed first-digit
+    distribution of the integer cents (an INTEGER's string is
+    engine-identical; a double's rendering is not) vs the Benford
+    expectation, with per-digit contribution to the χ² statistic —
+    fabricated or capped financial data fails this audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(_dec("l_extendedprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = li.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    exp_frac = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        exp_frac = F.when(
+            F.col("digit") == d, F.lit(BENFORD_EXPECTED[d])
+        ).otherwise(exp_frac)
+    n_exp = F.col("n_total").cast("double") * exp_frac
+    chi2 = (F.col("n_obs").cast("double") - n_exp) * (
+        F.col("n_obs").cast("double") - n_exp
+    ) / n_exp
+    return obs.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("obs_frac"),
+        F.round(exp_frac, 6).alias("benford_frac"),
+        F.round(chi2, 6).alias("chi2_term"),
+    )
+
+
+def _benford_oracle() -> str:
+    # CAST to DOUBLE: DuckDB types bare decimal literals as DECIMAL
+    # (exact), while Spark's F.lit is a double — the pagerank oracle's
+    # documented trap, hit again here
+    exp_cases = " ".join(
+        f"WHEN digit = {d} THEN CAST({BENFORD_EXPECTED[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH obs AS (
+  SELECT CAST(substring(CAST(CAST(round(
+           CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n_obs) AS n_total FROM obs)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS obs_frac,
+       round(CASE {exp_cases} END, 6) AS benford_frac,
+       round((CAST(n_obs AS DOUBLE)
+              - CAST(n_total AS DOUBLE) * (CASE {exp_cases} END))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(n_total AS DOUBLE) * (CASE {exp_cases} END))
+             / (CAST(n_total AS DOUBLE) * (CASE {exp_cases} END)), 6)
+         AS chi2_term
+FROM obs CROSS JOIN t
+"""
+
+
 BOOT_B = 16
 
 
@@ -2374,6 +2527,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "discount_quantity_trend": q_discount_quantity_trend,
     "join_cardinality_profile": q_join_cardinality_profile,
     "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
+    "ab_test_welch": q_ab_test_welch,
+    "benford_price_audit": q_benford_price_audit,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2476,7 +2631,8 @@ _FRONT: tuple[str, ...] = (
     # conversion_latency_quartiles, brand_copurchase_affinity,
     # brand_return_rates, activity_heatmap, revenue_pareto_deciles,
     # ship_latency_by_priority, discount_quantity_trend,
-    # join_cardinality_profile, revenue_bootstrap_ci.
+    # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
+    # benford_price_audit.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2552,6 +2708,8 @@ _ORACLES: dict[str, str] = {
     "discount_quantity_trend": ORACLE_DISCOUNT_QUANTITY_TREND,
     "join_cardinality_profile": ORACLE_JOIN_CARDINALITY_PROFILE,
     "revenue_bootstrap_ci": _bootstrap_oracle(),
+    "ab_test_welch": ORACLE_AB_TEST_WELCH,
+    "benford_price_audit": _benford_oracle(),
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
