@@ -1513,6 +1513,129 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+SEASONAL_TOPK = 20
+
+
+def q_seasonal_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-AWARE spike detection: hourly counts per type
+    compared to that type's (weekday, hour-of-day) seasonal baseline —
+    the residual view that doesn't flag every Monday 9am as an anomaly
+    the way a trailing-window EWMA does. Baseline = exact per-cell
+    mean; top-20 buckets by |residual| (integer count minus one-division
+    mean, round 6); TakeOrderedAndProject."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("b"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    baseline = hourly.groupBy("event_type", "dow", "hod").agg(
+        F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("m")
+    )
+    joined = hourly.join(
+        F.broadcast(baseline), ["event_type", "dow", "hod"]
+    ).select(
+        "event_type",
+        F.unix_millis("b").alias("bucket_ms"),
+        "cnt",
+        F.round(
+            F.col("s").cast("double") / F.col("m").cast("double"), 6
+        ).alias("seasonal_mean"),
+        F.round(
+            F.col("cnt").cast("double")
+            - F.col("s").cast("double") / F.col("m").cast("double"),
+            6,
+        ).alias("residual"),
+    )
+    return joined.orderBy(
+        F.abs(F.col("residual")).desc(), "event_type", "bucket_ms"
+    ).limit(SEASONAL_TOPK)
+
+
+ORACLE_SEASONAL_ADJUSTED_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(extract(hour FROM ts) AS INT) AS hod,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3, 4),
+baseline AS (
+  SELECT event_type, dow, hod, sum(cnt) AS s, count(*) AS m
+  FROM hourly GROUP BY 1, 2, 3)
+SELECT h.event_type, epoch_ms(h.b) AS bucket_ms, h.cnt,
+       round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6) AS seasonal_mean,
+       round(CAST(h.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(m AS DOUBLE),
+             6) AS residual
+FROM hourly h JOIN baseline USING (event_type, dow, hod)
+ORDER BY abs(round(CAST(h.cnt AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6)) DESC,
+         h.event_type, bucket_ms
+LIMIT {SEASONAL_TOPK}
+"""
+
+
+def q_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence cross-tab (priority × status): observed cell
+    counts vs the independence expectation row·col/n, per-cell χ²
+    terms — 'does order priority actually influence status?'. All
+    counts exact; expectations are single-division doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_obs").alias("row_n")
+    )
+    colz = cells.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("col_n"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi2 = (F.col("n_obs").cast("double") - exp) * (
+        F.col("n_obs").cast("double") - exp
+    ) / exp
+    return (
+        cells.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(colz), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_obs",
+            F.round(exp, 6).alias("n_expected"),
+            F.round(chi2, 6).alias("chi2_term"),
+        )
+    )
+
+
+ORACLE_PRIORITY_STATUS_CHI2 = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2),
+r AS (SELECT o_orderpriority, sum(n_obs) AS row_n FROM cells GROUP BY 1),
+c AS (SELECT o_orderstatus, sum(n_obs) AS col_n FROM cells GROUP BY 1),
+t AS (SELECT sum(n_obs) AS n FROM cells)
+SELECT cells.o_orderpriority, cells.o_orderstatus, n_obs,
+       round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS n_expected,
+       round((CAST(n_obs AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) AS chi2_term
+FROM cells JOIN r USING (o_orderpriority)
+JOIN c USING (o_orderstatus) CROSS JOIN t
+"""
+
+
 AB_GROUP_A = "purchase"
 AB_GROUP_B = "click"
 
@@ -2529,6 +2652,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
     "ab_test_welch": q_ab_test_welch,
     "benford_price_audit": q_benford_price_audit,
+    "seasonal_adjusted_anomalies": q_seasonal_adjusted_anomalies,
+    "priority_status_chi2": q_priority_status_chi2,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2632,7 +2757,8 @@ _FRONT: tuple[str, ...] = (
     # brand_return_rates, activity_heatmap, revenue_pareto_deciles,
     # ship_latency_by_priority, discount_quantity_trend,
     # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
-    # benford_price_audit.
+    # benford_price_audit, seasonal_adjusted_anomalies,
+    # priority_status_chi2.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2710,6 +2836,8 @@ _ORACLES: dict[str, str] = {
     "revenue_bootstrap_ci": _bootstrap_oracle(),
     "ab_test_welch": ORACLE_AB_TEST_WELCH,
     "benford_price_audit": _benford_oracle(),
+    "seasonal_adjusted_anomalies": ORACLE_SEASONAL_ADJUSTED_ANOMALIES,
+    "priority_status_chi2": ORACLE_PRIORITY_STATUS_CHI2,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
