@@ -1513,6 +1513,150 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-part revenue — the concentration scalar
+    behind the Pareto deciles (0 = equal, →1 = winner-take-all).
+    Exact rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending revenues; the rank window runs over the PART-level
+    aggregate; Σ(i·x) is exact decimal (rank as decimal(10,0) keeps
+    the product inside the 38-digit cap). One row."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias(
+            "rev"
+        )
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("l_partkey"))
+    ranked = per_part.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("_sx"),
+        # rev narrowed to (24,4): rank(10,0) x the full-width sum type
+        # would pass the 38-digit cap (Spark truncates, DuckDB errors)
+        F.sum(
+            F.col("i").cast("decimal(10,0)")
+            * F.col("rev").cast("decimal(24,4)")
+        ).alias("_six"),
+    )
+    n = F.col("n_parts").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("_six").cast("double")
+        / (n * F.col("_sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "n_parts",
+        F.round(F.col("_sx").cast("double"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+ORACLE_REVENUE_GINI = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, l_partkey) AS i
+  FROM per_part),
+agg AS (
+  SELECT count(*) AS n_parts, sum(rev) AS sx,
+         sum(CAST(i AS DECIMAL(10,0)) * CAST(rev AS DECIMAL(24,4))) AS six
+  FROM ranked)
+SELECT n_parts,
+       round(CAST(sx AS DOUBLE), 2) AS total_revenue,
+       round(2.0 * CAST(six AS DOUBLE)
+             / (CAST(n_parts AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n_parts AS DOUBLE) + 1.0) / CAST(n_parts AS DOUBLE),
+             6) AS gini
+FROM agg
+"""
+
+
+ACF_LAGS = (1, 24)
+
+
+def q_volume_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of the hourly event volume per
+    type — the cycle detector (a strong lag-24 ACF means daily
+    seasonality; pair with `seasonal_adjusted_anomalies`). Pearson over
+    (cntₜ, cntₜ₋ₖ) pairs from a lag window on the densified hourly
+    grid, moments decimal-exact per (type, lag)."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("b")
+    pairs = None
+    for lag in ACF_LAGS:
+        p = hourly.select(
+            "event_type",
+            F.lit(lag).cast("int").alias("lag"),
+            F.col("cnt").cast("decimal(18,0)").alias("x"),
+            F.lag("cnt", lag).over(w).cast("decimal(18,0)").alias("y"),
+        ).filter(F.col("y").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(F.when(den != 0, num / den), 6).alias("acf"),
+    )
+
+
+ORACLE_VOLUME_AUTOCORRELATION = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  {" UNION ALL ".join(
+    f'''SELECT event_type, CAST({lag} AS INT) AS lag,
+       CAST(cnt AS DECIMAL(19,0)) AS x,
+       CAST(lag(cnt, {lag}) OVER (PARTITION BY event_type ORDER BY b)
+            AS DECIMAL(19,0)) AS y
+    FROM hourly'''
+    for lag in ACF_LAGS
+  )}),
+m AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, lag, n,
+       round(CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       <> 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS acf
+FROM m
+"""
+
+
 SEASONAL_TOPK = 20
 
 
@@ -2654,6 +2798,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_price_audit": q_benford_price_audit,
     "seasonal_adjusted_anomalies": q_seasonal_adjusted_anomalies,
     "priority_status_chi2": q_priority_status_chi2,
+    "revenue_gini": q_revenue_gini,
+    "volume_autocorrelation": q_volume_autocorrelation,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2758,7 +2904,7 @@ _FRONT: tuple[str, ...] = (
     # ship_latency_by_priority, discount_quantity_trend,
     # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
     # benford_price_audit, seasonal_adjusted_anomalies,
-    # priority_status_chi2.
+    # priority_status_chi2, revenue_gini, volume_autocorrelation.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2838,6 +2984,8 @@ _ORACLES: dict[str, str] = {
     "benford_price_audit": _benford_oracle(),
     "seasonal_adjusted_anomalies": ORACLE_SEASONAL_ADJUSTED_ANOMALIES,
     "priority_status_chi2": ORACLE_PRIORITY_STATUS_CHI2,
+    "revenue_gini": ORACLE_REVENUE_GINI,
+    "volume_autocorrelation": ORACLE_VOLUME_AUTOCORRELATION,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
