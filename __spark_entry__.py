@@ -1513,6 +1513,160 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the marketing-analytics classic): per customer
+    Recency (days since last order), Frequency (orders), Monetary
+    (total spend) → tercile scores 1-3 per dimension from exact global
+    percentile cutoffs (broadcast 1-row; assignment is a codegen
+    comparison chain — the customer frame never sorts) → one row per
+    (r, f, m) cell with customer count and mean spend."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.sum(_dec("o_totalprice")).alias("m"),
+            F.max("o_orderdate").alias("_last"),
+            F.first("mxd").alias("_mxd"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("_mxd"), F.to_date("_last"))
+            .cast("double")
+            .alias("r"),
+            F.col("f").cast("double").alias("f"),
+            F.col("m").cast("double").alias("m"),
+        )
+    )
+    cuts = per_cust.agg(
+        F.expr("percentile(r, array(0.3333333333333333, 0.6666666666666666))").alias("rc"),
+        F.expr("percentile(f, array(0.3333333333333333, 0.6666666666666666))").alias("fc"),
+        F.expr("percentile(m, array(0.3333333333333333, 0.6666666666666666))").alias("mc"),
+    )
+
+    def score(v: str, c: str, invert: bool) -> "F.Column":
+        s = (
+            F.lit(1)
+            + F.when(F.col(v) > F.element_at(F.col(c), 1), 1).otherwise(0)
+            + F.when(F.col(v) > F.element_at(F.col(c), 2), 1).otherwise(0)
+        )
+        # recency: LOW days = best -> invert so 3 is always "best"
+        return (F.lit(4) - s) if invert else s
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        score("r", "rc", True).alias("r_score"),
+        score("f", "fc", False).alias("f_score"),
+        score("m", "mc", False).alias("m_score"),
+        "m",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("m").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_spend"),
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        CAST(any_value(mxd) AS DATE)) AS DOUBLE) AS r,
+         CAST(count(*) AS DOUBLE) AS f,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey),
+cuts AS (
+  SELECT quantile_cont(r, [0.3333333333333333, 0.6666666666666666]) AS rc,
+         quantile_cont(f, [0.3333333333333333, 0.6666666666666666]) AS fc,
+         quantile_cont(m, [0.3333333333333333, 0.6666666666666666]) AS mc
+  FROM per_cust),
+scored AS (
+  SELECT 4 - (1 + CASE WHEN r > rc[1] THEN 1 ELSE 0 END
+                + CASE WHEN r > rc[2] THEN 1 ELSE 0 END) AS r_score,
+         1 + CASE WHEN f > fc[1] THEN 1 ELSE 0 END
+           + CASE WHEN f > fc[2] THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN m > mc[1] THEN 1 ELSE 0 END
+           + CASE WHEN m > mc[2] THEN 1 ELSE 0 END AS m_score,
+         m
+  FROM per_cust CROSS JOIN cuts)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(m AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS mean_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers bucketed by first-order QUARTER,
+    cumulative revenue per customer tracked by quarter offset — the
+    'how fast does a cohort pay back' view. Cumulative sum runs over
+    the (cohort × offset) frame (a handful of cells), never rows."""
+    orders = _t(spark, sf_dir, "orders")
+    q = F.date_trunc("quarter", "o_orderdate")
+    first_q = orders.groupBy("o_custkey").agg(
+        F.min(q).alias("cohort_q")
+    )
+    joined = orders.join(first_q, "o_custkey").select(
+        "o_custkey",
+        "cohort_q",
+        F.months_between(q, F.col("cohort_q")).cast("int").alias("_mo"),
+        _dec("o_totalprice").alias("_rev"),
+    )
+    cells = joined.groupBy(
+        "cohort_q", (F.col("_mo") / 3).cast("int").alias("q_offset")
+    ).agg(F.sum("_rev").alias("rev"))
+    sizes = first_q.groupBy("cohort_q").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("q_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_q")
+        .select(
+            F.unix_millis("cohort_q").alias("cohort_ms"),
+            "q_offset",
+            "cohort_size",
+            F.round(
+                F.sum("rev").over(w).cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV_CURVE = """
+WITH fq AS (
+  SELECT o_custkey, min(date_trunc('quarter', o_orderdate)) AS cohort_q
+  FROM orders GROUP BY 1),
+cells AS (
+  SELECT cohort_q,
+         CAST(CAST(datediff('month', cohort_q,
+                  date_trunc('quarter', o_orderdate)) AS INT) / 3 AS INT)
+           AS q_offset,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN fq USING (o_custkey)
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_q, count(*) AS cohort_size FROM fq GROUP BY 1)
+SELECT epoch_ms(cohort_q) AS cohort_ms, q_offset, cohort_size,
+       round(CAST(sum(rev) OVER (PARTITION BY cells.cohort_q
+               ORDER BY q_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(cohort_size AS DOUBLE), 6) AS cum_ltv_per_customer
+FROM cells JOIN sizes USING (cohort_q)
+"""
+
+
 def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-part revenue — the concentration scalar
     behind the Pareto deciles (0 = equal, →1 = winner-take-all).
@@ -2800,6 +2954,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_status_chi2": q_priority_status_chi2,
     "revenue_gini": q_revenue_gini,
     "volume_autocorrelation": q_volume_autocorrelation,
+    "rfm_segments": q_rfm_segments,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -2904,7 +3060,8 @@ _FRONT: tuple[str, ...] = (
     # ship_latency_by_priority, discount_quantity_trend,
     # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
     # benford_price_audit, seasonal_adjusted_anomalies,
-    # priority_status_chi2, revenue_gini, volume_autocorrelation.
+    # priority_status_chi2, revenue_gini, volume_autocorrelation,
+    # rfm_segments, cohort_ltv_curve.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -2986,6 +3143,8 @@ _ORACLES: dict[str, str] = {
     "priority_status_chi2": ORACLE_PRIORITY_STATUS_CHI2,
     "revenue_gini": ORACLE_REVENUE_GINI,
     "volume_autocorrelation": ORACLE_VOLUME_AUTOCORRELATION,
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
