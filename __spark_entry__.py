@@ -1513,6 +1513,81 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_repeat_order_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-second-order: per customer the days from
+    first to second order (single-order customers right-censored at the
+    corpus horizon), folded through `funnels.km_survival` — 'how long
+    until a customer comes back', censoring handled properly instead of
+    dropping one-timers."""
+    from lol_data_collection_system_spark.operators import funnels
+
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(d).alias("f1"))
+    seconds = (
+        orders.join(firsts, "o_custkey")
+        .filter(d > F.col("f1"))
+        .groupBy("o_custkey")
+        .agg(F.min(d).alias("f2"))
+    )
+    mx = orders.agg(F.max(d).alias("mxd"))
+    durations = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("f2").isNotNull(), F.datediff("f2", "f1")
+            )
+            .otherwise(F.datediff("mxd", "f1"))
+            .cast("bigint")
+            .alias("t"),
+            F.col("f2").isNotNull().alias("observed"),
+        )
+    )
+    return funnels.km_survival(durations)
+
+
+ORACLE_REPEAT_ORDER_SURVIVAL = """
+WITH firsts AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f1
+  FROM orders GROUP BY 1),
+seconds AS (
+  SELECT o.o_custkey, min(CAST(o_orderdate AS DATE)) AS f2
+  FROM orders o JOIN firsts USING (o_custkey)
+  WHERE CAST(o_orderdate AS DATE) > f1
+  GROUP BY 1),
+mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+durations AS (
+  SELECT CAST(CASE WHEN f2 IS NOT NULL
+                   THEN date_diff('day', f1, f2)
+                   ELSE date_diff('day', f1, mxd) END AS BIGINT) AS t,
+         f2 IS NOT NULL AS observed
+  FROM firsts LEFT JOIN seconds USING (o_custkey) CROSS JOIN mx),
+per_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         count(*) AS leave
+  FROM durations GROUP BY t),
+risk AS (
+  SELECT t, d,
+         sum(leave) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM per_t),
+surv AS (
+  SELECT t, d, n_at_risk,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+               OVER (ORDER BY t ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (acc, x) -> acc * x) AS s
+  FROM risk)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+       round(s, 6) AS survival
+FROM surv WHERE d > 0
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the marketing-analytics classic): per customer
     Recency (days since last order), Frequency (orders), Monetary
@@ -2956,6 +3031,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_autocorrelation": q_volume_autocorrelation,
     "rfm_segments": q_rfm_segments,
     "cohort_ltv_curve": q_cohort_ltv_curve,
+    "repeat_order_survival": q_repeat_order_survival,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -3061,7 +3137,7 @@ _FRONT: tuple[str, ...] = (
     # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
     # benford_price_audit, seasonal_adjusted_anomalies,
     # priority_status_chi2, revenue_gini, volume_autocorrelation,
-    # rfm_segments, cohort_ltv_curve.
+    # rfm_segments, cohort_ltv_curve, repeat_order_survival.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -3145,6 +3221,7 @@ _ORACLES: dict[str, str] = {
     "volume_autocorrelation": ORACLE_VOLUME_AUTOCORRELATION,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
+    "repeat_order_survival": ORACLE_REPEAT_ORDER_SURVIVAL,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,

@@ -20,7 +20,7 @@ compare identical integers — no interval/timezone semantics in play.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MILLIS_PER_WEEK = 7 * 86_400_000
@@ -240,4 +240,54 @@ def conversion_latency(
         F.round((F.col("_prev") - F.col("_t0")) / F.lit(1_000_000.0), 6).alias(
             "latency_s"
         ),
+    )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str = "t",
+    event_col: str = "observed",
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over right-censored durations —
+    'how long until the second order / the churn / the repair', with
+    single-event subjects censored at the observation horizon. Input:
+    one row per subject with an integer duration and an observed flag
+    (True = the event happened at t, False = censored at t). Output:
+    one row per distinct EVENT time:
+    ``(t, n_at_risk, n_events, survival)`` with S(t) = Π(1 − dᵢ/nᵢ).
+
+    Scale + determinism shape: everything runs on the DURATION-DAY
+    frame (bounded by the observation span, not by subjects) — d_t and
+    leave_t per day from one subject-level aggregate, the risk set as a
+    REVERSE cumulative sum, and the survival product as an ordered
+    list fold (`aggregate` over a cumulative `collect_list` window):
+    both engines multiply the identical factor sequence in the same
+    order, so the doubles agree bit-for-bit with no logarithm rounding
+    anywhere.
+    """
+    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("d"),
+        F.count(F.lit(1)).alias("leave"),
+    )
+    w_rev = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_risk = per_t.withColumn("n_at_risk", F.sum("leave").over(w_rev))
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    w_fwd = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = F.aggregate(
+        F.collect_list(factor).over(w_fwd),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return (
+        with_risk.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("d") > 0)
+        .select("t", "n_at_risk", F.col("d").alias("n_events"), "survival")
     )

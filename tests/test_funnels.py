@@ -161,3 +161,25 @@ def test_conversion_latency_measures_first_to_final(spark):
         ).collect()
     }
     assert got == {1: 1500.0}
+
+
+def test_km_survival_matches_hand_computed(spark):
+    """Textbook KM fixture: events at t=1 (2/5) and t=3 (1/2), censor
+    at t=2 and t=3 -> S(1)=0.6, S(3)=0.6*(1-1/2)=0.3; censored-only
+    times emit no row but shrink the risk set."""
+    from lol_data_collection_system_spark.operators.funnels import (
+        km_survival,
+    )
+
+    rows = [
+        (1, True), (1, True),    # two events at t=1
+        (2, False),              # censored at t=2
+        (3, True), (3, False),   # one event + one censor at t=3
+    ]
+    df = spark.createDataFrame(rows, "t bigint, observed boolean")
+    got = {r.t: r for r in km_survival(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].n_at_risk == 5 and got[1].n_events == 2
+    assert got[1].survival == 0.6
+    assert got[3].n_at_risk == 2 and got[3].n_events == 1
+    assert got[3].survival == 0.3
