@@ -3137,7 +3137,8 @@ _FRONT: tuple[str, ...] = (
     # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
     # benford_price_audit, seasonal_adjusted_anomalies,
     # priority_status_chi2, revenue_gini, volume_autocorrelation,
-    # rfm_segments, cohort_ltv_curve, repeat_order_survival.
+    # rfm_segments, cohort_ltv_curve, repeat_order_survival,
+    # name_resolution_clusters.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",

@@ -116,6 +116,54 @@ WHERE levenshtein(cand.dirty_name, cand.clean_name) <= {LINK_MAX_DIST}
 """
 
 
+def q_name_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the fuzzy string pairs become
+    edges, connected components merge transitive matches (A~B, B~C ⇒
+    one entity even when A~C is over the edit threshold), and each
+    cluster reports its size and canonical (min) name — the linkage
+    family's analog of the corpus dedup_components pipeline. String
+    nodes ride CC's generic non-numeric path."""
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = link_ops.fuzzy_link_names(
+        _dirty_feed(part),
+        part,
+        "dirty_name",
+        "p_name",
+        q=LINK_Q,
+        max_dist=LINK_MAX_DIST,
+        max_gram_freq=LINK_GRAM_CAP,
+    )
+    edges = pairs.select(
+        F.col("dirty_name").alias("id_a"), F.col("clean_name").alias("id_b")
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    return comp.groupBy(F.col("component_id").alias("canonical_name")).agg(
+        F.count(F.lit(1)).alias("n_names")
+    )
+
+
+def _resolution_oracle() -> str:
+    """The pair CTEs of the linkage oracle feed a recursive-CTE
+    min-label closure (the same technique as the dedup_components
+    oracle), then a per-component census."""
+    pair_sql = _linkage_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT dirty_name AS u, clean_name AS v FROM pairs
+  UNION SELECT clean_name, dirty_name FROM pairs),
+reach(node, reached) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reached),
+comp AS (SELECT node, MIN(reached) AS m FROM reach GROUP BY node)
+SELECT m AS canonical_name, count(*) AS n_names
+FROM comp GROUP BY 1
+"""
+
+
 def q_customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship merge over a three-feed customer registry (derived
     in-plan: the CRM feed misses every third balance, the billing feed
@@ -182,10 +230,12 @@ FROM feed GROUP BY c_custkey
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_linkage": q_fuzzy_part_linkage,
+    "name_resolution_clusters": q_name_resolution_clusters,
     "customer_golden_records": q_customer_golden_records,
 }
 
 ORACLES: dict[str, str] = {
     "fuzzy_part_linkage": _linkage_oracle(),
+    "name_resolution_clusters": _resolution_oracle(),
     "customer_golden_records": _golden_oracle(),
 }
