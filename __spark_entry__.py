@@ -1513,6 +1513,75 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+HILL_K = 100
+
+
+def q_price_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the price distribution's tail index — the
+    heavy-tail diagnostic (α < 2 means variance-infinite territory
+    where means and CIs mislead; read this BEFORE trusting
+    mean-based stats on a skewed measure). α = k / Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    over the k largest values: TakeOrderedAndProject gets the k+1 top
+    order statistics, the k+1-th broadcasts as the 1-row pivot, and
+    the ln terms are 6-dp-rounded decimal sums (the repo's ln
+    contract). One row."""
+    li = _t(spark, sf_dir, "lineitem")
+    top = (
+        li.select(
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy(
+            F.col("x").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(HILL_K + 1)
+    )
+    w = Window.orderBy(
+        F.col("x").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    pivot = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        F.col("x").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= HILL_K)
+        .crossJoin(F.broadcast(pivot))
+        .select(
+            F.round(F.log(F.col("x") / F.col("xk1")), 6)
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    return terms.agg(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.round(
+            F.lit(float(HILL_K)) / F.sum("term").cast("double"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+ORACLE_PRICE_TAIL_INDEX = f"""
+WITH top AS (
+  SELECT l_extendedprice AS x, l_orderkey, l_linenumber
+  FROM lineitem
+  ORDER BY x DESC, l_orderkey, l_linenumber
+  LIMIT {HILL_K + 1}),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (
+    ORDER BY x DESC, l_orderkey, l_linenumber) AS rk
+  FROM top),
+pvt AS (SELECT x AS xk1 FROM ranked WHERE rk = {HILL_K + 1}),
+terms AS (
+  SELECT CAST(round(ln(x / xk1), 6) AS DECIMAL(18,6)) AS term
+  FROM ranked CROSS JOIN pvt WHERE rk <= {HILL_K})
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       round(CAST({float(HILL_K)!r} AS DOUBLE)
+             / CAST(sum(term) AS DOUBLE), 6) AS hill_alpha
+FROM terms
+"""
+
+
 def q_repeat_order_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier time-to-second-order: per customer the days from
     first to second order (single-order customers right-censored at the
@@ -3032,6 +3101,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "cohort_ltv_curve": q_cohort_ltv_curve,
     "repeat_order_survival": q_repeat_order_survival,
+    "price_tail_index": q_price_tail_index,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -3138,7 +3208,7 @@ _FRONT: tuple[str, ...] = (
     # benford_price_audit, seasonal_adjusted_anomalies,
     # priority_status_chi2, revenue_gini, volume_autocorrelation,
     # rfm_segments, cohort_ltv_curve, repeat_order_survival,
-    # name_resolution_clusters.
+    # name_resolution_clusters, price_tail_index.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -3223,6 +3293,7 @@ _ORACLES: dict[str, str] = {
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
     "repeat_order_survival": ORACLE_REPEAT_ORDER_SURVIVAL,
+    "price_tail_index": ORACLE_PRICE_TAIL_INDEX,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
