@@ -1513,6 +1513,56 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_basket_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance/mean) of order basket sizes — the
+    overdispersion check against the Poisson null (index ≈ 1 means
+    Poisson-like arrivals; ≫ 1 means clumping). Per-order counts from
+    one keyed aggregate, exact integer moments over the ORDER frame,
+    one closed-form row."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    m = per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("sz").alias("_s"),
+        F.sum(F.col("sz") * F.col("sz")).alias("_ss"),
+    )
+    n = F.col("n_orders").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (F.col("_ss").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    return m.select(
+        "n_orders",
+        F.round(mean, 6).alias("mean_items"),
+        F.round(var, 6).alias("var_items"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+ORACLE_BASKET_DISPERSION = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1),
+m AS (
+  SELECT count(*) AS n_orders, sum(sz) AS s, sum(sz * sz) AS ss
+  FROM per_order)
+SELECT n_orders,
+       round(CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS mean_items,
+       round((CAST(ss AS DOUBLE)
+              - CAST(n_orders AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE)))
+             / (CAST(n_orders AS DOUBLE) - 1.0), 6) AS var_items,
+       round(((CAST(ss AS DOUBLE)
+               - CAST(n_orders AS DOUBLE)
+                 * (CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE)))
+              / (CAST(n_orders AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6)
+         AS dispersion_index
+FROM m
+"""
+
+
 HILL_K = 100
 
 
@@ -3102,6 +3152,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_ltv_curve": q_cohort_ltv_curve,
     "repeat_order_survival": q_repeat_order_survival,
     "price_tail_index": q_price_tail_index,
+    "basket_dispersion": q_basket_dispersion,
     "orders_profile": q_orders_profile,
     "doc_length_outliers": q_doc_length_outliers,
     "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -3208,7 +3259,7 @@ _FRONT: tuple[str, ...] = (
     # benford_price_audit, seasonal_adjusted_anomalies,
     # priority_status_chi2, revenue_gini, volume_autocorrelation,
     # rfm_segments, cohort_ltv_curve, repeat_order_survival,
-    # name_resolution_clusters, price_tail_index.
+    # name_resolution_clusters, price_tail_index, basket_dispersion.
     "pagerank_scores",
     "bigram_lm_scores",
     "corpus_funnel_scrubbed",
@@ -3294,6 +3345,7 @@ _ORACLES: dict[str, str] = {
     "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
     "repeat_order_survival": ORACLE_REPEAT_ORDER_SURVIVAL,
     "price_tail_index": ORACLE_PRICE_TAIL_INDEX,
+    "basket_dispersion": ORACLE_BASKET_DISPERSION,
     "orders_profile": _profile_oracle(),
     "doc_length_outliers": ORACLE_DOC_LENGTH_OUTLIERS,
     "latest_event_per_user_type": ORACLE_LATEST_EVENT_PER_USER_TYPE,
