@@ -3182,91 +3182,95 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    "fight_merge",
-    # never driver-sampled as of r3 (VERDICT.md "What's missing" #1)
-    "corpus_train_split",
-    "stratified_doc_sample",
-    "doc_quality_filter",
-    "train_test_contamination",
-    "pack_sequences",
-    "doc_repetition_signals",
-    "vocab_top_terms",
-    "span_dup_stats",
-    "repeated_substring_spans",
-    "doc_tfidf_top_terms",
-    "bm25_search",
-    "doc_token_entropy",
-    "frequent_terms",
-    "weighted_doc_sample",
-    "corpus_diff_summary",
-    "leakage_safe_split",
-    "embedding_cluster_stats",
-    "embedding_kmeans",
-    "token_budget_plan",
-    "minhash_calibration",
-    "span_scrubbed_docs",
-    "lm_score_buckets",
-    "component_canonicals",
-    "lsh_pair_quality",
-    "corpus_datasheet",
-    "contrastive_negatives",
-    "embedding_pq_topk",
-    "doc_text_scrub",
-    "pii_scan",
-    "pii_redacted_docs",
-    "incremental_dedup",
-    "knn_graph",
-    "containment_pairs",
-    "shard_manifest",
-    "bpe_merge_table",
-    "bpe_segmented_docs",
-    "doc_novelty_scores",
-    "corpus_funnel",
-    "media_resized_stats",
-    "dsir_doc_weights",
-    "dsir_sample",
-    "bloom_blocklist_confusion",
-    "embedding_rp_topk",
-    "embedding_rp_recall",
-    "bloom_decontamination",
-    # round-4 declarations (first four fit this round's sample window;
-    # the rest land immediately after slot 50 for the next round).
-    # Round-5 front-block candidates (never driver-sampled after r4):
-    # remove_dup_lines, cross_source_dup_matrix, capped_token_budget_plan,
-    # repeated_spans_bridged, order_mlp_scores, quality_classifier_weights,
-    # quality_classifier_scores, quality_classifier_eval,
-    # quality_weighted_sample, source_capped_docs,
-    # purchase_last_click_banded, nfc_normalized_docs,
-    # revenue_by_order_salted — plus the late-round-4 additions:
-    # embedding_pca_components, embedding_pca_scores, cdc_chunk_dups,
-    # source_drift_psi, bpe_fertility_by_source, embedding_drift_psi,
-    # knn_triangle_stats, event_funnel, cohort_retention,
-    # order_price_percentiles, order_rollup_counts, classifier_cv_eval,
-    # cms_frequency_estimates, ann_recall_eval, embedding_kcenter,
-    # fuzzy_part_linkage, event_rate_anomalies, event_value_trend,
-    # curriculum_pack, event_transition_matrix, classifier_calibration,
-    # rolling_p95_rate, rolling_active_users, order_cube_totals,
-    # knn_label_propagation, embedding_outlier_scores,
-    # local_supplier_revenue, interleaved_mix_order, customer_scd2_history,
-    # customer_golden_records, gap_filled_value_series,
-    # price_equidepth_histogram, lineitem_correlations, top_session_paths,
-    # knn_random_walks, walk_skipgram_pairs, html_stripped_docs,
-    # doc_lang_mix, user_growth_accounting, cos_sim_histogram,
-    # conversion_latency_quartiles, brand_copurchase_affinity,
-    # brand_return_rates, activity_heatmap, revenue_pareto_deciles,
-    # ship_latency_by_priority, discount_quantity_trend,
-    # join_cardinality_profile, revenue_bootstrap_ci, ab_test_welch,
-    # benford_price_audit, seasonal_adjusted_anomalies,
-    # priority_status_chi2, revenue_gini, volume_autocorrelation,
-    # rfm_segments, cohort_ltv_curve, repeat_order_survival,
-    # name_resolution_clusters, price_tail_index, basket_dispersion.
-    "pagerank_scores",
-    "bigram_lm_scores",
-    "corpus_funnel_scrubbed",
-    "line_dup_stats",
+    # ---- round-5 driver sample window: 50 queries never sampled in
+    # ---- rounds 1-4 (VERDICT r4 'What's missing' #1). After this round
+    # ---- the driver-green union should reach 159/190.
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_eval",
+    "classifier_cv_eval",
+    "classifier_calibration",
+    "quality_weighted_sample",
+    "embedding_pca_components",
+    "embedding_pca_scores",
     "remove_dup_lines",
     "cross_source_dup_matrix",
     "capped_token_budget_plan",
+    "repeated_spans_bridged",
+    "cdc_chunk_dups",
+    "nfc_normalized_docs",
+    "html_stripped_docs",
+    "source_drift_psi",
+    "embedding_drift_psi",
+    "knn_label_propagation",
+    "knn_random_walks",
+    "walk_skipgram_pairs",
+    "knn_triangle_stats",
+    "embedding_outlier_scores",
+    "fuzzy_part_linkage",
+    "name_resolution_clusters",
+    "customer_golden_records",
+    "cms_frequency_estimates",
+    "ann_recall_eval",
+    "embedding_kcenter",
+    "cos_sim_histogram",
+    "source_capped_docs",
+    "curriculum_pack",
+    "interleaved_mix_order",
+    "purchase_last_click_banded",
+    "revenue_by_order_salted",
+    "order_mlp_scores",
+    "event_funnel",
+    "cohort_retention",
+    "repeat_order_survival",
+    "conversion_latency_quartiles",
+    "revenue_bootstrap_ci",
+    "ab_test_welch",
+    "benford_price_audit",
+    "priority_status_chi2",
+    "revenue_gini",
+    "volume_autocorrelation",
+    "price_tail_index",
+    "basket_dispersion",
+    "doc_lang_mix",
+    "term_pmi_pairs",
+    "bpe_fertility_by_source",
+    # ---- ROTATION LEDGER (round 6): the 31 residual never-sampled
+    # ---- queries, placed immediately after slot 50 so next round's
+    # ---- rotation is a pure block swap. 31 residual + round-5's new
+    # ---- declarations (kept below the 19-slot slack) fit one sample
+    # ---- window, closing the union to 190+new/190+new in round 6.
+    "event_pair_affinity",
+    "order_price_percentiles",
+    "order_rollup_counts",
+    "order_cube_totals",
+    "user_key_skew",
+    "top_unshipped_orders",
+    "large_volume_customers",
+    "local_supplier_revenue",
+    "customer_scd2_history",
+    "gap_filled_value_series",
+    "price_equidepth_histogram",
+    "lineitem_correlations",
+    "top_session_paths",
+    "event_rate_anomalies",
+    "event_value_trend",
+    "event_transition_matrix",
+    "rolling_p95_rate",
+    "rolling_active_users",
+    "user_growth_accounting",
+    "brand_copurchase_affinity",
+    "brand_return_rates",
+    "activity_heatmap",
+    "revenue_pareto_deciles",
+    "ship_latency_by_priority",
+    "discount_quantity_trend",
+    "join_cardinality_profile",
+    "seasonal_adjusted_anomalies",
+    "rfm_segments",
+    "cohort_ltv_curve",
+    "orders_profile",
+    "doc_length_outliers",
 )
 
 
