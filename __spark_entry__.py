@@ -1374,7 +1374,8 @@ def q_gap_filled_value_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     every {GAP_MOD}th bucket deterministically dropped (the in-plan
     damage trick), then densified and LINEARLY INTERPOLATED between
     known neighbors (`windows.gap_fill_interpolate`). Edge gaps stay
-    NULL; `filled` flags synthesized buckets."""
+    NULL; `filled` flags buckets whose value was actually interpolated
+    (edge buckets that stay NULL are filled=false)."""
     events = _t(spark, sf_dir, "events")
     hour_idx = F.expr("unix_millis(ts) DIV 3600000")
     hourly = (
@@ -1434,7 +1435,7 @@ SELECT event_type, ms AS bucket_ms,
               pv + (nv - pv)
                  * (CAST(ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
        END AS mean_value,
-       v IS NULL AS filled
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled
 FROM w
 """
 

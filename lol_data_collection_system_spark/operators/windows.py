@@ -284,8 +284,9 @@ def gap_fill_interpolate(
     """Densify a per-key time series onto its full bucket grid and
     linearly interpolate the missing values between known neighbors —
     the sensor/metric gap-repair classic. Leading/trailing gaps (no
-    known point on one side) stay NULL; `filled` flags synthesized
-    rows.
+    known point on one side) stay NULL; `filled` flags rows whose value
+    was actually interpolated (unobserved AND repaired — edge rows that
+    stay NULL are filled=false).
 
     Shape: the grid explode is span-bounded (same contract as
     `ewma_scores`); the interpolation needs ONE ordered window pass per
@@ -346,5 +347,7 @@ def gap_fill_interpolate(
         *partition,
         ms.alias("bucket_ms"),
         interp.alias(value_col),
-        F.col("v").isNull().alias("filled"),
+        # unobserved AND actually repaired — edge rows whose value stays
+        # NULL are not "filled"
+        (F.col("v").isNull() & interp.isNotNull()).alias("filled"),
     )

@@ -27,6 +27,7 @@ State is O(window) longs per group — the state store scales with
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterator
 
 import pandas as pd
@@ -77,9 +78,23 @@ def ewma_stream(
     ts_col: str,
     window: int = 24,
     bucket: str = "hour",
+    horizon_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming per-bucket EWMA anomaly scores (see module docstring
-    for the exact batch-parity contract)."""
+    for the exact batch-parity contract).
+
+    The gap-densification between the pending bucket and the newest
+    observed one is bulk-skipped once the trailing history saturates to
+    all-zeros (zero-count buckets with all-zero history emit nothing and
+    leave the history all-zero, so the skip is emission-exact): the
+    per-batch state update is O(observed buckets x window), never
+    O(gap length), so a months-idle minute-granularity group costs the
+    same as an active one. `horizon_buckets` (optional) rejects observed
+    buckets more than that many buckets ahead of the current state as
+    corrupt-timestamp input instead of adopting them as the new pending
+    bucket (which would permanently classify all later real-time
+    buckets as late); None keeps the adopt-anything semantics.
+    """
     bucket_ms = _BUCKET_MS[bucket]
 
     def update(
@@ -113,17 +128,41 @@ def ewma_stream(
             )
             return
 
+        if horizon_buckets is not None:
+            base = pending_b if pending_b is not None else min(batch)
+            # corrupt far-future timestamps are rejected, never adopted
+            # as the new pending bucket (which would drop all later
+            # real-time buckets as late)
+            batch = {
+                b: c for b, c in batch.items() if b - base <= horizon_buckets
+            }
+            if not batch:
+                state.update((pending_b, pending_c, trailing))
+                yield pd.DataFrame(
+                    {
+                        "g": pd.Series([], dtype=object),
+                        "bucket_ms": pd.Series([], dtype="int64"),
+                        "cnt": pd.Series([], dtype="int64"),
+                        "decayed_prev": pd.Series([], dtype=float),
+                        "ratio": pd.Series([], dtype=float),
+                    }
+                )
+                return
         if pending_b is None:
             pending_b = min(batch)
 
         out_rows = []
         last = max(max(batch), pending_b)
-        # close every bucket strictly before the newest observed one,
+        # Close every bucket strictly before the newest observed one,
         # synthesizing zero counts for the silent gaps (the densified
-        # grid, incrementally)
+        # grid, incrementally). A zero-count bucket over an all-zero
+        # history emits nothing and leaves the history all-zero, so a
+        # long silent gap is bulk-skipped instead of iterated: cost is
+        # O(observed buckets x window), never O(gap length).
+        observed = sorted(b for b in batch if pending_b <= b < last)
         b = pending_b
         while b < last:
-            cnt = pending_c + batch.pop(b, 0) if b == pending_b else batch.pop(b, 0)
+            cnt = pending_c + batch.get(b, 0) if b == pending_b else batch.get(b, 0)
             scored = _score(cnt, trailing)
             if scored is not None:
                 out_rows.append((g, b * bucket_ms, cnt, *scored))
@@ -131,12 +170,21 @@ def ewma_stream(
             if len(trailing) > window:
                 trailing = trailing[-window:]
             b += 1
-        pending_c = (pending_c if pending_b == last else 0) + batch.pop(
+            if not any(trailing):
+                # history saturated to all zeros: jump to the next
+                # observed bucket (every skipped close appends another
+                # zero — only the history LENGTH advances)
+                nxt_i = bisect.bisect_left(observed, b)
+                nxt = observed[nxt_i] if nxt_i < len(observed) else last
+                if nxt > b:
+                    trailing = [0] * min(window, len(trailing) + (nxt - b))
+                    b = nxt
+        pending_c = (pending_c if pending_b == last else 0) + batch.get(
             last, 0
         )
         pending_b = last
-        # anything left in `batch` was below the closure line: late rows
-        # for already-closed buckets — dropped by policy.
+        # anything in `batch` below pending_b was behind the closure
+        # line: late rows for already-closed buckets — dropped by policy.
         state.update((pending_b, pending_c, trailing))
         yield pd.DataFrame(
             out_rows,
@@ -214,8 +262,13 @@ def transition_stream(
                 batch.append((int(m), int(i), str(t)))
         for m, i, t in sorted(batch):
             if last_type is not None:
-                if (m, i) < (last_ms, last_id):
-                    continue  # late arrival behind the carried state
+                if (m, i) <= (last_ms, last_id):
+                    # late arrival at or behind the carried state — an
+                    # exact duplicate of the last event (normal under
+                    # at-least-once delivery) must NOT re-emit a
+                    # spurious self-transition the batch lag window
+                    # never produces
+                    continue
                 rows.append((user, last_type, t, m))
             last_ms, last_id, last_type = m, i, t
         if last_type is not None:

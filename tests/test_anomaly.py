@@ -193,11 +193,12 @@ def test_gap_fill_interpolates_between_known_points(spark):
     assert got[("a", ms0 + H)] == (12.0, True)      # 10 + 6*(1/3)
     assert got[("a", ms0 + 2 * H)] == (14.0, True)  # 10 + 6*(2/3)
     assert got[("a", ms0 + 3 * H)] == (16.0, False)
-    # 'b': single known point -> edges stay NULL, known row passes
-    assert got[("b", ms0)] == (None, True)          # leading edge
+    # 'b': single known point -> edges stay NULL and are NOT "filled"
+    # (nothing was interpolated), known row passes
+    assert got[("b", ms0)] == (None, False)          # leading edge
     assert got[("b", ms0 + H)] == (5.0, False)
-    assert got[("b", ms0 + 2 * H)] == (None, True)  # trailing edge
-    assert got[("b", ms0 + 3 * H)] == (None, True)
+    assert got[("b", ms0 + 2 * H)] == (None, False)  # trailing edge
+    assert got[("b", ms0 + 3 * H)] == (None, False)
 
 
 def test_correlation_matrix_matches_numpy(spark):
