@@ -3183,9 +3183,47 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-5 driver sample window: 50 queries never sampled in
-    # ---- rounds 1-4 (VERDICT r4 'What's missing' #1). After this round
-    # ---- the driver-green union should reach 159/190.
+    # ---- round-6 driver sample window (VERDICT r5 ask #1): the 31
+    # ---- residual queries never sampled in rounds 1-5, promoted from
+    # ---- the round-5 rotation ledger by a pure block swap. Round-6
+    # ---- NEW declarations ride along inside the 19-slot slack so the
+    # ---- driver-green union closes to (190+new)/(190+new).
+    "event_pair_affinity",
+    "order_price_percentiles",
+    "order_rollup_counts",
+    "order_cube_totals",
+    "user_key_skew",
+    "top_unshipped_orders",
+    "large_volume_customers",
+    "local_supplier_revenue",
+    "customer_scd2_history",
+    "gap_filled_value_series",
+    "price_equidepth_histogram",
+    "lineitem_correlations",
+    "top_session_paths",
+    "event_rate_anomalies",
+    "event_value_trend",
+    "event_transition_matrix",
+    "rolling_p95_rate",
+    "rolling_active_users",
+    "user_growth_accounting",
+    "brand_copurchase_affinity",
+    "brand_return_rates",
+    "activity_heatmap",
+    "revenue_pareto_deciles",
+    "ship_latency_by_priority",
+    "discount_quantity_trend",
+    "join_cardinality_profile",
+    "seasonal_adjusted_anomalies",
+    "rfm_segments",
+    "cohort_ltv_curve",
+    "orders_profile",
+    "doc_length_outliers",
+    # ---- round-6 new declarations (slots 32+; still inside the
+    # ---- first-50 window so they get a driver row this round).
+    # (appended as they land: media_near_dup, history_row, ...)
+    # ---- round-5 window (all green in CORRECTNESS_r05) follows; the
+    # ---- tail of this block pads the first-50 window with re-samples.
     "quality_classifier_weights",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -3236,42 +3274,6 @@ _FRONT: tuple[str, ...] = (
     "doc_lang_mix",
     "term_pmi_pairs",
     "bpe_fertility_by_source",
-    # ---- ROTATION LEDGER (round 6): the 31 residual never-sampled
-    # ---- queries, placed immediately after slot 50 so next round's
-    # ---- rotation is a pure block swap. 31 residual + round-5's new
-    # ---- declarations (kept below the 19-slot slack) fit one sample
-    # ---- window, closing the union to 190+new/190+new in round 6.
-    "event_pair_affinity",
-    "order_price_percentiles",
-    "order_rollup_counts",
-    "order_cube_totals",
-    "user_key_skew",
-    "top_unshipped_orders",
-    "large_volume_customers",
-    "local_supplier_revenue",
-    "customer_scd2_history",
-    "gap_filled_value_series",
-    "price_equidepth_histogram",
-    "lineitem_correlations",
-    "top_session_paths",
-    "event_rate_anomalies",
-    "event_value_trend",
-    "event_transition_matrix",
-    "rolling_p95_rate",
-    "rolling_active_users",
-    "user_growth_accounting",
-    "brand_copurchase_affinity",
-    "brand_return_rates",
-    "activity_heatmap",
-    "revenue_pareto_deciles",
-    "ship_latency_by_priority",
-    "discount_quantity_trend",
-    "join_cardinality_profile",
-    "seasonal_adjusted_anomalies",
-    "rfm_segments",
-    "cohort_ltv_curve",
-    "orders_profile",
-    "doc_length_outliers",
 )
 
 
