@@ -2286,7 +2286,7 @@ BOOT_B = 16
 
 def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Poisson bootstrap: 95% CI for the mean lineitem
-    price from 32 seeded-hash resamples
+    price from ``BOOT_B`` (=16) seeded-hash resamples
     (`sampling.bootstrap_mean_ci`) — uncertainty quantification as one
     deterministic, oracle-gateable plan."""
     from lol_data_collection_system_spark.operators import (

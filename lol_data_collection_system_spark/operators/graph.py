@@ -479,7 +479,11 @@ def random_walks(
 ) -> DataFrame:
     """Deterministic 'random'-walk sampling over an undirected graph —
     the DeepWalk/node2vec corpus generator: one walk starts at every
-    node and takes `walk_len` steps; at each step the walker moves to
+    node that appears in the symmetrized edge list (isolated /
+    degree-0 nodes contribute no edges and therefore get no walk —
+    pre-union a self-loop-free nodes frame into `edges` if every node
+    must emit a length-0 walk) and takes `walk_len` steps; at each
+    step the walker moves to
     the neighbor minimizing ``md5(salt, walk_id, step, neighbor)``
     (the repo's seeded-hash replacement for a random draw — uniform
     over neighbors, reproducible across runs, partitionings, and
