@@ -47,12 +47,15 @@ EWMA_OUTPUT = T.StructType(
 )
 
 #: (next open bucket index, its accumulated count, trailing closed
-#: counts oldest→newest)
+#: counts oldest→newest, beyond-horizon candidate base bucket, count of
+#: consecutive whole-batch rejections agreeing on that candidate)
 EWMA_STATE = T.StructType(
     [
         T.StructField("pending_bucket", T.LongType()),
         T.StructField("pending_count", T.LongType()),
         T.StructField("trailing", T.ArrayType(T.LongType())),
+        T.StructField("future_bucket", T.LongType()),
+        T.StructField("future_agree", T.LongType()),
     ]
 )
 
@@ -79,6 +82,7 @@ def ewma_stream(
     window: int = 24,
     bucket: str = "hour",
     horizon_buckets: int | None = None,
+    adopt_after_batches: int = 2,
 ) -> DataFrame:
     """Streaming per-bucket EWMA anomaly scores (see module docstring
     for the exact batch-parity contract).
@@ -89,11 +93,28 @@ def ewma_stream(
     leave the history all-zero, so the skip is emission-exact): the
     per-batch state update is O(observed buckets x window), never
     O(gap length), so a months-idle minute-granularity group costs the
-    same as an active one. `horizon_buckets` (optional) rejects observed
-    buckets more than that many buckets ahead of the current state as
-    corrupt-timestamp input instead of adopting them as the new pending
-    bucket (which would permanently classify all later real-time
-    buckets as late); None keeps the adopt-anything semantics.
+    same as an active one.
+
+    `horizon_buckets` (optional) guards against corrupt far-future
+    timestamps: a bucket more than that many buckets ahead of the
+    current base is rejected instead of adopted as the new pending
+    bucket (adoption would permanently classify all later real-time
+    buckets as late). The guard is RECOVERABLE — a group legitimately
+    idle longer than the horizon is not stuck forever:
+
+    - A batch with ANY in-horizon bucket keeps those and drops only the
+      far-future outliers (live traffic is the consensus; scattered
+      corrupt timestamps never outvote it).
+    - When a WHOLE batch lands beyond the horizon, its min bucket is
+      recorded as a candidate base; once `adopt_after_batches`
+      consecutive all-rejected batches agree on a candidate (each new
+      min within `horizon_buckets` of the recorded one), the group is
+      deemed legitimately moved on and the batch is admitted re-anchored
+      on that candidate (buckets beyond candidate+horizon still drop).
+      A lone corrupt timestamp cannot adopt: the next real-time batch is
+      in-horizon again and resets the candidate. Batches rejected before
+      adoption are dropped by policy (the corrupt-input analog of late
+      rows). `horizon_buckets=None` keeps the adopt-anything semantics.
     """
     bucket_ms = _BUCKET_MS[bucket]
 
@@ -102,10 +123,12 @@ def ewma_stream(
     ) -> Iterator[pd.DataFrame]:
         (g,) = key
         if state.exists:
-            pending_b, pending_c, trailing = state.get
+            pending_b, pending_c, trailing, future_b, future_n = state.get
             trailing = list(trailing)
+            future_n = future_n or 0
         else:
             pending_b, pending_c, trailing = None, 0, []
+            future_b, future_n = None, 0
 
         # per-bucket counts in this batch
         batch: dict[int, int] = {}
@@ -115,9 +138,8 @@ def ewma_stream(
             )
             for b, c in idx.value_counts().items():
                 batch[int(b)] = batch.get(int(b), 0) + int(c)
-        if not batch:
-            state.update((pending_b, pending_c, trailing))
-            yield pd.DataFrame(
+        def empty_out():
+            return pd.DataFrame(
                 {
                     "g": pd.Series([], dtype=object),
                     "bucket_ms": pd.Series([], dtype="int64"),
@@ -126,28 +148,51 @@ def ewma_stream(
                     "ratio": pd.Series([], dtype=float),
                 }
             )
+
+        if not batch:
+            state.update((pending_b, pending_c, trailing, future_b, future_n))
+            yield empty_out()
             return
 
         if horizon_buckets is not None:
             base = pending_b if pending_b is not None else min(batch)
-            # corrupt far-future timestamps are rejected, never adopted
-            # as the new pending bucket (which would drop all later
-            # real-time buckets as late)
-            batch = {
+            in_h = {
                 b: c for b, c in batch.items() if b - base <= horizon_buckets
             }
-            if not batch:
-                state.update((pending_b, pending_c, trailing))
-                yield pd.DataFrame(
-                    {
-                        "g": pd.Series([], dtype=object),
-                        "bucket_ms": pd.Series([], dtype="int64"),
-                        "cnt": pd.Series([], dtype="int64"),
-                        "decayed_prev": pd.Series([], dtype=float),
-                        "ratio": pd.Series([], dtype=float),
+            if in_h:
+                # live in-horizon traffic is the consensus: far-future
+                # buckets in the same batch are corrupt outliers —
+                # rejected, never adopted as the new pending bucket
+                # (which would drop all later real-time buckets as late)
+                batch = in_h
+                future_b, future_n = None, 0
+            else:
+                # the WHOLE batch is beyond the horizon: either one
+                # corrupt burst or a group legitimately idle longer than
+                # the horizon. Track batch-consensus: adopt only after
+                # `adopt_after_batches` consecutive all-rejected batches
+                # agree (within horizon) on the same candidate base.
+                cand = min(batch)
+                if future_b is not None and abs(cand - future_b) <= horizon_buckets:
+                    future_n += 1
+                else:
+                    future_b, future_n = cand, 1
+                if future_n >= adopt_after_batches:
+                    # legitimately moved on — re-anchor on the candidate
+                    # (in-batch far-future outliers still drop); the
+                    # normal close loop below bulk-skips the silent gap
+                    batch = {
+                        b: c
+                        for b, c in batch.items()
+                        if b - cand <= horizon_buckets
                     }
-                )
-                return
+                    future_b, future_n = None, 0
+                else:
+                    state.update(
+                        (pending_b, pending_c, trailing, future_b, future_n)
+                    )
+                    yield empty_out()
+                    return
         if pending_b is None:
             pending_b = min(batch)
 
@@ -185,7 +230,7 @@ def ewma_stream(
         pending_b = last
         # anything in `batch` below pending_b was behind the closure
         # line: late rows for already-closed buckets — dropped by policy.
-        state.update((pending_b, pending_c, trailing))
+        state.update((pending_b, pending_c, trailing, future_b, future_n))
         yield pd.DataFrame(
             out_rows,
             columns=["g", "bucket_ms", "cnt", "decayed_prev", "ratio"],

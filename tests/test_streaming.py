@@ -989,7 +989,197 @@ def test_streaming_ewma_equals_batch_on_closed_buckets(spark, tmp_path):
     assert len(want) >= 10  # gap buckets for 'b' included
 
 
-def test_streaming_transitions_equal_batch_lag(spark, tmp_path):
+def _run_ewma_files(spark, tmp_path, file_rows, **ewma_kw):
+    """Write each rows-list as one file (=> one micro-batch, in order)
+    and return {(group, bucket_ms): (cnt, decayed_prev, ratio)} emitted
+    by `ewma_stream` across all batches."""
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.streaming.anomaly import ewma_stream
+
+    schema = T2.StructType(
+        [
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("ts", T2.TimestampType()),
+        ]
+    )
+    src = tmp_path / "ewma_src"
+    out_dir = tmp_path / "ewma_out"
+    ckpt = tmp_path / "ewma_ckpt"
+    src.mkdir()
+    for i, rows in enumerate(file_rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(
+            str(src / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+
+    def sink(batch_df_, _bid):
+        batch_df_.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        ewma_stream(stream, "event_type", "ts", **ewma_kw)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.event_type, r.bucket_ms): (r.cnt, r.decayed_prev, r.ratio)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+
+
+def test_streaming_ewma_bulk_skips_gap_longer_than_window(spark, tmp_path):
+    """A silent gap far longer than `window` saturates the trailing
+    history to all-zeros so the bulk-skip branch fires (the state update
+    is O(observed x window), not O(gap)); a single observed bucket in
+    the MIDDLE of the gap must re-seed the history and be followed by
+    the correct zero-count emissions — all still bit-identical to the
+    batch `ewma_scores` grid."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators.windows import ewma_scores
+
+    h0 = dt.datetime(2024, 3, 1, 0, 15)
+
+    def at(h, n):
+        return [
+            ("a", h0 + dt.timedelta(hours=h, seconds=i)) for i in range(n)
+        ]
+
+    # active h0-h1, silent h2..h24, one mid-gap event at h25, silent
+    # again h26..h49, resume h50-h52; window=4 << both gaps
+    f1 = at(0, 2) + at(1, 3)
+    f2 = at(25, 1)
+    f3 = at(50, 4) + at(51, 2) + at(52, 1)
+    got = _run_ewma_files(spark, tmp_path, [f1, f2, f3], window=4)
+
+    schema = T2.StructType(
+        [
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("ts", T2.TimestampType()),
+        ]
+    )
+    scored = ewma_scores(
+        spark.createDataFrame(f1 + f2 + f3, schema), "event_type", "ts", window=4
+    ).collect()
+    max_bucket = max(r.bucket_ms for r in scored)
+    want = {
+        (r.event_type, r.bucket_ms): (r.cnt, r.decayed_prev, r.ratio)
+        for r in scored
+        if r.bucket_ms < max_bucket  # newest bucket never closes
+    }
+    assert got == want
+    ms = 3_600_000
+    b0 = int(h0.replace(minute=0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # the mid-gap bucket re-seeded history: h26..h29 emit cnt=0 rows,
+    # then the skip re-saturates (nothing until h50 closes with history)
+    assert any(k[1] == b0 + 26 * ms for k in got)
+    assert not any(b0 + 30 * ms <= k[1] < b0 + 50 * ms for k in got)
+
+
+def test_streaming_ewma_horizon_rejects_far_future_keeps_live(spark, tmp_path):
+    """With `horizon_buckets` set: a corrupt far-future timestamp riding
+    in a batch that ALSO has live in-horizon traffic is dropped as an
+    outlier (never adopted as pending), a whole batch of lone corrupt
+    input is rejected, and live traffic afterwards both resets the
+    adoption candidate and keeps processing — output equals batch
+    scoring of only the clean events."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators.windows import ewma_scores
+
+    h0 = dt.datetime(2024, 3, 1, 0, 15)
+
+    def at(h, n):
+        return [
+            ("a", h0 + dt.timedelta(hours=h, seconds=i)) for i in range(n)
+        ]
+
+    f1 = at(0, 2) + at(1, 3)
+    f2 = at(9_000, 1)  # lone corrupt batch: rejected, candidate n=1
+    f3 = at(2, 9) + at(3, 1) + at(9_500, 1)  # mixed: live wins, outlier drops
+    f4 = at(9_000, 1)  # candidate was reset by f3 -> n=1 again, rejected
+    f5 = at(4, 2) + at(5, 4)
+    got = _run_ewma_files(
+        spark,
+        tmp_path,
+        [f1, f2, f3, f4, f5],
+        window=4,
+        horizon_buckets=48,
+        adopt_after_batches=2,
+    )
+
+    clean = f1 + at(2, 9) + at(3, 1) + f5
+    schema = T2.StructType(
+        [
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("ts", T2.TimestampType()),
+        ]
+    )
+    scored = ewma_scores(
+        spark.createDataFrame(clean, schema), "event_type", "ts", window=4
+    ).collect()
+    max_bucket = max(r.bucket_ms for r in scored)
+    want = {
+        (r.event_type, r.bucket_ms): (r.cnt, r.decayed_prev, r.ratio)
+        for r in scored
+        if r.bucket_ms < max_bucket
+    }
+    assert got == want and len(got) >= 4  # h1..h4 closed with history
+
+
+def test_streaming_ewma_horizon_recovers_after_long_idle(spark, tmp_path):
+    """A group legitimately idle LONGER than `horizon_buckets` must not
+    be stuck forever: after `adopt_after_batches` consecutive
+    whole-batch rejections agreeing on the new base, the stream
+    re-anchors and keeps emitting (the regression the recoverable guard
+    exists for)."""
+    import datetime as dt
+
+    h0 = dt.datetime(2024, 3, 1, 0, 15)
+
+    def at(h, n):
+        return [
+            ("a", h0 + dt.timedelta(hours=h, seconds=i)) for i in range(n)
+        ]
+
+    f1 = at(0, 2) + at(1, 3)
+    f2 = at(300, 7) + at(301, 2)  # idle 300h >> horizon: rejected, n=1
+    f3 = at(302, 5)  # agrees with candidate -> n=2 -> ADOPTED
+    f4 = at(303, 2)  # in-horizon of new pending: closes 302 (zero hist)
+    f5 = at(304, 1)  # closes 303 with 302's count in history -> emits
+    got = _run_ewma_files(
+        spark,
+        tmp_path,
+        [f1, f2, f3, f4, f5],
+        window=4,
+        horizon_buckets=48,
+        adopt_after_batches=2,
+    )
+
+    ms = 3_600_000
+    b0 = int(h0.replace(minute=0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # pre-adoption rejected batches are dropped by policy
+    assert not any(k[1] in (b0 + 300 * ms, b0 + 301 * ms) for k in got)
+    # post-adoption the group is alive again: bucket 303 closes with
+    # bucket 302's count (5) in its trailing history and emits
+    key = ("a", b0 + 303 * ms)
+    assert key in got and got[key][0] == 2
+    # and the pre-idle history was closed out on adoption (bucket 1
+    # scored against bucket 0's count)
+    assert ("a", b0 + 1 * ms) in got
     """Aggregated streaming (prev,next) pair counts must equal the
     batch lag-window pairs exactly, with state carrying the last event
     across micro-batches."""
