@@ -3221,7 +3221,7 @@ _FRONT: tuple[str, ...] = (
     "doc_length_outliers",
     # ---- round-6 new declarations (slots 32+; still inside the
     # ---- first-50 window so they get a driver row this round).
-    # (appended as they land: media_near_dup, history_row, ...)
+    "media_near_dup",
     # ---- round-5 window (all green in CORRECTNESS_r05) follows; the
     # ---- tail of this block pads the first-50 window with re-samples.
     "quality_classifier_weights",

@@ -299,6 +299,111 @@ def _candidate_pairs_from_signatures(
     )
 
 
+def hamming_candidate_edges(
+    reps: DataFrame,
+    id_col: str,
+    hash_col: str,
+    threshold: int = 6,
+    n_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Verified (id_a < id_b) Hamming-near pairs over one-row-per-hash
+    `reps`: split each fingerprint into `n_bands` contiguous bands
+    (JVM shift/mask — no UDF), self-join on (band_idx, band_val), then
+    verify with bit_count(xor) <= threshold. By pigeonhole any two
+    hashes within `bits/n_bands - 1` bits share a whole band, so for
+    `threshold < bits/n_bands` the banding is EXACT (recall 1)."""
+    if threshold >= bits // n_bands:
+        raise ValueError(
+            f"threshold {threshold} >= band width {bits // n_bands}: "
+            "banded candidates would miss true pairs (recall < 1)"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    banded = reps.select(
+        F.col(id_col).alias("rep_id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("rep_id").alias("id_a"), F.col("h").alias("h_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("rep_id").alias("id_b"), F.col("h").alias("h_b"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def hamming_components(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    threshold: int = 6,
+    n_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, component_id) near-duplicate grouping over a fixed-width
+    integer fingerprint (e.g. a 64-bit perceptual dHash): rows whose
+    hashes are within `threshold` Hamming bits are connected; component
+    id = the minimum member id.
+
+    The 100 TB shape, in three shuffle-bounded moves:
+
+    1. **Exact-dup collapse first** — identical hashes are grouped by a
+       plain hash-aggregate (rep = min id per hash), so a billion-copy
+       duplicate cluster contributes ONE representative downstream and
+       the candidate join can never blow up on distance-0 mass.
+    2. **Banded Hamming LSH over DISTINCT hashes only** — the hash is
+       split into `n_bands` contiguous `bits/n_bands`-bit bands
+       (JVM-side shift/mask, no UDF); reps agreeing on any band become
+       candidates. By pigeonhole, two hashes within
+       `bits/n_bands - 1` Hamming bits MUST agree on at least one whole
+       band, so for `threshold < bits/n_bands` (the default 6 < 8) the
+       banding is EXACT — zero recall loss, never all-pairs.
+    3. **bit_count(xor) verify + `connected_components`** over the
+       surviving representative edges; members rejoin by hash at the
+       end. Ids absent from every edge keep their own component.
+    """
+    sigs = sigs.select(F.col(id_col), F.col(hash_col))
+    reps = sigs.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
+    edges = hamming_candidate_edges(
+        reps, "rep_id", hash_col, threshold, n_bands, bits
+    )
+    from .graph import connected_components
+
+    comp = connected_components(edges)
+    labeled = reps.join(
+        comp, reps["rep_id"] == comp["node"], "left"
+    ).select(
+        F.col(hash_col),
+        F.coalesce(F.col("component_id"), F.col("rep_id")).alias(
+            "component_id"
+        ),
+    )
+    return sigs.join(labeled, hash_col).select(
+        F.col(id_col), F.col("component_id")
+    )
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -340,8 +340,49 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection: dHash -> exact collapse -> Hamming-band
+# LSH over distinct hashes -> connected components
+# ---------------------------------------------------------------------------
+PHASH_THRESHOLD = 6
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup grouping over the synthesized BMP corpus
+    (`multimodal.phash_images` dHash + `dedup.hamming_components`).
+
+    Closed-form oracle: the fixture images are gradients
+    r = base + x + y with constant g/b (`synth_media_row`), so the
+    adjacent-column brightness differences — hence the entire dHash —
+    depend ONLY on the image width w = doc_id%7+1: nearest-neighbor
+    upsampling to the 9-wide grid repeats columns per x*w//9, giving
+    w-1 rising transitions per row regardless of h, base brightness, or
+    channel constants (the brightness-invariance story, visible in the
+    fixture itself). Distinct widths differ in >= 8 bits (8 identical
+    rows x >= 1 differing transition) > threshold 6, and same-width
+    images hash identically, so components == width groups with
+    component_id = the group's minimum doc_id."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    images = media.filter(F.col("modality") == "image")
+    sigs = mm_ops.phash_images(images)
+    return dedup_ops.hamming_components(
+        sigs, "media_id", "phash", threshold=PHASH_THRESHOLD
+    )
+
+
+ORACLE_MEDIA_NEAR_DUP = """
+SELECT doc_id AS media_id,
+       MIN(doc_id) OVER (PARTITION BY doc_id % 7) AS component_id
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
+    "media_near_dup": q_media_near_dup,
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
@@ -351,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
+    "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,

@@ -180,3 +180,111 @@ def test_top_down_bmp_decodes_without_flip():
     _struct.pack_into("<i", top_down, 22, -2)  # biHeight = -2
     w, h, got2 = mm.decode_bmp_pixels(bytes(top_down))
     assert (w, h) == (2, 2) and got2 == px
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual fingerprint + Hamming-banded near-dup grouping
+# ---------------------------------------------------------------------------
+def _checker(w, h, base=40, step=90):
+    """A non-monotone test image (checkerboard-ish) so mirroring and
+    editing actually move dHash bits."""
+    return [
+        (base + step * ((x * 3 + y * 7) % 2), 10, 20)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def test_dhash_brightness_shift_invariant():
+    w, h = 12, 10
+    px = _checker(w, h)
+    shifted = [(r + 30, g + 30, b + 30) for r, g, b in px]
+    assert mm.dhash64(mm.encode_bmp(w, h, px)) == mm.dhash64(
+        mm.encode_bmp(w, h, shifted)
+    )
+    # and the hash is non-degenerate: some bits set, some clear
+    hv = mm.dhash64(mm.encode_bmp(w, h, px))
+    assert 0 < hv < (1 << 64) - 1
+
+
+def test_dhash_mirror_canonicalization():
+    w, h = 12, 10
+    px = _checker(w, h)
+    flipped = mm.mirror_pixels(w, px)
+    a, b = mm.encode_bmp(w, h, px), mm.encode_bmp(w, h, flipped)
+    # plain dHash is orientation-sensitive ...
+    assert mm.dhash64(a) != mm.dhash64(b)
+    # ... but the canonical min(hash, mirrored hash) collides
+    assert min(mm.dhash64(a), mm.dhash64(a, mirror=True)) == min(
+        mm.dhash64(b), mm.dhash64(b, mirror=True)
+    )
+
+
+def test_hamming_components_groups_near_and_splits_far(spark):
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    h1 = 0x0F0F0F0F0F0F0F0F
+    h2 = h1 ^ 0b111  # 3 bits away: near-dup of h1
+    # 11 bits away incl. the sign bit: far, and exercises signed storage
+    h3 = mm._signed64(h1 ^ ((1 << 63) | (1 << 40) | (1 << 20) | 0xFF))
+    sigs = spark.createDataFrame(
+        [(1, h1), (2, h2), (3, h1), (4, h3)], ["media_id", "phash"]
+    ).select("media_id", "phash")
+    got = {
+        r.media_id: r.component_id
+        for r in hamming_components(sigs, threshold=6).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_hamming_components_rejects_lossy_threshold(spark):
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    sigs = spark.createDataFrame([(1, 0)], ["media_id", "phash"])
+    with _pytest.raises(ValueError, match="recall"):
+        hamming_components(sigs, threshold=8, n_bands=8)
+
+
+def test_phash_images_flip_and_brightness_grouping(spark):
+    """End-to-end: a brightness-shifted copy and (with include_mirror) a
+    horizontally flipped copy land in the original's component; an
+    unrelated image does not."""
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    w, h = 12, 10
+    px = _checker(w, h)
+    rows = [
+        (1, "image", mm.encode_bmp(w, h, px), None),
+        (2, "image",
+         mm.encode_bmp(w, h, [(r + 25, g + 25, b + 25) for r, g, b in px]),
+         None),
+        (3, "image", mm.encode_bmp(w, h, mm.mirror_pixels(w, px)), None),
+        # a different spatial PATTERN (dHash keys on difference signs,
+        # so only structure — not base/step levels — separates images)
+        (4, "image",
+         mm.encode_bmp(
+             w, h,
+             [(10 + 13 * ((x // 2 + y) % 2), 10, 20)
+              for y in range(h) for x in range(w)],
+         ),
+         None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    comp = {
+        r.media_id: r.component_id
+        for r in hamming_components(
+            mm.phash_images(media, include_mirror=True), threshold=6
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1  # brightness + flip grouped
+    assert comp[4] != 1  # different texture stays apart

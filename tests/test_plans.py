@@ -88,6 +88,32 @@ def test_minhash_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_media_near_dup_joins_on_bands(spark):
+    """The perceptual near-dup candidate join must key on
+    (band_idx, band_val) — a banded bucket join over DISTINCT hashes,
+    never an all-pairs product — and the band split must stay JVM-side
+    (shift/mask expressions, no extra Python stage). Pinned on the
+    candidate-edge stage directly: the registered query's final plan
+    hides it behind connected_components' checkpoints."""
+    from lol_data_collection_system_spark.operators import dedup as dd
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = mm.phash_images(
+        mm.media_from_documents(docs).filter(F.col("modality") == "image")
+    )
+    reps = sigs.groupBy("phash").agg(F.min("media_id").alias("rep_id"))
+    edges = dd.hamming_candidate_edges(reps, "rep_id", "phash")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    flat = edges._jdf.queryExecution().explainString(jmode).replace("\n", " ")
+    assert "band_idx" in flat and "band_val" in flat
+    assert "CartesianProduct" not in flat
+    assert "shiftrightunsigned" in flat.lower()
+
+
 def test_entry_queries_all_plannable(spark):
     """Every declared query must at least produce an optimized plan
     (catches analysis regressions without executing)."""
