@@ -36,6 +36,7 @@ from lol_data_collection_system_spark.plans import (
     corpus_pipeline,
     corpus_queries,
     domain_queries,
+    history_queries,
     linkage_queries,
     pipeline_queries,
     selection_queries,
@@ -3161,6 +3162,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_page": q_orders_page,
     "part_type_bucket_pivot": q_part_type_bucket_pivot,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "history_row": history_queries.q_history_row,
     **classifier_queries.QUERIES,
     **corpus_queries.QUERIES,
     **corpus_pipeline.QUERIES,
@@ -3222,6 +3224,7 @@ _FRONT: tuple[str, ...] = (
     # ---- round-6 new declarations (slots 32+; still inside the
     # ---- first-50 window so they get a driver row this round).
     "media_near_dup",
+    "history_row",
     # ---- round-5 window (all green in CORRECTNESS_r05) follows; the
     # ---- tail of this block pads the first-50 window with re-samples.
     "quality_classifier_weights",
@@ -3396,4 +3399,17 @@ def oracle_sql() -> dict[str, str]:
 
         traceback.print_exc()
         out.pop("fight_merge", None)
+    # history_row: same fixture mechanism — a pure-Python walk of the
+    # reference get_stats_history/availability fold materialized as
+    # parquet (plans/history_queries.py); rows-only fallback on failure.
+    try:
+        from lol_data_collection_system_spark.plans import history_queries
+
+        history_queries.ensure_history_row_fixture()
+        out["history_row"] = history_queries.ORACLE_HISTORY_ROW
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        out.pop("history_row", None)
     return out
