@@ -944,3 +944,34 @@ def test_cube_plans_one_expand(spark):
     tree = plan.split("\n\n")[0]
     assert "Expand" in tree
     assert tree.count("Scan parquet") == 1  # one scan for all 4 sets
+
+
+def test_profile_then_salt_composition(spark):
+    """The README's pre-flight decision flow, end to end: profile the
+    join (counts only — the data never moves), read the skew numbers,
+    apply salted_skew_join, and get VALUE-identical results to the
+    plain join with the hot key spread across salted shuffle keys."""
+    from lol_data_collection_system_spark.operators.aggregates import (
+        key_skew_profile,
+    )
+    from lol_data_collection_system_spark.operators.joins import (
+        join_cardinality_profile,
+        salted_skew_join,
+    )
+
+    # hot key 7: 400 of 460 big-side rows
+    big = spark.range(460).selectExpr(
+        "CASE WHEN id < 400 THEN 7 ELSE id % 20 END AS k", "id AS payload"
+    ).repartition(8)
+    small = spark.range(20).selectExpr("id AS k", "id * 10 AS dim")
+
+    skew = {r.key: r.share for r in key_skew_profile(big, "k").collect()}
+    assert skew["7"] > 0.8  # the profiler flags the hot key
+
+    prof = join_cardinality_profile(big, small, "k", "k").collect()[0]
+    assert prof.max_key == "7" and prof.skew_share > 0.8
+    assert prof.est_rows == 460  # exact inner-join cardinality (1:n dim)
+
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_skew_join(big, small, "k").collect()))
+    assert salted == plain  # salting is physical routing, not semantics
