@@ -73,14 +73,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The full per-query map (190+ entries, one giant line) overflows the
+    # driver's stdout capture window, leaving the recorded bench artifact
+    # unparseable. Stdout gets a compact line — headline queries + the 10
+    # slowest — and the complete map goes to BENCH_FULL.json next to this
+    # script.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = {n: timings[n] for n in HEADLINE if n in timings}
+    compact.update(slowest)
     out = {
         "metric": "survey_s2_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": compact,
+        "n_queries": len(timings),
+        "queries_file": full_path,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }
+    with open(full_path, "w") as f:
+        json.dump({**out, "queries": timings}, f, indent=0, sort_keys=True)
+        f.write("\n")
 
     # Regression gate (`--gate [baseline.json]`): compare per-query mins
     # against the recorded uncontended baseline and fail on >1.5× — the

@@ -35,7 +35,7 @@ round to keep lineage flat, exactly like the Lloyd loop in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalized_text, tokens
@@ -137,6 +137,43 @@ def bpe_merges(
     return out
 
 
+def apply_merge_ranks(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a learned merge table, rank by rank, to a parenthesized
+    symbol-sequence column — the shared segmentation core of `apply_bpe`
+    and the streaming fertility monitor. Each rank joins in as a
+    broadcast 1-row frame (left join on TRUE, so a rank that learned no
+    merge is a no-op instead of annihilating the corpus) and applies as
+    one codegen'd ``replace`` — no driver collect, stream-static-join
+    safe."""
+    other = [c for c in df.columns if c != seq_col]
+    for r in range(1, n_merges + 1):
+        mr = merges.filter(F.col("merge_rank") == r).select(
+            F.col("pair").alias("_pair")
+        )
+        # impossible-to-match default: symbols never contain \x00
+        pair = F.coalesce(F.col("_pair"), F.lit("\x00 \x00"))
+        target = F.concat(
+            F.lit("("), F.replace(pair, F.lit(" "), F.lit(")(")), F.lit(")")
+        )
+        repl = F.concat(
+            F.lit("("), F.replace(pair, F.lit(" "), F.lit("")), F.lit(")")
+        )
+        df = df.join(F.broadcast(mr), F.lit(True), "left").select(
+            *other, F.replace(F.col(seq_col), target, repl).alias(seq_col)
+        )
+    return df
+
+
+def piece_count(seq: Column) -> Column:
+    """Number of pieces in a parenthesized symbol sequence."""
+    return F.size(F.filter(F.split(seq, r"[()]+"), lambda x: x != ""))
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: DataFrame,
@@ -160,22 +197,8 @@ def apply_bpe(
         F.col(id_col),
         F.regexp_replace(F.col("word"), "(.)", r"($1)").alias("seq"),
     )
-    for r in range(1, n_merges + 1):
-        mr = merges.filter(F.col("merge_rank") == r).select(
-            F.col("pair").alias("_pair")
-        )
-        # impossible-to-match default: symbols never contain \x00
-        pair = F.coalesce(F.col("_pair"), F.lit("\x00 \x00"))
-        target = F.concat(
-            F.lit("("), F.replace(pair, F.lit(" "), F.lit(")(")), F.lit(")")
-        )
-        repl = F.concat(
-            F.lit("("), F.replace(pair, F.lit(" "), F.lit("")), F.lit(")")
-        )
-        cur = cur.join(F.broadcast(mr), F.lit(True), "left").select(
-            F.col(id_col), F.replace(F.col("seq"), target, repl).alias("seq")
-        )
-    pieces = F.size(F.filter(F.split(F.col("seq"), r"[()]+"), lambda x: x != ""))
+    cur = apply_merge_ranks(cur, merges, n_merges, "seq")
+    pieces = piece_count(F.col("seq"))
     return (
         cur.select(F.col(id_col), pieces.alias("n_pieces"))
         .groupBy(id_col)

@@ -116,3 +116,92 @@ def psi_stream(
         F.col("_n").alias("n_rows"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-fertility drift: windowed chars-per-piece vs a STATIC merge
+# table, scored as PSI against the curated-corpus baseline. The canary
+# for "the incoming text no longer matches the tokenizer's training
+# distribution" (new language/script/boilerplate → segmentation
+# fragments → chars-per-piece shifts).
+# ---------------------------------------------------------------------------
+def fertility_values(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    ts_col: str = "ts",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(ts, group, fertility) at WORD granularity: each word instance's
+    chars-per-piece after applying the static merge table
+    (`bpe.apply_merge_ranks` — rank-chained broadcast replaces,
+    stream-static-join safe). Deliberately word-level, not per-doc: the
+    segmentation is a pure map chain with NO aggregation, so the whole
+    monitor keeps exactly ONE (windowed) aggregation downstream — legal
+    in append mode, state = one row per (window, group).
+
+    fertility = length(word) / n_pieces — one division of exact ints,
+    bit-identical across engines and across the stream/batch twins."""
+    from ..operators.bpe import apply_merge_ranks, piece_count
+    from ..operators.text import normalized_text, tokens
+
+    words = docs.select(
+        F.col(ts_col),
+        F.col(group_col),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("word"),
+    ).select(
+        F.col(ts_col),
+        F.col(group_col),
+        F.length("word").alias("_chars"),
+        F.regexp_replace(F.col("word"), "(.)", r"($1)").alias("seq"),
+    )
+    segmented = apply_merge_ranks(words, merges, n_merges, "seq")
+    return segmented.select(
+        F.col(ts_col),
+        F.col(group_col),
+        (
+            F.col("_chars").cast("double")
+            / piece_count(F.col("seq")).cast("double")
+        ).alias("fertility"),
+    )
+
+
+def fertility_psi_stream(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    baseline: list[float],
+    ts_col: str = "ts",
+    group_col: str = "source",
+    text_col: str = "text",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+    lo: float = 0.0,
+    hi: float = 4.0,
+    n_buckets: int = 8,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """(window_start, window_end, group, n_rows, psi) per tumbling
+    window: the in-window chars-per-piece distribution against the
+    static `baseline` (compute it once with `baseline_probs` over
+    `fertility_values` of the CURATED corpus). Pure composition of
+    `fertility_values` (map-only) and `psi_stream` (one windowed agg) —
+    the identical plan runs on a batch frame for the stream==batch
+    twin."""
+    vals = fertility_values(
+        docs, merges, n_merges, ts_col, group_col, text_col
+    )
+    return psi_stream(
+        vals,
+        baseline,
+        group_col,
+        "fertility",
+        ts_col=ts_col,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+        lo=lo,
+        hi=hi,
+        n_buckets=n_buckets,
+        smooth=smooth,
+    )

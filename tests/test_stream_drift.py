@@ -111,3 +111,126 @@ def test_baseline_length_guard(spark):
     batch = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="buckets"):
         psi_stream(batch, [0.5, 0.5], "source", "v", **KW)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-fertility drift (chars-per-piece vs a static merge table)
+# ---------------------------------------------------------------------------
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+FKW = dict(lo=0.0, hi=4.0, n_buckets=8)
+
+
+def _merge_table(spark):
+    from lol_data_collection_system_spark.operators.bpe import bpe_merges
+
+    corpus = spark.createDataFrame(
+        [("the cat sat on the mat the cat",)], "text string"
+    )
+    return bpe_merges(corpus, n_merges=4), 4, corpus
+
+
+def test_fertility_stream_equals_batch(spark, tmp_path):
+    """The windowed fertility PSI must be identical on the streaming and
+    batch executions of the same plan, with the merge table riding as a
+    static side (stream-static broadcast joins)."""
+    from lol_data_collection_system_spark.streaming.drift import (
+        baseline_probs,
+        fertility_psi_stream,
+        fertility_values,
+    )
+
+    merges, nm, corpus = _merge_table(spark)
+    base_vals = fertility_values(
+        corpus.selectExpr(
+            "CAST('2024-01-01' AS TIMESTAMP) AS ts",
+            "'c' AS source", "text",
+        ),
+        merges, nm,
+    )
+    base = baseline_probs(base_vals, "fertility", smooth=0.5, **FKW)
+
+    src = tmp_path / "fert_src"
+    out = tmp_path / "fert_out"
+    ckpt = tmp_path / "fert_ckpt"
+    src.mkdir()
+    rows1 = [
+        ("2024-01-01 00:00:10", "a", "the cat sat on the mat"),
+        ("2024-01-01 00:00:40", "a", "the mat the cat"),
+        ("2024-01-01 00:01:20", "b", "zqxv wjkp bbbb qqqq zzzz"),
+    ]
+    rows2 = [("2024-01-01 02:00:00", "z", "flush row text")]
+    for name, rows in [("f1", rows1), ("f2", rows2)]:
+        spark.createDataFrame(rows, ["ts_s", "source", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "source", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    kw = dict(window_duration="1 minute", **FKW)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    q = (
+        fertility_psi_stream(stream, merges, nm, base, **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["window_start"], r["source"]): (r["n_rows"], r["psi"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.read.schema(DOC_SCHEMA).json(str(src) + "/*")
+    got_batch = {
+        (r["window_start"], r["source"]): (r["n_rows"], r["psi"])
+        for r in fertility_psi_stream(batch, merges, nm, base, **kw).collect()
+    }
+    assert got_stream
+    for k, v in got_stream.items():
+        assert got_batch[k] == v, (k, v, got_batch[k])
+    assert set(got_batch) - set(got_stream)  # flush window pending
+
+
+def test_fertility_drift_detects_unmergeable_text(spark):
+    """In-distribution text scores low; text the merge table cannot
+    compress (fertility pinned at 1 char/piece) scores high."""
+    from lol_data_collection_system_spark.streaming.drift import (
+        baseline_probs,
+        fertility_psi_stream,
+        fertility_values,
+    )
+
+    merges, nm, corpus = _merge_table(spark)
+    ts_corpus = corpus.selectExpr(
+        "CAST('2024-01-01' AS TIMESTAMP) AS ts", "'c' AS source", "text"
+    )
+    base = baseline_probs(
+        fertility_values(ts_corpus, merges, nm), "fertility", smooth=0.5,
+        **FKW,
+    )
+    rows = [
+        ("2024-01-01 00:00:10", "good", "the cat sat on the mat the cat"),
+        ("2024-01-01 00:00:20", "bad", "zq xv wj kp qn vz xj qk wz jv"),
+    ]
+    batch = spark.createDataFrame(rows, ["ts_s", "source", "text"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "source", "text"
+    )
+    out = {
+        r["source"]: r["psi"]
+        for r in fertility_psi_stream(
+            batch, merges, nm, base, window_duration="10 minutes", **FKW
+        ).collect()
+    }
+    assert out["good"] < 0.1
+    assert out["bad"] > 0.25
