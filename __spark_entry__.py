@@ -3225,6 +3225,7 @@ _FRONT: tuple[str, ...] = (
     # ---- first-50 window so they get a driver row this round).
     "media_near_dup",
     "history_row",
+    "fertility_window_psi",
     # ---- round-5 window (all green in CORRECTNESS_r05) follows; the
     # ---- tail of this block pads the first-50 window with re-samples.
     "quality_classifier_weights",

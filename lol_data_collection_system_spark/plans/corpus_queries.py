@@ -3100,6 +3100,133 @@ def _psi_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Windowed tokenizer-fertility drift (batch run of the streaming monitor)
+# ---------------------------------------------------------------------------
+FERT_LO, FERT_HI = 0.0, 4.0
+FERT_BUCKETS = 8
+FERT_SMOOTH = 0.5
+FERT_WINDOW = "10 minutes"
+_FERT_TS0_MS = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+_FERT_SPREAD_MIN = 40  # doc_id % 40 minutes -> 4 tumbling windows
+
+
+def q_fertility_window_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-fertility drift monitor
+    (`streaming/drift.fertility_psi_stream`) executed on a batch frame —
+    the EXACT plan the stream runs (the stream==batch twin is pinned in
+    tests/test_stream_drift.py): per tumbling window and source, the
+    word-level chars-per-piece distribution after segmenting with the
+    corpus-trained merge table, PSI-scored against the whole-corpus
+    fertility baseline. Timestamps are synthesized in closed form
+    (doc_id % 40 minutes past a fixed epoch) so the oracle can rebuild
+    the windows; the baseline is an 8-number bounded collect."""
+    from ..operators import bpe as bpe_ops
+    from ..streaming.drift import (
+        baseline_probs,
+        fertility_psi_stream,
+        fertility_values,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    timed = docs.select(
+        F.timestamp_millis(
+            F.lit(_FERT_TS0_MS)
+            + (F.col("doc_id") % _FERT_SPREAD_MIN) * 60_000
+        ).alias("ts"),
+        "source",
+        "text",
+    )
+    kw = dict(lo=FERT_LO, hi=FERT_HI, n_buckets=FERT_BUCKETS)
+    baseline = baseline_probs(
+        fertility_values(timed, merges, N_BPE_MERGES),
+        "fertility",
+        smooth=FERT_SMOOTH,
+        **kw,
+    )
+    return fertility_psi_stream(
+        timed,
+        merges,
+        N_BPE_MERGES,
+        baseline,
+        group_col="source",
+        window_duration=FERT_WINDOW,
+        smooth=FERT_SMOOTH,
+        **kw,
+    )
+
+
+def _fertility_window_psi_oracle(n: int = N_BPE_MERGES) -> str:
+    """Mirrors q_fertility_window_psi: the unrolled BPE rounds give each
+    vocabulary word its piece count; fertility = length(word)/n_pieces
+    (one exact-int division); buckets/windows/baseline/PSI reproduce
+    `streaming/drift.psi_stream` op-for-op — the PSI fold is the same
+    left-associated chain of 9-dp-rounded decimal terms."""
+    width = (FERT_HI - FERT_LO) / FERT_BUCKETS
+    sb = FERT_SMOOTH * FERT_BUCKETS
+    win_ms = 600_000
+    cells_cols = ",\n         ".join(
+        f"SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS c{k}"
+        for k in range(FERT_BUCKETS)
+    )
+    base_cols = ", ".join(
+        f"SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS bc{k}"
+        for k in range(FERT_BUCKETS)
+    )
+    # ordered left-assoc fold of round((p-q)*ln(p/q), 9)::DECIMAL(28,9)
+    terms = " + ".join(
+        "CAST(CAST(round("
+        f"((CAST(c{k} AS DOUBLE) + {FERT_SMOOTH}) / (CAST(n AS DOUBLE) + {sb})"
+        f" - q{k}) * ln(((CAST(c{k} AS DOUBLE) + {FERT_SMOOTH})"
+        f" / (CAST(n AS DOUBLE) + {sb})) / q{k}), 9) AS DECIMAL(28,9))"
+        " AS DOUBLE)"
+        for k in range(FERT_BUCKETS)
+    )
+    q_cols = ", ".join(
+        f"(CAST(bc{k} AS DOUBLE) + {FERT_SMOOTH})"
+        f" / (CAST(bt AS DOUBLE) + {sb}) AS q{k}"
+        for k in range(FERT_BUCKETS)
+    )
+    bt_sum = " + ".join(f"bc{k}" for k in range(FERT_BUCKETS))
+    return (
+        _bpe_rounds_sql(n)
+        + f""",
+wp AS (SELECT word,
+              length(word) AS n_chars,
+              len(list_filter(regexp_split_to_array(seq, '[()]+'),
+                              x -> x != '')) AS n_pieces
+       FROM s{n}),
+vals AS (
+  SELECT make_timestamp(({_FERT_TS0_MS} + (doc_id % {_FERT_SPREAD_MIN})
+                         * 60000) * 1000) AS ts,
+         source,
+         CAST(wp.n_chars AS DOUBLE) / wp.n_pieces AS fertility
+  FROM (SELECT doc_id, source, unnest({_NTOKS}) AS word FROM documents) d
+  JOIN wp USING (word)),
+bucketed AS (
+  SELECT ts, source,
+         LEAST({FERT_BUCKETS - 1}, GREATEST(0,
+           CAST(floor((fertility - {FERT_LO}) / {width}) AS INT))) AS b
+  FROM vals),
+bl AS (SELECT {base_cols} FROM bucketed),
+blq AS (SELECT {q_cols} FROM (SELECT *, {bt_sum} AS bt FROM bl)),
+cells AS (
+  SELECT CAST(floor(epoch_ms(ts) / {win_ms}) * {win_ms} AS BIGINT) AS w0,
+         source,
+         COUNT(*) AS n,
+         {cells_cols}
+  FROM bucketed GROUP BY 1, 2)
+SELECT make_timestamp(w0 * 1000) AS window_start,
+       make_timestamp((w0 + {win_ms}) * 1000) AS window_end,
+       source,
+       CAST(n AS BIGINT) AS n_rows,
+       round(0.0 + {terms}, 6) AS psi
+FROM cells CROSS JOIN blq
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (sufficient statistics + fixed-round power iteration)
 # ---------------------------------------------------------------------------
 PCA_SQUARINGS = 5
@@ -3981,6 +4108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_segmented_docs": q_bpe_segmented_docs,
+    "fertility_window_psi": q_fertility_window_psi,
     "doc_novelty_scores": q_doc_novelty_scores,
     "line_dup_stats": q_line_dup_stats,
     "remove_dup_lines": q_remove_dup_lines,
@@ -4091,6 +4219,7 @@ ORACLES: dict[str, str] = {
     "cdc_chunk_dups": ORACLE_CDC_CHUNK_DUPS,
     "source_drift_psi": _psi_oracle(),
     "bpe_fertility_by_source": _bpe_fertility_oracle(),
+    "fertility_window_psi": _fertility_window_psi_oracle(),
     "embedding_drift_psi": _embedding_drift_oracle(),
     "knn_triangle_stats": _triangle_oracle(),
     "term_pmi_pairs": ORACLE_TERM_PMI_PAIRS,

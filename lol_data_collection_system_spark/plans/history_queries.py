@@ -160,7 +160,16 @@ def synthetic_history_inputs(spark: SparkSession, sf_dir: str):
         F.col("k.victim").alias("victim"),
         F.array().cast("array<long>").alias("assists"),
     )
-    return anchors, matchlist, matches, participants, lane_map, kills
+    # Each synthesized frame feeds several branches of stats_history /
+    # stats_availability (entries, base, means, streaks, fights, lanes,
+    # availability all re-join them). Persisting replaces ~70 re-scans of
+    # the source table with one materialization per frame — at corpus
+    # scale these are the "match store" frames a real deployment would
+    # checkpoint once (cf. domain_queries' materialize_summary for kills).
+    out = (anchors, matchlist, matches, participants, lane_map, kills)
+    for frame in out:
+        frame.persist()
+    return out
 
 
 def q_history_row(spark: SparkSession, sf_dir: str) -> DataFrame:
