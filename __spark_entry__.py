@@ -3226,8 +3226,11 @@ _FRONT: tuple[str, ...] = (
     "media_near_dup",
     "history_row",
     "fertility_window_psi",
-    # ---- round-5 window (all green in CORRECTNESS_r05) follows; the
-    # ---- tail of this block pads the first-50 window with re-samples.
+    # ---- ROTATION LEDGER (round 7+): after round 6 every registered
+    # ---- query has a driver CORRECTNESS row in some round (r1-r5 union
+    # ---- 159/190 + the 31 residual + 3 new = all). From round 7 on,
+    # ---- front-load only NEW declarations; the slots below re-sample
+    # ---- round-5 names (already green) purely as window padding.
     "quality_classifier_weights",
     "quality_classifier_scores",
     "quality_classifier_eval",
