@@ -3121,11 +3121,7 @@ def q_fertility_window_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 40 minutes past a fixed epoch) so the oracle can rebuild
     the windows; the baseline is an 8-number bounded collect."""
     from ..operators import bpe as bpe_ops
-    from ..streaming.drift import (
-        baseline_probs,
-        fertility_psi_stream,
-        fertility_values,
-    )
+    from ..streaming.drift import baseline_probs, fertility_values
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
@@ -3138,18 +3134,22 @@ def q_fertility_window_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     kw = dict(lo=FERT_LO, hi=FERT_HI, n_buckets=FERT_BUCKETS)
-    baseline = baseline_probs(
-        fertility_values(timed, merges, N_BPE_MERGES),
-        "fertility",
-        smooth=FERT_SMOOTH,
-        **kw,
-    )
-    return fertility_psi_stream(
-        timed,
-        merges,
-        N_BPE_MERGES,
+    # the segmentation chain (6 broadcast-rank replaces over exploded
+    # words) feeds BOTH the baseline collect and the PSI aggregation —
+    # persist it so the expensive pass runs once, then hand the values
+    # frame straight to psi_stream (what fertility_psi_stream composes;
+    # the streaming path can't persist, the batch path should)
+    vals = fertility_values(
+        timed, merges, N_BPE_MERGES, group_col="source"
+    ).persist()
+    baseline = baseline_probs(vals, "fertility", smooth=FERT_SMOOTH, **kw)
+    from ..streaming.drift import psi_stream
+
+    return psi_stream(
+        vals,
         baseline,
-        group_col="source",
+        "source",
+        "fertility",
         window_duration=FERT_WINDOW,
         smooth=FERT_SMOOTH,
         **kw,

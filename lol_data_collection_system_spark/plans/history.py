@@ -114,7 +114,7 @@ def stats_history(
     )
     entries = entries.withColumn(
         "processed", (F.col("rn") - prev_remakes) <= max_games
-    )
+    ).persist()  # consumed by the totals agg AND the base join
 
     # The participant the account played: champion-based lookup — account
     # ids churn historically, champion is stable in-match (utils.py:921-922)
@@ -149,7 +149,11 @@ def stats_history(
         "lane_then",
         "win",
         *[c.alias(n) for n, c in stat_cols.items()],
-    )
+    ).persist()
+    # ^ five independent consumers (lane histogram, streak islands,
+    # stat means, the fights join, assembly) — Spark has no automatic
+    # subplan reuse across them, so the walk join + stat extraction
+    # would otherwise re-execute per consumer.
 
     # ---- counters ---------------------------------------------------------
     totals = entries.groupBy("account_id", "anchor_ts").agg(
