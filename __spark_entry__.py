@@ -3226,6 +3226,7 @@ _FRONT: tuple[str, ...] = (
     "media_near_dup",
     "history_row",
     "fertility_window_psi",
+    "media_golden_assets",
     # ---- ROTATION LEDGER (round 7+): after round 6 every registered
     # ---- query has a driver CORRECTNESS row in some round (r1-r5 union
     # ---- 159/190 + the 31 residual + 3 new = all). From round 7 on,

@@ -380,9 +380,58 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def q_media_golden_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical asset per perceptual near-dup component — the media
+    analogue of `customer_golden_records`: within each dHash component
+    keep the SMALLEST payload (ties to the lower id), the storage-side
+    survivorship rule for an asset-dedup pass. One aggregate over the
+    component map; the argmin rides a struct-min (no window over the
+    asset corpus)."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    images = media.filter(F.col("modality") == "image")
+    comp = dedup_ops.hamming_components(
+        mm_ops.phash_images(images), "media_id", "phash",
+        threshold=PHASH_THRESHOLD,
+    )
+    sized = images.select(
+        "media_id", F.length(F.col("payload")).alias("n_bytes")
+    )
+    best = F.min(F.struct(F.col("n_bytes"), F.col("media_id")))
+    return (
+        comp.join(sized, "media_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best["media_id"].alias("canonical_id"),
+            best["n_bytes"].cast("long").alias("canonical_bytes"),
+        )
+    )
+
+
+# closed form over the gradient fixture: components == width groups;
+# BMP size = 54 + h*stride(w) with stride = (w*3+3)//4*4
+ORACLE_MEDIA_GOLDEN_ASSETS = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         doc_id % 7 AS wgrp,
+         CAST(54 + (doc_id % 5 + 1)
+              * (((doc_id % 7 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT MIN(media_id) AS component_id,
+       COUNT(*) AS n_members,
+       arg_min(media_id, n_bytes * 1000000000000 + media_id) AS canonical_id,
+       MIN(n_bytes) AS canonical_bytes
+FROM imgs GROUP BY wgrp
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
     "media_near_dup": q_media_near_dup,
+    "media_golden_assets": q_media_golden_assets,
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
@@ -393,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
+    "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,

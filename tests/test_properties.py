@@ -874,3 +874,61 @@ def test_linreg_matches_numpy_on_random_groups(spark, xy):
     slope, intercept = np.polyfit(xs, ys, 1)
     assert got.slope == pytest.approx(float(slope), abs=2e-5)
     assert got.intercept == pytest.approx(float(intercept), abs=2e-4)
+
+
+@_SETTINGS
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1).flatmap(
+            lambda base: st.tuples(
+                st.just(base),
+                st.integers(0, 20),  # flip up to 20 random bits
+                st.integers(0, 2**63 - 1),
+            )
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    threshold=st.integers(0, 7),
+)
+def test_hamming_components_match_bruteforce(spark, hashes, threshold):
+    """The banded candidate generation must be EXACT for threshold <
+    band width (pigeonhole): grouping via hamming_components equals the
+    brute-force all-pairs union-find at every threshold 0..7, including
+    duplicate hashes, sign-bit hashes, and singletons."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    rows = []
+    for i, (base, n_flips, seed) in enumerate(hashes):
+        h = base & (2**64 - 1)
+        s = seed
+        for _ in range(n_flips):
+            h ^= 1 << (s % 64)
+            s = (s * 1103515245 + 12345) % (2**63)
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+
+    # brute-force union-find over verified Hamming pairs
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, hi_ in rows:
+        for j, hj in rows:
+            if i < j and bin((hi_ ^ hj) & (2**64 - 1)).count("1") <= threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {i: find(i) for i, _ in rows}
+
+    sigs = spark.createDataFrame(rows, ["media_id", "phash"])
+    got = {
+        r.media_id: r.component_id
+        for r in hamming_components(sigs, threshold=threshold).collect()
+    }
+    assert got == want
