@@ -17,6 +17,7 @@ cross-check stream vs batch output.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -217,6 +218,81 @@ def near_dedup_stream(
     )
     return _all_bands_won(
         winners, n_bands, id_col, ts_col, text_col, emit_window, True
+    )
+
+
+def media_near_dedup_stream(
+    media: DataFrame,
+    id_col: str = "media_id",
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+    watermark_delay: str = "10 minutes",
+    n_bands: int = 8,
+    bits: int = 64,
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Streaming perceptual near-duplicate guard for image payloads —
+    the online half of `dedup.hamming_components` (same banding
+    geometry: the 64-bit dHash split into 8 contiguous 8-bit bands). A
+    media row is kept iff it is the FIRST arrival in EVERY one of its
+    band buckets: a brightness-shifted or lightly-edited re-upload
+    shares ≥1 band with the original (pigeonhole, Hamming < band width)
+    and is dropped, exactly the candidate rule the batch grouping joins
+    on.
+
+    Plan shape mirrors `near_dedup_stream`: the dHash is ONE Arrow
+    pandas_udf over the payload bytes (the justified codec exception),
+    the band split stays JVM-side, then per-BUCKET
+    `dropDuplicatesWithinWatermark` state and the shared all-bands-won
+    emit stage. State is one small row per occupied band bucket within
+    the horizon — payload bytes never enter the state store. Batch
+    frames run the same plan with (ts, id)-ordered bucket winners, so
+    the stream==batch twin compares kept-id sets. Output:
+    (window, id, ts, phash, bands sorted).
+    """
+    from ..operators.multimodal import _signed64, dhash64
+
+    @F.pandas_udf("long")
+    def _phash(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda b: _signed64(dhash64(bytes(b))))
+
+    hashed = media.select(
+        F.col(id_col), F.col(ts_col), _phash(F.col(payload_col)).alias("phash")
+    )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("string")
+                .alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = hashed.select(
+        id_col, ts_col, "phash", F.explode(bands).alias("_b")
+    ).select(id_col, ts_col, "phash", "_b.band_idx", "_b.band_hash")
+    if media.isStreaming:
+        winners = exploded.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
+        return _all_bands_won(
+            winners, n_bands, id_col, ts_col, "phash", emit_window, True
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(ts_col, id_col)
+    winners = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return _all_bands_won(
+        winners, n_bands, id_col, ts_col, "phash", emit_window, True
     )
 
 

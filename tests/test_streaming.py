@@ -1262,3 +1262,99 @@ def test_streaming_ewma_horizon_recovers_after_long_idle(spark, tmp_path):
     want_map = {(r.prev_type, r.next_type): r["count"] for r in want}
     assert got_map == want_map
     assert sum(got_map.values()) == 4 + 3 + 0  # per-user n-1 pairs
+
+
+def test_streaming_media_near_dedup_drops_brightness_reupload(spark, tmp_path):
+    """The perceptual media guard must drop a brightness-shifted
+    re-upload (identical dHash, all bands collide) and a lightly-edited
+    near-dup (shares >=1 band), keep a structurally different image, and
+    match its batch twin's kept-id set across micro-batches."""
+    import base64
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.streaming.dedup import (
+        media_near_dedup_stream,
+    )
+
+    w, h = 12, 10
+    checker = [
+        (40 + 90 * ((x * 3 + y * 7) % 2), 10, 20)
+        for y in range(h)
+        for x in range(w)
+    ]
+    other = [
+        (10 + 13 * ((x // 2 + y) % 2), 10, 20)
+        for y in range(h)
+        for x in range(w)
+    ]
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, t0, mm.encode_bmp(w, h, checker)),
+        # brightness re-upload 10s later: same dHash -> dropped
+        (2, t0 + dt.timedelta(seconds=10),
+         mm.encode_bmp(w, h, [(r + 30, g + 30, b + 30) for r, g, b in checker])),
+        # different structure in batch 2: kept
+        (3, t0 + dt.timedelta(seconds=70), mm.encode_bmp(w, h, other)),
+        # re-upload of image 1 arriving in batch 2: still dropped
+        (4, t0 + dt.timedelta(seconds=80), mm.encode_bmp(w, h, checker)),
+        # flush row far ahead: closes all emit windows
+        (9, t0 + dt.timedelta(hours=2), mm.encode_bmp(2, 2, [(0, 0, 0)] * 4)),
+    ]
+    schema = T2.StructType(
+        [
+            T2.StructField("media_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("payload", T2.BinaryType()),
+        ]
+    )
+    src = tmp_path / "media_src"
+    out = tmp_path / "media_out"
+    ckpt = tmp_path / "media_ckpt"
+    src.mkdir()
+    # json file source can't carry binary: ship payload b64 and decode
+    for name, sel in [("f1", rows[:2]), ("f2", rows[2:])]:
+        spark.createDataFrame(
+            [(i, ts, base64.b64encode(p).decode()) for i, ts, p in sel],
+            ["media_id", "ts", "payload_b64"],
+        ).coalesce(1).write.json(str(src / name))
+
+    raw_schema = T2.StructType(
+        [
+            T2.StructField("media_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("payload_b64", T2.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+        .select("media_id", "ts", F.unbase64("payload_b64").alias("payload"))
+    )
+    q = (
+        media_near_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept_stream = {
+        r.media_id for r in spark.read.parquet(str(out)).collect()
+    }
+    assert kept_stream == {1, 3}  # 2 and 4 near-dup-dropped; 9 pending
+
+    batch = (
+        spark.read.schema(raw_schema)
+        .json(str(src) + "/*")
+        .select("media_id", "ts", F.unbase64("payload_b64").alias("payload"))
+    )
+    kept_batch = {
+        r.media_id for r in media_near_dedup_stream(batch).collect()
+    }
+    assert kept_stream <= kept_batch and kept_batch - kept_stream == {9}
