@@ -3227,6 +3227,7 @@ _FRONT: tuple[str, ...] = (
     "history_row",
     "fertility_window_psi",
     "media_golden_assets",
+    "media_near_dedup_kept",
     # ---- ROTATION LEDGER (round 7+): after round 6 every registered
     # ---- query has a driver CORRECTNESS row in some round (r1-r5 union
     # ---- 159/190 + the 31 residual + 3 new = all). From round 7 on,

@@ -411,6 +411,61 @@ def q_media_golden_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_TS0_MS = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+MEDIA_DEDUP_WINDOW = "10 minutes"
+
+
+def q_media_near_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming/dedup.media_near_dedup_stream` under the
+    hash gate: synthesize arrival times in closed form (media_id % 40
+    minutes past a fixed epoch), run the SAME banded first-wins plan the
+    stream runs, and emit the kept ids with their emit windows.
+
+    Closed-form oracle: all same-width gradient images share one dHash
+    (see `q_media_near_dup`), so every band bucket of a width group is
+    won by the group's earliest (ts, id) arrival and everyone else loses
+    all 8 bands — kept == argmin(ts, id) per width group."""
+    from ..streaming.dedup import media_near_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    images = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        F.timestamp_millis(
+            F.lit(_MEDIA_TS0_MS) + (F.col("media_id") % 40) * 60_000
+        ).alias("ts"),
+        "payload",
+    )
+    kept = media_near_dedup_stream(
+        images, emit_window=MEDIA_DEDUP_WINDOW
+    )
+    return kept.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "media_id",
+    )
+
+
+ORACLE_MEDIA_NEAR_DEDUP_KEPT = f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         {_MEDIA_TS0_MS} + (doc_id % 40) * 60000 AS ts_ms
+  FROM documents WHERE doc_id % 3 = 0),
+winners AS (
+  -- (ts, id) order == ((id % 40), id) order by construction; the
+  -- composite key stays far inside BIGINT (ts_ms * anything would not)
+  SELECT arg_min(media_id, (media_id % 40) * 10000000000000 + media_id)
+           AS media_id
+  FROM imgs GROUP BY media_id % 7)
+SELECT make_timestamp(CAST(floor(i.ts_ms / 600000) * 600000 AS BIGINT) * 1000)
+         AS window_start,
+       make_timestamp(CAST(floor(i.ts_ms / 600000) * 600000 + 600000 AS BIGINT)
+                      * 1000) AS window_end,
+       w.media_id
+FROM winners w JOIN imgs i USING (media_id)
+"""
+
+
 # closed form over the gradient fixture: components == width groups;
 # BMP size = 54 + h*stride(w) with stride = (w*3+3)//4*4
 ORACLE_MEDIA_GOLDEN_ASSETS = """
@@ -432,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
     "media_near_dup": q_media_near_dup,
     "media_golden_assets": q_media_golden_assets,
+    "media_near_dedup_kept": q_media_near_dedup_kept,
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
@@ -443,6 +499,7 @@ ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
+    "media_near_dedup_kept": ORACLE_MEDIA_NEAR_DEDUP_KEPT,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,
