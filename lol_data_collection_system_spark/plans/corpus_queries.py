@@ -2309,18 +2309,36 @@ FROM per_shard
 N_BPE_MERGES = 6
 
 
-def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: trained-merge memo keyed by sf_dir (the `_PCA_FITS` policy: plain
+#: data, session-free, safe while the read-only testdata is unchanged).
+#: Four queries consume the same 6-row table; without the memo each
+#: re-runs the 6 sequential training rounds.
+_BPE_MERGES_MEMO: dict[str, list] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe as bpe_ops
 
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    if sf_dir not in _BPE_MERGES_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_MERGES_MEMO[sf_dir] = bpe_ops.bpe_merges(
+            docs, "text", N_BPE_MERGES
+        ).collect()  # bounded: n_merges rows
+    return spark.createDataFrame(
+        _BPE_MERGES_MEMO[sf_dir],
+        "merge_rank int, pair string, merged string, pair_count bigint",
+    )
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_merges_cached(spark, sf_dir)
 
 
 def q_bpe_segmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe as bpe_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     return bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
 
 
@@ -2391,7 +2409,7 @@ def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe as bpe_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     seg = bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
     return (
         seg.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
@@ -3120,11 +3138,10 @@ def q_fertility_window_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     fertility baseline. Timestamps are synthesized in closed form
     (doc_id % 40 minutes past a fixed epoch) so the oracle can rebuild
     the windows; the baseline is an 8-number bounded collect."""
-    from ..operators import bpe as bpe_ops
     from ..streaming.drift import baseline_probs, fertility_values
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_ops.bpe_merges(docs, "text", N_BPE_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     timed = docs.select(
         F.timestamp_millis(
             F.lit(_FERT_TS0_MS)
