@@ -2234,9 +2234,35 @@ CONTAINMENT_THRESHOLD = 0.15
 N_SHARDS = 8
 
 
+def _knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (KNN_K, ANN_BITS) kNN graph as an S15 parquet materialization
+    (the `domain_queries.synthetic_kills` pattern): SEVEN queries consume
+    this identical frame (the graph itself, pagerank, label propagation,
+    walks, skip-grams, triangles, outliers), so the bucketed self-join +
+    top-k window runs once per dataset instead of once per query.
+    Fingerprint-guarded on embeddings.parquet; no TTL (read-only data)."""
+    import os as _os
+
+    from ..sources import materialize_summary
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sim_ops.knn_graph(emb, KNN_K, ANN_BITS)
+
+    return materialize_summary(
+        spark,
+        _os.path.join(SUMMARY_CACHE_DIR, f"knn_edges_{sf_name}.parquet"),
+        build,
+        sources=[_os.path.join(sf_dir, "embeddings.parquet")],
+        ttl_s=None,
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.knn_graph(emb, KNN_K, ANN_BITS)
+    return _knn_edges_cached(spark, sf_dir)
 
 
 def _knn_graph_oracle() -> str:
@@ -2703,7 +2729,7 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as graph_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+    edges = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return graph_ops.pagerank(
@@ -2781,7 +2807,7 @@ def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as graph_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+    edges = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return graph_ops.triangle_stats(edges)
@@ -3681,7 +3707,7 @@ def q_knn_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as graph_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+    edges = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return graph_ops.random_walks(edges, walk_len=WALK_LEN, salt=WALK_SALT)
@@ -3897,7 +3923,7 @@ def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as graph_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+    edges = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     walks = graph_ops.random_walks(edges, walk_len=WALK_LEN, salt=WALK_SALT)
@@ -3948,7 +3974,7 @@ def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     no neighbor rank as maximally isolated (mean_sim NULL-first) —
     exactly the points a bucketed index can't vouch for."""
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = sim_ops.knn_graph(emb, KNN_K, ANN_BITS)
+    knn = _knn_edges_cached(spark, sf_dir)
     per_node = knn.groupBy(F.col("vec_id")).agg(
         F.round(
             F.sum(F.col("cos_sim").cast("decimal(18,4)"))
@@ -4007,7 +4033,7 @@ def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as graph_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_ops.knn_graph(emb, KNN_K, ANN_BITS).select(
+    edges = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     seeds = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
