@@ -540,8 +540,22 @@ def test_pii_ops_are_map_only(spark):
 def test_knn_graph_windowgrouplimit_before_exchange(spark):
     """The per-source top-k must run as WindowGroupLimit with a Partial
     pass BEFORE the shuffle (per-partition k rows survive, not the whole
-    bucket pair space), and the bucket self-join must be an equi-join."""
-    plan = _plan(spark, "knn_graph")
+    bucket pair space), and the bucket self-join must be an equi-join.
+    Pinned on the operator directly: the registered query now serves the
+    S15 parquet materialization, whose plan is just the scan."""
+    from lol_data_collection_system_spark.operators import similarity as sim
+    from lol_data_collection_system_spark.plans.corpus_queries import (
+        ANN_BITS,
+        KNN_K,
+    )
+    from lol_data_collection_system_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = sim.knn_graph(emb, KNN_K, ANN_BITS)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
     assert "CartesianProduct" not in plan
