@@ -1515,6 +1515,56 @@ FROM j WHERE in_snap AND (NOT in_hist OR changed)
 """
 
 
+def q_orders_scd2_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension — the
+    canonical warehouse composition the SCD2 history exists FOR: each
+    order joins the customer VERSION valid at its (synthesized,
+    closed-form) event time. Plan shape: plain EQUI-join on the customer
+    key with the validity interval as a join-side filter — versions per
+    key are few and intervals partition time, so this is one keyed
+    shuffle, never a range/nested-loop join. Orphaned facts (event after
+    the key's last interval closed) keep their row with NULL dims."""
+    hist = q_customer_scd2_history(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.lit(1000) + (F.col("o_orderkey") % 3) * 750)
+        .cast("bigint")
+        .alias("event_ms"),
+    )
+    cond = (
+        (facts["o_custkey"] == hist["c_custkey"])
+        & (hist["valid_from_ms"] <= facts["event_ms"])
+        & (
+            hist["valid_to_ms"].isNull()
+            | (facts["event_ms"] < hist["valid_to_ms"])
+        )
+    )
+    return facts.join(hist, cond, "left").select(
+        "o_orderkey",
+        "event_ms",
+        F.col("c_acctbal").alias("acctbal_at"),
+        F.col("c_mktsegment").alias("mktsegment_at"),
+    )
+
+
+ORACLE_ORDERS_SCD2_ENRICHED = f"""
+WITH hist AS ({ORACLE_CUSTOMER_SCD2_HISTORY}),
+facts AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(1000 + (o_orderkey % 3) * 750 AS BIGINT) AS event_ms
+  FROM orders)
+SELECT f.o_orderkey, f.event_ms,
+       h.c_acctbal AS acctbal_at,
+       h.c_mktsegment AS mktsegment_at
+FROM facts f LEFT JOIN hist h
+  ON h.c_custkey = f.o_custkey
+ AND h.valid_from_ms <= f.event_ms
+ AND (h.valid_to_ms IS NULL OR f.event_ms < h.valid_to_ms)
+"""
+
+
 def q_basket_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion index (variance/mean) of order basket sizes — the
     overdispersion check against the Poisson null (index ≈ 1 means
@@ -3124,6 +3174,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_scd2_history": q_customer_scd2_history,
+    "orders_scd2_enriched": q_orders_scd2_enriched,
     "gap_filled_value_series": q_gap_filled_value_series,
     "price_equidepth_histogram": q_price_equidepth_histogram,
     "lineitem_correlations": q_lineitem_correlations,
@@ -3228,6 +3279,7 @@ _FRONT: tuple[str, ...] = (
     "fertility_window_psi",
     "media_golden_assets",
     "media_near_dedup_kept",
+    "orders_scd2_enriched",
     # ---- ROTATION LEDGER (round 7+): after round 6 every registered
     # ---- query has a driver CORRECTNESS row in some round (r1-r5 union
     # ---- 159/190 + the 31 residual + 3 new = all). From round 7 on,
@@ -3331,6 +3383,7 @@ _ORACLES: dict[str, str] = {
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
     "customer_scd2_history": ORACLE_CUSTOMER_SCD2_HISTORY,
+    "orders_scd2_enriched": ORACLE_ORDERS_SCD2_ENRICHED,
     "gap_filled_value_series": ORACLE_GAP_FILLED_VALUE_SERIES,
     "price_equidepth_histogram": ORACLE_PRICE_EQUIDEPTH_HISTOGRAM,
     "lineitem_correlations": ORACLE_LINEITEM_CORRELATIONS,
