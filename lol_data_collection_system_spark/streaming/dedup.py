@@ -254,7 +254,23 @@ def media_near_dedup_stream(
 
     @F.pandas_udf("long")
     def _phash(payloads: pd.Series) -> pd.Series:
-        return payloads.map(lambda b: _signed64(dhash64(bytes(b))))
+        import hashlib
+        import struct
+
+        def one(b) -> int:
+            raw = bytes(b)
+            try:
+                return _signed64(dhash64(raw))
+            except (ValueError, struct.error, IndexError):
+                # corrupt/non-BMP payload: a deterministic md5-derived
+                # 64-bit stand-in (the `_decode_payload` stub policy) —
+                # the stream must not die on one bad blob, and a random-
+                # looking hash keeps the blob effectively unique
+                return _signed64(
+                    int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+                )
+
+        return payloads.map(one)
 
     hashed = media.select(
         F.col(id_col), F.col(ts_col), _phash(F.col(payload_col)).alias("phash")

@@ -1358,3 +1358,41 @@ def test_streaming_media_near_dedup_drops_brightness_reupload(spark, tmp_path):
         r.media_id for r in media_near_dedup_stream(batch).collect()
     }
     assert kept_stream <= kept_batch and kept_batch - kept_stream == {9}
+
+
+def test_media_near_dedup_survives_corrupt_payload(spark):
+    """A corrupt/non-BMP payload must not kill the hashing stage: it
+    gets a deterministic md5-derived stand-in hash (effectively unique)
+    and flows through as a kept row."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.streaming.dedup import (
+        media_near_dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, mm.encode_bmp(2, 2, [(9, 9, 9)] * 4)),
+        (2, t0 + dt.timedelta(seconds=5), b"\x00garbage not a bmp"),
+        (3, t0 + dt.timedelta(seconds=9), b"BM\x01truncated header"),
+        # textured (solid images all dHash to 0 and would collide) with
+        # band bytes verified disjoint from the md5 stand-in hashes of
+        # rows 2-3 (band-level candidates have no Hamming verify stage)
+        (9, t0 + dt.timedelta(hours=2),
+         mm.encode_bmp(12, 10,
+                       [(40 + 90 * ((x // 2 + y) % 2), 10, 20)
+                        for y in range(10) for x in range(12)])),
+    ]
+    schema = T2.StructType(
+        [
+            T2.StructField("media_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("payload", T2.BinaryType()),
+        ]
+    )
+    batch = spark.createDataFrame(rows, schema)
+    kept = {r.media_id for r in media_near_dedup_stream(batch).collect()}
+    assert kept == {1, 2, 3, 9}  # corrupt blobs unique, nothing crashed
