@@ -311,11 +311,12 @@ def hamming_candidate_edges(
     `reps`: split each fingerprint into `n_bands` contiguous bands
     (JVM shift/mask — no UDF), self-join on (band_idx, band_val), then
     verify with bit_count(xor) <= threshold. By pigeonhole any two
-    hashes within `bits/n_bands - 1` bits share a whole band, so for
-    `threshold < bits/n_bands` the banding is EXACT (recall 1)."""
-    if threshold >= bits // n_bands:
+    hashes within `n_bands - 1` differing bits cannot hit every band,
+    so they share a whole band: for `threshold < n_bands` (the band
+    COUNT, not the band width) the banding is EXACT (recall 1)."""
+    if threshold >= n_bands:
         raise ValueError(
-            f"threshold {threshold} >= band width {bits // n_bands}: "
+            f"threshold {threshold} >= n_bands {n_bands}: "
             "banded candidates would miss true pairs (recall < 1)"
         )
     band_bits = bits // n_bands
@@ -376,9 +377,10 @@ def hamming_components(
        split into `n_bands` contiguous `bits/n_bands`-bit bands
        (JVM-side shift/mask, no UDF); reps agreeing on any band become
        candidates. By pigeonhole, two hashes within
-       `bits/n_bands - 1` Hamming bits MUST agree on at least one whole
-       band, so for `threshold < bits/n_bands` (the default 6 < 8) the
-       banding is EXACT — zero recall loss, never all-pairs.
+       `n_bands - 1` Hamming bits cannot differ in every band, so they
+       MUST agree on at least one whole band: for `threshold < n_bands`
+       (the default 6 < 8) the banding is EXACT — zero recall loss,
+       never all-pairs.
     3. **bit_count(xor) verify + `connected_components`** over the
        surviving representative edges; members rejoin by hash at the
        end. Ids absent from every edge keep their own component.

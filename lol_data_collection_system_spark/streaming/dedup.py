@@ -236,7 +236,7 @@ def media_near_dedup_stream(
     geometry: the 64-bit dHash split into 8 contiguous 8-bit bands). A
     media row is kept iff it is the FIRST arrival in EVERY one of its
     band buckets: a brightness-shifted or lightly-edited re-upload
-    shares ≥1 band with the original (pigeonhole, Hamming < band width)
+    shares ≥1 band with the original (pigeonhole, Hamming < n_bands)
     and is dropped, exactly the candidate rule the batch grouping joins
     on.
 

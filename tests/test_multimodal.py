@@ -251,6 +251,43 @@ def test_hamming_components_rejects_lossy_threshold(spark):
         hamming_components(sigs, threshold=8, n_bands=8)
 
 
+def test_hamming_banding_exact_vs_bruteforce_narrow_bands(spark):
+    """The pigeonhole guard is on the band COUNT, not the band width:
+    n_bands=16 (4-bit bands) with threshold up to 15 is still exact.
+    Pin recall 1 by comparing banded candidate edges against a Python
+    brute-force over hashes engineered to spread their differing bits
+    one-per-band (the case a width-based guard would wrongly allow to
+    be missed — or wrongly reject as lossy)."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_candidate_edges,
+    )
+
+    base = 0x123456789ABCDEF0
+    hashes = [base]
+    # flip one bit in each of k distinct 4-bit bands, k = 1..10:
+    # pairwise distances range over 1..10 with diffs spread across bands
+    for k in range(1, 11):
+        h = base
+        for band in range(k):
+            h ^= 1 << (band * 4)
+        hashes.append(h)
+    sigs = [(i + 1, mm._signed64(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(sigs, ["media_id", "phash"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_candidate_edges(
+            df, "media_id", "phash", threshold=10, n_bands=16
+        ).collect()
+    }
+    want = {
+        (a + 1, b + 1)
+        for a in range(len(hashes))
+        for b in range(a + 1, len(hashes))
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 10
+    }
+    assert got == want and len(want) > 0
+
+
 def test_phash_images_flip_and_brightness_grouping(spark):
     """End-to-end: a brightness-shifted copy and (with include_mirror) a
     horizontally flipped copy land in the original's component; an

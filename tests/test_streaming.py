@@ -1180,6 +1180,9 @@ def test_streaming_ewma_horizon_recovers_after_long_idle(spark, tmp_path):
     # and the pre-idle history was closed out on adoption (bucket 1
     # scored against bucket 0's count)
     assert ("a", b0 + 1 * ms) in got
+
+
+def test_streaming_transitions_equal_batch_lag(spark, tmp_path):
     """Aggregated streaming (prev,next) pair counts must equal the
     batch lag-window pairs exactly, with state carrying the last event
     across micro-batches."""
