@@ -151,3 +151,47 @@ def might_contain(
     return out.withColumn(
         out_col, F.coalesce(might, F.lit(False))
     ).drop(*[f"__bloom_hit{j}" for j in range(n_hashes)])
+
+
+def dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect a `build_bloom` word table into a dense Python list of
+    ``m_bits / 32`` longs (missing words = 0), for embedding as a plan
+    literal via `member_expr`. The collect is bounded by the FILTER
+    GEOMETRY (m_bits/32 rows), never by the key-set size — that is the
+    whole point of probing a Bloom instead of collecting the keys."""
+    out = [0] * (m_bits // _WORD)
+    for r in bloom.collect():
+        out[r["word_idx"]] = r["bits"]
+    return out
+
+
+def member_expr(
+    key: Column,
+    words: list[int],
+    m_bits: int,
+    n_hashes: int = BLOOM_HASHES,
+) -> Column:
+    """ROW-LOCAL Bloom membership test over a dense word-table literal —
+    the form usable inside array higher-order functions (`F.filter` /
+    `F.transform` lambdas), where `might_contain`'s join-based probe
+    cannot reach. Bit-for-bit the same md5 position math as
+    `build_bloom`/`might_contain`, so `member_expr(k, dense_words(b, m),
+    m, h)` ≡ the `might_contain` column for the same filter.
+
+    Plan cost: the literal is m_bits/32 longs (e.g. 2^20 bits → 32k
+    longs ≈ 256 KB) embedded once; each probe is n_hashes md5s + array
+    indexes, zero joins, zero shuffles, zero state — streaming-safe at
+    any point in a plan. NULL keys test false (non-members), matching
+    `might_contain`."""
+    arr = F.lit(words)
+    hit = None
+    for j in range(n_hashes):
+        pos = _position(key, j, m_bits)
+        word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
+        # one_hot = 2^(pos % 32) via pow (exact in double for exp < 53);
+        # the pyspark shift wrappers only take Python-int shift amounts,
+        # which a per-element lambda variable cannot be.
+        one_hot = F.pow(F.lit(2.0), pos % _WORD).cast("bigint")
+        bit = word.bitwiseAND(one_hot) != 0
+        hit = bit if hit is None else (hit & bit)
+    return F.coalesce(hit, F.lit(False))

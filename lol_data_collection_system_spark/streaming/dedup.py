@@ -396,6 +396,9 @@ def classify_stream(
     max_doc_freq: int | None = None,
     emit_window: str = "1 minute",
     max_stop_shingles: int = 100_000,
+    stop_set: str = "auto",
+    stop_bloom_bits: int | None = None,
+    stop_bloom_hashes: int = 4,
 ) -> DataFrame:
     """Streaming twin of `operators/dedup.incremental_dedup` with EXACT
     status parity: every incoming document is classified `exact_dup`
@@ -426,13 +429,38 @@ def classify_stream(
       with zero candidates still emit), then ONE watermarked windowed
       aggregation — the only stateful operator in the plan.
 
-    The corpus-df cap (`max_doc_freq`) ships as a row-local STOP-LIST
-    (`array_except` against the corpus's hot shingles): what the batch
-    side does with an anti-join, the per-event side does with a
-    broadcast dictionary. Bounded by Σdf/max_doc_freq distinct shingles;
-    raises past `max_stop_shingles` — at that point precompute the
-    index offline and probe a Bloom filter (`operators/bloom.py`)
-    instead of an exact list.
+    The corpus-df cap (`max_doc_freq`) ships row-locally in one of two
+    representations, chosen by `stop_set`:
+
+    - ``"exact"``: the collected hot-shingle STOP-LIST (`array_except`) —
+      what the batch side does with an anti-join, the per-event side does
+      with a broadcast dictionary. Driver cost is O(hot); raises past
+      `max_stop_shingles` (the ONLY raise path — the no-Bloom
+      configuration).
+    - ``"bloom"``: a Bloom word-table over the hot shingles
+      (`operators/bloom.build_bloom`), embedded as a dense literal and
+      probed per shingle with `bloom.member_expr` — driver cost is
+      bounded by the FILTER GEOMETRY (m_bits/32 longs), independent of
+      how many shingles are hot, so the guard starts at ANY corpus size.
+      No false negatives: every truly-hot shingle is ALWAYS stopped, so
+      the df-cap scale protection never degrades. False positives
+      over-stop: a non-hot shingle can additionally be dropped from the
+      doc's capped set (P ≈ (1-e^{-h·n/m})^h; ~0.2 % at the auto-derived
+      geometry), shifting that doc's bands/Jaccard. The probe is
+      md5-deterministic bit-for-bit, so the capped set is a pure
+      function of (corpus, geometry): stream==batch parity stays EXACT
+      in bloom mode, and any deviation vs the exact-list mode is
+      confined to docs containing a Bloom-false-positive shingle
+      (envelope pinned in tests/test_streaming.py). Exact row-local
+      capping with driver memory independent of the hot count is not
+      achievable (membership of an unbounded set cannot be decided
+      row-locally in bounded space); this is the documented trade.
+    - ``"auto"`` (default): exact while the hot list fits
+      `max_stop_shingles`, Bloom beyond — the guard never refuses to
+      start.
+
+    `stop_bloom_bits` (None = auto: 16 bits/key, clamped to
+    [2^16, 2^22]) and `stop_bloom_hashes` set the Bloom geometry.
 
     Index cost: the band index duplicates each corpus doc's shingle set
     once per band (n_bands ×). That is the price of a stateless verify
@@ -462,16 +490,49 @@ def classify_stream(
         corpus, id_col, text_col, k, max_doc_freq
     )
     corpus_fp = corpus_fp.withColumnRenamed("_exact_match_id", "_exact_mid")
+    if stop_set not in ("auto", "exact", "bloom"):
+        raise ValueError(
+            f"stop_set must be 'auto', 'exact' or 'bloom', got {stop_set!r}"
+        )
     stop_list: list[str] = []
+    stop_probe = None
     if hot_df is not None:
-        hot = hot_df.collect()
-        if len(hot) > max_stop_shingles:
-            raise ValueError(
-                f"corpus stop-shingle list has {len(hot)} entries "
-                f"(> max_stop_shingles={max_stop_shingles}); precompute "
-                f"the index offline / use a Bloom-filter stop set"
+        use_bloom = stop_set == "bloom"
+        if not use_bloom:
+            # bounded probe: never pull more than the cap + 1 rows to the
+            # driver, even when the hot table is huge
+            hot = hot_df.limit(max_stop_shingles + 1).collect()
+            if len(hot) > max_stop_shingles:
+                if stop_set == "exact":
+                    raise ValueError(
+                        f"corpus stop-shingle list exceeds "
+                        f"max_stop_shingles={max_stop_shingles}; use "
+                        f"stop_set='bloom'/'auto' for a geometry-bounded "
+                        f"Bloom stop set"
+                    )
+                use_bloom = True  # auto: degrade to the Bloom, not a raise
+            else:
+                stop_list = sorted(r["shingle"] for r in hot)
+        if use_bloom:
+            from ..operators import bloom as bloom_ops
+
+            if stop_bloom_bits is None:
+                n_hot = hot_df.count()
+                # 16 bits/key ≈ 0.24 % FP at 4 hashes; clamp so the word
+                # literal stays plan-friendly (2^22 bits = 131k longs)
+                stop_bloom_bits = 1 << max(
+                    16, min(22, (16 * max(n_hot, 1) - 1).bit_length())
+                )
+            words = bloom_ops.dense_words(
+                bloom_ops.build_bloom(
+                    hot_df, "shingle", stop_bloom_bits, stop_bloom_hashes
+                ),
+                stop_bloom_bits,
             )
-        stop_list = sorted(r["shingle"] for r in hot)
+            m, h = stop_bloom_bits, stop_bloom_hashes
+
+            def stop_probe(s):
+                return bloom_ops.member_expr(s, words, m, h)
     c_sets = c_sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("_c_set"),
         F.count(F.lit(1)).alias("_c_size"),
@@ -496,7 +557,9 @@ def classify_stream(
 
     # ---- stream side: everything row-local until the final aggregate ----
     d_set = row_shingles(text_col, k)
-    if stop_list:
+    if stop_probe is not None:
+        d_set = F.filter(d_set, lambda s: ~stop_probe(s))
+    elif stop_list:
         d_set = F.array_except(d_set, F.lit(stop_list))
     base = (
         docs.select(

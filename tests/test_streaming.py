@@ -910,6 +910,208 @@ def test_classify_stream_null_and_blank_text_parity(spark, tmp_path):
     assert want[22] == ("exact_dup", 1)
 
 
+def _bloom_classify_fixtures(spark):
+    """Corpus with a guaranteed hot shingle at max_doc_freq=1, plus a
+    delta whose docs hit every tier."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma completely other trailing words here"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", 10,
+             "one two three four five six seven eight nine ten"),
+            ("2024-01-01 00:00:02", 11,
+             "alpha beta gamma delta epsilon zeta eta iota"),
+            ("2024-01-01 00:01:01", 12,
+             "three four five six entirely different tail words"),
+            ("2024-01-01 00:01:02", 13,
+             "completely unrelated text with nothing shared at all"),
+        ],
+        ["ts_s", "doc_id", "text"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text")
+    return corpus, delta
+
+
+def test_classify_stream_bloom_stop_set_zero_fp_equals_exact(spark):
+    """stop_set='bloom' must reproduce the exact-list classification
+    whenever the Bloom has no false positive over the shingles actually
+    probed — asserted in-test (the filter is md5-deterministic, so this
+    is a stable property of the data + geometry, not luck), which makes
+    the equality assertion principled."""
+    from lol_data_collection_system_spark.operators import bloom as B
+    from lol_data_collection_system_spark.operators.dedup import (
+        corpus_shingle_index,
+        incremental_dedup,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+    from lol_data_collection_system_spark.streaming.dedup import row_shingles
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
+    m_bits, h = 1 << 16, 4
+
+    # assert the zero-FP precondition over every shingle the plan probes
+    _, _, hot_df = corpus_shingle_index(corpus, "doc_id", "text", 3, 1)
+    hot = {r.shingle for r in hot_df.collect()}
+    assert hot  # the stop tier is actually exercised
+    words = B.dense_words(B.build_bloom(hot_df, "shingle", m_bits, h), m_bits)
+    probed = (
+        delta.select(F.explode(row_shingles("text", 3)).alias("s"))
+        .distinct()
+        .select("s", B.member_expr(F.col("s"), words, m_bits, h).alias("hit"))
+        .collect()
+    )
+    fps = {r.s for r in probed if r.hit and r.s not in hot}
+    assert fps == set()  # geometry gives zero FPs on this data
+
+    def run(**extra):
+        return {
+            r.doc_id: (r.status, r.match_id, r.jaccard)
+            for r in classify_stream(delta, corpus, **kw, **extra).collect()
+        }
+
+    exact = run(stop_set="exact")
+    bloom = run(stop_set="bloom", stop_bloom_bits=m_bits,
+                stop_bloom_hashes=h)
+    assert bloom == exact
+    want = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert bloom == want  # and both equal the batch classifier
+
+
+def test_classify_stream_bloom_fp_envelope(spark):
+    """Forced false positives (2-word filter): the guard still runs, the
+    df-cap never degrades (no false negatives — every truly-hot shingle
+    is stopped), and any status deviation vs exact mode is confined to
+    docs that contain a Bloom-false-positive shingle."""
+    from lol_data_collection_system_spark.operators import bloom as B
+    from lol_data_collection_system_spark.operators.dedup import (
+        corpus_shingle_index,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+    from lol_data_collection_system_spark.streaming.dedup import row_shingles
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    # extra docs overlapping docs 1/2 fatten the hot set so a 1-word,
+    # 1-hash filter deterministically fires false positives
+    corpus = corpus.union(
+        spark.createDataFrame(
+            [
+                (4, "one two three four five six seven different close"),
+                (5, "alpha beta gamma delta epsilon zeta closing words"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
+    m_bits, h = 32, 1
+
+    _, _, hot_df = corpus_shingle_index(corpus, "doc_id", "text", 3, 1)
+    hot = {r.shingle for r in hot_df.collect()}
+    words = B.dense_words(B.build_bloom(hot_df, "shingle", m_bits, h), m_bits)
+    probe = lambda c: B.member_expr(c, words, m_bits, h)  # noqa: E731
+    # no false negatives: every hot shingle probes positive
+    hot_hits = hot_df.select(probe(F.col("shingle")).alias("hit")).collect()
+    assert all(r.hit for r in hot_hits)
+    # which delta docs contain an over-stopped (FP) shingle?
+    fp_docs = {
+        r.doc_id
+        for r in delta.select(
+            "doc_id", F.explode(row_shingles("text", 3)).alias("s")
+        )
+        .filter(probe(F.col("s")) & ~F.col("s").isin(*sorted(hot)))
+        .collect()
+    }
+    assert fp_docs  # the tiny filter really does fire FPs here
+
+    def run(**extra):
+        return {
+            r.doc_id: (r.status, r.match_id, r.jaccard)
+            for r in classify_stream(delta, corpus, **kw, **extra).collect()
+        }
+
+    exact = run(stop_set="exact")
+    bloom = run(stop_set="bloom", stop_bloom_bits=m_bits,
+                stop_bloom_hashes=h)
+    deviating = {d for d in exact if bloom[d] != exact[d]}
+    assert deviating <= fp_docs  # the documented deviation envelope
+    # exact fingerprints are untouched by the stop set in any mode
+    assert bloom[10] == ("exact_dup", 2, 1.0)
+
+
+def test_classify_stream_auto_degrades_to_bloom_not_raise(spark, tmp_path):
+    """The round-6 raise-at-scale point is gone: with a hot list larger
+    than max_stop_shingles, stop_set='exact' still raises (the only
+    no-Bloom path), but the default 'auto' degrades to the
+    geometry-bounded Bloom stop set and runs — and stream==batch parity
+    stays EXACT in the degraded mode (the probe is md5-deterministic, so
+    both modes cap the same shingles bit-for-bit)."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1,
+              max_stop_shingles=0)
+
+    with _pytest.raises(ValueError, match="max_stop_shingles"):
+        classify_stream(delta, corpus, stop_set="exact", **kw)
+
+    got_batch = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in classify_stream(delta, corpus, **kw).collect()
+    }
+    assert set(got_batch) == {10, 11, 12, 13}
+    assert got_batch[10] == ("exact_dup", 2, 1.0)
+
+    src = tmp_path / "bloom_docs"
+    src.mkdir()
+    delta.coalesce(1).write.mode("overwrite").json(str(src / "f1"))
+    spark.createDataFrame(
+        [("2024-01-01 02:00:00", 99, "flush flush flush flush")],
+        ["ts_s", "doc_id", "text"],
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f2"))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "bloom_out", tmp_path / "bloom_ckpt"
+    q = (
+        classify_stream(stream, corpus, **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert got_stream == got_batch  # stream == batch, Bloom mode
+
+
 def test_streaming_ewma_equals_batch_on_closed_buckets(spark, tmp_path):
     """The streaming EWMA scorer must emit exactly the batch
     `ewma_scores` rows for every CLOSED bucket (state carries counts and
