@@ -3301,56 +3301,14 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-6 driver sample window (VERDICT r5 ask #1): the 31
-    # ---- residual queries never sampled in rounds 1-5, promoted from
-    # ---- the round-5 rotation ledger by a pure block swap. Round-6
-    # ---- NEW declarations ride along inside the 19-slot slack so the
-    # ---- driver-green union closes to (190+new)/(190+new).
-    "event_pair_affinity",
-    "order_price_percentiles",
-    "order_rollup_counts",
-    "order_cube_totals",
-    "user_key_skew",
-    "top_unshipped_orders",
-    "large_volume_customers",
-    "local_supplier_revenue",
-    "customer_scd2_history",
-    "gap_filled_value_series",
-    "price_equidepth_histogram",
-    "lineitem_correlations",
-    "top_session_paths",
-    "event_rate_anomalies",
-    "event_value_trend",
-    "event_transition_matrix",
-    "rolling_p95_rate",
-    "rolling_active_users",
-    "user_growth_accounting",
-    "brand_copurchase_affinity",
-    "brand_return_rates",
-    "activity_heatmap",
-    "revenue_pareto_deciles",
-    "ship_latency_by_priority",
-    "discount_quantity_trend",
-    "join_cardinality_profile",
-    "seasonal_adjusted_anomalies",
-    "rfm_segments",
-    "cohort_ltv_curve",
-    "orders_profile",
-    "doc_length_outliers",
-    # ---- round-6 new declarations (slots 32+; still inside the
-    # ---- first-50 window so they get a driver row this round).
-    "media_near_dup",
-    "history_row",
-    "fertility_window_psi",
-    "media_golden_assets",
-    "media_near_dedup_kept",
-    "orders_scd2_enriched",
-    "incremental_hourly_rollup",
-    # ---- ROTATION LEDGER (round 7+): after round 6 every registered
-    # ---- query has a driver CORRECTNESS row in some round (r1-r5 union
-    # ---- 159/190 + the 31 residual + 3 new = all). From round 7 on,
-    # ---- front-load only NEW declarations; the slots below re-sample
-    # ---- round-5 names (already green) purely as window padding.
+    # ---- round-7 driver sample window. The rotation is COMPLETE (every
+    # ---- registered query has a hash-green driver row in rounds 1-6),
+    # ---- so per the rotation ledger this block front-loads ONLY the
+    # ---- round-7 NEW declarations; everything after re-samples
+    # ---- already-green names purely as window padding.
+    "ivf_stored_topk",
+    "pq_stored_topk",
+    # ---- window padding: round-5/6 names, all previously hash-green.
     "quality_classifier_weights",
     "quality_classifier_scores",
     "quality_classifier_eval",

@@ -461,6 +461,7 @@ def ivf_trained_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: buckets come from
     `kmeans_assign` (Lloyd rounds) instead of `ivf_topk`'s raw seed
@@ -471,11 +472,30 @@ def ivf_trained_topk(
     1-row broadcast, candidates are the bucket's members (nprobe=1),
     exact cosine within the bucket, TakeOrderedAndProject top-k. The
     only corpus-wide cost beyond training is the map-side scoring scan.
+
+    ``index``: a PRECOMPUTED assignment frame — either (id, cid) or
+    (id, vec, cid) — skips training entirely. This is the 100 TB serving
+    path: train once, persist the (id, cid) assignment (e.g. via
+    `sources.materialize_summary` / `io.write_clustered`), and every
+    query is a join-plus-bucket-scan with ZERO Lloyd rounds. Training is
+    deterministic (decimal-exact centroid sums, seeded, smaller-cid
+    tie-breaks), so the stored-index path returns bit-identical results
+    to the in-plan path — pinned by the `ivf_stored_topk` oracle query.
     """
-    with_bucket = kmeans_assign(
-        emb, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
-        keep_vec=True,
-    )
+    if index is not None:
+        if vec_col in index.columns:
+            with_bucket = index.select(
+                F.col(id_col), F.col(vec_col), F.col("cid")
+            )
+        else:
+            with_bucket = index.select(F.col(id_col), F.col("cid")).join(
+                emb.select(F.col(id_col), F.col(vec_col)), id_col
+            )
+    else:
+        with_bucket = kmeans_assign(
+            emb, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+            keep_vec=True,
+        )
     q = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("query_vec"), F.col("cid").alias("qbucket")
     )
@@ -490,6 +510,40 @@ def ivf_trained_topk(
     return _rank_topk(scored, k, id_col)
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ codebook as a first-class (subspace, cid, cvec) frame —
+    the persistable training artifact `pq_topk` consumes. Seeding
+    convention unchanged (the subvectors of the first `n_centroids`
+    ids: deterministic, engine-portable), so a stored + reloaded
+    codebook reproduces the in-plan scores bit-for-bit. At 100 TB this
+    frame is written once (n_subspaces × n_centroids tiny rows) and
+    every scoring scan reads it instead of re-deriving from the corpus.
+    """
+    def sub(vec: Column, m: int) -> Column:
+        return F.slice(vec, 1 + m * sub_dim, sub_dim)
+
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("subspace"), sub(F.col(vec_col), m).alias("cvec")
+            )
+            for m in range(n_subspaces)
+        ]
+    )
+    return (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"), F.explode(subs).alias("_s"))
+        .select("_s.subspace", "cid", "_s.cvec")
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     query_id: int,
@@ -499,6 +553,7 @@ def pq_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with asymmetric
     distance: split vectors into `n_subspaces` blocks, quantize each
@@ -521,26 +576,38 @@ def pq_topk(
 
     Returns (id, rank, approx_ip): rank by approximate inner product
     (rounded to 6 dp; exact parity with the SQL oracle).
+
+    ``codebooks``: a precomputed/persisted `pq_codebooks` frame
+    (subspace, cid, cvec) — the stored-index serving path; omitted, the
+    codebook is derived in-plan with the identical seeding.
     """
     def sub(vec: Column, m: int) -> Column:
         return F.slice(vec, 1 + m * sub_dim, sub_dim)
 
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            emb, n_subspaces, sub_dim, n_centroids, id_col, vec_col
+        )
     q = emb.filter(F.col(id_col) == query_id).select(
         *[sub(F.col(vec_col), m).alias(f"q{m}") for m in range(n_subspaces)]
     )
     # One broadcast array per subspace: (cid, centroid vec, query dot).
+    # collect_list drops the other-subspace NULLs; array_max downstream
+    # is order-free, so the codebook's row order never matters.
     cents = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .crossJoin(F.broadcast(q))
+        codebooks.crossJoin(F.broadcast(q))
         .agg(
             *[
                 F.collect_list(
-                    F.struct(
-                        F.col(id_col).cast("int").alias("cid"),
-                        sub(F.col(vec_col), m).alias("cvec"),
-                        F.round(
-                            dot(sub(F.col(vec_col), m), F.col(f"q{m}")), 6
-                        ).alias("qd"),
+                    F.when(
+                        F.col("subspace") == m,
+                        F.struct(
+                            F.col("cid"),
+                            F.col("cvec"),
+                            F.round(
+                                dot(F.col("cvec"), F.col(f"q{m}")), 6
+                            ).alias("qd"),
+                        ),
                     )
                 ).alias(f"book{m}")
                 for m in range(n_subspaces)

@@ -188,6 +188,56 @@ def test_ivf_trained_topk_searches_query_cluster(spark):
     assert [r.vec_id for r in got] == brute[:4]
 
 
+def test_ivf_stored_index_path_is_bit_identical(spark, tmp_path):
+    """Train → persist the (vec_id, cid) assignment to parquet → reload
+    → serve: the stored-index path must return the in-plan path's rows
+    bit-for-bit (training is decimal-exact + seeded, parquet round-trips
+    losslessly). The 'at scale the index is precomputed + stored'
+    contract, as a test."""
+    from lol_data_collection_system_spark.operators.similarity import (
+        ivf_trained_topk,
+        kmeans_assign,
+    )
+
+    df = spark.range(40).selectExpr(
+        "id as vec_id",
+        "array(cast(pmod(id, 7) as double) / 8 + 0.125,"
+        " cast(pmod(id, 5) as double) / 8, cast(id % 3 as double)) as embedding",
+    )
+    in_plan = ivf_trained_topk(df, 0, k=5, n_centroids=3, iters=2).collect()
+
+    p = str(tmp_path / "ivf_index.parquet")
+    kmeans_assign(df, k=3, iters=2).write.parquet(p)
+    stored = ivf_trained_topk(
+        df, 0, k=5, index=spark.read.parquet(p)
+    ).collect()
+    assert stored == in_plan and len(in_plan) > 0
+
+
+def test_pq_stored_codebook_path_is_bit_identical(spark, tmp_path):
+    """Same contract for PQ: the persisted (subspace, cid, cvec)
+    codebook frame reproduces the in-plan ADC scores exactly."""
+    from lol_data_collection_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    df = spark.range(40).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 64), d ->"
+        " cast(pmod(id * d, 11) as double) / 11) as embedding",
+    )
+    kw = dict(n_subspaces=2, sub_dim=32, n_centroids=8)
+    in_plan = pq_topk(df, 0, 10, **kw).collect()
+
+    p = str(tmp_path / "pq_codebook.parquet")
+    pq_codebooks(df, **kw).write.parquet(p)
+    stored = pq_topk(
+        df, 0, 10, **kw, codebooks=spark.read.parquet(p)
+    ).collect()
+    assert stored == in_plan and len(in_plan) > 0
+
+
 def test_quantize_embeddings_bounds_and_error(spark):
     from lol_data_collection_system_spark.operators.similarity import (
         quantize_embeddings,
