@@ -1,0 +1,150 @@
+"""Streaming SCD2 maintenance — the online half of
+`sources/snapshot.scd2_apply` (SURVEY.md T3/T6 extension).
+
+Reference analog: the collector's periodic DB re-export + repair passes
+(`monitor/views/snapshot.py:38-53`, `periodical_data_repair.py:39-107`)
+version dimension state out-of-band; the stream-native form folds each
+arriving snapshot version into the validity-interval history as it
+lands, so "what was this row worth at time T" is answerable without
+waiting for a batch rebuild.
+
+Design (the `upsert.latest_wins_upsert_sink` pattern):
+
+- The stream carries SNAPSHOT rows tagged with a version column
+  (`snap_ts_col`, epoch-ms). One version = one complete snapshot;
+  a version must arrive within a single micro-batch (file sources
+  deliver one export file per trigger, which is the natural shape).
+- `foreachBatch` folds each NEW version in ascending order with the
+  exact batch operator (`scd2_init` for the first, `scd2_apply` after)
+  — the stream==batch twin is literal code reuse, pinned by pytest
+  against the driver-oracle-gated `customer_scd2_history` derivation.
+- Replay idempotency is two-layered: (1) an applied-version watermark
+  in the store manifest skips any version ≤ the last committed one, so
+  re-delivered batches are no-ops and an OLD snapshot can never be
+  re-applied on top of a newer history; (2) `scd2_apply` itself is a
+  fixed point for a re-applied identical snapshot (the open slice
+  equals the snapshot, so every row lands in `kept_open`), covering the
+  crash window between store commit and checkpoint commit.
+- The store commit is manifest-inside-tmp + atomic rename — the
+  `snapshot.create_snapshot` protocol; the manifest doubles as the
+  commit marker, so readers never see a torn history. For a production
+  lakehouse this is `MERGE INTO` on Delta/Iceberg; plain parquet keeps
+  the container dependency-free with identical semantics.
+
+Scale posture: per version the merge is ONE keyed full-outer join of
+the OPEN slice against the snapshot (`scd2_apply`'s contract — closed
+rows never join), and history I/O per batch is one read + one write of
+the history table. At 100 TB the closed slice belongs in a partitioned
+append-only store so the rewrite cost tracks the open slice; that split
+is an io.write_clustered layout choice, not a semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.snapshot import scd2_apply, scd2_init
+
+_META = "_scd2_meta.json"
+
+
+def read_scd2_history(spark: SparkSession, store_path: str) -> DataFrame:
+    """Open a committed SCD2 store (raises FileNotFoundError when no
+    commit marker exists — the half-written/torn states are invisible
+    by protocol)."""
+    if not (Path(store_path) / _META).exists():
+        raise FileNotFoundError(
+            f"no committed SCD2 store at {store_path} (missing {_META})"
+        )
+    return spark.read.parquet(store_path)
+
+
+def applied_watermark(store_path: str) -> int | None:
+    """Last committed snapshot version, or None before the first."""
+    mp = Path(store_path) / _META
+    if not mp.exists():
+        return None
+    try:
+        return int(json.loads(mp.read_text())["applied_ts_ms"])
+    except (json.JSONDecodeError, OSError, KeyError, ValueError):
+        return None
+
+
+def scd2_sink(
+    store_path: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    snap_ts_col: str = "snap_ts_ms",
+):
+    """foreachBatch sink folding snapshot-version batches into the SCD2
+    history store at `store_path`. Idempotent under at-least-once
+    delivery (see module docstring)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = Path(store_path)
+        wm = applied_watermark(store_path)
+        versions = sorted(
+            r[0]
+            for r in batch_df.select(snap_ts_col).distinct().collect()
+            if r[0] is not None and (wm is None or r[0] > wm)
+        )
+        if not versions:
+            return  # pure replay / empty batch: no-op by watermark
+        # pin the batch content: the fold below consumes it per version
+        # and the final write must not re-pull the source
+        batch = batch_df.localCheckpoint(eager=True)
+        hist = read_scd2_history(spark, store_path) if wm is not None else None
+        for ts in versions:
+            snap = batch.filter(F.col(snap_ts_col) == ts).select(
+                *key_cols, *tracked_cols
+            )
+            if hist is None:
+                hist = scd2_init(snap, key_cols, tracked_cols, ts)
+            else:
+                hist = scd2_apply(hist, snap, key_cols, tracked_cols, ts)
+
+        tmp = root.parent / f".{root.name}.tmp-{uuid.uuid4().hex[:8]}"
+        root.parent.mkdir(parents=True, exist_ok=True)
+        # the write action runs while the old store still exists (hist's
+        # lineage reads it); only after tmp is complete is it swapped in
+        hist.write.mode("overwrite").parquet(str(tmp))
+        (tmp / _META).write_text(
+            json.dumps({"applied_ts_ms": int(versions[-1])})
+        )
+        if root.exists():
+            shutil.rmtree(root, ignore_errors=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+
+    return apply_batch
+
+
+def scd2_apply_stream(
+    stream: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    checkpoint_dir: str,
+    snap_ts_col: str = "snap_ts_ms",
+):
+    """Wire a snapshot-version stream into the SCD2 store; returns the
+    StreamingQuery (availableNow — rerun per export drop, or swap the
+    trigger for continuous ingestion)."""
+    return (
+        stream.writeStream.foreachBatch(
+            scd2_sink(store_path, key_cols, tracked_cols, snap_ts_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -124,3 +124,101 @@ def test_scd2_apply_classifies_every_transition(spark):
     assert sorted(
         (r.k, r.valid_from_ms, r.valid_to_ms) for r in hist2.collect()
     ) == sorted((r.k, r.valid_from_ms, r.valid_to_ms) for r in hist1.collect())
+
+
+def test_scd2_stream_equals_batch_and_replays_are_noops(spark, tmp_path):
+    """Streaming SCD2 apply (T3/T6): a two-version snapshot stream folded
+    through foreachBatch must reproduce the driver-oracle-gated batch
+    derivation (`customer_scd2_history`) row for row, and replays — a
+    re-delivered old batch AND a full fresh-checkpoint re-run over the
+    same files — must be no-ops on the committed store."""
+    import os as _os
+    import time as _time
+    from pathlib import Path as _Path
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources import load_table
+    from lol_data_collection_system_spark.streaming.scd2 import (
+        applied_watermark,
+        read_scd2_history,
+        scd2_apply_stream,
+        scd2_sink,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    t0, t1 = 1_000, 2_000  # the entry module's SCD2_T0/T1
+    keys, tracked = ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+
+    # the SAME snapshot derivation as q_customer_scd2_history
+    cust = load_table(spark, sf_dir, "customer")
+    snap1 = cust.select(*keys, *tracked).withColumn(
+        "snap_ts_ms", F.lit(t0).cast("bigint")
+    )
+    survivors = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    newcomers = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    snap2 = survivors.unionByName(newcomers).withColumn(
+        "snap_ts_ms", F.lit(t1).cast("bigint")
+    )
+
+    src = tmp_path / "scd2_src"
+    snap1.coalesce(1).write.parquet(str(src / "v1"))
+    snap2.coalesce(1).write.parquet(str(src / "v2"))
+    # force discovery order v1 -> v2 (the file source picks oldest-mtime
+    # first under maxFilesPerTrigger=1)
+    now = _time.time()
+    for sub, age in (("v1", 120.0), ("v2", 60.0)):
+        for p in _Path(src / sub).rglob("*"):
+            _os.utime(p, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema(snap1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "scd2_store")
+    q = scd2_apply_stream(
+        stream, store, keys, tracked, str(tmp_path / "scd2_ckpt")
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (r.c_custkey, r.c_acctbal, r.c_mktsegment,
+             r.valid_from_ms, r.valid_to_ms)
+            for r in df.collect()
+        )
+
+    got = rows(read_scd2_history(spark, store))
+    want = rows(
+        entry_mod.queries()["customer_scd2_history"](spark, sf_dir)
+    )
+    assert got == want and applied_watermark(store) == t1
+
+    # replayed OLD batch (at-least-once delivery): watermark no-op
+    scd2_sink(store, keys, tracked)(snap1, batch_id=99)
+    assert rows(read_scd2_history(spark, store)) == want
+    assert applied_watermark(store) == t1
+
+    # full re-run with a FRESH checkpoint over the same files: no-op too
+    q2 = scd2_apply_stream(
+        spark.readStream.schema(snap1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        store, keys, tracked, str(tmp_path / "scd2_ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert rows(read_scd2_history(spark, store)) == want
