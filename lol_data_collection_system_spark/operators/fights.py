@@ -344,7 +344,14 @@ def subset_merge(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ),
-    )
+    ).persist()
+    # ^ two consumers (the sparse and dense filters below): without the
+    # persist each side re-executes the FULL upstream — the banded
+    # enrichment join included — doubling the pipeline's dominant stage
+    # (history_row warm pass at sf0.1: 8.6 → 2.1 s once the branch is
+    # materialized). Storage is the enriched fight rows for the lifetime
+    # of the frame, LRU-evictable; callers that construct once per
+    # session (the memoized plan caches) keep exactly one copy.
     sparse = flagged.filter(F.col("_dense") == 0).select(
         *[f.name for f in MERGED_FIGHT_SCHEMA.fields]
     )
