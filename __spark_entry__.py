@@ -3308,6 +3308,7 @@ _FRONT: tuple[str, ...] = (
     # ---- already-green names purely as window padding.
     "ivf_stored_topk",
     "pq_stored_topk",
+    "media_funnel",
     # ---- window padding: round-5/6 names, all previously hash-green.
     "quality_classifier_weights",
     "quality_classifier_scores",

@@ -466,6 +466,135 @@ FROM winners w JOIN imgs i USING (media_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Media funnel: the end-to-end asset-dedup composition as ONE hash-gated
+# query — the `corpus_funnel` analogue for the media pipeline
+# ---------------------------------------------------------------------------
+#: Shard byte budget for the canonical-asset export stage. Tiny on the
+#: synthetic corpus (the canonical set is one asset per width group) so
+#: the packing genuinely produces multiple shards at every test SF.
+MEDIA_SHARD_BUDGET = 150
+
+
+def q_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest → dHash → exact collapse → Hamming components → golden
+    survivorship → shard export, value-checked END TO END: one
+    (stage, n_rows, n_bytes) row per funnel stage.
+
+    Stages: `media` (every synthesized payload), `images` (modality
+    filter), `distinct_phash` (exact-dup collapse — byte total is the
+    min-id representative per hash), `components` (perceptual near-dup
+    groups; byte total = the golden canonicals), `shards` (canonicals
+    greedily packed by cumulative bytes into `MEDIA_SHARD_BUDGET`-byte
+    shards; n_rows = shard count).
+
+    Scale shape: every stage is an aggregate over the previous stage's
+    (already collapsed) output — the only global window is the shard
+    prefix-sum over the CANONICAL set, which is one row per perceptual
+    component by construction (the exact collapse upstream bounds it),
+    the same bounded-window argument as `packing.pack_sequences`' phase
+    one. Payload bytes flow through `length()` only — no decode beyond
+    the one dHash pass."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs).persist()
+    images = media.filter(F.col("modality") == "image")
+    sized = images.select(
+        "media_id", F.length(F.col("payload")).cast("long").alias("n_bytes")
+    )
+    sigs = mm_ops.phash_images(images).join(sized, "media_id")
+    reps = sigs.groupBy("phash").agg(
+        F.min(F.struct("media_id", "n_bytes"))["n_bytes"].alias("rep_bytes")
+    )
+    comp = dedup_ops.hamming_components(
+        sigs, "media_id", "phash", threshold=PHASH_THRESHOLD
+    )
+    best = F.min(F.struct(F.col("n_bytes"), F.col("media_id")))
+    golden = (
+        comp.join(sized, "media_id")
+        .groupBy("component_id")
+        .agg(
+            best["media_id"].alias("canonical_id"),
+            best["n_bytes"].cast("long").alias("canonical_bytes"),
+        )
+        .persist()  # feeds the components stage AND the shard packing
+    )
+    prev_bytes = F.coalesce(
+        F.sum("canonical_bytes").over(
+            Window.orderBy("canonical_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    sharded = golden.select(
+        "canonical_bytes",
+        F.floor(prev_bytes / F.lit(MEDIA_SHARD_BUDGET)).alias("shard_id"),
+    )
+
+    def stage(name: str, df: DataFrame, n, b) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            n.cast("long").alias("n_rows"),
+            b.cast("long").alias("n_bytes"),
+        )
+
+    rows = F.count(F.lit(1))
+    return (
+        stage("media", media, rows, F.sum(F.length("payload")))
+        .unionByName(stage("images", sized, rows, F.sum("n_bytes")))
+        .unionByName(stage("distinct_phash", reps, rows, F.sum("rep_bytes")))
+        .unionByName(
+            stage("components", golden, rows, F.sum("canonical_bytes"))
+        )
+        .unionByName(
+            stage(
+                "shards",
+                sharded,
+                F.countDistinct("shard_id"),
+                F.sum("canonical_bytes"),
+            )
+        )
+    )
+
+
+#: Byte totals in closed form (verified against the encoders):
+#: BMP 54 + h*stride(w), WAV 44 + 2*samples, PPM 23 bytes/frame.
+ORACLE_MEDIA_FUNNEL = f"""
+WITH m AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id % 3 = 0
+              THEN 54 + (doc_id % 5 + 1) * (((doc_id % 7 + 1) * 3 + 3) // 4 * 4)
+              WHEN doc_id % 3 = 1 THEN 44 + (doc_id % 32 + 1) * 2
+              ELSE (doc_id % 300 + 1) * 23 END AS n_bytes
+  FROM documents),
+imgs AS (SELECT d, d % 7 AS wgrp, n_bytes FROM m WHERE d % 3 = 0),
+reps AS (SELECT wgrp, arg_min(n_bytes, d) AS rep_bytes FROM imgs GROUP BY wgrp),
+golden AS (SELECT MIN(d) AS component_id,
+                  arg_min(d, n_bytes * 1000000000000 + d) AS canonical_id,
+                  MIN(n_bytes) AS canonical_bytes
+           FROM imgs GROUP BY wgrp),
+sharded AS (SELECT canonical_bytes,
+                   CAST(FLOOR(COALESCE(SUM(canonical_bytes) OVER (
+                          ORDER BY canonical_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / {MEDIA_SHARD_BUDGET}) AS BIGINT) AS shard_id
+            FROM golden)
+SELECT 'media' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes FROM m
+UNION ALL SELECT 'images', COUNT(*), CAST(SUM(n_bytes) AS BIGINT) FROM imgs
+UNION ALL SELECT 'distinct_phash', COUNT(*),
+       CAST(SUM(rep_bytes) AS BIGINT) FROM reps
+UNION ALL SELECT 'components', COUNT(*),
+       CAST(SUM(canonical_bytes) AS BIGINT) FROM golden
+UNION ALL SELECT 'shards', COUNT(DISTINCT shard_id),
+       CAST(SUM(canonical_bytes) AS BIGINT) FROM sharded
+"""
+
+
 # closed form over the gradient fixture: components == width groups;
 # BMP size = 54 + h*stride(w) with stride = (w*3+3)//4*4
 ORACLE_MEDIA_GOLDEN_ASSETS = """
@@ -488,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_near_dup": q_media_near_dup,
     "media_golden_assets": q_media_golden_assets,
     "media_near_dedup_kept": q_media_near_dedup_kept,
+    "media_funnel": q_media_funnel,
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
     "order_feature_scores": q_order_feature_scores,
@@ -500,6 +630,7 @@ ORACLES: dict[str, str] = {
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
     "media_near_dedup_kept": ORACLE_MEDIA_NEAR_DEDUP_KEPT,
+    "media_funnel": ORACLE_MEDIA_FUNNEL,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,
     "order_feature_scores": ORACLE_ORDER_FEATURE_SCORES,
