@@ -299,6 +299,15 @@ def _candidate_pairs_from_signatures(
     )
 
 
+#: ``pair_budget="auto"`` headroom for the banded Hamming join: budget =
+#: this × N distinct hashes. At 64/8 geometry the expected candidate
+#: load is ≈ N²/2^(band_width+1)·n_bands = N·(N/64), so the auto budget
+#: admits corpora up to N ≈ 64·1000 distinct hashes and refuses beyond —
+#: where the fix is a wider fingerprint, not a longer wait (measured:
+#: N=100k random hashes → ~150M candidates → 85 s for 0 verified pairs).
+HAMMING_BUDGET_PER_HASH = 1000
+
+
 def hamming_candidate_edges(
     reps: DataFrame,
     id_col: str,
@@ -306,6 +315,7 @@ def hamming_candidate_edges(
     threshold: int = 6,
     n_bands: int = 8,
     bits: int = 64,
+    pair_budget: int | str | None = "auto",
 ) -> DataFrame:
     """Verified (id_a < id_b) Hamming-near pairs over one-row-per-hash
     `reps`: split each fingerprint into `n_bands` contiguous bands
@@ -313,13 +323,59 @@ def hamming_candidate_edges(
     verify with bit_count(xor) <= threshold. By pigeonhole any two
     hashes within `n_bands - 1` differing bits cannot hit every band,
     so they share a whole band: for `threshold < n_bands` (the band
-    COUNT, not the band width) the banding is EXACT (recall 1)."""
+    COUNT, not the band width) the banding is EXACT (recall 1).
+
+    SCALE CEILING (SCALING.md round-7 probe): each band has only
+    ``2^(bits/n_bands)`` buckets, so over N DISTINCT random-like hashes
+    the candidate join carries ≈ ``n_bands · N²/2^(bits/n_bands+1)``
+    pairs — QUADRATIC once N ≫ 2^band_width (measured: 3.1 / 5.0 /
+    85 s at 10k / 30k / 100k distinct random hashes, 64/8 geometry,
+    with ZERO verified pairs surviving the 85 s join). The derived knob
+    is the FINGERPRINT SIZE: band width must grow with log₂(N) at fixed
+    exactness (threshold < n_bands), i.e. 64-bit hashes saturate around
+    N ≈ 2^8·budget-per-bucket and a 128-bit perceptual hash (16-bit
+    bands) carries the same geometry to N ≈ 2^16·budget. `pair_budget`
+    is the loud guard (default ``"auto"`` = `HAMMING_BUDGET_PER_HASH`
+    × N): Σ|bucket|C2 is counted BEFORE the join — one cheap agg over
+    the band frame — and `PairBudgetExceeded` raises instead of
+    silently launching the quadratic join, the `semantic_near_dup_pairs`
+    pattern. ``None`` disables the guard. Exact-duplicate mass never
+    hits this ceiling: callers collapse identical hashes first
+    (`hamming_components` step 1), so N counts distinct fingerprints.
+    """
     if threshold >= n_bands:
         raise ValueError(
             f"threshold {threshold} >= n_bands {n_bands}: "
             "banded candidates would miss true pairs (recall < 1)"
         )
     band_bits = bits // n_bands
+    if pair_budget is not None:
+        if pair_budget == "auto":
+            pair_budget = HAMMING_BUDGET_PER_HASH * max(reps.count(), 1)
+        mask0 = (1 << band_bits) - 1
+        bucket_counts = reps.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask0))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val")
+        ).groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        est = bucket_counts.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+        if est is not None and est > pair_budget:
+            raise PairBudgetExceeded(
+                f"banded Hamming candidate join would carry ~{int(est)} "
+                f"pairs (> pair_budget={pair_budget}); use a wider "
+                f"fingerprint (bits) so band width grows with log2(N), "
+                f"or collapse exact duplicates first"
+            )
     mask = (1 << band_bits) - 1
     banded = reps.select(
         F.col(id_col).alias("rep_id"),
@@ -361,6 +417,7 @@ def hamming_components(
     threshold: int = 6,
     n_bands: int = 8,
     bits: int = 64,
+    pair_budget: int | str | None = "auto",
 ) -> DataFrame:
     """(id, component_id) near-duplicate grouping over a fixed-width
     integer fingerprint (e.g. a 64-bit perceptual dHash): rows whose
@@ -384,11 +441,17 @@ def hamming_components(
     3. **bit_count(xor) verify + `connected_components`** over the
        surviving representative edges; members rejoin by hash at the
        end. Ids absent from every edge keep their own component.
+
+    `pair_budget` (default ``"auto"``) forwards to
+    `hamming_candidate_edges`' Σ|bucket|C2 pre-count: the banded join
+    goes quadratic once distinct hashes outgrow the per-band bucket
+    space (2^(bits/n_bands)); the guard raises `PairBudgetExceeded`
+    with the wider-fingerprint remedy instead of launching it.
     """
     sigs = sigs.select(F.col(id_col), F.col(hash_col))
     reps = sigs.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
     edges = hamming_candidate_edges(
-        reps, "rep_id", hash_col, threshold, n_bands, bits
+        reps, "rep_id", hash_col, threshold, n_bands, bits, pair_budget
     )
     from .graph import connected_components
 

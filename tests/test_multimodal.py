@@ -251,6 +251,32 @@ def test_hamming_components_rejects_lossy_threshold(spark):
         hamming_components(sigs, threshold=8, n_bands=8)
 
 
+def test_hamming_pair_budget_guard(spark):
+    """The banded self-join refuses loudly when Σ|bucket|C2 exceeds the
+    declared budget (bucket space is only 2^band_width per band — the
+    SCALING.md round-7 ceiling), and runs when the budget allows."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        PairBudgetExceeded,
+        hamming_candidate_edges,
+    )
+
+    # 40 hashes agreeing on band 0 (low byte) -> that band alone carries
+    # 40C2 = 780 candidate pairs
+    sigs = spark.createDataFrame(
+        [(i, (i << 8) | 0x55) for i in range(40)], ["media_id", "phash"]
+    )
+    with _pytest.raises(PairBudgetExceeded, match="pair_budget"):
+        hamming_candidate_edges(
+            sigs, "media_id", "phash", pair_budget=100
+        )
+    ok = hamming_candidate_edges(
+        sigs, "media_id", "phash", pair_budget=10_000
+    )
+    assert ok.count() >= 0  # within budget: the join runs
+
+
 def test_hamming_banding_exact_vs_bruteforce_narrow_bands(spark):
     """The pigeonhole guard is on the band COUNT, not the band width:
     n_bands=16 (4-bit bands) with threshold up to 15 is still exact.
