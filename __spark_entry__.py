@@ -3309,6 +3309,7 @@ _FRONT: tuple[str, ...] = (
     "ivf_stored_topk",
     "pq_stored_topk",
     "media_funnel",
+    "incremental_dedup_stored",
     # ---- window padding: round-5/6 names, all previously hash-green.
     "quality_classifier_weights",
     "quality_classifier_scores",

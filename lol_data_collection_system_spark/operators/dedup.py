@@ -1183,6 +1183,64 @@ def corpus_shingle_index(
     return corpus_fp, c_sh.localCheckpoint(eager=False), hot
 
 
+def write_corpus_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> None:
+    """Persist the `corpus_shingle_index` triple to parquet — the
+    "at 100 TB all three frames are precomputed once and stored" claim
+    as an actual write path. Layout: ``{path}/fp``, ``{path}/shingles``,
+    ``{path}/hot`` (only when a df-cap is set) + ``_index_meta.json``
+    recording the derivation parameters; the meta is written LAST as the
+    commit marker (the snapshot/export protocol)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    corpus_fp, c_sh, hot = corpus_shingle_index(
+        corpus, id_col, text_col, k, max_doc_freq
+    )
+    root = _Path(path)
+    corpus_fp.write.mode("overwrite").parquet(str(root / "fp"))
+    c_sh.write.mode("overwrite").parquet(str(root / "shingles"))
+    if hot is not None:
+        hot.write.mode("overwrite").parquet(str(root / "hot"))
+    (root / "_index_meta.json").write_text(
+        _json.dumps(
+            {"id_col": id_col, "text_col": text_col, "k": k,
+             "max_doc_freq": max_doc_freq, "has_hot": hot is not None}
+        )
+    )
+
+
+def read_corpus_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Open a committed corpus index (fp, capped shingles, hot|None) —
+    the handles `incremental_dedup`/`classify_stream` accept via their
+    ``corpus_index`` parameter. Raises FileNotFoundError before the
+    commit marker exists."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    root = _Path(path)
+    meta_p = root / "_index_meta.json"
+    if not meta_p.exists():
+        raise FileNotFoundError(
+            f"no committed corpus index at {path} (missing _index_meta.json)"
+        )
+    meta = _json.loads(meta_p.read_text())
+    fp = spark.read.parquet(str(root / "fp"))
+    sh = spark.read.parquet(str(root / "shingles"))
+    hot = (
+        spark.read.parquet(str(root / "hot")) if meta.get("has_hot") else None
+    )
+    return fp, sh, hot
+
+
 def incremental_dedup(
     corpus: DataFrame,
     delta: DataFrame,
@@ -1193,6 +1251,7 @@ def incremental_dedup(
     band_size: int = 4,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """Classify each NEW document against an EXISTING corpus: `exact_dup`
     (content fingerprint already present), `near_dup` (MinHash-LSH
@@ -1221,9 +1280,13 @@ def incremental_dedup(
     delta_ids = delta.select(F.col(id_col))
 
     # --- exact tier: one hash-agg on the corpus, hash join on fp ---
-    # (shared index derivation — see corpus_shingle_index)
-    corpus_fp, c_sh, hot = corpus_shingle_index(
-        corpus, id_col, text_col, k, max_doc_freq
+    # (shared index derivation — see corpus_shingle_index; or the STORED
+    # triple from write_corpus_index/read_corpus_index, which skips the
+    # corpus scan entirely: the production refresh shape)
+    corpus_fp, c_sh, hot = (
+        corpus_index
+        if corpus_index is not None
+        else corpus_shingle_index(corpus, id_col, text_col, k, max_doc_freq)
     )
     corpus_fp = corpus_fp.withColumnRenamed(
         "_exact_match_id", "exact_match_id"

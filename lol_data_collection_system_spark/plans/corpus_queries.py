@@ -2235,6 +2235,65 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup` served from the PERSISTED corpus index
+    (`dedup.write_corpus_index` → `read_corpus_index`): the fp table,
+    capped shingle frame, and hot set are written to parquet once and
+    read back, so the classifier never scans the corpus — the production
+    refresh shape. Shares the in-plan twin's oracle: the hash gate
+    proves the stored path is bit-identical."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    fresh = docs.filter(did % 5 == 0)
+    recrawl = docs.filter((did % 7 == 0) & (did % 5 != 0)).select(
+        (did + RECRAWL_OFFSET).alias("doc_id"), "text"
+    )
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(SUMMARY_CACHE_DIR, f"corpus_index_{sf_name}")
+    # Rebuild when documents.parquet changed (size+md5 sidecar — the
+    # fixture-fingerprint convention).
+    import hashlib as _hashlib
+    import json as _json
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    h = _hashlib.md5()
+    with open(src, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    fp_now = {"size": _os.path.getsize(src), "md5": h.hexdigest()}
+    sidecar = path + ".src.json"
+    stale = True
+    try:
+        stale = _json.loads(open(sidecar).read()) != fp_now
+    except (OSError, ValueError):
+        pass
+    if stale or not _os.path.exists(
+        _os.path.join(path, "_index_meta.json")
+    ):
+        dedup_ops.write_corpus_index(
+            corpus, path, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF
+        )
+        with open(sidecar, "w") as f:
+            _json.dump(fp_now, f)
+    return dedup_ops.incremental_dedup(
+        corpus,
+        fresh.unionByName(recrawl),
+        "doc_id",
+        "text",
+        SHINGLE_K,
+        MINHASH_N,
+        MINHASH_BAND,
+        JACCARD_THRESHOLD,
+        SHINGLE_MAX_DF,
+        corpus_index=dedup_ops.read_corpus_index(spark, path),
+    )
+
+
 def _incremental_oracle() -> str:
     from ..operators.dedup import MINHASH_PRIME
 
@@ -4241,6 +4300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "pii_redacted_docs": q_pii_redacted_docs,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_stored": q_incremental_dedup_stored,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
@@ -4335,6 +4395,9 @@ ORACLES: dict[str, str] = {
     "pii_scan": _pii_scan_oracle(),
     "pii_redacted_docs": _pii_redacted_oracle(),
     "incremental_dedup": _incremental_oracle(),
+    # stored-index twin deliberately shares the in-plan oracle (the
+    # ivf_stored_topk pattern): hash-identity IS the gate
+    "incremental_dedup_stored": _incremental_oracle(),
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,

@@ -399,6 +399,7 @@ def classify_stream(
     stop_set: str = "auto",
     stop_bloom_bits: int | None = None,
     stop_bloom_hashes: int = 4,
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """Streaming twin of `operators/dedup.incremental_dedup` with EXACT
     status parity: every incoming document is classified `exact_dup`
@@ -482,12 +483,17 @@ def classify_stream(
         minhash_signatures_from_shingles,
     )
 
-    # ---- static corpus index (at scale: precomputed once, stored) ----
+    # ---- static corpus index ----
     # Shared derivation with batch incremental_dedup — the exact
     # stream==batch status parity depends on the cap logic being the
-    # SAME code (operators/dedup.corpus_shingle_index).
-    corpus_fp, c_sh, hot_df = corpus_shingle_index(
-        corpus, id_col, text_col, k, max_doc_freq
+    # SAME code (operators/dedup.corpus_shingle_index). Pass
+    # ``corpus_index`` (the read_corpus_index triple) to serve from the
+    # STORED index instead of deriving in-plan — the production shape,
+    # where the guard starts without ever scanning the corpus.
+    corpus_fp, c_sh, hot_df = (
+        corpus_index
+        if corpus_index is not None
+        else corpus_shingle_index(corpus, id_col, text_col, k, max_doc_freq)
     )
     corpus_fp = corpus_fp.withColumnRenamed("_exact_match_id", "_exact_mid")
     if stop_set not in ("auto", "exact", "bloom"):

@@ -1048,6 +1048,43 @@ def test_classify_stream_bloom_fp_envelope(spark):
     assert bloom[10] == ("exact_dup", 2, 1.0)
 
 
+def test_classify_stream_from_stored_corpus_index(spark, tmp_path):
+    """The guard served from the PERSISTED corpus index
+    (write_corpus_index → read_corpus_index) classifies identically to
+    the in-plan derivation — the 'at 100 TB the index is precomputed +
+    stored' claim as a test, on the classifier that makes it."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        incremental_dedup,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
+    path = str(tmp_path / "corpus_index")
+    write_corpus_index(corpus, path, "doc_id", "text", 3, 1)
+    idx = read_corpus_index(spark, path)
+    assert idx[2] is not None  # the hot set was persisted too
+
+    def rows(df):
+        return {
+            r.doc_id: (r.status, r.match_id, r.jaccard) for r in df.collect()
+        }
+
+    in_plan = rows(classify_stream(delta, corpus, **kw))
+    stored = rows(classify_stream(delta, corpus, corpus_index=idx, **kw))
+    assert stored == in_plan
+    # and the batch classifier agrees from the same stored index
+    stored_batch = rows(
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text",
+            corpus_index=idx, **kw,
+        )
+    )
+    assert stored_batch == in_plan
+
+
 def test_classify_stream_auto_degrades_to_bloom_not_raise(spark, tmp_path):
     """The round-6 raise-at-scale point is gone: with a hot list larger
     than max_stop_shingles, stop_set='exact' still raises (the only
