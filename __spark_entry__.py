@@ -3310,6 +3310,7 @@ _FRONT: tuple[str, ...] = (
     "pq_stored_topk",
     "media_funnel",
     "incremental_dedup_stored",
+    "pq_trained_topk",
     # ---- window padding: round-5/6 names, all previously hash-green.
     "quality_classifier_weights",
     "quality_classifier_scores",

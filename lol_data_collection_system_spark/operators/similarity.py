@@ -340,6 +340,44 @@ def kmeans_assign(
     self-join back onto the vectors. ``checkpoint_rounds=False`` keeps
     the full lineage (plan tests inspect the join/agg shape through it).
     """
+    assigned, _ = _lloyd_rounds(
+        emb, k, iters, id_col, vec_col, checkpoint_rounds
+    )
+    out = [F.col(id_col)]
+    if keep_vec:
+        out.append(F.col(vec_col))
+    return assigned.select(*out, F.col("cid").cast("bigint").alias("cid"))
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 6,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FINAL Lloyd centroids as a (cid, cvec) frame — the
+    persistable trained-quantizer artifact (`pq_codebooks`' trained
+    mode consumes it per subspace). Same loop as `kmeans_assign`; the
+    returned centroids are the recompute from the final assignment
+    (the oracle's ``cent_{iters}`` CTE), decimal-exact and
+    engine-portable like everything else in the family."""
+    _, cents = _lloyd_rounds(emb, k, iters, id_col, vec_col, True)
+    return cents.select(F.explode("cents").alias("_c")).select(
+        F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec")
+    )
+
+
+def _lloyd_rounds(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    checkpoint_rounds: bool,
+):
+    """Shared Lloyd loop: returns (final assignment frame with vectors,
+    1-row centroid frame recomputed from that assignment)."""
     cents = emb.filter(F.col(id_col) < k).agg(
         F.collect_list(
             F.struct(
@@ -389,10 +427,7 @@ def kmeans_assign(
         cents = new_cents.agg(
             F.collect_list(F.struct("cid", "cvec")).alias("cents")
         )
-    out = [F.col(id_col)]
-    if keep_vec:
-        out.append(F.col(vec_col))
-    return assigned.select(*out, F.col("cid").cast("bigint").alias("cid"))
+    return assigned, cents
 
 
 def quantize_embeddings(
@@ -517,17 +552,44 @@ def pq_codebooks(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int | None = None,
 ) -> DataFrame:
     """The PQ codebook as a first-class (subspace, cid, cvec) frame —
-    the persistable training artifact `pq_topk` consumes. Seeding
-    convention unchanged (the subvectors of the first `n_centroids`
-    ids: deterministic, engine-portable), so a stored + reloaded
-    codebook reproduces the in-plan scores bit-for-bit. At 100 TB this
-    frame is written once (n_subspaces × n_centroids tiny rows) and
-    every scoring scan reads it instead of re-deriving from the corpus.
+    the persistable training artifact `pq_topk` consumes. Default
+    seeding convention unchanged (the subvectors of the first
+    `n_centroids` ids: deterministic, engine-portable), so a stored +
+    reloaded codebook reproduces the in-plan scores bit-for-bit. At
+    100 TB this frame is written once (n_subspaces × n_centroids tiny
+    rows) and every scoring scan reads it instead of re-deriving from
+    the corpus.
+
+    ``train_iters``: per-subspace Lloyd-TRAINED codebooks (Jégou et
+    al.'s actual training step) — each subspace's `sub_dim`-dim
+    subvectors go through `kmeans_centroids` with that many rounds,
+    tightening cells around the subvector distribution instead of
+    whatever the first `n_centroids` rows happened to contain. Same
+    deterministic machinery (decimal-exact means, seeded, smaller-cid
+    ties), so trained codebooks stay oracle-checkable; empty cells
+    disappear (standard Lloyd), which the ADC argmax tolerates.
     """
     def sub(vec: Column, m: int) -> Column:
         return F.slice(vec, 1 + m * sub_dim, sub_dim)
+
+    if train_iters is not None:
+        books = [
+            kmeans_centroids(
+                emb.select(F.col(id_col), sub(F.col(vec_col), m).alias(vec_col)),
+                k=n_centroids,
+                iters=train_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).select(F.lit(m).alias("subspace"), "cid", "cvec")
+            for m in range(n_subspaces)
+        ]
+        out = books[0]
+        for b in books[1:]:
+            out = out.unionByName(b)
+        return out
 
     subs = F.array(
         *[

@@ -828,6 +828,128 @@ WHERE rank <= {TOPK}
 
 
 
+PQ_TRAIN_ITERS = 2
+
+
+def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production PQ: per-subspace Lloyd-TRAINED codebooks
+    (`pq_codebooks(train_iters=...)` → `kmeans_centroids` on each
+    `sub_dim`-dim subvector family) feeding the same ADC scan as
+    `embedding_pq_topk`. The oracle unrolls the per-subspace Lloyd
+    rounds exactly like the trained-IVF oracle, then reruns the ADC
+    over the trained cells — hash-gating the full train+serve path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim_ops.pq_codebooks(
+        emb, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS,
+        train_iters=PQ_TRAIN_ITERS,
+    )
+    return sim_ops.pq_topk(
+        emb, QUERY_VEC_ID, TOPK, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS,
+        codebooks=books,
+    )
+
+
+def _pq_sub_kmeans_cte_parts(
+    m: int, k: int, iters: int, sub_dim: int
+) -> list[str]:
+    """Per-subspace Lloyd CTE chain over SLICED embeddings — the
+    `_kmeans_cte_parts` pattern with every vector expression replaced by
+    the subspace slice and CTE names suffixed `_s{m}`. The codebook the
+    ADC consumes is the FINAL recompute ``cent_{iters}_s{m}`` (what
+    `kmeans_centroids` returns), so `ex_`/`cent_` CTEs are emitted for
+    the last round too."""
+    sfx = f"_s{m}"
+    lo, hi, off = 1 + m * sub_dim, (m + 1) * sub_dim, m * sub_dim
+
+    def vec(tbl: str) -> str:
+        return f"CAST({tbl}.embedding[{lo}:{hi}] AS DOUBLE[])"
+
+    parts = [
+        f"cent_0{sfx} AS (SELECT CAST(vec_id AS INT) AS cid,"
+        f" {vec('embeddings')} AS cvec FROM embeddings"
+        f" WHERE vec_id < {k})"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""scored_{i}{sfx} AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product({vec('e')}, c.cvec)
+               / (sqrt(list_dot_product({vec('e')}, {vec('e')}))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+  FROM embeddings e CROSS JOIN cent_{i - 1}{sfx} c)"""
+        )
+        parts.append(
+            f"""assign_{i}{sfx} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM scored_{i}{sfx}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""ex_{i}{sfx} AS (
+  SELECT a.cid, t.i AS dim, CAST(e.embedding[{off} + t.i] AS DOUBLE) AS val
+  FROM assign_{i}{sfx} a JOIN embeddings e USING (vec_id),
+       unnest(generate_series(1, {sub_dim})) AS t(i))"""
+        )
+        parts.append(
+            f"""cent_{i}{sfx} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+  FROM (SELECT cid, dim, SUM(CAST(val AS DECIMAL(38,10))) AS s,
+               COUNT(*) AS n
+        FROM ex_{i}{sfx} GROUP BY cid, dim) GROUP BY cid)"""
+        )
+    return parts
+
+
+def _pq_trained_oracle(
+    m: int = PQ_SUBSPACES,
+    d: int = PQ_SUB_DIM,
+    kc: int = PQ_CENTROIDS,
+    iters: int = PQ_TRAIN_ITERS,
+) -> str:
+    sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
+    km_parts: list[str] = []
+    for i in range(m):
+        km_parts += _pq_sub_kmeans_cte_parts(i, kc, iters, d)
+    q_cols = ", ".join(f"{sub('e', i)} AS q{i}" for i in range(m))
+    per_sub = ",\n".join(
+        f"""qd{i} AS (
+  SELECT c.cid, round(list_dot_product(c.cvec, q.q{i}), 6) AS qd
+  FROM cent_{iters}_s{i} c, q),
+sims{i} AS (
+  SELECT x.vec_id, c.cid,
+         round(list_dot_product({sub('x.e', i)}, c.cvec), 6) AS s
+  FROM v x, cent_{iters}_s{i} c WHERE x.vec_id != {QUERY_VEC_ID}),
+best{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims{i}) WHERE rn = 1)"""
+        for i in range(m)
+    )
+    joins = " ".join(
+        f"JOIN best{i} b{i} ON b{i}.vec_id = s.vec_id "
+        f"JOIN qd{i} t{i} ON t{i}.cid = b{i}.cid"
+        for i in range(m)
+    )
+    ip_sum = " + ".join(f"t{i}.qd" for i in range(m))
+    return f"""
+WITH {",".join(km_parts)},
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT {q_cols} FROM v WHERE vec_id = {QUERY_VEC_ID}),
+{per_sub},
+approx AS (
+  SELECT s.vec_id, round({ip_sum}, 6) AS approx_ip
+  FROM (SELECT DISTINCT vec_id FROM sims0) s {joins})
+SELECT vec_id, rank, approx_ip FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank,
+         approx_ip
+  FROM approx)
+WHERE rank <= {TOPK}
+"""
+
+
 def q_doc_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Control-character / NBSP scrub audit: cleaned length vs raw
     length and whether the scrub changed anything (clean corpora report
@@ -4295,6 +4417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datasheet": q_corpus_datasheet,
     "contrastive_negatives": q_contrastive_negatives,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "pq_trained_topk": q_pq_trained_topk,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
     "pii_scan": q_pii_scan,
@@ -4390,6 +4513,7 @@ ORACLES: dict[str, str] = {
     "corpus_datasheet": _datasheet_oracle(),
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "embedding_pq_topk": _pq_oracle(),
+    "pq_trained_topk": _pq_trained_oracle(),
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
     "pii_scan": _pii_scan_oracle(),
