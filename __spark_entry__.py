@@ -3311,6 +3311,7 @@ _FRONT: tuple[str, ...] = (
     "media_funnel",
     "incremental_dedup_stored",
     "pq_trained_topk",
+    "media_near_dup_wide",
     # ---- window padding: round-5/6 names, all previously hash-green.
     "quality_classifier_weights",
     "quality_classifier_scores",

@@ -311,7 +311,7 @@ HAMMING_BUDGET_PER_HASH = 1000
 def hamming_candidate_edges(
     reps: DataFrame,
     id_col: str,
-    hash_col: str,
+    hash_col: str | list[str],
     threshold: int = 6,
     n_bands: int = 8,
     bits: int = 64,
@@ -348,21 +348,33 @@ def hamming_candidate_edges(
             f"threshold {threshold} >= n_bands {n_bands}: "
             "banded candidates would miss true pairs (recall < 1)"
         )
+    hash_cols = [hash_col] if isinstance(hash_col, str) else list(hash_col)
+    n_words = len(hash_cols)
+    if n_bands % n_words:
+        raise ValueError(
+            f"n_bands {n_bands} must be a multiple of the word count "
+            f"{n_words} so every band lies inside one 64-bit word"
+        )
     band_bits = bits // n_bands
+    bands_per_word = n_bands // n_words
+    mask = (1 << band_bits) - 1
+
+    def band_exprs():
+        # global band b lives in word b // bands_per_word at local offset
+        # (b % bands_per_word) * band_bits — JVM shift/mask per word
+        return [
+            F.shiftrightunsigned(
+                F.col(hash_cols[b // bands_per_word]),
+                (b % bands_per_word) * band_bits,
+            ).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+
     if pair_budget is not None:
         if pair_budget == "auto":
             pair_budget = HAMMING_BUDGET_PER_HASH * max(reps.count(), 1)
-        mask0 = (1 << band_bits) - 1
         bucket_counts = reps.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
-                        .bitwiseAND(F.lit(mask0))
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band_idx", "band_val")
+            F.posexplode(F.array(*band_exprs())).alias("band_idx", "band_val")
         ).groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -376,35 +388,30 @@ def hamming_candidate_edges(
                 f"fingerprint (bits) so band width grows with log2(N), "
                 f"or collapse exact duplicates first"
             )
-    mask = (1 << band_bits) - 1
     banded = reps.select(
         F.col(id_col).alias("rep_id"),
-        F.col(hash_col).alias("h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(hash_col), b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+        *[F.col(c).alias(f"h{w}") for w, c in enumerate(hash_cols)],
+        F.posexplode(F.array(*band_exprs())).alias("band_idx", "band_val"),
     )
     a = banded.select(
-        F.col("rep_id").alias("id_a"), F.col("h").alias("h_a"),
+        F.col("rep_id").alias("id_a"),
+        *[F.col(f"h{w}").alias(f"h{w}_a") for w in range(n_words)],
         "band_idx", "band_val",
     )
     b = banded.select(
-        F.col("rep_id").alias("id_b"), F.col("h").alias("h_b"),
+        F.col("rep_id").alias("id_b"),
+        *[F.col(f"h{w}").alias(f"h{w}_b") for w in range(n_words)],
         "band_idx", "band_val",
     )
+    dist = F.bit_count(F.col("h0_a").bitwiseXOR(F.col("h0_b")))
+    for w in range(1, n_words):
+        dist = dist + F.bit_count(
+            F.col(f"h{w}_a").bitwiseXOR(F.col(f"h{w}_b"))
+        )
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-            <= F.lit(threshold)
-        )
+        .filter(dist <= F.lit(threshold))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -413,7 +420,7 @@ def hamming_candidate_edges(
 def hamming_components(
     sigs: DataFrame,
     id_col: str = "media_id",
-    hash_col: str = "phash",
+    hash_col: str | list[str] = "phash",
     threshold: int = 6,
     n_bands: int = 8,
     bits: int = 64,
@@ -447,11 +454,18 @@ def hamming_components(
     goes quadratic once distinct hashes outgrow the per-band bucket
     space (2^(bits/n_bands)); the guard raises `PairBudgetExceeded`
     with the wider-fingerprint remedy instead of launching it.
+
+    ``hash_col`` may be a LIST of 64-bit word columns (e.g. the
+    (hi, lo) pair of a 128-bit `dhash128` fingerprint) with `bits` set
+    to the total width — the wider-fingerprint remedy itself: 128 bits
+    at the same exact threshold allows n_bands=8 16-bit bands, growing
+    the per-band bucket space 256× (SCALING.md round-7 remedy probe).
     """
-    sigs = sigs.select(F.col(id_col), F.col(hash_col))
-    reps = sigs.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
+    hash_cols = [hash_col] if isinstance(hash_col, str) else list(hash_col)
+    sigs = sigs.select(F.col(id_col), *[F.col(c) for c in hash_cols])
+    reps = sigs.groupBy(*hash_cols).agg(F.min(id_col).alias("rep_id"))
     edges = hamming_candidate_edges(
-        reps, "rep_id", hash_col, threshold, n_bands, bits, pair_budget
+        reps, "rep_id", hash_cols, threshold, n_bands, bits, pair_budget
     )
     from .graph import connected_components
 
@@ -459,12 +473,12 @@ def hamming_components(
     labeled = reps.join(
         comp, reps["rep_id"] == comp["node"], "left"
     ).select(
-        F.col(hash_col),
+        *[F.col(c) for c in hash_cols],
         F.coalesce(F.col("component_id"), F.col("rep_id")).alias(
             "component_id"
         ),
     )
-    return sigs.join(labeled, hash_col).select(
+    return sigs.join(labeled, hash_cols).select(
         F.col(id_col), F.col("component_id")
     )
 

@@ -438,23 +438,28 @@ def mirror_pixels(
 
 
 def _dhash_of_pixels(
-    w: int, h: int, px: list[tuple[int, int, int]]
+    w: int,
+    h: int,
+    px: list[tuple[int, int, int]],
+    dw: int = DHASH_W,
+    dh: int = DHASH_H,
 ) -> int:
-    """64-bit difference hash: nearest-neighbor resample to a 9x8
-    integer-brightness grid (r+g+b — monotone in luminance, no float),
-    bit = 1 where brightness strictly increases left→right. Adding a
-    constant to every channel cancels in the difference, so the hash is
-    brightness-shift invariant by construction (until channels clip)."""
+    """dw·dh-bit difference hash: nearest-neighbor resample to a
+    (dw+1)×dh integer-brightness grid (r+g+b — monotone in luminance,
+    no float), bit = 1 where brightness strictly increases left→right.
+    Adding a constant to every channel cancels in the difference, so the
+    hash is brightness-shift invariant by construction (until channels
+    clip)."""
     grid = [
         [
-            sum(px[(y * h // DHASH_H) * w + (x * w // (DHASH_W + 1))])
-            for x in range(DHASH_W + 1)
+            sum(px[(y * h // dh) * w + (x * w // (dw + 1))])
+            for x in range(dw + 1)
         ]
-        for y in range(DHASH_H)
+        for y in range(dh)
     ]
     bits = 0
-    for y in range(DHASH_H):
-        for x in range(DHASH_W):
+    for y in range(dh):
+        for x in range(dw):
             bits = (bits << 1) | (1 if grid[y][x + 1] > grid[y][x] else 0)
     return bits
 
@@ -471,6 +476,60 @@ def _signed64(v: int) -> int:
     """Reinterpret an unsigned 64-bit value as the signed long Spark's
     LongType stores (bit pattern preserved; XOR/bit_count unaffected)."""
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+#: 128-bit dHash grid: 17×8 resample → 16 horizontal differences × 8
+#: rows. Twice the column resolution of `dhash64`, which is what buys
+#: the wider LSH bands (16-bit at n_bands=8) — the scale remedy
+#: `hamming_candidate_edges`' pair-budget guard recommends.
+DHASH128_W, DHASH128_H = 16, 8
+
+
+def dhash128(payload: bytes, mirror: bool = False) -> tuple[int, int]:
+    """128-bit dHash of a BMP payload as an (hi, lo) pair of signed
+    64-bit words (hi = rows 0-3's bits). Same difference-sign
+    construction as `dhash64` on a 17×8 grid, so the brightness-shift
+    invariance argument carries over unchanged."""
+    w, h, px = decode_bmp_pixels(payload)
+    if mirror:
+        px = mirror_pixels(w, px)
+    bits = _dhash_of_pixels(w, h, px, DHASH128_W, DHASH128_H)
+    return _signed64(bits >> 64), _signed64(bits & ((1 << 64) - 1))
+
+
+PHASH_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+    ]
+)
+
+
+def phash_images_wide(media: DataFrame) -> DataFrame:
+    """(media_id, phash_hi, phash_lo) — the 128-bit `dhash128`
+    fingerprint for every BMP payload, mapInPandas like `phash_images`.
+    Feed `hamming_components(hash_col=["phash_hi", "phash_lo"],
+    bits=128)`: at the same exact threshold the 16-bit bands grow the
+    per-band bucket space 256×, deferring the banded join's quadratic
+    regime by the same factor (SCALING.md round-7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi, lo = [], []
+            for payload in pdf["payload"]:
+                a, b = dhash128(bytes(payload))
+                hi.append(a)
+                lo.append(b)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash_hi": pd.Series(hi, dtype="int64"),
+                    "phash_lo": pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, PHASH_WIDE_SCHEMA)
 
 
 def phash_images(media: DataFrame, include_mirror: bool = False) -> DataFrame:

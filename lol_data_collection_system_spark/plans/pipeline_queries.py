@@ -380,6 +380,27 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def q_media_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`media_near_dup` on the 128-bit fingerprint path
+    (`multimodal.dhash128` (hi, lo) word pair + the multi-word banded
+    join, 16-bit bands at n_bands=8 — the wider-fingerprint remedy the
+    pair-budget guard recommends, hash-gated end to end). Same
+    closed-form oracle: the 17×8 grid still keys only on the width
+    (w−1 rising transitions per row, positions a function of w), so
+    same-width images hash identically and distinct widths differ in
+    ≥ 8 of the 128 bits > threshold."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    images = media.filter(F.col("modality") == "image")
+    sigs = mm_ops.phash_images_wide(images)
+    return dedup_ops.hamming_components(
+        sigs, "media_id", ["phash_hi", "phash_lo"],
+        threshold=PHASH_THRESHOLD, n_bands=8, bits=128,
+    )
+
+
 def q_media_golden_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical asset per perceptual near-dup component — the media
     analogue of `customer_golden_records`: within each dHash component
@@ -617,6 +638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_near_dup": q_media_near_dup,
     "media_golden_assets": q_media_golden_assets,
     "media_near_dedup_kept": q_media_near_dedup_kept,
+    "media_near_dup_wide": q_media_near_dup_wide,
     "media_funnel": q_media_funnel,
     "media_frame_sample": q_media_frame_sample,
     "media_resized_stats": q_media_resized_stats,
@@ -630,6 +652,9 @@ ORACLES: dict[str, str] = {
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
     "media_near_dedup_kept": ORACLE_MEDIA_NEAR_DEDUP_KEPT,
+    # the wide path shares the 64-bit oracle: the closed form keys only
+    # on image width at either fingerprint size
+    "media_near_dup_wide": ORACLE_MEDIA_NEAR_DUP,
     "media_funnel": ORACLE_MEDIA_FUNNEL,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_resized_stats": ORACLE_MEDIA_RESIZED_STATS,

@@ -314,6 +314,78 @@ def test_hamming_banding_exact_vs_bruteforce_narrow_bands(spark):
     assert got == want and len(want) > 0
 
 
+def test_hamming_multiword_exact_vs_bruteforce(spark):
+    """128-bit fingerprints as (hi, lo) word pairs: banded candidates
+    at bits=128/n_bands=8 (16-bit bands) must equal a Python brute
+    force over the concatenated hash — including pairs whose differing
+    bits straddle the word boundary."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_candidate_edges,
+    )
+
+    base = (0xDEADBEEFCAFEF00D << 64) | 0x0123456789ABCDEF
+    hashes = [base]
+    # k flips spread across the full 128-bit width (both words)
+    for k in range(1, 8):
+        h = base
+        for j in range(k):
+            h ^= 1 << (j * 17)  # positions 0,17,...,119 cross both words
+        hashes.append(h)
+
+    def words(h):
+        return (mm._signed64(h >> 64), mm._signed64(h & ((1 << 64) - 1)))
+
+    df = spark.createDataFrame(
+        [(i + 1, *words(h)) for i, h in enumerate(hashes)],
+        ["media_id", "phash_hi", "phash_lo"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_candidate_edges(
+            df, "media_id", ["phash_hi", "phash_lo"],
+            threshold=6, n_bands=8, bits=128,
+        ).collect()
+    }
+    want = {
+        (a + 1, b + 1)
+        for a in range(len(hashes))
+        for b in range(a + 1, len(hashes))
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 6
+    }
+    assert got == want and len(want) > 0
+
+
+def test_phash_wide_components_match_width_groups(spark):
+    """The 128-bit wide path groups the gradient fixture exactly like
+    the 64-bit path: components == width groups (same closed form —
+    distinct widths differ in ≥ 8 of the 128 bits, same-width images
+    hash identically)."""
+    from pyspark.sql import functions as F2
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    rows = []
+    for d in range(0, 60, 3):  # image doc_ids
+        _, payload, _ = mm.synth_media_row(d, 100 + d)
+        rows.append((d, "image", payload, None))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    comp = {
+        r.media_id: r.component_id
+        for r in hamming_components(
+            mm.phash_images_wide(media),
+            hash_col=["phash_hi", "phash_lo"],
+            threshold=6, n_bands=8, bits=128,
+        ).collect()
+    }
+    want = {}
+    for d in range(0, 60, 3):
+        grp = d % 7
+        want[d] = min(x for x in range(0, 60, 3) if x % 7 == grp)
+    assert comp == want
+
+
 def test_phash_images_flip_and_brightness_grouping(spark):
     """End-to-end: a brightness-shifted copy and (with include_mirror) a
     horizontally flipped copy land in the original's component; an
