@@ -11,6 +11,7 @@ coordinated by table locks; here the same semantics are declared:
 - `dedup`      — watermarked streaming exact dedup (online corpus half)
 - `drift`      — windowed per-source PSI vs a static curated baseline
 - `scd2`       — snapshot-version stream folded into SCD2 history (T3/T6)
+- `rollup`     — continuous-aggregate maintenance via algebraic-state merge
 
 Every streaming job has a batch twin in `operators/` — tests assert the
 streaming result (availableNow trigger) equals the batch computation.
@@ -26,6 +27,11 @@ from .dedup import (
 from .heartbeat import HeartbeatListener, heartbeats_df, install_heartbeats
 from .polling import poll_until_event, start_polling_query
 from .ratelimit import sliding_quota_counts
+from .rollup import (
+    hourly_rollup_stream,
+    incremental_rollup_sink,
+    read_rollup,
+)
 from .scd2 import read_scd2_history, scd2_apply_stream, scd2_sink
 from .sessions import streaming_sessions
 from .upsert import latest_wins_upsert_sink, two_phase_upsert
@@ -49,4 +55,7 @@ __all__ = [
     "read_scd2_history",
     "scd2_apply_stream",
     "scd2_sink",
+    "hourly_rollup_stream",
+    "incremental_rollup_sink",
+    "read_rollup",
 ]

@@ -323,6 +323,7 @@ def corpus_guard_stream(
     n_hashes: int = 16,
     band_size: int = 4,
     emit_window: str = "1 minute",
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """Guard an incoming stream against a STATIC indexed corpus: drop
     documents that exact-duplicate (fingerprint) or near-duplicate (any
@@ -348,21 +349,38 @@ def corpus_guard_stream(
     from ..operators.dedup import (
         _band_hashes,
         minhash_signatures,
+        minhash_signatures_from_shingles,
     )
 
     n_bands = n_hashes // band_size
-    corpus_fp = corpus.select(
-        fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
-    corpus_bands = (
-        minhash_signatures(corpus, id_col, text_col, k, n_hashes)
-        .select(
-            F.posexplode(_band_hashes(n_hashes, band_size)).alias(
-                "band_idx", "band_hash"
+    if corpus_index is not None:
+        # STORED index (write_corpus_index/read_corpus_index triple,
+        # written WITHOUT a df-cap — this guard bands full shingle
+        # sets): the corpus never gets scanned at guard start.
+        fp_tbl, c_sh, _hot = corpus_index
+        corpus_fp = fp_tbl.select("fp").distinct()
+        corpus_bands = (
+            minhash_signatures_from_shingles(c_sh, id_col, n_hashes)
+            .select(
+                F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                    "band_idx", "band_hash"
+                )
             )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        corpus_fp = corpus.select(
+            fingerprint(F.col(text_col)).alias("fp")
+        ).distinct()
+        corpus_bands = (
+            minhash_signatures(corpus, id_col, text_col, k, n_hashes)
+            .select(
+                F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                    "band_idx", "band_hash"
+                )
+            )
+            .distinct()
+        )
 
     fresh = docs.withColumn("fp", fingerprint(F.col(text_col))).join(
         corpus_fp, "fp", "left_anti"

@@ -1,0 +1,172 @@
+"""Streaming continuous-aggregate maintenance — the online half of
+`__spark_entry__.q_incremental_hourly_rollup` (the hypertable /
+materialized-view refresh pattern).
+
+Reference analog: the monitor's periodically-recomputed per-hour
+counters (`monitor/views/ratelimit.py` summaries) rebuild from scratch
+on a TTL; the stream-native form folds each micro-batch's PARTIAL
+aggregate into the stored rollup, so the view is always fresh and each
+refresh costs O(delta + touched groups) — never a base-table scan.
+
+Semantics: every state column is ALGEBRAIC (count→sum, sum→sum,
+max→max, min→min), so merging the store with a delta partial is one
+re-aggregation of the states — the lossless-merge property the batch
+query's hash gate proves against a full recompute.
+
+Exactly-once over at-least-once delivery: `foreachBatch` can re-deliver
+a batch after a failure, but always with the SAME `batch_id` and the
+same content (checkpointed source offsets). The store manifest records
+the last applied batch id; a batch with ``batch_id <= applied`` is a
+no-op. Unlike the SCD2 sink (whose merge is a natural fixed point),
+re-applying an aggregation delta would double-count — the batch-id
+watermark is load-bearing here, which is why the store commit
+(manifest-inside-tmp + atomic rename, the snapshot protocol) happens
+before the checkpoint commit: a crash between the two replays a batch
+the manifest already marks applied.
+
+Scale posture: per batch ONE partial aggregate over the micro-batch +
+one keyed merge with the store; at 100 TB the store is partitioned by
+the window key so the rewrite touches only affected partitions (an
+io.write_clustered layout choice). State never holds raw rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_rollup_meta.json"
+
+#: merge rule per state column: how two partials re-aggregate.
+MERGE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """Open a committed rollup store (algebraic state columns)."""
+    if not (Path(store_path) / _META).exists():
+        raise FileNotFoundError(
+            f"no committed rollup store at {store_path} (missing {_META})"
+        )
+    return spark.read.parquet(store_path)
+
+
+def applied_batch_id(store_path: str) -> int | None:
+    mp = Path(store_path) / _META
+    if not mp.exists():
+        return None
+    try:
+        return int(json.loads(mp.read_text())["applied_batch_id"])
+    except (json.JSONDecodeError, OSError, KeyError, ValueError):
+        return None
+
+
+def incremental_rollup_sink(
+    store_path: str,
+    partial_agg: Callable[[DataFrame], DataFrame],
+    key_cols: list[str],
+    merge_aggs: dict[str, str],
+):
+    """foreachBatch sink: `partial_agg` turns the raw micro-batch into
+    per-key algebraic states; the result merges into the store by
+    re-aggregating each state per `merge_aggs` ({col: 'sum'|'max'|'min'}).
+    Idempotent under re-delivery via the applied-batch-id watermark."""
+    unknown = {k for k in merge_aggs.values()} - set(MERGE_FNS)
+    if unknown:
+        raise ValueError(f"unknown merge kinds: {sorted(unknown)}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = Path(store_path)
+        applied = applied_batch_id(store_path)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already folded in
+        delta = partial_agg(batch_df)
+        merged = delta
+        if applied is not None:
+            cur = read_rollup(spark, store_path)
+            merged = cur.unionByName(delta).groupBy(*key_cols).agg(
+                *[
+                    MERGE_FNS[kind](c).alias(c)
+                    for c, kind in merge_aggs.items()
+                ]
+            )
+        tmp = root.parent / f".{root.name}.tmp-{uuid.uuid4().hex[:8]}"
+        root.parent.mkdir(parents=True, exist_ok=True)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        (tmp / _META).write_text(
+            json.dumps({"applied_batch_id": int(batch_id)})
+        )
+        if root.exists():
+            shutil.rmtree(root, ignore_errors=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return apply_batch
+
+
+# ---------------------------------------------------------------------------
+# The concrete hourly-events rollup (the batch query's exact states)
+# ---------------------------------------------------------------------------
+HOURLY_KEYS = ["hour_ms", "event_type"]
+HOURLY_MERGE = {
+    "n_events": "sum",
+    "_sum_value": "sum",
+    "_max_value": "max",
+    "_first_event": "min",
+}
+
+
+def hourly_partial(events: DataFrame) -> DataFrame:
+    """The same per-(hour, type) algebraic states
+    `q_incremental_hourly_rollup` aggregates (decimal money math)."""
+    val = F.col("value").cast("decimal(18,2)")
+    return events.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(val).alias("_sum_value"),
+        F.max(val).alias("_max_value"),
+        F.min("event_id").alias("_first_event"),
+    )
+
+
+def finalize_hourly(states: DataFrame) -> DataFrame:
+    """State → presentation columns, matching the batch query's output
+    (and therefore its DuckDB oracle) exactly."""
+    return states.select(
+        "hour_ms",
+        "event_type",
+        "n_events",
+        F.col("_sum_value").cast("decimal(18,2)").cast("double").alias(
+            "sum_value"
+        ),
+        F.col("_max_value").cast("double").alias("max_value"),
+        F.col("_first_event").alias("first_event"),
+    )
+
+
+def hourly_rollup_stream(
+    stream: DataFrame, store_path: str, checkpoint_dir: str
+):
+    """Wire an events stream into the hourly rollup store; returns the
+    StreamingQuery (availableNow)."""
+    return (
+        stream.writeStream.foreachBatch(
+            incremental_rollup_sink(
+                store_path, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,76 @@ def test_scd2_stream_equals_batch_and_replays_are_noops(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert rows(read_scd2_history(spark, store)) == want
+
+
+def test_hourly_rollup_stream_equals_full_recompute(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: folding per-batch
+    partial aggregates into the rollup store must equal the full
+    recompute over all events (the lossless-merge property the batch
+    `incremental_hourly_rollup` query hash-gates), and replays must not
+    double-count (the applied-batch-id watermark)."""
+    import os as _os
+    import time as _time
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources import load_table
+    from lol_data_collection_system_spark.streaming.rollup import (
+        applied_batch_id,
+        finalize_hourly,
+        hourly_partial,
+        hourly_rollup_stream,
+        incremental_rollup_sink,
+        read_rollup,
+        HOURLY_KEYS,
+        HOURLY_MERGE,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    cut = F.col("event_id") % 2 == 0
+    src = tmp_path / "ru_src"
+    events.filter(cut).coalesce(1).write.parquet(str(src / "b1"))
+    events.filter(~cut).coalesce(1).write.parquet(str(src / "b2"))
+    now = _time.time()
+    for sub, age in (("b1", 120.0), ("b2", 60.0)):
+        for p in _Path(src / sub).rglob("*"):
+            _os.utime(p, (now - age, now - age))
+
+    store = str(tmp_path / "ru_store")
+    q = hourly_rollup_stream(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        store,
+        str(tmp_path / "ru_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert applied_batch_id(store) == 1  # two batches folded
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(finalize_hourly(read_rollup(spark, store)))
+    want = rows(finalize_hourly(hourly_partial(events)))
+    assert got == want and len(want) > 0
+
+    # replayed batch id (at-least-once): watermark makes it a no-op —
+    # WITHOUT it this would double-count every state
+    sink = incremental_rollup_sink(
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+    )
+    sink(events.filter(cut), batch_id=1)
+    assert rows(finalize_hourly(read_rollup(spark, store))) == want
+    # a genuinely new batch DOES merge (n_events doubles for its groups)
+    sink(events.filter(cut), batch_id=2)
+    n_before = sum(r[2] for r in want)
+    n_after = sum(
+        r[2] for r in rows(finalize_hourly(read_rollup(spark, store)))
+    )
+    assert n_after == n_before + events.filter(cut).count()

@@ -671,6 +671,24 @@ def test_corpus_guard_stream_filters_against_static_corpus(spark, tmp_path):
     # batch twin sees the pending flush doc too
     assert kept_batch == kept_stream + [99]
 
+    # the guard served from the STORED corpus index (written uncapped —
+    # this guard bands full shingle sets) keeps the identical set
+    from lol_data_collection_system_spark.operators.dedup import (
+        read_corpus_index,
+        write_corpus_index,
+    )
+
+    idx_path = str(tmp_path / "guard_index")
+    write_corpus_index(corpus, idx_path, "doc_id", "text", 3, None)
+    kept_stored = sorted(
+        r.doc_id
+        for r in corpus_guard_stream(
+            batch, corpus, band_size=2,
+            corpus_index=read_corpus_index(spark, idx_path),
+        ).collect()
+    )
+    assert kept_stored == kept_batch
+
     # guard-kept ⊆ incremental_dedup novel (same fp space / banding)
     delta = batch.select("doc_id", "text")
     novel = {
