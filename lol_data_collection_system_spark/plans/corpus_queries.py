@@ -588,20 +588,37 @@ WHERE rank <= {TOPK}
 """
 
 
+#: (applicationId, sf_dir) → converged near-dup label frame. The pairs
+#: derivation + connected components (whose rounds run ACTIONS at
+#: construction) feed both `dedup_components` and `component_canonicals`
+#: — the kNN-edge memoization pattern applied to the CC family.
+_DEDUP_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dedup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as graph_ops
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DEDUP_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
+        max_doc_freq=SHINGLE_MAX_DF,
+    )
+    labels = graph_ops.dedup_clusters(docs, pairs).persist()
+    _DEDUP_LABELS_CACHE[key] = labels
+    return labels
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: capped-Jaccard pairs as edges →
     connected components → full-corpus (doc_id, component_id) map with
     component_id = min doc id (untouched docs are their own singleton).
     The iterative label propagation runs eagerly at call time (each round
     is an action); the returned frame reads the converged labels."""
-    from ..operators import graph as graph_ops
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
-        max_doc_freq=SHINGLE_MAX_DF,
-    )
-    return graph_ops.dedup_clusters(docs, pairs)
+    return _dedup_labels_cached(spark, sf_dir)
 
 
 _CC_CTES = f"""
@@ -642,15 +659,13 @@ SELECT doc_id, component_id FROM comps
 
 def q_component_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup canonicalization: near-dup components keep
-    their longest member (`n_chars`, ties → smallest id)."""
+    their longest member (`n_chars`, ties → smallest id). Shares the
+    converged label frame with `dedup_components` (the memoized CC runs
+    once per session, not once per consumer)."""
     from ..operators import graph as graph_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
-        max_doc_freq=SHINGLE_MAX_DF,
-    )
-    labels = graph_ops.dedup_clusters(docs, pairs)
+    labels = _dedup_labels_cached(spark, sf_dir)
     return graph_ops.quality_canonicals(docs, labels, "n_chars")
 
 
@@ -1598,14 +1613,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard fix for contamination-by-construction (splitting by doc
     id interleaves near-dup rewrites across splits; see
     `train_test_contamination` for the detector this prevents)."""
-    from ..operators import graph as graph_ops
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
-        max_doc_freq=SHINGLE_MAX_DF,
-    )
-    clusters = graph_ops.dedup_clusters(docs, pairs)
+    clusters = _dedup_labels_cached(spark, sf_dir)
     assigned = sampling_ops.deterministic_split(
         clusters, "component_id", SPLIT_FRACTIONS, LS_SALT
     )
