@@ -371,16 +371,26 @@ def hamming_candidate_edges(
         ]
 
     if pair_budget is not None:
-        if pair_budget == "auto":
-            pair_budget = HAMMING_BUDGET_PER_HASH * max(reps.count(), 1)
+        # ONE construction-time action for the whole guard: the same
+        # aggregate yields Σ|bucket|C2 AND Σ|bucket| (= N·n_bands, so
+        # the auto budget needs no separate reps.count()); reps is
+        # lazily checkpointed so the upstream (often a per-row Python
+        # decode like phash_images) materializes once here and the
+        # banded join below reuses it instead of re-decoding.
+        reps = reps.localCheckpoint(eager=False)
         bucket_counts = reps.select(
             F.posexplode(F.array(*band_exprs())).alias("band_idx", "band_val")
         ).groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("n")
         )
-        est = bucket_counts.agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
-        ).collect()[0]["pairs"]
+        stats = bucket_counts.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            F.sum("n").alias("band_rows"),
+        ).collect()[0]
+        est = stats["pairs"]
+        if pair_budget == "auto":
+            n_reps = (stats["band_rows"] or 0) // n_bands
+            pair_budget = HAMMING_BUDGET_PER_HASH * max(n_reps, 1)
         if est is not None and est > pair_budget:
             raise PairBudgetExceeded(
                 f"banded Hamming candidate join would carry ~{int(est)} "
@@ -1207,50 +1217,57 @@ def write_corpus_index(
 ) -> None:
     """Persist the `corpus_shingle_index` triple to parquet — the
     "at 100 TB all three frames are precomputed once and stored" claim
-    as an actual write path. Layout: ``{path}/fp``, ``{path}/shingles``,
-    ``{path}/hot`` (only when a df-cap is set) + ``_index_meta.json``
-    recording the derivation parameters; the meta is written LAST as the
-    commit marker (the snapshot/export protocol)."""
-    import json as _json
-    from pathlib import Path as _Path
+    as an actual write path. Committed via the pointer-file protocol
+    (`sources/versioned.commit_version`): each rebuild writes a COMPLETE
+    new version (``fp``, ``shingles``, optional ``hot`` subdirs) before
+    the pointer moves, so a concurrent reader can never observe a
+    mixed-generation triple (the in-place rewrite this replaces left
+    the previous commit marker visible mid-rebuild)."""
+    from ..sources.versioned import commit_version
 
     corpus_fp, c_sh, hot = corpus_shingle_index(
         corpus, id_col, text_col, k, max_doc_freq
     )
-    root = _Path(path)
-    corpus_fp.write.mode("overwrite").parquet(str(root / "fp"))
-    c_sh.write.mode("overwrite").parquet(str(root / "shingles"))
-    if hot is not None:
-        hot.write.mode("overwrite").parquet(str(root / "hot"))
-    (root / "_index_meta.json").write_text(
-        _json.dumps(
-            {"id_col": id_col, "text_col": text_col, "k": k,
-             "max_doc_freq": max_doc_freq, "has_hot": hot is not None}
-        )
+
+    def write_all(vdir: str) -> None:
+        from pathlib import Path as _Path
+
+        corpus_fp.write.mode("overwrite").parquet(str(_Path(vdir) / "fp"))
+        c_sh.write.mode("overwrite").parquet(str(_Path(vdir) / "shingles"))
+        if hot is not None:
+            hot.write.mode("overwrite").parquet(str(_Path(vdir) / "hot"))
+
+    commit_version(
+        path,
+        write_all,
+        {"id_col": id_col, "text_col": text_col, "k": k,
+         "max_doc_freq": max_doc_freq, "has_hot": hot is not None},
     )
 
 
 def read_corpus_index(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
-    """Open a committed corpus index (fp, capped shingles, hot|None) —
+    """Open the committed corpus index (fp, capped shingles, hot|None) —
     the handles `incremental_dedup`/`classify_stream` accept via their
-    ``corpus_index`` parameter. Raises FileNotFoundError before the
-    commit marker exists."""
-    import json as _json
+    ``corpus_index`` parameter. ``hot is not None`` ⇔ the index was
+    written WITH a df-cap (consumers that require full shingle sets,
+    e.g. `corpus_guard_stream`, key their validation on this). Raises
+    FileNotFoundError before the first commit."""
     from pathlib import Path as _Path
 
-    root = _Path(path)
-    meta_p = root / "_index_meta.json"
-    if not meta_p.exists():
-        raise FileNotFoundError(
-            f"no committed corpus index at {path} (missing _index_meta.json)"
-        )
-    meta = _json.loads(meta_p.read_text())
-    fp = spark.read.parquet(str(root / "fp"))
-    sh = spark.read.parquet(str(root / "shingles"))
+    from ..sources.versioned import current_version
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed corpus index at {path}")
+    vdir, meta = cur
+    fp = spark.read.parquet(str(_Path(vdir) / "fp"))
+    sh = spark.read.parquet(str(_Path(vdir) / "shingles"))
     hot = (
-        spark.read.parquet(str(root / "hot")) if meta.get("has_hot") else None
+        spark.read.parquet(str(_Path(vdir) / "hot"))
+        if meta.get("has_hot")
+        else None
     )
     return fp, sh, hot
 

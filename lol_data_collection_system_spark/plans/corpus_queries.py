@@ -1814,7 +1814,12 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return materialize_summary(
         spark,
-        _os.path.join(SUMMARY_CACHE_DIR, f"ivf_index_{sf_name}.parquet"),
+        # training params in the artifact name: a later constant change
+        # must rebuild, never serve the old-k index (review finding r7)
+        _os.path.join(
+            SUMMARY_CACHE_DIR,
+            f"ivf_index_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}.parquet",
+        ),
         build,
         sources=[_os.path.join(sf_dir, "embeddings.parquet")],
         ttl_s=None,
@@ -1849,7 +1854,11 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return materialize_summary(
         spark,
-        _os.path.join(SUMMARY_CACHE_DIR, f"pq_codebook_{sf_name}.parquet"),
+        _os.path.join(
+            SUMMARY_CACHE_DIR,
+            f"pq_codebook_{sf_name}"
+            f"_m{PQ_SUBSPACES}d{PQ_SUB_DIM}c{PQ_CENTROIDS}.parquet",
+        ),
         build,
         sources=[_os.path.join(sf_dir, "embeddings.parquet")],
         ttl_s=None,
@@ -2381,10 +2390,16 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     recrawl = docs.filter((did % 7 == 0) & (did % 5 != 0)).select(
         (did + RECRAWL_OFFSET).alias("doc_id"), "text"
     )
+    from ..sources.versioned import current_version
     from .domain_queries import SUMMARY_CACHE_DIR
 
     sf_name = _os.path.basename(sf_dir.rstrip("/"))
-    path = _os.path.join(SUMMARY_CACHE_DIR, f"corpus_index_{sf_name}")
+    # derivation params in the path so a later constant change can never
+    # serve an index trained under the old ones (review finding r7)
+    path = _os.path.join(
+        SUMMARY_CACHE_DIR,
+        f"corpus_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}",
+    )
     # Rebuild when documents.parquet changed (size+md5 sidecar — the
     # fixture-fingerprint convention).
     import hashlib as _hashlib
@@ -2402,9 +2417,7 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale = _json.loads(open(sidecar).read()) != fp_now
     except (OSError, ValueError):
         pass
-    if stale or not _os.path.exists(
-        _os.path.join(path, "_index_meta.json")
-    ):
+    if stale or current_version(path) is None:
         dedup_ops.write_corpus_index(
             corpus, path, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF
         )

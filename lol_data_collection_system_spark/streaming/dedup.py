@@ -354,10 +354,19 @@ def corpus_guard_stream(
 
     n_bands = n_hashes // band_size
     if corpus_index is not None:
-        # STORED index (write_corpus_index/read_corpus_index triple,
-        # written WITHOUT a df-cap — this guard bands full shingle
-        # sets): the corpus never gets scanned at guard start.
+        # STORED index (write_corpus_index/read_corpus_index triple):
+        # the corpus never gets scanned at guard start. This guard bands
+        # FULL shingle sets — a df-capped index (hot ≠ None) would band
+        # shingle sets missing every hot shingle and silently weaken the
+        # drop rule, so it is rejected loudly.
         fp_tbl, c_sh, _hot = corpus_index
+        if _hot is not None:
+            raise ValueError(
+                "corpus_guard_stream requires an index written WITHOUT "
+                "a df-cap (max_doc_freq=None): a capped index bands "
+                "shingle sets missing the hot shingles and weakens the "
+                "guard; write a dedicated uncapped index for the guard"
+            )
         corpus_fp = fp_tbl.select("fp").distinct()
         corpus_bands = (
             minhash_signatures_from_shingles(c_sh, id_col, n_hashes)

@@ -19,10 +19,19 @@ same content (checkpointed source offsets). The store manifest records
 the last applied batch id; a batch with ``batch_id <= applied`` is a
 no-op. Unlike the SCD2 sink (whose merge is a natural fixed point),
 re-applying an aggregation delta would double-count — the batch-id
-watermark is load-bearing here, which is why the store commit
-(manifest-inside-tmp + atomic rename, the snapshot protocol) happens
-before the checkpoint commit: a crash between the two replays a batch
-the manifest already marks applied.
+watermark is load-bearing here, which is why the store commit (the
+`sources/versioned` pointer protocol — no torn or missing-store
+instant, failures raise) happens before the checkpoint commit: a crash
+between the two replays a batch the manifest already marks applied.
+
+Batch ids are only meaningful WITHIN one checkpoint lineage — a fresh
+checkpoint restarts them at 0, which against an existing store would
+silently skip genuinely new data. The manifest therefore also records a
+``checkpoint_token`` (the checkpoint dir, threaded by
+`hourly_rollup_stream`); a token mismatch raises loudly instead of
+guessing. Re-pointing an existing store at a new checkpoint requires an
+explicit new store (or deleting the old one) — the refuse-don't-degrade
+house rule.
 
 Scale posture: per batch ONE partial aggregate over the micro-batch +
 one keyed merge with the store; at 100 TB the store is partitioned by
@@ -32,39 +41,30 @@ io.write_clustered layout choice). State never holds raw rows.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import uuid
 from collections.abc import Callable
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_META = "_rollup_meta.json"
+from ..sources.versioned import commit_version, current_version
 
 #: merge rule per state column: how two partials re-aggregate.
 MERGE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
-    """Open a committed rollup store (algebraic state columns)."""
-    if not (Path(store_path) / _META).exists():
-        raise FileNotFoundError(
-            f"no committed rollup store at {store_path} (missing {_META})"
-        )
-    return spark.read.parquet(store_path)
+    """Open the committed rollup store version (algebraic states)."""
+    cur = current_version(store_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed rollup store at {store_path}")
+    return spark.read.parquet(cur[0])
 
 
 def applied_batch_id(store_path: str) -> int | None:
-    mp = Path(store_path) / _META
-    if not mp.exists():
+    cur = current_version(store_path)
+    if cur is None:
         return None
-    try:
-        return int(json.loads(mp.read_text())["applied_batch_id"])
-    except (json.JSONDecodeError, OSError, KeyError, ValueError):
-        return None
+    return int(cur[1]["applied_batch_id"])
 
 
 def incremental_rollup_sink(
@@ -72,43 +72,61 @@ def incremental_rollup_sink(
     partial_agg: Callable[[DataFrame], DataFrame],
     key_cols: list[str],
     merge_aggs: dict[str, str],
+    checkpoint_token: str | None = None,
 ):
     """foreachBatch sink: `partial_agg` turns the raw micro-batch into
     per-key algebraic states; the result merges into the store by
     re-aggregating each state per `merge_aggs` ({col: 'sum'|'max'|'min'}).
-    Idempotent under re-delivery via the applied-batch-id watermark."""
+    Idempotent under re-delivery via the applied-batch-id watermark;
+    `checkpoint_token` pins the store to ONE checkpoint lineage (batch
+    ids restart at 0 under a fresh checkpoint — silently skipping or
+    double-counting; a token mismatch raises instead)."""
     unknown = {k for k in merge_aggs.values()} - set(MERGE_FNS)
     if unknown:
         raise ValueError(f"unknown merge kinds: {sorted(unknown)}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        root = Path(store_path)
-        applied = applied_batch_id(store_path)
-        if applied is not None and batch_id <= applied:
-            return  # replayed batch: already folded in
+        cur = current_version(store_path)
+        if cur is not None:
+            meta = cur[1]
+            stored_token = meta.get("checkpoint_token")
+            if (
+                checkpoint_token is not None
+                and stored_token is not None
+                and stored_token != checkpoint_token
+            ):
+                raise ValueError(
+                    f"rollup store at {store_path} belongs to checkpoint "
+                    f"{stored_token!r} but this query runs under "
+                    f"{checkpoint_token!r}: batch ids are not comparable "
+                    f"across checkpoints — start a new store or delete "
+                    f"the old one explicitly"
+                )
+            if batch_id <= int(meta["applied_batch_id"]):
+                return  # replayed batch: already folded in
         delta = partial_agg(batch_df)
         merged = delta
-        if applied is not None:
-            cur = read_rollup(spark, store_path)
-            merged = cur.unionByName(delta).groupBy(*key_cols).agg(
-                *[
-                    MERGE_FNS[kind](c).alias(c)
-                    for c, kind in merge_aggs.items()
-                ]
+        if cur is not None:
+            merged = (
+                spark.read.parquet(cur[0])
+                .unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(
+                    *[
+                        MERGE_FNS[kind](c).alias(c)
+                        for c, kind in merge_aggs.items()
+                    ]
+                )
             )
-        tmp = root.parent / f".{root.name}.tmp-{uuid.uuid4().hex[:8]}"
-        root.parent.mkdir(parents=True, exist_ok=True)
-        merged.write.mode("overwrite").parquet(str(tmp))
-        (tmp / _META).write_text(
-            json.dumps({"applied_batch_id": int(batch_id)})
+        commit_version(
+            store_path,
+            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            {
+                "applied_batch_id": int(batch_id),
+                "checkpoint_token": checkpoint_token,
+            },
         )
-        if root.exists():
-            shutil.rmtree(root, ignore_errors=True)
-        try:
-            os.rename(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
 
     return apply_batch
 
@@ -163,7 +181,8 @@ def hourly_rollup_stream(
     return (
         stream.writeStream.foreachBatch(
             incremental_rollup_sink(
-                store_path, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+                store_path, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+                checkpoint_token=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -25,11 +25,15 @@ Design (the `upsert.latest_wins_upsert_sink` pattern):
   fixed point for a re-applied identical snapshot (the open slice
   equals the snapshot, so every row lands in `kept_open`), covering the
   crash window between store commit and checkpoint commit.
-- The store commit is manifest-inside-tmp + atomic rename — the
-  `snapshot.create_snapshot` protocol; the manifest doubles as the
-  commit marker, so readers never see a torn history. For a production
-  lakehouse this is `MERGE INTO` on Delta/Iceberg; plain parquet keeps
-  the container dependency-free with identical semantics.
+- The store commit is the POINTER-FILE protocol
+  (`sources/versioned.commit_version`): a complete new version
+  directory, then an atomic `os.replace` of the `_CURRENT` pointer —
+  no instant exists at which the store is missing or torn, so a crash
+  in the commit path replays against the PREVIOUS committed history
+  (the naive rmtree-then-rename swap had a window that silently
+  reinitialized history from one batch). For a production lakehouse
+  this is `MERGE INTO` on Delta/Iceberg; plain parquet keeps the
+  container dependency-free with identical semantics.
 
 Scale posture: per version the merge is ONE keyed full-outer join of
 the OPEN slice against the snapshot (`scd2_apply`'s contract — closed
@@ -41,40 +45,29 @@ is an io.write_clustered layout choice, not a semantics change.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import uuid
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.snapshot import scd2_apply, scd2_init
-
-_META = "_scd2_meta.json"
+from ..sources.versioned import commit_version, current_version
 
 
 def read_scd2_history(spark: SparkSession, store_path: str) -> DataFrame:
-    """Open a committed SCD2 store (raises FileNotFoundError when no
-    commit marker exists — the half-written/torn states are invisible
-    by protocol)."""
-    if not (Path(store_path) / _META).exists():
-        raise FileNotFoundError(
-            f"no committed SCD2 store at {store_path} (missing {_META})"
-        )
-    return spark.read.parquet(store_path)
+    """Open the committed SCD2 store version (raises FileNotFoundError
+    before the first commit — torn states are unrepresentable by the
+    pointer protocol)."""
+    cur = current_version(store_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed SCD2 store at {store_path}")
+    return spark.read.parquet(cur[0])
 
 
 def applied_watermark(store_path: str) -> int | None:
     """Last committed snapshot version, or None before the first."""
-    mp = Path(store_path) / _META
-    if not mp.exists():
+    cur = current_version(store_path)
+    if cur is None:
         return None
-    try:
-        return int(json.loads(mp.read_text())["applied_ts_ms"])
-    except (json.JSONDecodeError, OSError, KeyError, ValueError):
-        return None
+    return int(cur[1]["applied_ts_ms"])
 
 
 def scd2_sink(
@@ -89,7 +82,6 @@ def scd2_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        root = Path(store_path)
         wm = applied_watermark(store_path)
         versions = sorted(
             r[0]
@@ -111,20 +103,15 @@ def scd2_sink(
             else:
                 hist = scd2_apply(hist, snap, key_cols, tracked_cols, ts)
 
-        tmp = root.parent / f".{root.name}.tmp-{uuid.uuid4().hex[:8]}"
-        root.parent.mkdir(parents=True, exist_ok=True)
-        # the write action runs while the old store still exists (hist's
-        # lineage reads it); only after tmp is complete is it swapped in
-        hist.write.mode("overwrite").parquet(str(tmp))
-        (tmp / _META).write_text(
-            json.dumps({"applied_ts_ms": int(versions[-1])})
+        # the write action runs while the previous version still exists
+        # (hist's lineage reads it); the pointer moves only after the
+        # new version is complete, and a commit failure RAISES so the
+        # checkpoint never marks an unfolded batch applied
+        commit_version(
+            store_path,
+            lambda vdir: hist.write.mode("overwrite").parquet(vdir),
+            {"applied_ts_ms": int(versions[-1])},
         )
-        if root.exists():
-            shutil.rmtree(root, ignore_errors=True)
-        try:
-            os.rename(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
 
     return apply_batch
 

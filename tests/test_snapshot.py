@@ -295,3 +295,37 @@ def test_hourly_rollup_stream_equals_full_recompute(spark, tmp_path):
         r[2] for r in rows(finalize_hourly(read_rollup(spark, store)))
     )
     assert n_after == n_before + events.filter(cut).count()
+
+
+def test_rollup_sink_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are only comparable within one checkpoint lineage: a
+    store committed under checkpoint A must refuse batches arriving
+    under checkpoint B (a fresh checkpoint restarts ids at 0 and would
+    otherwise silently skip new data or double-count)."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.streaming.rollup import (
+        HOURLY_KEYS,
+        HOURLY_MERGE,
+        hourly_partial,
+        incremental_rollup_sink,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 5.0, "a")],
+        ["event_id", "ts_s", "value", "event_type"],
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value", "event_type"
+    )
+    store = str(tmp_path / "tok_store")
+    sink_a = incremental_rollup_sink(
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+        checkpoint_token="ckpt-A",
+    )
+    sink_a(events, batch_id=0)
+    sink_b = incremental_rollup_sink(
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+        checkpoint_token="ckpt-B",
+    )
+    with _pytest.raises(ValueError, match="checkpoint"):
+        sink_b(events, batch_id=0)

@@ -1656,3 +1656,25 @@ def test_media_near_dedup_survives_corrupt_payload(spark):
     batch = spark.createDataFrame(rows, schema)
     kept = {r.media_id for r in media_near_dedup_stream(batch).collect()}
     assert kept == {1, 2, 3, 9}  # corrupt blobs unique, nothing crashed
+
+
+def test_corpus_guard_rejects_capped_stored_index(spark, tmp_path):
+    """A df-capped stored index bands shingle sets missing every hot
+    shingle — the guard must refuse it loudly rather than silently
+    weaken the drop rule."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.streaming import corpus_guard_stream
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    path = str(tmp_path / "capped_index")
+    write_corpus_index(corpus, path, "doc_id", "text", 3, 1)  # capped!
+    with _pytest.raises(ValueError, match="df-cap"):
+        corpus_guard_stream(
+            delta, corpus, band_size=2,
+            corpus_index=read_corpus_index(spark, path),
+        )
