@@ -2643,12 +2643,28 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_merges_cached(spark, sf_dir)
 
 
-def q_bpe_segmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: (applicationId, sf_dir) → persisted segmented frame: apply_bpe's
+#: chained per-rank replaces are the cost of BOTH bpe_segmented_docs
+#: and bpe_fertility_by_source — segment once per session.
+_BPE_SEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_segmented_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe as bpe_ops
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_SEG_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges_cached(spark, sf_dir)
-    return bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
+    seg = bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES).persist()
+    _BPE_SEG_CACHE[key] = seg
+    return seg
+
+
+def q_bpe_segmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_segmented_cached(spark, sf_dir)
 
 
 def _bpe_rounds_sql(n: int) -> str:
@@ -2715,11 +2731,8 @@ def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     `bpe.apply_bpe` (broadcast merge ranks, map-only segmentation) with
     one per-source aggregate; integer sums → one double division at
     the end keeps both engines identical."""
-    from ..operators import bpe as bpe_ops
-
     docs = load_table(spark, sf_dir, "documents")
-    merges = _bpe_merges_cached(spark, sf_dir)
-    seg = bpe_ops.apply_bpe(docs, merges, N_BPE_MERGES)
+    seg = _bpe_segmented_cached(spark, sf_dir)
     return (
         seg.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
