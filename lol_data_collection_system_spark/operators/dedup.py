@@ -1246,14 +1246,20 @@ def write_corpus_index(
 
 
 def read_corpus_index(
-    spark, path: str
+    spark, path: str, expect: dict | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Open the committed corpus index (fp, capped shingles, hot|None) —
     the handles `incremental_dedup`/`classify_stream` accept via their
     ``corpus_index`` parameter. ``hot is not None`` ⇔ the index was
     written WITH a df-cap (consumers that require full shingle sets,
     e.g. `corpus_guard_stream`, key their validation on this). Raises
-    FileNotFoundError before the first commit."""
+    FileNotFoundError before the first commit.
+
+    ``expect``: derivation params the CONSUMER will assume (e.g.
+    ``{"k": 3, "max_doc_freq": 5}``) — any mismatch with the index's
+    recorded meta raises, because e.g. a k=4 index probed by a k=3
+    delta has a disjoint shingle space and silently classifies every
+    near-duplicate as novel."""
     from pathlib import Path as _Path
 
     from ..sources.versioned import current_version
@@ -1262,6 +1268,20 @@ def read_corpus_index(
     if cur is None:
         raise FileNotFoundError(f"no committed corpus index at {path}")
     vdir, meta = cur
+    if expect:
+        bad = {
+            key: (meta.get(key), want)
+            for key, want in expect.items()
+            if meta.get(key) != want
+        }
+        if bad:
+            raise ValueError(
+                f"corpus index at {path} was written with "
+                f"{ {k: v[0] for k, v in bad.items()} } but the consumer "
+                f"expects { {k: v[1] for k, v in bad.items()} } — "
+                f"mismatched derivation params make the shingle spaces "
+                f"silently incompatible; rebuild the index"
+            )
     fp = spark.read.parquet(str(_Path(vdir) / "fp"))
     sh = spark.read.parquet(str(_Path(vdir) / "shingles"))
     hot = (

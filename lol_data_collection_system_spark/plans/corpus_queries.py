@@ -2401,16 +2401,12 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"corpus_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}",
     )
     # Rebuild when documents.parquet changed (size+md5 sidecar — the
-    # fixture-fingerprint convention).
-    import hashlib as _hashlib
+    # shared checkout-portable fingerprint).
     import json as _json
 
-    src = _os.path.join(sf_dir, "documents.parquet")
-    h = _hashlib.md5()
-    with open(src, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    fp_now = {"size": _os.path.getsize(src), "md5": h.hexdigest()}
+    from ..sources.cache import content_fingerprint
+
+    fp_now = content_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
     sidecar = path + ".src.json"
     stale = True
     try:
@@ -2433,7 +2429,10 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_BAND,
         JACCARD_THRESHOLD,
         SHINGLE_MAX_DF,
-        corpus_index=dedup_ops.read_corpus_index(spark, path),
+        corpus_index=dedup_ops.read_corpus_index(
+            spark, path,
+            expect={"k": SHINGLE_K, "max_doc_freq": SHINGLE_MAX_DF},
+        ),
     )
 
 

@@ -141,16 +141,12 @@ def _events_fingerprint(sf_dir: str) -> dict | None:
     """Content fingerprint (size + md5) of events.parquet. Deliberately
     NOT mtime: the committed fixture must stay fresh on a different
     checkout/machine where the same bytes carry a different timestamp."""
-    import hashlib
+    from ..sources.cache import content_fingerprint
 
     p = Path(sf_dir) / "events.parquet"
     if not p.exists():
         return None
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return {"size": p.stat().st_size, "md5": h.hexdigest()}
+    return content_fingerprint(str(p))
 
 
 def ensure_fight_merge_fixture(sf_dirs: tuple[str, ...] = DEFAULT_SF_DIRS) -> str:

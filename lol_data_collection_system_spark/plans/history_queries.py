@@ -426,16 +426,12 @@ def _events_fingerprint(sf_dir: str) -> dict | None:
     """Content fingerprint (size + md5), NOT mtime — see
     fight_oracle._events_fingerprint: the committed fixture must stay
     fresh on a different checkout/machine with different timestamps."""
-    import hashlib
+    from ..sources.cache import content_fingerprint
 
     p = Path(sf_dir) / "events.parquet"
     if not p.exists():
         return None
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return {"size": p.stat().st_size, "md5": h.hexdigest()}
+    return content_fingerprint(str(p))
 
 
 ORACLE_HISTORY_ROW = f"""

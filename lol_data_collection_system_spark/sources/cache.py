@@ -33,6 +33,19 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def content_fingerprint(path: str) -> dict:
+    """{"size", "md5"} of one file — the checkout-portable fingerprint
+    (mtime-free; the same bytes match on any machine). Shared by the
+    fixture oracles and the stored-index staleness sidecars."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return {"size": os.stat(path).st_size, "md5": h.hexdigest()}
+
+
 def _fingerprints(sources: Sequence[str]) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for s in sources:

@@ -17,9 +17,11 @@ swallowed, so a batch whose commit failed never reaches the streaming
 checkpoint as "applied".
 
 Single-writer per store is assumed (one streaming query owns its sink
-store); concurrent READERS are safe at any point. A reader holding a
-DataFrame over a superseded version directory races its deletion —
-callers that hand out long-lived handles should read promptly or copy.
+store). Concurrent readers are safe for at least ONE full commit cycle:
+each commit retains the immediately-superseded version and deletes only
+older generations, so a reader that resolved the pointer just before a
+swap still finds its version on disk through the next commit. Readers
+holding handles across MULTIPLE commits should copy or re-resolve.
 """
 
 from __future__ import annotations
@@ -44,32 +46,37 @@ def commit_version(
     commit marker before the pointer swap."""
     rootp = Path(root)
     rootp.mkdir(parents=True, exist_ok=True)
+    ptr = rootp / _POINTER
+    prev = ptr.read_text().strip() if ptr.exists() else None
     vname = f"v-{uuid.uuid4().hex[:12]}"
     vdir = rootp / vname
     writer(str(vdir))
     (vdir / _META).write_text(json.dumps(meta))
     tmp_ptr = rootp / f".{_POINTER}.tmp-{uuid.uuid4().hex[:8]}"
     tmp_ptr.write_text(vname)
-    os.replace(tmp_ptr, rootp / _POINTER)  # the atomic commit point
+    os.replace(tmp_ptr, ptr)  # the atomic commit point
+    # keep the immediately-superseded version for in-flight readers
+    # (one-commit-cycle grace); delete only older generations
     for d in rootp.glob("v-*"):
-        if d.name != vname:
+        if d.name not in (vname, prev):
             shutil.rmtree(d, ignore_errors=True)
 
 
 def current_version(root: str) -> tuple[str, dict] | None:
     """(version_dir, meta) of the committed version, or None before the
-    first commit. A pointer naming a vanished/incomplete version (only
-    possible under an out-of-protocol deletion) raises rather than
-    returning torn state."""
+    first commit. If the pointer moved between our read of it and the
+    meta check (a commit raced us), the pointer is re-resolved once;
+    only a STILL-missing version after the retry raises."""
     rootp = Path(root)
-    ptr = rootp / _POINTER
-    if not ptr.exists():
-        return None
-    vdir = rootp / ptr.read_text().strip()
-    meta_p = vdir / _META
-    if not meta_p.exists():
-        raise FileNotFoundError(
-            f"store pointer at {root} names {vdir.name} but its commit "
-            f"marker is missing — out-of-protocol modification"
-        )
-    return str(vdir), json.loads(meta_p.read_text())
+    for _attempt in range(2):
+        ptr = rootp / _POINTER
+        if not ptr.exists():
+            return None
+        vdir = rootp / ptr.read_text().strip()
+        meta_p = vdir / _META
+        if meta_p.exists():
+            return str(vdir), json.loads(meta_p.read_text())
+    raise FileNotFoundError(
+        f"store pointer at {root} names {vdir.name} but its commit "
+        f"marker is missing after retry — out-of-protocol modification"
+    )

@@ -88,6 +88,7 @@ def incremental_rollup_sink(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cur = current_version(store_path)
+        stored_token = None
         if cur is not None:
             meta = cur[1]
             stored_token = meta.get("checkpoint_token")
@@ -124,7 +125,15 @@ def incremental_rollup_sink(
             lambda vdir: merged.write.mode("overwrite").parquet(vdir),
             {
                 "applied_batch_id": int(batch_id),
-                "checkpoint_token": checkpoint_token,
+                # a token-less (ad-hoc) sink INHERITS the stored lineage
+                # token rather than erasing it — otherwise one backfill
+                # call would permanently disable the fresh-checkpoint
+                # guard (round-7 second-pass review finding)
+                "checkpoint_token": (
+                    checkpoint_token
+                    if checkpoint_token is not None
+                    else stored_token
+                ),
             },
         )
 

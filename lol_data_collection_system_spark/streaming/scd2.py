@@ -25,6 +25,13 @@ Design (the `upsert.latest_wins_upsert_sink` pattern):
   fixed point for a re-applied identical snapshot (the open slice
   equals the snapshot, so every row lands in `kept_open`), covering the
   crash window between store commit and checkpoint commit.
+- The one-version-per-batch contract is ENFORCED, not just stated: the
+  manifest records a content digest of the last folded version, and a
+  batch re-presenting that version with DIFFERENT rows (the tail of a
+  snapshot split across micro-batches — which would otherwise be
+  silently dropped as a replay AFTER its head was folded as a spurious
+  full snapshot) raises instead. Genuine replays re-deliver identical
+  rows and digest-match into a clean no-op.
 - The store commit is the POINTER-FILE protocol
   (`sources/versioned.commit_version`): a complete new version
   directory, then an atomic `os.replace` of the `_CURRENT` pointer —
@@ -80,24 +87,63 @@ def scd2_sink(
     history store at `store_path`. Idempotent under at-least-once
     delivery (see module docstring)."""
 
+    def _digest(snap: DataFrame) -> list:
+        """Order-free content digest of one version's snapshot rows:
+        row count + decimal sum of per-row xxhash64 (overflow-free)."""
+        row = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*key_cols, *tracked_cols).cast("decimal(38,0)")
+            ).alias("s"),
+        ).collect()[0]
+        return [int(row["n"]), str(row["s"] if row["s"] is not None else 0)]
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        wm = applied_watermark(store_path)
-        versions = sorted(
+        from ..sources.versioned import current_version
+
+        cur = current_version(store_path)
+        wm = int(cur[1]["applied_ts_ms"]) if cur is not None else None
+        all_ts = sorted(
             r[0]
             for r in batch_df.select(snap_ts_col).distinct().collect()
-            if r[0] is not None and (wm is None or r[0] > wm)
+            if r[0] is not None
         )
+        versions = [ts for ts in all_ts if wm is None or ts > wm]
+        # pin the batch content: the digest check + per-version fold
+        # below consume it repeatedly
+        batch = batch_df.localCheckpoint(eager=True)
+        if cur is not None and wm in all_ts:
+            # the already-applied version reappears: a TRUE replay
+            # re-delivers identical rows (digest matches → no-op); a
+            # digest mismatch means this batch carries DIFFERENT rows
+            # for that version — a snapshot split across micro-batches,
+            # whose head was already folded as a spurious full snapshot.
+            # Refuse loudly rather than drop the tail.
+            recorded = cur[1].get("last_version_digest")
+            if recorded is not None:
+                seen = _digest(
+                    batch.filter(F.col(snap_ts_col) == wm).select(
+                        *key_cols, *tracked_cols
+                    )
+                )
+                if seen != recorded:
+                    raise ValueError(
+                        f"snapshot version {wm} reappeared with different "
+                        f"content (digest {seen} vs committed {recorded}): "
+                        f"a version must arrive complete within ONE "
+                        f"micro-batch — deliver one export file per "
+                        f"trigger, or coalesce the export to one file"
+                    )
         if not versions:
             return  # pure replay / empty batch: no-op by watermark
-        # pin the batch content: the fold below consumes it per version
-        # and the final write must not re-pull the source
-        batch = batch_df.localCheckpoint(eager=True)
         hist = read_scd2_history(spark, store_path) if wm is not None else None
+        last_snap = None
         for ts in versions:
             snap = batch.filter(F.col(snap_ts_col) == ts).select(
                 *key_cols, *tracked_cols
             )
+            last_snap = snap
             if hist is None:
                 hist = scd2_init(snap, key_cols, tracked_cols, ts)
             else:
@@ -110,7 +156,10 @@ def scd2_sink(
         commit_version(
             store_path,
             lambda vdir: hist.write.mode("overwrite").parquet(vdir),
-            {"applied_ts_ms": int(versions[-1])},
+            {
+                "applied_ts_ms": int(versions[-1]),
+                "last_version_digest": _digest(last_snap),
+            },
         )
 
     return apply_batch

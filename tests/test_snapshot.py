@@ -329,3 +329,32 @@ def test_rollup_sink_rejects_foreign_checkpoint(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="checkpoint"):
         sink_b(events, batch_id=0)
+
+
+def test_scd2_sink_refuses_partial_snapshot_across_batches(spark, tmp_path):
+    """A snapshot version split across micro-batches must raise when its
+    tail arrives (digest mismatch), not be dropped as a replay — while a
+    TRUE replay (identical rows) digest-matches into a no-op."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.streaming.scd2 import (
+        read_scd2_history,
+        scd2_sink,
+    )
+
+    def snap(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, v double, snap_ts_ms bigint"
+        )
+
+    store = str(tmp_path / "psnap_store")
+    sink = scd2_sink(store, ["k"], ["v"])
+    head = snap([(1, 10.0, 1000), (2, 20.0, 1000)])
+    sink(head, batch_id=0)
+    n0 = read_scd2_history(spark, store).count()
+    # true replay: identical rows for the applied version -> no-op
+    sink(head, batch_id=1)
+    assert read_scd2_history(spark, store).count() == n0
+    # the missing tail of version 1000 arrives later -> refuse loudly
+    with _pytest.raises(ValueError, match="complete within ONE"):
+        sink(snap([(3, 30.0, 1000)]), batch_id=2)
