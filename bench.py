@@ -109,15 +109,35 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_UNCONTENDED.json",
         )
+        # Names in the old baseline but missing from THIS run are KEPT
+        # (a partial/failed run must never silently shrink the --gate's
+        # coverage — ADVICE r7); retiring a query for real requires the
+        # explicit --prune-baseline, which lists what it drops.
         merged = dict(timings)
+        stale_kept: list[str] = []
         if os.path.exists(base_path):
             try:
                 with open(base_path) as f:
                     for n, t in json.load(f).get("queries", {}).items():
                         if n in merged:
                             merged[n] = min(merged[n], t)
+                        elif "--prune-baseline" not in sys.argv:
+                            merged[n] = t
+                            stale_kept.append(n)
+                        else:
+                            stale_kept.append(n)
             except (json.JSONDecodeError, OSError):
                 pass
+        if stale_kept:
+            action = (
+                "PRUNED from" if "--prune-baseline" in sys.argv
+                else "absent from this run; kept in"
+            )
+            print(
+                f"refresh-baseline: {len(stale_kept)} name(s) {action} "
+                f"the baseline: {sorted(stale_kept)}",
+                file=sys.stderr,
+            )
         refreshed = {
             **out,
             "queries": merged,

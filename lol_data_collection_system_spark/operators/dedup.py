@@ -355,6 +355,18 @@ def hamming_candidate_edges(
             f"n_bands {n_bands} must be a multiple of the word count "
             f"{n_words} so every band lies inside one 64-bit word"
         )
+    if bits != 64 * n_words:
+        # JVM shift amounts wrap mod 64 (shiftrightunsigned uses
+        # shift & 63): e.g. bits=128 over ONE 64-bit word puts band
+        # offsets 64..112 at 0..48 — bands silently alias the low
+        # slices and the pigeonhole exactness guarantee breaks with no
+        # error. The fingerprint must fill its words exactly.
+        raise ValueError(
+            f"bits={bits} does not match the fingerprint width "
+            f"64 * {n_words} word column(s) = {64 * n_words}: band "
+            f"offsets would wrap mod 64 and alias low bands, silently "
+            f"breaking recall-1 exactness"
+        )
     band_bits = bits // n_bands
     bands_per_word = n_bands // n_words
     mask = (1 << band_bits) - 1
@@ -1245,9 +1257,56 @@ def write_corpus_index(
     )
 
 
+class CorpusIndex(tuple):
+    """The (fp, shingles, hot|None) triple of a STORED corpus index,
+    carrying the index's recorded derivation meta as ``.meta``.
+    Unpacks exactly like the plain tuple `corpus_shingle_index`
+    returns, so every existing consumer keeps working — but consumers
+    that accept a ``corpus_index`` parameter use ``.meta`` to verify
+    the index's baked-in shingle size / df-cap against their own
+    parameters (ADVICE r7: a k-mismatched index has a DISJOINT band
+    space, so the near-dup tier silently classifies everything novel
+    — the check must not depend on the caller remembering
+    ``expect=``)."""
+
+    meta: dict
+
+    def __new__(cls, fp, sh, hot, meta: dict):
+        self = super().__new__(cls, (fp, sh, hot))
+        self.meta = dict(meta)
+        return self
+
+
+def validate_corpus_index(corpus_index, *, consumer: str, **want) -> None:
+    """Raise when a stored index's recorded derivation params disagree
+    with the consumer's (`want` maps meta key → the consumer's value,
+    e.g. ``k=3, max_doc_freq=5``): a k mismatch makes the shingle/band
+    spaces disjoint (every near-dup silently scored novel); a df-cap
+    mismatch bands different shingle subsets on the two sides. A plain
+    triple (in-plan derivation, or a hand-built index with no meta)
+    carries no meta and is the caller's responsibility — validation is
+    best-effort but ALWAYS fires for `read_corpus_index` handles."""
+    meta = getattr(corpus_index, "meta", None)
+    if meta is None:
+        return
+    bad = {
+        name: (meta.get(name), w)
+        for name, w in sorted(want.items())
+        if meta.get(name) != w
+    }
+    if bad:
+        raise ValueError(
+            f"{consumer}: stored corpus index was written with "
+            f"{ {n: v[0] for n, v in bad.items()} } but this call uses "
+            f"{ {n: v[1] for n, v in bad.items()} } — mismatched "
+            f"derivation params make the shingle/band spaces silently "
+            f"incompatible; rebuild the index or pass matching params"
+        )
+
+
 def read_corpus_index(
     spark, path: str, expect: dict | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> "CorpusIndex":
     """Open the committed corpus index (fp, capped shingles, hot|None) —
     the handles `incremental_dedup`/`classify_stream` accept via their
     ``corpus_index`` parameter. ``hot is not None`` ⇔ the index was
@@ -1289,7 +1348,7 @@ def read_corpus_index(
         if meta.get("has_hot")
         else None
     )
-    return fp, sh, hot
+    return CorpusIndex(fp, sh, hot, meta)
 
 
 def incremental_dedup(
@@ -1334,6 +1393,11 @@ def incremental_dedup(
     # (shared index derivation — see corpus_shingle_index; or the STORED
     # triple from write_corpus_index/read_corpus_index, which skips the
     # corpus scan entirely: the production refresh shape)
+    if corpus_index is not None:
+        validate_corpus_index(
+            corpus_index, consumer="incremental_dedup",
+            k=k, max_doc_freq=max_doc_freq,
+        )
     corpus_fp, c_sh, hot = (
         corpus_index
         if corpus_index is not None

@@ -22,8 +22,10 @@ sf, keyed by ``n_src_events`` (COUNT(*) of the source events table — the
 sfs differ by 10× so the key is unambiguous). The oracle SQL correlates
 on ``(SELECT COUNT(*) FROM events)``, so the same static string works at
 sf0.001 (pytest) and sf0.01 (driver). Generation is cached behind a
-sidecar fingerprint of events.parquet (size + mtime) and re-runs only
-when the testdata changes.
+sidecar fingerprint of events.parquet (size + content md5 — mtime-free
+so the committed fixture stays fresh across checkouts, see
+``sources.cache.content_fingerprint``) and re-runs only when the
+testdata changes.
 """
 
 from __future__ import annotations

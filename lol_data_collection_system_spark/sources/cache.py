@@ -47,6 +47,11 @@ def content_fingerprint(path: str) -> dict:
 
 
 def _fingerprints(sources: Sequence[str]) -> dict[str, dict]:
+    """size+mtime per source file — BY DESIGN for TTL caches: the cache
+    and its sources live on one machine, a touch/rewrite should
+    invalidate, and stat() is O(1). Not checkout-portable (use
+    `content_fingerprint` for committed fixtures) and O(sources) stat
+    calls, not O(bytes)."""
     out: dict[str, dict] = {}
     for s in sources:
         p = Path(s)

@@ -359,6 +359,15 @@ def corpus_guard_stream(
         # FULL shingle sets — a df-capped index (hot ≠ None) would band
         # shingle sets missing every hot shingle and silently weaken the
         # drop rule, so it is rejected loudly.
+        from ..operators.dedup import validate_corpus_index
+
+        # fresh docs are banded with THIS call's k (minhash_bands_local
+        # below) — a k-mismatched index has a disjoint band space and
+        # would silently disable the near-dup drop tier (ADVICE r7),
+        # the same silent-weakening class as the hot-cap rejection.
+        validate_corpus_index(
+            corpus_index, consumer="corpus_guard_stream", k=k
+        )
         fp_tbl, c_sh, _hot = corpus_index
         if _hot is not None:
             raise ValueError(
@@ -517,6 +526,15 @@ def classify_stream(
     # ``corpus_index`` (the read_corpus_index triple) to serve from the
     # STORED index instead of deriving in-plan — the production shape,
     # where the guard starts without ever scanning the corpus.
+    if corpus_index is not None:
+        from ..operators.dedup import validate_corpus_index
+
+        # stream docs shingle with THIS call's k / cap — a mismatched
+        # index silently disables the near-dup tier (ADVICE r7)
+        validate_corpus_index(
+            corpus_index, consumer="classify_stream",
+            k=k, max_doc_freq=max_doc_freq,
+        )
     corpus_fp, c_sh, hot_df = (
         corpus_index
         if corpus_index is not None

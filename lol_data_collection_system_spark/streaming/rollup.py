@@ -73,6 +73,7 @@ def incremental_rollup_sink(
     key_cols: list[str],
     merge_aggs: dict[str, str],
     checkpoint_token: str | None = None,
+    override_lineage: bool = False,
 ):
     """foreachBatch sink: `partial_agg` turns the raw micro-batch into
     per-key algebraic states; the result merges into the store by
@@ -80,7 +81,13 @@ def incremental_rollup_sink(
     Idempotent under re-delivery via the applied-batch-id watermark;
     `checkpoint_token` pins the store to ONE checkpoint lineage (batch
     ids restart at 0 under a fresh checkpoint — silently skipping or
-    double-counting; a token mismatch raises instead)."""
+    double-counting; a token mismatch raises instead). None-vs-set IS a
+    mismatch (ADVICE r7: a token-less ad-hoc call could otherwise
+    advance the watermark under a foreign lineage, and a tokened stream
+    against a token-less store could skip or double-count). A
+    deliberate ad-hoc backfill passes ``override_lineage=True``, which
+    skips the equality check and PRESERVES the stored token — the
+    explicit escape, never the default."""
     unknown = {k for k in merge_aggs.values()} - set(MERGE_FNS)
     if unknown:
         raise ValueError(f"unknown merge kinds: {sorted(unknown)}")
@@ -92,17 +99,14 @@ def incremental_rollup_sink(
         if cur is not None:
             meta = cur[1]
             stored_token = meta.get("checkpoint_token")
-            if (
-                checkpoint_token is not None
-                and stored_token is not None
-                and stored_token != checkpoint_token
-            ):
+            if not override_lineage and stored_token != checkpoint_token:
                 raise ValueError(
                     f"rollup store at {store_path} belongs to checkpoint "
                     f"{stored_token!r} but this query runs under "
                     f"{checkpoint_token!r}: batch ids are not comparable "
-                    f"across checkpoints — start a new store or delete "
-                    f"the old one explicitly"
+                    f"across checkpoints — start a new store, delete the "
+                    f"old one explicitly, or pass override_lineage=True "
+                    f"for a deliberate ad-hoc backfill"
                 )
             if batch_id <= int(meta["applied_batch_id"]):
                 return  # replayed batch: already folded in
@@ -125,14 +129,12 @@ def incremental_rollup_sink(
             lambda vdir: merged.write.mode("overwrite").parquet(vdir),
             {
                 "applied_batch_id": int(batch_id),
-                # a token-less (ad-hoc) sink INHERITS the stored lineage
+                # an override (ad-hoc) sink INHERITS the stored lineage
                 # token rather than erasing it — otherwise one backfill
                 # call would permanently disable the fresh-checkpoint
                 # guard (round-7 second-pass review finding)
                 "checkpoint_token": (
-                    checkpoint_token
-                    if checkpoint_token is not None
-                    else stored_token
+                    stored_token if override_lineage else checkpoint_token
                 ),
             },
         )

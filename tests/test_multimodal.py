@@ -251,6 +251,30 @@ def test_hamming_components_rejects_lossy_threshold(spark):
         hamming_components(sigs, threshold=8, n_bands=8)
 
 
+def test_hamming_rejects_bits_word_mismatch(spark):
+    """bits must equal 64 × the word-column count: JVM shifts wrap mod
+    64, so bits=128 over ONE 64-bit column would alias band offsets
+    64..112 onto 0..48 and silently break recall-1 exactness (ADVICE
+    r7) — it must raise instead."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_candidate_edges,
+    )
+
+    one_word = spark.createDataFrame([(1, 7)], ["media_id", "phash"])
+    with _pytest.raises(ValueError, match="wrap"):
+        hamming_candidate_edges(
+            one_word, "media_id", "phash", threshold=6, n_bands=8, bits=128
+        )
+    two_words = spark.createDataFrame([(1, 7, 9)], ["media_id", "h0", "h1"])
+    with _pytest.raises(ValueError, match="wrap"):
+        hamming_candidate_edges(
+            two_words, "media_id", ["h0", "h1"],
+            threshold=6, n_bands=8, bits=64,
+        )
+
+
 def test_hamming_pair_budget_guard(spark):
     """The banded self-join refuses loudly when Σ|bucket|C2 exceeds the
     declared budget (bucket space is only 2^band_width per band — the

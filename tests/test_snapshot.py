@@ -281,10 +281,20 @@ def test_hourly_rollup_stream_equals_full_recompute(spark, tmp_path):
     want = rows(finalize_hourly(hourly_partial(events)))
     assert got == want and len(want) > 0
 
+    # a token-less ad-hoc call on this tokened store is a lineage
+    # mismatch (None-vs-set) and must raise; override_lineage=True is
+    # the explicit backfill escape
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="override_lineage"):
+        incremental_rollup_sink(
+            store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+        )(events.filter(cut), batch_id=1)
     # replayed batch id (at-least-once): watermark makes it a no-op —
     # WITHOUT it this would double-count every state
     sink = incremental_rollup_sink(
-        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+        override_lineage=True,
     )
     sink(events.filter(cut), batch_id=1)
     assert rows(finalize_hourly(read_rollup(spark, store))) == want
@@ -329,6 +339,19 @@ def test_rollup_sink_rejects_foreign_checkpoint(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="checkpoint"):
         sink_b(events, batch_id=0)
+
+    # None-vs-set is a mismatch in BOTH directions (ADVICE r7): a
+    # tokened stream against a store created token-less would otherwise
+    # silently skip or double-count under incomparable batch ids
+    store2 = str(tmp_path / "tok_store2")
+    incremental_rollup_sink(
+        store2, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+    )(events, batch_id=0)
+    with _pytest.raises(ValueError, match="checkpoint"):
+        incremental_rollup_sink(
+            store2, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+            checkpoint_token="ckpt-A",
+        )(events, batch_id=1)
 
 
 def test_scd2_sink_refuses_partial_snapshot_across_batches(spark, tmp_path):

@@ -1658,6 +1658,45 @@ def test_media_near_dedup_survives_corrupt_payload(spark):
     assert kept == {1, 2, 3, 9}  # corrupt blobs unique, nothing crashed
 
 
+def test_stored_index_consumers_reject_param_mismatch(spark, tmp_path):
+    """A stored index probed under a DIFFERENT shingle size (or df-cap)
+    has a disjoint band space — every near-dup would silently score
+    novel (ADVICE r7). All three consumers must raise on the recorded
+    meta, without the caller remembering read_corpus_index(expect=)."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        incremental_dedup,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.streaming import (
+        classify_stream,
+        corpus_guard_stream,
+    )
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    path = str(tmp_path / "k3_index")
+    write_corpus_index(corpus, path, "doc_id", "text", 3, None)  # k=3
+    idx = read_corpus_index(spark, path)
+    assert idx.meta["k"] == 3  # the recorded derivation params travel
+    with _pytest.raises(ValueError, match="incompatible"):
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text",
+            k=4, corpus_index=idx,
+        )
+    with _pytest.raises(ValueError, match="incompatible"):
+        classify_stream(delta, corpus, k=4, corpus_index=idx)
+    with _pytest.raises(ValueError, match="incompatible"):
+        corpus_guard_stream(delta, corpus, k=4, corpus_index=idx)
+    # cap mismatch on the classifiers is the same exposure
+    with _pytest.raises(ValueError, match="incompatible"):
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text",
+            k=3, max_doc_freq=2, corpus_index=idx,
+        )
+
+
 def test_corpus_guard_rejects_capped_stored_index(spark, tmp_path):
     """A df-capped stored index bands shingle sets missing every hot
     shingle — the guard must refuse it loudly rather than silently
