@@ -137,6 +137,10 @@ def incremental_rollup_sink(
                     stored_token if override_lineage else checkpoint_token
                 ),
             },
+            # the merge folded THIS `cur` — a concurrent commit in
+            # between would be silently buried; raise instead (r8
+            # single-writer enforcement)
+            expect_current=cur[0] if cur is not None else None,
         )
 
     return apply_batch

@@ -137,7 +137,10 @@ def scd2_sink(
                     )
         if not versions:
             return  # pure replay / empty batch: no-op by watermark
-        hist = read_scd2_history(spark, store_path) if wm is not None else None
+        # read the history from the SAME version `cur` this batch
+        # validates and commits against — re-resolving the pointer here
+        # could race past it and void the expect_current check
+        hist = spark.read.parquet(cur[0]) if cur is not None else None
         last_snap = None
         for ts in versions:
             snap = batch.filter(F.col(snap_ts_col) == ts).select(
@@ -160,6 +163,10 @@ def scd2_sink(
                 "applied_ts_ms": int(versions[-1]),
                 "last_version_digest": _digest(last_snap),
             },
+            # the merge was derived from `cur` — a commit that raced in
+            # between would be silently buried; raise instead (r8
+            # single-writer enforcement)
+            expect_current=cur[0] if cur is not None else None,
         )
 
     return apply_batch

@@ -354,6 +354,48 @@ def test_rollup_sink_rejects_foreign_checkpoint(spark, tmp_path):
         )(events, batch_id=1)
 
 
+def test_commit_version_detects_concurrent_commit(tmp_path):
+    """Single-writer enforcement (VERDICT r7 #3): two interleaved
+    committers that both derived from the same observed store state
+    produce ONE winner and one ConcurrentCommitError — never a silently
+    buried version."""
+    from pathlib import Path as _Path
+
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.sources.versioned import (
+        ConcurrentCommitError,
+        commit_version,
+        current_version,
+    )
+
+    store = str(tmp_path / "vstore")
+
+    def w(payload):
+        def write(vdir):
+            _Path(vdir).mkdir(parents=True)
+            (_Path(vdir) / "data.txt").write_text(payload)
+
+        return write
+
+    # A and B both observe "no store yet"; A commits first, B must fail
+    commit_version(store, w("A"), {"who": "A"}, expect_current=None)
+    with _pytest.raises(ConcurrentCommitError):
+        commit_version(store, w("B"), {"who": "B"}, expect_current=None)
+    vdir, meta = current_version(store)
+    assert meta["who"] == "A"
+    # a sequential writer that re-read the store proceeds (full path ok)
+    commit_version(store, w("B2"), {"who": "B2"}, expect_current=vdir)
+    assert current_version(store)[1]["who"] == "B2"
+    # a now-stale expectation raises again; the winner stays committed
+    with _pytest.raises(ConcurrentCommitError):
+        commit_version(store, w("C"), {"who": "C"}, expect_current=vdir)
+    assert current_version(store)[1]["who"] == "B2"
+    # build-from-scratch writers (no expectation) still last-write-win
+    commit_version(store, w("D"), {"who": "D"})
+    assert current_version(store)[1]["who"] == "D"
+
+
 def test_scd2_sink_refuses_partial_snapshot_across_batches(spark, tmp_path):
     """A snapshot version split across micro-batches must raise when its
     tail arrives (digest mismatch), not be dropped as a replay — while a
