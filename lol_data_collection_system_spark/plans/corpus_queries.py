@@ -1823,6 +1823,7 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         sources=[_os.path.join(sf_dir, "embeddings.parquet")],
         ttl_s=None,
+        fingerprint="listing",  # O(file count) serve-path staleness
     )
 
 
@@ -1862,6 +1863,7 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         sources=[_os.path.join(sf_dir, "embeddings.parquet")],
         ttl_s=None,
+        fingerprint="listing",  # O(file count) serve-path staleness
     )
 
 
@@ -2400,13 +2402,17 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUMMARY_CACHE_DIR,
         f"corpus_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}",
     )
-    # Rebuild when documents.parquet changed (size+md5 sidecar — the
-    # shared checkout-portable fingerprint).
+    # Rebuild when documents.parquet changed. Listing fingerprint
+    # (relative names + sizes + count), NOT a content md5: the md5 was
+    # a full single-threaded read of the corpus on EVERY serve-path
+    # call — at 100 TB that is the whole table before the first query,
+    # where listing the part files is one directory scan (VERDICT r7
+    # #1; SCALING.md "stored-index freshness" probe).
     import json as _json
 
-    from ..sources.cache import content_fingerprint
+    from ..sources.cache import listing_fingerprint
 
-    fp_now = content_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+    fp_now = listing_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
     sidecar = path + ".src.json"
     stale = True
     try:
@@ -2540,6 +2546,7 @@ def _knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         sources=[_os.path.join(sf_dir, "embeddings.parquet")],
         ttl_s=None,
+        fingerprint="listing",  # O(file count) serve-path staleness
     )
 
 

@@ -83,6 +83,7 @@ def synthetic_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         sources=[os.path.join(sf_dir, "events.parquet")],
         ttl_s=None,  # fingerprint-guarded; the source table has no decay
+        fingerprint="listing",  # O(file count) serve-path staleness
     ).persist()
     _KILLS_CACHE[key] = kills
     return kills

