@@ -516,15 +516,15 @@ def q_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards; n_rows = shard count).
 
     Scale shape: every stage is an aggregate over the previous stage's
-    (already collapsed) output — the only global window is the shard
-    prefix-sum over the CANONICAL set, which is one row per perceptual
-    component by construction (the exact collapse upstream bounds it),
-    the same bounded-window argument as `packing.pack_sequences`' phase
-    one. Payload bytes flow through `length()` only — no decode beyond
+    (already collapsed) output, and the shard prefix-sum over the
+    CANONICAL set runs through `packing.exclusive_prefix_sum` — the
+    two-phase distributed mechanism (range partition → per-partition
+    cumsum → broadcast offsets), NOT a single-partition global window:
+    a 100 TB media corpus can still carry 10⁸+ canonicals (VERDICT r7
+    #2). Payload bytes flow through `length()` only — no decode beyond
     the one dHash pass."""
-    from pyspark.sql import Window
-
     from ..operators import dedup as dedup_ops
+    from ..operators.packing import exclusive_prefix_sum
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MEDIA_FUNNEL_CACHE.get(key)
@@ -553,17 +553,16 @@ def q_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds the components stage AND the shard packing
     )
-    prev_bytes = F.coalesce(
-        F.sum("canonical_bytes").over(
-            Window.orderBy("canonical_id").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ),
-        F.lit(0),
-    )
-    sharded = golden.select(
+    sharded = exclusive_prefix_sum(
+        golden.select("canonical_id", "canonical_bytes"),
         "canonical_bytes",
-        F.floor(prev_bytes / F.lit(MEDIA_SHARD_BUDGET)).alias("shard_id"),
+        ["canonical_id"],
+        out_col="_prev_bytes",
+    ).select(
+        "canonical_bytes",
+        F.floor(F.col("_prev_bytes") / F.lit(MEDIA_SHARD_BUDGET)).alias(
+            "shard_id"
+        ),
     )
 
     def stage(name: str, df: DataFrame, n, b) -> DataFrame:

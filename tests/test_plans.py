@@ -253,6 +253,20 @@ def test_pack_sequences_no_single_partition(spark):
     assert "rangepartitioning" in raw_plan.lower()  # sampled range partitioner
 
 
+def test_media_funnel_shard_prefix_sum_not_single_partition(spark):
+    """The media-funnel shard packer must run through the shared
+    two-phase prefix sum (range partition → per-partition window →
+    broadcast offsets), never a partition-less global window over the
+    canonical set (VERDICT r7 #2: 100 TB media can carry 10⁸+
+    canonicals). The lazy checkpoint truncates the visible phase-1
+    lineage, so the pin is: no partition-less window spec anywhere, and
+    the checkpoint + offsets broadcast present."""
+    plan = _plan(spark, "media_funnel")
+    assert "windowspecdefinition(canonical_id" not in plan
+    assert "localCheckpoint" in plan
+    assert "BroadcastExchange" in plan  # the tiny offsets table
+
+
 def test_contamination_no_cartesian(spark):
     """The contamination join must stay keyed on the shingle (bounded by
     benchmark-side shingles), never a cartesian/BNLJ of the splits."""
