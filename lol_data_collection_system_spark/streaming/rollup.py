@@ -34,9 +34,13 @@ explicit new store (or deleting the old one) — the refuse-don't-degrade
 house rule.
 
 Scale posture: per batch ONE partial aggregate over the micro-batch +
-one keyed merge with the store; at 100 TB the store is partitioned by
-the window key so the rewrite touches only affected partitions (an
-io.write_clustered layout choice). State never holds raw rows.
+one keyed merge with the store. With ``partition_col`` set (the
+default hourly wiring passes the window key) the store is clustered by
+that key and each batch rewrites ONLY the partitions its delta
+touches — a partition-pruned read of those, plus hardlinks for every
+untouched partition directory into the new version (r8; previously
+each micro-batch re-read and rewrote the whole store, O(all groups)
+once the group space grows with the data). State never holds raw rows.
 """
 
 from __future__ import annotations
@@ -50,6 +54,34 @@ from ..sources.versioned import commit_version, current_version
 
 #: merge rule per state column: how two partials re-aggregate.
 MERGE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def _link_untouched_partitions(
+    src_vdir: str, dst_vdir: str, partition_col: str
+) -> None:
+    """Hardlink every ``{partition_col}=...`` directory of the previous
+    version that the new version did NOT rewrite — O(file count)
+    metadata ops, zero data copy, and the links keep the shared inodes
+    alive after the old version directory is garbage-collected. The
+    committed version stays COMPLETE (every partition present under one
+    version dir), so readers and the crash-safety argument are
+    unchanged."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    src, dst = _Path(src_vdir), _Path(dst_vdir)
+    prefix = f"{partition_col}="
+    for d in src.iterdir():
+        if not (d.is_dir() and d.name.startswith(prefix)):
+            continue
+        if (dst / d.name).exists():
+            continue  # rewritten by this batch
+        for f in d.rglob("*"):
+            if not f.is_file():
+                continue
+            tgt = dst / f.relative_to(src)
+            tgt.parent.mkdir(parents=True, exist_ok=True)
+            _os.link(f, tgt)
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
@@ -74,6 +106,7 @@ def incremental_rollup_sink(
     merge_aggs: dict[str, str],
     checkpoint_token: str | None = None,
     override_lineage: bool = False,
+    partition_col: str | None = None,
 ):
     """foreachBatch sink: `partial_agg` turns the raw micro-batch into
     per-key algebraic states; the result merges into the store by
@@ -87,10 +120,32 @@ def incremental_rollup_sink(
     against a token-less store could skip or double-count). A
     deliberate ad-hoc backfill passes ``override_lineage=True``, which
     skips the equality check and PRESERVES the stored token — the
-    explicit escape, never the default."""
+    explicit escape, never the default.
+
+    ``partition_col`` (must be one of `key_cols`, non-null values):
+    cluster the store by that key and rewrite ONLY the partitions the
+    delta touches. Without it each micro-batch reads + re-aggregates +
+    rewrites the WHOLE store — fine while the group space is
+    span-bounded, O(all groups) per batch once it grows with the data
+    (per-user/day spaces at 100×, the VERDICT r7 #5 ceiling). With it,
+    per batch: ONE collect of the delta's distinct partition values
+    (bounded — a micro-batch touches few hours/days), a
+    partition-PRUNED read of just those, and a new version whose
+    untouched partition directories are HARDLINKED from the previous
+    version (inode refcounts keep them alive past the old version's
+    cleanup; O(file count) metadata ops, zero data copy — the
+    filesystem analog of a manifest-based table format reusing
+    unchanged data files). The whole-version pointer-swap crash safety
+    is unchanged: the new version is complete before the pointer moves."""
     unknown = {k for k in merge_aggs.values()} - set(MERGE_FNS)
     if unknown:
         raise ValueError(f"unknown merge kinds: {sorted(unknown)}")
+    if partition_col is not None and partition_col not in key_cols:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be one of the rollup "
+            f"keys {key_cols} — partitions must align with merge groups "
+            f"so a pruned rewrite can never split a group across files"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -110,10 +165,38 @@ def incremental_rollup_sink(
                 )
             if batch_id <= int(meta["applied_batch_id"]):
                 return  # replayed batch: already folded in
+            stored_layout = meta.get("partition_col")
+            if stored_layout != partition_col:
+                raise ValueError(
+                    f"rollup store at {store_path} is laid out by "
+                    f"{stored_layout!r} but this sink merges by "
+                    f"{partition_col!r}: a mismatched pruned rewrite "
+                    f"would split or miss groups — recreate the store "
+                    f"or match the layout"
+                )
         delta = partial_agg(batch_df)
+
+        def pin_state_schema(df: DataFrame) -> DataFrame:
+            # The algebraic state schema must be a FIXED POINT of the
+            # merge: re-aggregating widens decimals (sum(decimal(28,2))
+            # -> decimal(38,2)), and under the pruned rewrite a widened
+            # partition would sit next to hardlinked unwidened ones —
+            # an unreadable mixed-schema version. partial_agg's output
+            # types define the store schema, every merge casts back.
+            d_types = dict(delta.dtypes)
+            return df.select(
+                *[
+                    F.col(c).cast(d_types[c]).alias(c)
+                    if c in merge_aggs
+                    else F.col(c)
+                    for c in delta.columns
+                ]
+            )
+
         merged = delta
-        if cur is not None:
-            merged = (
+        touched: list | None = None
+        if cur is not None and partition_col is None:
+            merged = pin_state_schema(
                 spark.read.parquet(cur[0])
                 .unionByName(delta)
                 .groupBy(*key_cols)
@@ -124,9 +207,55 @@ def incremental_rollup_sink(
                     ]
                 )
             )
+        elif cur is not None:
+            # pruned merge: read ONLY the delta's partitions (bounded
+            # collect — one value per touched hour/day, never raw rows)
+            touched = [
+                r[0]
+                for r in delta.select(partition_col).distinct().collect()
+            ]
+            if any(t is None for t in touched):
+                raise ValueError(
+                    f"partition_col {partition_col!r} carries nulls — "
+                    f"null partitions are not addressable for a pruned "
+                    f"rewrite; filter or default them in partial_agg"
+                )
+            if touched:
+                # directory-partitioned reads re-infer the partition
+                # column's type — pin it back to the delta's dtype so
+                # the merge union never drifts (e.g. int vs long)
+                p_type = dict(delta.dtypes)[partition_col]
+                stored = (
+                    spark.read.parquet(cur[0])
+                    .filter(F.col(partition_col).isin(touched))
+                    .withColumn(
+                        partition_col,
+                        F.col(partition_col).cast(p_type),
+                    )
+                )
+                merged = pin_state_schema(
+                    stored.select(*delta.columns)
+                    .unionByName(delta)
+                    .groupBy(*key_cols)
+                    .agg(
+                        *[
+                            MERGE_FNS[kind](c).alias(c)
+                            for c, kind in merge_aggs.items()
+                        ]
+                    )
+                )
+
+        def write(vdir: str) -> None:
+            w = merged.write.mode("overwrite")
+            if partition_col is not None:
+                w = w.partitionBy(partition_col)
+            w.parquet(vdir)
+            if partition_col is not None and cur is not None:
+                _link_untouched_partitions(cur[0], vdir, partition_col)
+
         commit_version(
             store_path,
-            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            write,
             {
                 "applied_batch_id": int(batch_id),
                 # an override (ad-hoc) sink INHERITS the stored lineage
@@ -136,6 +265,7 @@ def incremental_rollup_sink(
                 "checkpoint_token": (
                     stored_token if override_lineage else checkpoint_token
                 ),
+                "partition_col": partition_col,
             },
             # the merge folded THIS `cur` — a concurrent commit in
             # between would be silently buried; raise instead (r8
@@ -198,6 +328,9 @@ def hourly_rollup_stream(
             incremental_rollup_sink(
                 store_path, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
                 checkpoint_token=checkpoint_dir,
+                # hypertable layout: one chunk per hour — each batch
+                # rewrites only the hours it touches
+                partition_col="hour_ms",
             )
         )
         .option("checkpointLocation", checkpoint_dir)

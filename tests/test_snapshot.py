@@ -288,13 +288,14 @@ def test_hourly_rollup_stream_equals_full_recompute(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="override_lineage"):
         incremental_rollup_sink(
-            store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE
+            store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+            partition_col="hour_ms",
         )(events.filter(cut), batch_id=1)
     # replayed batch id (at-least-once): watermark makes it a no-op —
     # WITHOUT it this would double-count every state
     sink = incremental_rollup_sink(
         store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
-        override_lineage=True,
+        override_lineage=True, partition_col="hour_ms",
     )
     sink(events.filter(cut), batch_id=1)
     assert rows(finalize_hourly(read_rollup(spark, store))) == want
@@ -352,6 +353,99 @@ def test_rollup_sink_rejects_foreign_checkpoint(spark, tmp_path):
             store2, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
             checkpoint_token="ckpt-A",
         )(events, batch_id=1)
+
+
+def test_rollup_pruned_rewrite_links_untouched_partitions(spark, tmp_path):
+    """partition_col mode (VERDICT r7 #5): a batch touching only hour B
+    must REWRITE hour B's partition and HARDLINK hour A's untouched
+    files from the previous version (same inodes — zero data copy), the
+    merged store must equal the full recompute, and a sink with a
+    mismatched layout must refuse loudly."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+    from lol_data_collection_system_spark.streaming.rollup import (
+        HOURLY_KEYS,
+        HOURLY_MERGE,
+        finalize_hourly,
+        hourly_partial,
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "ts_s", "value", "event_type"]
+        ).selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value",
+            "event_type",
+        )
+
+    hour_a = [(1, "2024-01-01 00:10:00", 5.0, "a"),
+              (2, "2024-01-01 00:40:00", 7.0, "b")]
+    hour_b = [(3, "2024-01-01 01:05:00", 2.0, "a")]
+    hour_b2 = [(4, "2024-01-01 01:55:00", 9.0, "a")]
+
+    store = str(tmp_path / "pruned_store")
+    sink = incremental_rollup_sink(
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+        checkpoint_token="ck", partition_col="hour_ms",
+    )
+    sink(ev(hour_a + hour_b), batch_id=0)
+
+    def part_inodes(vdir):
+        out = {}
+        for d in _Path(vdir).iterdir():
+            if d.is_dir() and d.name.startswith("hour_ms="):
+                out[d.name] = sorted(
+                    _os.stat(f).st_ino for f in d.rglob("*") if f.is_file()
+                )
+        return out
+
+    v0 = current_version(store)[0]
+    inodes0 = part_inodes(v0)
+    assert len(inodes0) == 2  # one chunk per hour
+
+    sink(ev(hour_b2), batch_id=1)  # touches ONLY hour B
+    v1 = current_version(store)[0]
+    assert v1 != v0
+    inodes1 = part_inodes(v1)
+    def hval(d):
+        return int(d.split("=")[1])
+
+    a_dir = min(inodes0, key=hval)  # the earlier (untouched) hour
+    b_dir = max(inodes0, key=hval)
+    assert inodes1[a_dir] == inodes0[a_dir]  # hardlinked, not rewritten
+    assert not set(inodes1[b_dir]) & set(inodes0[b_dir])  # rewritten
+
+    got = sorted(
+        tuple(r) for r in finalize_hourly(read_rollup(spark, store)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in finalize_hourly(
+            hourly_partial(ev(hour_a + hour_b + hour_b2))
+        ).collect()
+    )
+    assert got == want and len(want) == 3
+
+    # layout mismatch: an unpartitioned sink on this store must refuse
+    with _pytest.raises(ValueError, match="laid out"):
+        incremental_rollup_sink(
+            store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+            checkpoint_token="ck",
+        )(ev(hour_b2), batch_id=2)
+    # and partition_col must be a rollup key
+    with _pytest.raises(ValueError, match="keys"):
+        incremental_rollup_sink(
+            store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+            partition_col="value",
+        )
 
 
 def test_commit_version_detects_concurrent_commit(tmp_path):
