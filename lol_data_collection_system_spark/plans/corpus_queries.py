@@ -2442,14 +2442,16 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_oracle() -> str:
+def _incremental_parts() -> tuple[str, str]:
+    """(CTE chain, final select) of the incremental-dedup oracle — split
+    so `_serving_oracle` can compose the same classification as a CTE
+    under its funnel stages (one derivation, two oracles)."""
     from ..operators.dedup import MINHASH_PRIME
 
     mh_exprs = _minhash_perm_exprs()
     band_exprs = _minhash_band_exprs()
     sh = _shingle_list_sql()
-    return f"""
-WITH delta AS (
+    ctes = f"""delta AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
   UNION ALL
   SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, text FROM documents
@@ -2499,8 +2501,8 @@ ver AS (
   JOIN c_sizes cs ON cs.doc_id = i.cid
   WHERE ROUND(CAST(n_inter AS DOUBLE) / (ds.d_size + cs.c_size - n_inter), 6)
         >= {JACCARD_THRESHOLD}),
-near AS (SELECT did, MIN(cid) AS nmid, MAX(jac) AS best_jac FROM ver GROUP BY 1)
-SELECT dd.doc_id,
+near AS (SELECT did, MIN(cid) AS nmid, MAX(jac) AS best_jac FROM ver GROUP BY 1)"""
+    final = """SELECT dd.doc_id,
   CASE WHEN e.mid IS NOT NULL THEN 'exact_dup'
        WHEN n.nmid IS NOT NULL THEN 'near_dup'
        ELSE 'novel' END AS status,
@@ -2510,7 +2512,119 @@ SELECT dd.doc_id,
        ELSE CAST(0.0 AS DOUBLE) END AS jaccard
 FROM delta dd
 LEFT JOIN exact e ON e.doc_id = dd.doc_id
-LEFT JOIN near n ON n.did = dd.doc_id
+LEFT JOIN near n ON n.did = dd.doc_id"""
+    return ctes, final
+
+
+def _incremental_oracle() -> str:
+    ctes, final = _incremental_parts()
+    return f"\nWITH {ctes}\n{final}\n"
+
+
+#: (applicationId, sf_dir) → composed serving-funnel frame — the query
+#: persists the stored-index classification and runs a 1-row probe
+#: collect at construction, so repeat calls must reuse one plan.
+_SERVING_FUNNEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def q_serving_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SERVING-path funnel (VERDICT r7 stretch #8): every
+    stage runs from STORED artifacts only. The fresh delta is
+    classified against the PERSISTED corpus shingle index
+    (`write_corpus_index` → `read_corpus_index` — the corpus itself is
+    never scanned at serve time), then the minimum novel doc id that
+    has an embedding becomes the ANN probe, served from the PERSISTED
+    trained-IVF assignment (`_ivf_index_cached` — zero Lloyd rounds at
+    query time). One (stage, n_rows, metric) row per funnel stage:
+    `delta` + one row per classification status (metric = exact
+    decimal sum of jaccard) and `ann_topk` (metric = exact decimal sum
+    of the top-k cosines). Value-checked end to end by a DuckDB twin
+    that re-derives both the classification and the Lloyd rounds —
+    the hash gate proves the stored serving path is bit-identical to
+    first-principles recomputation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SERVING_FUNNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    inc = q_incremental_dedup_stored(spark, sf_dir).persist()
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the probe: MIN novel doc id that exists in the embedding space —
+    # a bounded 1-row construction-time action (memoized above)
+    probe_row = (
+        inc.filter(F.col("status") == "novel")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    if probe_row is None:
+        raise ValueError(
+            "serving_funnel: no novel delta doc has an embedding — the "
+            "ANN stage has no probe; check the delta derivation"
+        )
+    ann = sim_ops.ivf_trained_topk(
+        emb, int(probe_row), TOPK, IVF_TRAINED_K, IVF_TRAINED_ITERS,
+        index=_ivf_index_cached(spark, sf_dir),
+    )
+    # exact decimal sums (order-free), cast to double only at the edge
+    jac_sum = F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+    n_rows = F.count(F.lit(1)).alias("n_rows")
+    d_stage = inc.agg(
+        F.lit("delta").alias("stage"), n_rows, jac_sum.alias("metric")
+    )
+    s_stage = (
+        inc.groupBy(F.col("status").alias("stage"))
+        .agg(n_rows, jac_sum.alias("metric"))
+    )
+    a_stage = ann.agg(
+        F.lit("ann_topk").alias("stage"),
+        n_rows,
+        F.sum(F.col("cos_sim").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("metric"),
+    )
+    out = d_stage.unionByName(s_stage).unionByName(a_stage)
+    _SERVING_FUNNEL_CACHE[key] = out
+    return out
+
+
+def _serving_oracle() -> str:
+    inc_ctes, inc_final = _incremental_parts()
+    km = ",\n".join(
+        _kmeans_cte_parts(IVF_TRAINED_K, IVF_TRAINED_ITERS, EMB_DIM)
+    )
+    return f"""
+WITH {inc_ctes},
+inc AS ({inc_final}),
+probe AS (SELECT MIN(doc_id) AS pid FROM inc
+          WHERE status = 'novel'
+            AND doc_id IN (SELECT vec_id FROM embeddings)),
+{km},
+ann AS (
+  SELECT e.vec_id, ROUND({_COS_Q_SQL}, 4) AS cos_sim,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND({_COS_Q_SQL}, 4) DESC, e.vec_id) AS rank
+  FROM embeddings e
+  JOIN assign_{IVF_TRAINED_ITERS} a ON a.vec_id = e.vec_id,
+       (SELECT embedding FROM embeddings
+        WHERE vec_id = (SELECT pid FROM probe)) q,
+       (SELECT cid AS qbucket FROM assign_{IVF_TRAINED_ITERS}
+        WHERE vec_id = (SELECT pid FROM probe)) qb
+  WHERE e.vec_id != (SELECT pid FROM probe) AND a.cid = qb.qbucket)
+SELECT 'delta' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS metric
+FROM inc
+UNION ALL
+SELECT status AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS metric
+FROM inc GROUP BY status
+UNION ALL
+SELECT 'ann_topk' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) AS metric
+FROM ann WHERE rank <= {TOPK}
 """
 
 
@@ -4464,6 +4578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redacted_docs": q_pii_redacted_docs,
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_stored": q_incremental_dedup_stored,
+    "serving_funnel": q_serving_funnel,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
@@ -4562,6 +4677,7 @@ ORACLES: dict[str, str] = {
     # stored-index twin deliberately shares the in-plan oracle (the
     # ivf_stored_topk pattern): hash-identity IS the gate
     "incremental_dedup_stored": _incremental_oracle(),
+    "serving_funnel": _serving_oracle(),
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
