@@ -3301,68 +3301,69 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-7 driver sample window. The rotation is COMPLETE (every
-    # ---- registered query has a hash-green driver row in rounds 1-6),
-    # ---- so per the rotation ledger this block front-loads ONLY the
-    # ---- round-7 NEW declarations; everything after re-samples
-    # ---- already-green names purely as window padding.
-    "ivf_stored_topk",
-    "pq_stored_topk",
-    "media_funnel",
-    "incremental_dedup_stored",
-    "pq_trained_topk",
-    "media_near_dup_wide",
-    # ---- window padding: round-5/6 names, all previously hash-green.
-    "quality_classifier_weights",
-    "quality_classifier_scores",
-    "quality_classifier_eval",
-    "classifier_cv_eval",
-    "classifier_calibration",
-    "quality_weighted_sample",
-    "embedding_pca_components",
-    "embedding_pca_scores",
-    "remove_dup_lines",
-    "cross_source_dup_matrix",
-    "capped_token_budget_plan",
-    "repeated_spans_bridged",
-    "cdc_chunk_dups",
-    "nfc_normalized_docs",
-    "html_stripped_docs",
-    "source_drift_psi",
-    "embedding_drift_psi",
-    "knn_label_propagation",
-    "knn_random_walks",
-    "walk_skipgram_pairs",
-    "knn_triangle_stats",
-    "embedding_outlier_scores",
-    "fuzzy_part_linkage",
-    "name_resolution_clusters",
-    "customer_golden_records",
-    "cms_frequency_estimates",
-    "ann_recall_eval",
-    "embedding_kcenter",
-    "cos_sim_histogram",
-    "source_capped_docs",
-    "curriculum_pack",
-    "interleaved_mix_order",
-    "purchase_last_click_banded",
-    "revenue_by_order_salted",
-    "order_mlp_scores",
-    "event_funnel",
-    "cohort_retention",
-    "repeat_order_survival",
-    "conversion_latency_quartiles",
-    "revenue_bootstrap_ci",
-    "ab_test_welch",
-    "benford_price_audit",
-    "priority_status_chi2",
-    "revenue_gini",
-    "volume_autocorrelation",
-    "price_tail_index",
-    "basket_dispersion",
-    "doc_lang_mix",
-    "term_pmi_pairs",
-    "bpe_fertility_by_source",
+    # ---- round-8 driver sample window. The rotation is COMPLETE, so
+    # ---- this block front-loads the round-8 NEW declaration(s), then
+    # ---- — per the round-7 verdict's freshness ask — re-samples the
+    # ---- LEAST-recently-sampled names: the nine whose newest driver
+    # ---- row is still round 1, then the round-3 cohort (oldest 40 of
+    # ---- its 50; the remaining ten r3 names — semantic_near_dup,
+    # ---- simhash_docs, sliding_rate_count, sql_revenue_by_nation,
+    # ---- temperature_mix_rates, temperature_mix_sample,
+    # ---- top3_lineitems_per_supplier, trailing_order_avg,
+    # ---- type_prefix_counts, winnow_signatures — are round 9's
+    # ---- padding cohort).
+    "serving_funnel",
+    # ---- newest driver row = round 1:
+    "fight_enrichment",
+    "fight_outcome_buckets",
+    "geo_zone_counts",
+    "media_decode_features",
+    "media_frame_sample",
+    "normalized_order_price",
+    "order_feature_scores",
+    "role_assignment",
+    "session_window_stats",
+    # ---- newest driver row = round 3:
+    "acctbal_mean_of_means",
+    "cumulative_user_value",
+    "customers_per_region",
+    "customers_without_orders",
+    "dedup_components",
+    "doc_chunks",
+    "doc_fingerprint_dups",
+    "doc_lm_scores",
+    "doc_quality_by_source",
+    "doc_token_stats",
+    "embedding_ann_topk",
+    "embedding_bucket_sizes",
+    "embedding_ivf_probe_topk",
+    "embedding_ivf_topk",
+    "embedding_ivf_trained_topk",
+    "embedding_near_dup",
+    "embedding_quantize",
+    "embedding_topk",
+    "events_near_errors",
+    "hourly_event_counts",
+    "json_props_stats",
+    "lang_id_confusion",
+    "last_week_event_mix",
+    "latest_event_per_user_type",
+    "max_error_streak",
+    "minhash_lsh_capped",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "order_flags",
+    "order_status_tallies",
+    "orders_page",
+    "part_type_bucket_pivot",
+    "point_lookup",
+    "pricing_summary",
+    "promo_parts_by_brand",
+    "purchase_last_click",
+    "region_priority_pivot",
+    "returnflag_set_signature",
+    "richest_customer_per_nation",
 )
 
 
