@@ -178,20 +178,34 @@ def member_expr(
     `build_bloom`/`might_contain`, so `member_expr(k, dense_words(b, m),
     m, h)` ≡ the `might_contain` column for the same filter.
 
-    Plan cost: the literal is m_bits/32 longs (e.g. 2^20 bits → 32k
-    longs ≈ 256 KB) embedded once; each probe is n_hashes md5s + array
-    indexes, zero joins, zero shuffles, zero state — streaming-safe at
-    any point in a plan. NULL keys test false (non-members), matching
-    `might_contain`."""
-    arr = F.lit(words)
-    hit = None
-    for j in range(n_hashes):
-        pos = _position(key, j, m_bits)
-        word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
-        # one_hot = 2^(pos % 32) via pow (exact in double for exp < 53);
-        # the pyspark shift wrappers only take Python-int shift amounts,
-        # which a per-element lambda variable cannot be.
-        one_hot = F.pow(F.lit(2.0), pos % _WORD).cast("bigint")
-        bit = word.bitwiseAND(one_hot) != 0
-        hit = bit if hit is None else (hit & bit)
-    return F.coalesce(hit, F.lit(False))
+    Plan cost (r8 rework, SCALING.md "Bloom word-table literal" probe):
+    the word table enters the plan as ONE JSON string literal that a
+    constant-foldable `from_json` turns into a single array value — not
+    an element-wise array literal, whose m_bits/32-node expression tree
+    (duplicated per hash probe) made Catalyst analysis QUADRATIC-feeling
+    in the geometry: 78.8 s cold compile at the 2^22-bit clamp, vs
+    2.0 s cold / 0.5 s warm for this form, bit-identical results. The
+    n_hashes probes run as one `forall` over a positions array so the
+    (folded) table is referenced ONCE in the tree. Each probe is
+    n_hashes md5s + array indexes, zero joins, zero shuffles, zero
+    state — streaming-safe at any point in a plan, including inside
+    array higher-order lambdas. NULL keys test false (non-members),
+    matching `might_contain`."""
+    import json as _json
+
+    arr = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
+    positions = F.array(
+        *[_position(key, j, m_bits) for j in range(n_hashes)]
+    )
+    # one_hot = 2^(pos % 32) via pow (exact in double for exp < 53);
+    # the pyspark shift wrappers only take Python-int shift amounts,
+    # which a per-element lambda variable cannot be.
+    return F.coalesce(
+        F.forall(
+            positions,
+            lambda pos: F.element_at(arr, (pos / _WORD).cast("int") + 1)
+            .bitwiseAND(F.pow(F.lit(2.0), pos % _WORD).cast("bigint"))
+            != 0,
+        ),
+        F.lit(False),
+    )
