@@ -41,6 +41,18 @@ HEADLINE: tuple[str, ...] = (
 
 
 def main() -> None:
+    if (
+        "--prune-baseline" in sys.argv
+        and "--refresh-baseline" not in sys.argv
+    ):
+        # fail BEFORE the bench runs: alone the flag would be silently
+        # ignored and the operator would believe the baseline shrank
+        print(
+            "--prune-baseline only acts during --refresh-baseline; "
+            "pass both (nothing was pruned)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(

@@ -193,6 +193,10 @@ def member_expr(
     matching `might_contain`."""
     import json as _json
 
+    if n_hashes < 1:
+        # forall over an empty positions array is vacuously TRUE —
+        # every key would silently test as a member (r8 review finding)
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     arr = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
     positions = F.array(
         *[_position(key, j, m_bits) for j in range(n_hashes)]

@@ -67,6 +67,15 @@ def exclusive_prefix_sum(
     that build lazily-returned query frames must memoize per session
     (the `_KILLS_CACHE` convention). ``checkpoint=False`` keeps the
     pre-checkpoint lineage visible for plan introspection only."""
+    clash = {"_pid", "_offset", out_col} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would delete it (r8 review finding) — refuse, the
+        # bloom.might_contain reserved-name convention
+        raise ValueError(
+            f"exclusive_prefix_sum scratch/output columns {sorted(clash)} "
+            f"already exist on the input frame — rename them first"
+        )
     if num_partitions:
         ranged = df.repartitionByRange(num_partitions, *order_cols)
     else:

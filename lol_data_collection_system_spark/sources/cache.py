@@ -61,7 +61,18 @@ def listing_fingerprint(path: str) -> dict:
     if not p.exists():
         return {"missing": True}
     if p.is_file():
-        return {"n_files": 1, "entries": {p.name: p.stat().st_size}}
+        # A single plain file CAN change in place without a new part
+        # name (unlike a parquet directory), so name+size alone would
+        # miss a same-size rewrite — include mtime for files. The cost
+        # is only a spurious REBUILD on a touch (safe direction); the
+        # directory form stays mtime-free because table rewrites there
+        # always change the part listing.
+        st = p.stat()
+        return {
+            "n_files": 1,
+            "entries": {p.name: st.st_size},
+            "mtime": st.st_mtime,
+        }
     entries = {
         str(f.relative_to(p)): f.stat().st_size
         for f in sorted(p.rglob("*"))

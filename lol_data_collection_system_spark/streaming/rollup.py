@@ -85,11 +85,25 @@ def _link_untouched_partitions(
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
-    """Open the committed rollup store version (algebraic states)."""
+    """Open the committed rollup store version (algebraic states). The
+    manifest's recorded state schema is applied when present: directory
+    partition TYPE INFERENCE is lossy (a string key '0123' would read
+    back as INT 123 — r8 review finding), so partitioned stores must
+    never round-trip through inference."""
     cur = current_version(store_path)
     if cur is None:
         raise FileNotFoundError(f"no committed rollup store at {store_path}")
-    return spark.read.parquet(cur[0])
+    vdir, meta = cur
+    schema_json = meta.get("state_schema")
+    if schema_json:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(_json.loads(schema_json))
+        ).parquet(vdir)
+    return spark.read.parquet(vdir)
 
 
 def applied_batch_id(store_path: str) -> int | None:
@@ -174,8 +188,6 @@ def incremental_rollup_sink(
                     f"would split or miss groups — recreate the store "
                     f"or match the layout"
                 )
-        delta = partial_agg(batch_df)
-
         def pin_state_schema(df: DataFrame) -> DataFrame:
             # The algebraic state schema must be a FIXED POINT of the
             # merge: re-aggregating widens decimals (sum(decimal(28,2))
@@ -193,6 +205,17 @@ def incremental_rollup_sink(
                 ]
             )
 
+        # pin the delta (each branch below consumes it 2-3×) and skip
+        # empty batches BEFORE committing: a partitioned write of an
+        # empty frame emits only _SUCCESS — no schema-bearing file — so
+        # an empty FIRST batch would commit a version that wedges every
+        # later read with UNABLE_TO_INFER_SCHEMA (r8 review finding,
+        # reproduced live). Skipping is idempotent-safe: a replayed
+        # empty batch is empty again, and the watermark not advancing
+        # for a no-op batch costs nothing (ids are monotonic).
+        delta = partial_agg(batch_df).localCheckpoint(eager=True)
+        if not delta.take(1):
+            return
         merged = delta
         touched: list | None = None
         if cur is not None and partition_col is None:
@@ -221,17 +244,18 @@ def incremental_rollup_sink(
                     f"rewrite; filter or default them in partial_agg"
                 )
             if touched:
-                # directory-partitioned reads re-infer the partition
-                # column's type — pin it back to the delta's dtype so
-                # the merge union never drifts (e.g. int vs long)
-                p_type = dict(delta.dtypes)[partition_col]
+                # read with the delta's EXPLICIT schema: directory
+                # partition TYPE INFERENCE is lossy, not just drifty —
+                # a string value like '0123' infers as INT 123, and a
+                # post-hoc cast can't restore it, silently splitting
+                # the group (r8 review finding, reproduced live). With
+                # a user schema the raw dir value is parsed as the
+                # declared type, so strings stay verbatim and numerics
+                # get the delta's exact width.
                 stored = (
-                    spark.read.parquet(cur[0])
+                    spark.read.schema(delta.schema)
+                    .parquet(cur[0])
                     .filter(F.col(partition_col).isin(touched))
-                    .withColumn(
-                        partition_col,
-                        F.col(partition_col).cast(p_type),
-                    )
                 )
                 merged = pin_state_schema(
                     stored.select(*delta.columns)
@@ -261,11 +285,21 @@ def incremental_rollup_sink(
                 # an override (ad-hoc) sink INHERITS the stored lineage
                 # token rather than erasing it — otherwise one backfill
                 # call would permanently disable the fresh-checkpoint
-                # guard (round-7 second-pass review finding)
+                # guard (round-7 second-pass review finding). On a
+                # store that does not exist yet there is nothing to
+                # inherit: record the caller's own token, else an
+                # override-created store would lock out its legitimate
+                # tokened stream (r8 review finding).
                 "checkpoint_token": (
-                    stored_token if override_lineage else checkpoint_token
+                    stored_token
+                    if override_lineage and cur is not None
+                    else checkpoint_token
                 ),
                 "partition_col": partition_col,
+                # delta's dtypes ARE the store schema (pin_state_schema
+                # fixed point); recorded so reads never rely on lossy
+                # partition type inference
+                "state_schema": delta.schema.json(),
             },
             # the merge folded THIS `cur` — a concurrent commit in
             # between would be silently buried; raise instead (r8

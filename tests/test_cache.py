@@ -78,9 +78,12 @@ def test_synthetic_kills_materializes(spark, tmp_path, monkeypatch):
 
 def test_listing_fingerprint_is_mtime_free_and_o_file_count(tmp_path):
     """The serve-path staleness fingerprint (VERDICT r7 #1): relative
-    names + sizes + count, never a content read — a touch (mtime-only
-    change) is invisible, adding/resizing a part file is not, and a
-    single file and a directory of parts both work."""
+    names + sizes + count, never a content read. Directory form: a
+    touch (mtime-only change) is invisible — parquet rewrites always
+    change the part listing. Single-FILE form keeps mtime (r8 review:
+    a plain file CAN be rewritten in place at the same size, so
+    name+size alone would miss it; a spurious rebuild on touch is the
+    safe direction)."""
     import os
     import time
 
@@ -94,7 +97,7 @@ def test_listing_fingerprint_is_mtime_free_and_o_file_count(tmp_path):
     (d / "part-1").write_bytes(b"bb")
     fp0 = listing_fingerprint(str(d))
     assert fp0["n_files"] == 2 and fp0["entries"]["part-1"] == 2
-    # mtime churn does not invalidate
+    # mtime churn does not invalidate a DIRECTORY listing
     past = time.time() - 9999
     os.utime(d / "part-0", (past, past))
     assert listing_fingerprint(str(d)) == fp0
@@ -104,17 +107,19 @@ def test_listing_fingerprint_is_mtime_free_and_o_file_count(tmp_path):
     (d / "part-2").unlink()
     (d / "part-1").write_bytes(b"bbb")
     assert listing_fingerprint(str(d)) != fp0
-    # single-file form
+    # single-file form: name+size AND mtime (touch -> rebuild, safely)
     f = tmp_path / "one.parquet"
     f.write_bytes(b"xyz")
     fp1 = listing_fingerprint(str(f))
-    assert fp1 == {"n_files": 1, "entries": {"one.parquet": 3}}
+    assert fp1["n_files"] == 1 and fp1["entries"] == {"one.parquet": 3}
+    os.utime(f, (past, past))
+    assert listing_fingerprint(str(f)) != fp1
     assert listing_fingerprint(str(tmp_path / "nope")) == {"missing": True}
 
 
 def test_materialize_summary_listing_mode(spark, tmp_path):
-    """fingerprint='listing': a source mtime touch must NOT rebuild
-    (stat mode would); a source size change must."""
+    """fingerprint='listing' over a DIRECTORY source: an mtime touch
+    must NOT rebuild (stat mode would); a part-listing change must."""
     import os
     import time
 
@@ -122,8 +127,9 @@ def test_materialize_summary_listing_mode(spark, tmp_path):
         materialize_summary,
     )
 
-    src = tmp_path / "src.txt"
-    src.write_bytes(b"12345")
+    src = tmp_path / "src_tbl"
+    src.mkdir()
+    (src / "part-0").write_bytes(b"12345")
     path = str(tmp_path / "sum.parquet")
     builds = {"n": 0}
 
@@ -134,9 +140,9 @@ def test_materialize_summary_listing_mode(spark, tmp_path):
     kw = dict(sources=[str(src)], ttl_s=None, fingerprint="listing")
     materialize_summary(spark, path, build, **kw)
     past = time.time() - 5000
-    os.utime(src, (past, past))
+    os.utime(src / "part-0", (past, past))
     materialize_summary(spark, path, build, **kw)
-    assert builds["n"] == 1  # touch is invisible in listing mode
-    src.write_bytes(b"123456")
+    assert builds["n"] == 1  # touch is invisible for directory sources
+    (src / "part-1").write_bytes(b"6")  # the listing changed
     materialize_summary(spark, path, build, **kw)
-    assert builds["n"] == 2  # size change rebuilds
+    assert builds["n"] == 2

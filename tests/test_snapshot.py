@@ -448,6 +448,82 @@ def test_rollup_pruned_rewrite_links_untouched_partitions(spark, tmp_path):
         )
 
 
+def test_rollup_empty_first_batch_does_not_wedge_store(spark, tmp_path):
+    """An empty FIRST micro-batch must not commit a schema-less
+    partitioned version (r8 review: a partitioned write of an empty
+    frame emits only _SUCCESS, wedging every later read with
+    UNABLE_TO_INFER_SCHEMA) — it is a no-op; the first real batch
+    initializes the store."""
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+    from lol_data_collection_system_spark.streaming.rollup import (
+        HOURLY_KEYS,
+        HOURLY_MERGE,
+        finalize_hourly,
+        hourly_partial,
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "ts_s", "value", "event_type"]
+        ).selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value",
+            "event_type",
+        )
+
+    store = str(tmp_path / "empty_first")
+    sink = incremental_rollup_sink(
+        store, hourly_partial, HOURLY_KEYS, HOURLY_MERGE,
+        checkpoint_token="ck", partition_col="hour_ms",
+    )
+    rows = [(1, "2024-01-01 00:10:00", 5.0, "a")]
+    empty = ev(rows).limit(0)
+    sink(empty, batch_id=0)  # empty first batch: no commit
+    assert current_version(store) is None
+    sink(ev(rows), batch_id=1)
+    got = finalize_hourly(read_rollup(spark, store)).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 1
+    # an empty LATER batch is also a no-op, not a wedge
+    sink(empty, batch_id=2)
+    assert finalize_hourly(read_rollup(spark, store)).count() == 1
+
+
+def test_rollup_pruned_rewrite_preserves_string_partition_values(
+    spark, tmp_path
+):
+    """Directory partition type inference is LOSSY for strings ('0123'
+    infers as INT 123) — the pruned read must use the delta's explicit
+    schema so stored groups are never silently re-keyed (r8 review,
+    reproduced live)."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.streaming.rollup import (
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    def batch(n):
+        return spark.createDataFrame(
+            [("0123", float(i)) for i in range(n)], "skey string, v double"
+        )
+
+    def partial(df):
+        return df.groupBy("skey").agg(F.count(F.lit(1)).alias("n"))
+
+    store = str(tmp_path / "strpart")
+    sink = incremental_rollup_sink(
+        store, partial, ["skey"], {"n": "sum"},
+        checkpoint_token="ck", partition_col="skey",
+    )
+    sink(batch(3), batch_id=0)
+    sink(batch(2), batch_id=1)  # touches the SAME '0123' partition
+    got = [(r["skey"], r["n"]) for r in read_rollup(spark, store).collect()]
+    assert got == [("0123", 5)]  # one group, verbatim key, merged count
+
+
 def test_commit_version_detects_concurrent_commit(tmp_path):
     """Single-writer enforcement (VERDICT r7 #3): two interleaved
     committers that both derived from the same observed store state
