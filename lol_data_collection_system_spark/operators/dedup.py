@@ -1226,6 +1226,7 @@ def write_corpus_index(
     text_col: str = "text",
     k: int = 3,
     max_doc_freq: int | None = None,
+    bands: tuple[int, int] | None = None,
 ) -> None:
     """Persist the `corpus_shingle_index` triple to parquet — the
     "at 100 TB all three frames are precomputed once and stored" claim
@@ -1234,12 +1235,33 @@ def write_corpus_index(
     new version (``fp``, ``shingles``, optional ``hot`` subdirs) before
     the pointer moves, so a concurrent reader can never observe a
     mixed-generation triple (the in-place rewrite this replaces left
-    the previous commit marker visible mid-rebuild)."""
+    the previous commit marker visible mid-rebuild).
+
+    ``bands=(n_hashes, band_size)`` additionally persists the BAND
+    index — (id, band_idx, band_hash) from the capped shingles — so
+    serve-time consumers skip the shingle→minhash→band derivation,
+    which is otherwise a full scan + wide aggregate over the stored
+    shingle table (≈10× corpus tokens) on EVERY query. Banding is a
+    deterministic function of the shingles, so serving from the stored
+    bands is bit-identical to deriving; consumers use them only when
+    their requested geometry matches the recorded one and silently
+    derive otherwise (a cost fallback, never a semantic one)."""
     from ..sources.versioned import commit_version
 
     corpus_fp, c_sh, hot = corpus_shingle_index(
         corpus, id_col, text_col, k, max_doc_freq
     )
+    band_df = None
+    if bands is not None:
+        n_hashes, band_size = bands
+        band_df = minhash_signatures_from_shingles(
+            c_sh, id_col, n_hashes
+        ).select(
+            F.col(id_col),
+            F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
 
     def write_all(vdir: str) -> None:
         from pathlib import Path as _Path
@@ -1248,12 +1270,17 @@ def write_corpus_index(
         c_sh.write.mode("overwrite").parquet(str(_Path(vdir) / "shingles"))
         if hot is not None:
             hot.write.mode("overwrite").parquet(str(_Path(vdir) / "hot"))
+        if band_df is not None:
+            band_df.write.mode("overwrite").parquet(
+                str(_Path(vdir) / "bands")
+            )
 
     commit_version(
         path,
         write_all,
         {"id_col": id_col, "text_col": text_col, "k": k,
-         "max_doc_freq": max_doc_freq, "has_hot": hot is not None},
+         "max_doc_freq": max_doc_freq, "has_hot": hot is not None,
+         "bands": list(bands) if bands is not None else None},
     )
 
 
@@ -1270,11 +1297,24 @@ class CorpusIndex(tuple):
     ``expect=``)."""
 
     meta: dict
+    bands: "DataFrame | None"
 
-    def __new__(cls, fp, sh, hot, meta: dict):
+    def __new__(cls, fp, sh, hot, meta: dict, bands=None):
         self = super().__new__(cls, (fp, sh, hot))
         self.meta = dict(meta)
+        self.bands = bands
         return self
+
+    def bands_for(self, n_hashes: int, band_size: int):
+        """The stored band index IF it was written at exactly this
+        geometry, else None — the consumer then derives bands from the
+        stored shingles (identical results, higher cost)."""
+        if self.bands is not None and self.meta.get("bands") == [
+            n_hashes,
+            band_size,
+        ]:
+            return self.bands
+        return None
 
 
 def validate_corpus_index(corpus_index, *, consumer: str, **want) -> None:
@@ -1348,7 +1388,12 @@ def read_corpus_index(
         if meta.get("has_hot")
         else None
     )
-    return CorpusIndex(fp, sh, hot, meta)
+    band_df = (
+        spark.read.parquet(str(_Path(vdir) / "bands"))
+        if meta.get("bands")
+        else None
+    )
+    return CorpusIndex(fp, sh, hot, meta, bands=band_df)
 
 
 def incremental_dedup(
@@ -1418,12 +1463,28 @@ def incremental_dedup(
     d_sh = d_sh.localCheckpoint(eager=False)
 
     # --- candidate tier: delta bands × corpus bands ---
-    c_band = minhash_signatures_from_shingles(c_sh, id_col, n_hashes).select(
-        F.col(id_col).alias("cid"),
-        F.posexplode(_band_hashes(n_hashes, band_size)).alias(
-            "band_idx", "band_hash"
-        ),
+    # stored band index at the exact requested geometry → skip the
+    # shingle→minhash→band derivation (a full pass + wide aggregate
+    # over the stored shingle table per query); banding is determined
+    # by the shingles, so either path is bit-identical
+    stored_bands = (
+        corpus_index.bands_for(n_hashes, band_size)
+        if isinstance(corpus_index, CorpusIndex)
+        else None
     )
+    if stored_bands is not None:
+        c_band = stored_bands.select(
+            F.col(id_col).alias("cid"), "band_idx", "band_hash"
+        )
+    else:
+        c_band = minhash_signatures_from_shingles(
+            c_sh, id_col, n_hashes
+        ).select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
     d_band = minhash_signatures_from_shingles(d_sh, id_col, n_hashes).select(
         F.col(id_col).alias("did"),
         F.posexplode(_band_hashes(n_hashes, band_size)).alias(

@@ -2400,7 +2400,10 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve an index trained under the old ones (review finding r7)
     path = _os.path.join(
         SUMMARY_CACHE_DIR,
-        f"corpus_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}",
+        # every derivation param in the path, incl. the persisted band
+        # geometry (r8) — a constant change can never serve a stale index
+        f"corpus_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}"
+        f"b{MINHASH_N}x{MINHASH_BAND}",
     )
     # Rebuild when documents.parquet changed. Listing fingerprint
     # (relative names + sizes + count), NOT a content md5: the md5 was
@@ -2421,7 +2424,8 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     if stale or current_version(path) is None:
         dedup_ops.write_corpus_index(
-            corpus, path, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF
+            corpus, path, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF,
+            bands=(MINHASH_N, MINHASH_BAND),  # serve-time bands stored
         )
         with open(sidecar, "w") as f:
             _json.dump(fp_now, f)

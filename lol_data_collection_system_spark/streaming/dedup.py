@@ -377,15 +377,27 @@ def corpus_guard_stream(
                 "guard; write a dedicated uncapped index for the guard"
             )
         corpus_fp = fp_tbl.select("fp").distinct()
-        corpus_bands = (
-            minhash_signatures_from_shingles(c_sh, id_col, n_hashes)
-            .select(
-                F.posexplode(_band_hashes(n_hashes, band_size)).alias(
-                    "band_idx", "band_hash"
-                )
-            )
-            .distinct()
+        stored_bands = (
+            corpus_index.bands_for(n_hashes, band_size)
+            if hasattr(corpus_index, "bands_for")
+            else None
         )
+        if stored_bands is not None:
+            # band index persisted at this geometry: the guard starts
+            # with a parquet read instead of re-banding the shingles
+            corpus_bands = stored_bands.select(
+                "band_idx", "band_hash"
+            ).distinct()
+        else:
+            corpus_bands = (
+                minhash_signatures_from_shingles(c_sh, id_col, n_hashes)
+                .select(
+                    F.posexplode(_band_hashes(n_hashes, band_size)).alias(
+                        "band_idx", "band_hash"
+                    )
+                )
+                .distinct()
+            )
     else:
         corpus_fp = corpus.select(
             fingerprint(F.col(text_col)).alias("fp")
@@ -588,15 +600,26 @@ def classify_stream(
         F.collect_set("shingle").alias("_c_set"),
         F.count(F.lit(1)).alias("_c_size"),
     )
-    index = (
-        minhash_signatures_from_shingles(c_sh, id_col, n_hashes)
-        .select(
+    stored_bands = (
+        corpus_index.bands_for(n_hashes, band_size)
+        if hasattr(corpus_index, "bands_for")
+        else None
+    )
+    if stored_bands is not None:
+        # band index persisted at this geometry (write_corpus_index
+        # bands=): skip the per-start shingle→minhash→band derivation
+        banded = stored_bands.select(id_col, "band_idx", "band_hash")
+    else:
+        banded = minhash_signatures_from_shingles(
+            c_sh, id_col, n_hashes
+        ).select(
             F.col(id_col),
             F.posexplode(_band_hashes(n_hashes, band_size)).alias(
                 "band_idx", "band_hash"
             ),
         )
-        .join(c_sets, id_col)
+    index = (
+        banded.join(c_sets, id_col)
         .select(
             "band_idx",
             "band_hash",

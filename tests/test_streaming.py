@@ -1658,6 +1658,68 @@ def test_media_near_dedup_survives_corrupt_payload(spark):
     assert kept == {1, 2, 3, 9}  # corrupt blobs unique, nothing crashed
 
 
+def test_stored_band_index_serves_identically(spark, tmp_path):
+    """write_corpus_index(bands=) persists the (id, band_idx, band_hash)
+    frame; consumers use it when the requested geometry matches (a pure
+    cost skip — banding is a deterministic function of the shingles) and
+    silently derive from the stored shingles otherwise. Both paths must
+    classify bit-identically to the in-plan derivation."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        incremental_dedup,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus, delta = _bloom_classify_fixtures(spark)
+    kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
+    path = str(tmp_path / "banded_index")
+    write_corpus_index(
+        corpus, path, "doc_id", "text", 3, 1, bands=(16, 2)
+    )
+    idx = read_corpus_index(spark, path)
+    assert idx.bands is not None
+    assert idx.bands_for(16, 2) is not None  # exact geometry: served
+    assert idx.bands_for(16, 4) is None  # other geometry: derive
+    assert idx.bands_for(8, 2) is None
+
+    def rows(df):
+        return {
+            r.doc_id: (r.status, r.match_id, r.jaccard) for r in df.collect()
+        }
+
+    in_plan = rows(
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text", **kw
+        )
+    )
+    served = rows(
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text",
+            corpus_index=idx, **kw,
+        )
+    )
+    assert served == in_plan
+    # classify_stream from the same banded index agrees too
+    assert rows(classify_stream(delta, corpus, corpus_index=idx, **kw)) == (
+        in_plan
+    )
+    # a consumer at a DIFFERENT geometry falls back to deriving from the
+    # stored shingles — correct for ITS geometry (== in-plan at 16/4)
+    kw4 = dict(k=3, band_size=4, threshold=0.5, max_doc_freq=1)
+    in_plan4 = rows(
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text", **kw4
+        )
+    )
+    assert rows(
+        incremental_dedup(
+            corpus, delta.select("doc_id", "text"), "doc_id", "text",
+            corpus_index=idx, **kw4,
+        )
+    ) == in_plan4
+
+
 def test_stored_index_consumers_reject_param_mismatch(spark, tmp_path):
     """A stored index probed under a DIFFERENT shingle size (or df-cap)
     has a disjoint band space — every near-dup would silently score
