@@ -1227,6 +1227,7 @@ def write_corpus_index(
     k: int = 3,
     max_doc_freq: int | None = None,
     bands: tuple[int, int] | None = None,
+    sets: bool = False,
 ) -> None:
     """Persist the `corpus_shingle_index` triple to parquet — the
     "at 100 TB all three frames are precomputed once and stored" claim
@@ -1245,7 +1246,14 @@ def write_corpus_index(
     deterministic function of the shingles, so serving from the stored
     bands is bit-identical to deriving; consumers use them only when
     their requested geometry matches the recorded one and silently
-    derive otherwise (a cost fallback, never a semantic one)."""
+    derive otherwise (a cost fallback, never a semantic one).
+
+    ``sets=True`` also persists the verify-tier per-doc shingle SETS —
+    (id, _c_set, _c_size), `classify_stream`'s stateless-verify operand
+    — which is otherwise a `collect_set` pass over the whole stored
+    shingle table on every guard start. Set contents are order-free
+    downstream (set-intersection cardinalities only), so the stored
+    frame serves identically."""
     from ..sources.versioned import commit_version
 
     corpus_fp, c_sh, hot = corpus_shingle_index(
@@ -1262,6 +1270,14 @@ def write_corpus_index(
                 "band_idx", "band_hash"
             ),
         )
+    sets_df = None
+    if sets:
+        # the EXACT classify_stream verify-tier derivation (order-free
+        # set contents; sizes count capped shingle rows)
+        sets_df = c_sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("_c_set"),
+            F.count(F.lit(1)).alias("_c_size"),
+        )
 
     def write_all(vdir: str) -> None:
         from pathlib import Path as _Path
@@ -1274,13 +1290,18 @@ def write_corpus_index(
             band_df.write.mode("overwrite").parquet(
                 str(_Path(vdir) / "bands")
             )
+        if sets_df is not None:
+            sets_df.write.mode("overwrite").parquet(
+                str(_Path(vdir) / "sets")
+            )
 
     commit_version(
         path,
         write_all,
         {"id_col": id_col, "text_col": text_col, "k": k,
          "max_doc_freq": max_doc_freq, "has_hot": hot is not None,
-         "bands": list(bands) if bands is not None else None},
+         "bands": list(bands) if bands is not None else None,
+         "has_sets": sets},
     )
 
 
@@ -1298,11 +1319,13 @@ class CorpusIndex(tuple):
 
     meta: dict
     bands: "DataFrame | None"
+    sets: "DataFrame | None"
 
-    def __new__(cls, fp, sh, hot, meta: dict, bands=None):
+    def __new__(cls, fp, sh, hot, meta: dict, bands=None, sets=None):
         self = super().__new__(cls, (fp, sh, hot))
         self.meta = dict(meta)
         self.bands = bands
+        self.sets = sets
         return self
 
     def bands_for(self, n_hashes: int, band_size: int):
@@ -1393,7 +1416,12 @@ def read_corpus_index(
         if meta.get("bands")
         else None
     )
-    return CorpusIndex(fp, sh, hot, meta, bands=band_df)
+    sets_df = (
+        spark.read.parquet(str(_Path(vdir) / "sets"))
+        if meta.get("has_sets")
+        else None
+    )
+    return CorpusIndex(fp, sh, hot, meta, bands=band_df, sets=sets_df)
 
 
 def incremental_dedup(

@@ -596,10 +596,18 @@ def classify_stream(
 
             def stop_probe(s):
                 return bloom_ops.member_expr(s, words, m, h)
-    c_sets = c_sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("_c_set"),
-        F.count(F.lit(1)).alias("_c_size"),
-    )
+    stored_sets = getattr(corpus_index, "sets", None)
+    if stored_sets is not None:
+        # verify-tier sets persisted (write_corpus_index sets=True):
+        # skip the per-start collect_set pass over the shingle table;
+        # set contents are order-free downstream (intersection
+        # cardinalities only), so the stored frame serves identically
+        c_sets = stored_sets.select(id_col, "_c_set", "_c_size")
+    else:
+        c_sets = c_sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("_c_set"),
+            F.count(F.lit(1)).alias("_c_size"),
+        )
     stored_bands = (
         corpus_index.bands_for(n_hashes, band_size)
         if hasattr(corpus_index, "bands_for")

@@ -1675,10 +1675,10 @@ def test_stored_band_index_serves_identically(spark, tmp_path):
     kw = dict(k=3, band_size=2, threshold=0.5, max_doc_freq=1)
     path = str(tmp_path / "banded_index")
     write_corpus_index(
-        corpus, path, "doc_id", "text", 3, 1, bands=(16, 2)
+        corpus, path, "doc_id", "text", 3, 1, bands=(16, 2), sets=True
     )
     idx = read_corpus_index(spark, path)
-    assert idx.bands is not None
+    assert idx.bands is not None and idx.sets is not None
     assert idx.bands_for(16, 2) is not None  # exact geometry: served
     assert idx.bands_for(16, 4) is None  # other geometry: derive
     assert idx.bands_for(8, 2) is None
