@@ -794,7 +794,12 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_ctes(qid_sql: str) -> str:
+    """The seeded-codebook PQ/ADC derivation as a prefixed CTE chain
+    ending in ``pq_approx(vec_id, approx_ip)`` — parameterized by the
+    query-id SQL expression so `_pq_oracle` (constant probe) and
+    `_serving_oracle` (probe = the funnel's min novel doc) share one
+    derivation."""
     m, d, kc = PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS
     sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
     cent_cols = ", ".join(f"{sub('e', i)} AS c{i}" for i in range(m))
@@ -807,37 +812,42 @@ def _pq_oracle() -> str:
         for i in range(m)
     )
     best_ctes = ",\n".join(
-        f"""best{i} AS (
+        f"""pq_best{i} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s{i} DESC, cid)
              AS rn
-    FROM sims) WHERE rn = 1)"""
+    FROM pq_sims) WHERE rn = 1)"""
         for i in range(m)
     )
     joins = " ".join(
-        f"JOIN best{i} b{i} ON b{i}.vec_id = s.vec_id "
-        f"JOIN qd t{i} ON t{i}.cid = b{i}.cid"
+        f"JOIN pq_best{i} b{i} ON b{i}.vec_id = s.vec_id "
+        f"JOIN pq_qd t{i} ON t{i}.cid = b{i}.cid"
         for i in range(m)
     )
     ip_sum = " + ".join(f"t{i}.qd{i}" for i in range(m))
-    return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cents AS (SELECT vec_id AS cid, {cent_cols} FROM v WHERE vec_id < {kc}),
-q AS (SELECT {q_cols} FROM v WHERE vec_id = {QUERY_VEC_ID}),
-qd AS (SELECT cid, {qd_cols} FROM cents, q),
-sims AS (
+    return f"""pq_v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pq_cents AS (SELECT vec_id AS cid, {cent_cols} FROM pq_v WHERE vec_id < {kc}),
+pq_q AS (SELECT {q_cols} FROM pq_v WHERE vec_id = {qid_sql}),
+pq_qd AS (SELECT cid, {qd_cols} FROM pq_cents, pq_q),
+pq_sims AS (
   SELECT x.vec_id, c.cid, {sim_cols}
-  FROM v x, cents c WHERE x.vec_id != {QUERY_VEC_ID}),
+  FROM pq_v x, pq_cents c WHERE x.vec_id != {qid_sql}),
 {best_ctes},
-approx AS (
+pq_approx AS (
   SELECT s.vec_id, round({ip_sum}, 6) AS approx_ip
-  FROM (SELECT DISTINCT vec_id FROM sims) s {joins})
+  FROM (SELECT DISTINCT vec_id FROM pq_sims) s {joins})"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes(str(QUERY_VEC_ID))}
 SELECT vec_id, rank, approx_ip FROM (
   SELECT vec_id,
          ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank,
          approx_ip
-  FROM approx)
+  FROM pq_approx)
 WHERE rank <= {TOPK}
 """
 
@@ -2537,15 +2547,18 @@ def q_serving_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified against the PERSISTED corpus shingle index
     (`write_corpus_index` → `read_corpus_index` — the corpus itself is
     never scanned at serve time), then the minimum novel doc id that
-    has an embedding becomes the ANN probe, served from the PERSISTED
-    trained-IVF assignment (`_ivf_index_cached` — zero Lloyd rounds at
-    query time). One (stage, n_rows, metric) row per funnel stage:
-    `delta` + one row per classification status (metric = exact
-    decimal sum of jaccard) and `ann_topk` (metric = exact decimal sum
-    of the top-k cosines). Value-checked end to end by a DuckDB twin
-    that re-derives both the classification and the Lloyd rounds —
-    the hash gate proves the stored serving path is bit-identical to
-    first-principles recomputation."""
+    has an embedding becomes the ANN probe, served from BOTH persisted
+    ANN artifacts: the trained-IVF assignment (`_ivf_index_cached` —
+    zero Lloyd rounds at query time) and the PQ codebook frame
+    (`_pq_codebook_cached` — the ADC scan reads stored codebooks). One
+    (stage, n_rows, metric) row per funnel stage: `delta` + one row per
+    classification status (metric = exact decimal sum of jaccard),
+    `ann_topk` (exact decimal sum of top-k cosines) and `pq_topk`
+    (exact decimal sum of top-k ADC inner products). Value-checked end
+    to end by a DuckDB twin that re-derives the classification, the
+    Lloyd rounds, AND the PQ/ADC math — the hash gate proves the
+    stored serving path is bit-identical to first-principles
+    recomputation."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SERVING_FUNNEL_CACHE.get(key)
     if cached is not None:
@@ -2573,6 +2586,10 @@ def q_serving_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, int(probe_row), TOPK, IVF_TRAINED_K, IVF_TRAINED_ITERS,
         index=_ivf_index_cached(spark, sf_dir),
     )
+    pq = sim_ops.pq_topk(
+        emb, int(probe_row), TOPK, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS,
+        codebooks=_pq_codebook_cached(spark, sf_dir),
+    )
     # exact decimal sums (order-free), cast to double only at the edge
     jac_sum = F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
     n_rows = F.count(F.lit(1)).alias("n_rows")
@@ -2590,7 +2607,18 @@ def q_serving_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("metric"),
     )
-    out = d_stage.unionByName(s_stage).unionByName(a_stage)
+    pq_stage = pq.agg(
+        F.lit("pq_topk").alias("stage"),
+        n_rows,
+        F.sum(F.col("approx_ip").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("metric"),
+    )
+    out = (
+        d_stage.unionByName(s_stage)
+        .unionByName(a_stage)
+        .unionByName(pq_stage)
+    )
     _SERVING_FUNNEL_CACHE[key] = out
     return out
 
@@ -2617,7 +2645,8 @@ ann AS (
         WHERE vec_id = (SELECT pid FROM probe)) q,
        (SELECT cid AS qbucket FROM assign_{IVF_TRAINED_ITERS}
         WHERE vec_id = (SELECT pid FROM probe)) qb
-  WHERE e.vec_id != (SELECT pid FROM probe) AND a.cid = qb.qbucket)
+  WHERE e.vec_id != (SELECT pid FROM probe) AND a.cid = qb.qbucket),
+{_pq_ctes("(SELECT pid FROM probe)")}
 SELECT 'delta' AS stage, COUNT(*) AS n_rows,
        CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS metric
 FROM inc
@@ -2629,6 +2658,14 @@ UNION ALL
 SELECT 'ann_topk' AS stage, COUNT(*) AS n_rows,
        CAST(SUM(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) AS metric
 FROM ann WHERE rank <= {TOPK}
+UNION ALL
+SELECT 'pq_topk' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(approx_ip AS DECIMAL(18,6))) AS DOUBLE) AS metric
+FROM (
+  SELECT approx_ip,
+         ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank
+  FROM pq_approx)
+WHERE rank <= {TOPK}
 """
 
 
