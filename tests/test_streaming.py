@@ -679,7 +679,11 @@ def test_corpus_guard_stream_filters_against_static_corpus(spark, tmp_path):
     )
 
     idx_path = str(tmp_path / "guard_index")
-    write_corpus_index(corpus, idx_path, "doc_id", "text", 3, None)
+    # bands persisted at the guard's geometry: the stored-bands serve
+    # path must keep the identical set (r8)
+    write_corpus_index(
+        corpus, idx_path, "doc_id", "text", 3, None, bands=(16, 2)
+    )
     kept_stored = sorted(
         r.doc_id
         for r in corpus_guard_stream(
