@@ -926,6 +926,147 @@ FROM top, t
 """
 
 
+# Declarative data-quality constraint suite (Deequ-style, SURVEY §2.11;
+# operators/validation.constraint_report): every declared constraint —
+# row predicates, uniqueness keys, referential targets — evaluated in
+# ONE pass (one Expand shuffle for the multi-distinct, broadcast-marker
+# FK joins, no per-constraint jobs). The constraint set deliberately
+# mixes passing and failing checks so both report paths are hash-gated:
+# the synthetic orders table has 'P'-status rows (in_set fails), many
+# orders per customer (o_custkey uniqueness fails by design — it
+# demonstrates the excess-rows metric), and a clean o_custkey→customer
+# FK (passes with n_checked = the non-null reference count).
+def q_orders_constraint_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lol_data_collection_system_spark.operators.validation import (
+        constraint_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return constraint_report(
+        orders,
+        row_checks=[
+            ("orderkey_not_null", F.col("o_orderkey").isNull()),
+            ("totalprice_positive", F.col("o_totalprice") <= 0),
+            ("totalprice_min_5000", F.col("o_totalprice") < 5000),
+            (
+                "status_in_set",
+                ~F.col("o_orderstatus").isin("O", "F"),
+            ),
+        ],
+        unique=[
+            ("orderkey_unique", ["o_orderkey"]),
+            ("custkey_unique", ["o_custkey"]),
+        ],
+        fks=[
+            ("custkey_fk_customer", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+ORACLE_ORDERS_CONSTRAINT_REPORT = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'orderkey_not_null' AS constraint, n_rows AS n_checked,
+       CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_violations,
+       COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) = 0
+         AS passed
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'totalprice_positive', n_rows,
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 END), 0)
+            AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) = 0
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'totalprice_min_5000', n_rows,
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice < 5000 THEN 1 END), 0)
+            AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_totalprice < 5000 THEN 1 END), 0) = 0
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'status_in_set', n_rows,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F')
+                          THEN 1 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 END),
+                0) = 0
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'orderkey_unique', n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'custkey_unique', n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT o_custkey) = 0
+FROM orders, n GROUP BY n_rows
+UNION ALL
+SELECT 'custkey_fk_customer',
+       CAST(COUNT(o_custkey) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL
+                            AND o_custkey NOT IN
+                                (SELECT c_custkey FROM customer
+                                 WHERE c_custkey IS NOT NULL)
+                          THEN 1 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL
+                       AND o_custkey NOT IN
+                           (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)
+                     THEN 1 END), 0) = 0
+FROM orders
+"""
+
+
+# k-anonymity risk profile (Sweeney 2002, SURVEY §2.11;
+# operators/validation.k_anonymity_profile): re-identification risk of
+# the (nation, segment, acctbal-kilobucket) quasi-identifier set on the
+# customer dim — one keyed shuffle for group sizes, one global fold for
+# all ks at once. Double math only through FLOOR on an IEEE double
+# (identical in both engines); the share is rounded at 6 dp.
+def q_customer_k_anonymity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lol_data_collection_system_spark.operators.validation import (
+        k_anonymity_profile,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    return k_anonymity_profile(
+        customer,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("acctbal_kb"),
+        ],
+        ks=(2, 5, 10, 25),
+    )
+
+
+ORACLE_CUSTOMER_K_ANONYMITY = """
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_kb,
+         COUNT(*) AS g
+  FROM customer GROUP BY 1, 2, 3),
+ks(k) AS (VALUES (2), (5), (10), (25))
+SELECT CAST(k AS INT) AS k,
+       CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN g < k THEN 1 END), 0) AS BIGINT)
+         AS groups_below,
+       CAST(COALESCE(SUM(CASE WHEN g < k THEN g END), 0) AS BIGINT)
+         AS rows_below,
+       round(CAST(COALESCE(SUM(CASE WHEN g < k THEN g END), 0) AS DOUBLE)
+             / SUM(g), 6) AS risk_share
+FROM ks, sizes GROUP BY k
+"""
+
+
 # Exact per-group percentiles (the exact twin of the GK-sketch quantile
 # family in operators/sketches.py): Spark `percentile` and DuckDB
 # `quantile_cont` share the p·(n−1) linear-interpolation definition, so
@@ -3234,6 +3375,8 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_rollup_counts": q_order_rollup_counts,
     "order_cube_totals": q_order_cube_totals,
     "user_key_skew": q_user_key_skew,
+    "orders_constraint_report": q_orders_constraint_report,
+    "customer_k_anonymity": q_customer_k_anonymity,
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -3305,14 +3448,17 @@ _FRONT: tuple[str, ...] = (
     # ---- this block front-loads the round-8 NEW declaration(s), then
     # ---- — per the round-7 verdict's freshness ask — re-samples the
     # ---- LEAST-recently-sampled names: the nine whose newest driver
-    # ---- row is still round 1, then the round-3 cohort (oldest 40 of
-    # ---- its 50; the remaining ten r3 names — semantic_near_dup,
+    # ---- row is still round 1, then the round-3 cohort (oldest of
+    # ---- its 50; the remaining twelve r3 names — returnflag_set_
+    # ---- signature, richest_customer_per_nation, semantic_near_dup,
     # ---- simhash_docs, sliding_rate_count, sql_revenue_by_nation,
     # ---- temperature_mix_rates, temperature_mix_sample,
     # ---- top3_lineitems_per_supplier, trailing_order_avg,
     # ---- type_prefix_counts, winnow_signatures — are round 9's
     # ---- padding cohort).
     "serving_funnel",
+    "orders_constraint_report",
+    "customer_k_anonymity",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3362,8 +3508,6 @@ _FRONT: tuple[str, ...] = (
     "promo_parts_by_brand",
     "purchase_last_click",
     "region_priority_pivot",
-    "returnflag_set_signature",
-    "richest_customer_per_nation",
 )
 
 
@@ -3408,6 +3552,8 @@ _ORACLES: dict[str, str] = {
     "order_rollup_counts": ORACLE_ORDER_ROLLUP_COUNTS,
     "order_cube_totals": ORACLE_ORDER_CUBE_TOTALS,
     "user_key_skew": ORACLE_USER_KEY_SKEW,
+    "orders_constraint_report": ORACLE_ORDERS_CONSTRAINT_REPORT,
+    "customer_k_anonymity": ORACLE_CUSTOMER_K_ANONYMITY,
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,

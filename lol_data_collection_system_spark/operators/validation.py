@@ -1,0 +1,216 @@
+"""Declarative data-quality validation — the constraint-suite and
+re-identification-risk profiles a large-scale training-data pipeline
+runs before (and after) every ingest.
+
+Beyond-reference surface (SURVEY §2.11): the reference validates its
+collected documents ad hoc (guarded per-field extraction,
+`utils.py`-style null checks); a 100 TB pipeline needs the checks as
+ONE declarative pass that is cheap enough to run on every batch. Two
+public designs anchor the semantics:
+
+- `constraint_report` — Deequ-style (Schelter et al., "Automating
+  large-scale data quality verification", VLDB 2018): the caller
+  declares row predicates, uniqueness keys, and referential targets;
+  the report is one row per constraint with checked/violation counts.
+- `k_anonymity_profile` — Sweeney's k-anonymity (IJUFKS 2002): for
+  each requested k, how many quasi-identifier groups (and rows) sit in
+  groups smaller than k — the standard re-identification risk read on
+  a column subset before release.
+
+Scale shape (the whole point vs a constraint-per-query loop):
+
+- `constraint_report` evaluates EVERY constraint in a single pass over
+  the fact table: referential checks become broadcast LEFT joins that
+  add one marker column each (never a row-count change — the dim side
+  is distinct-projected first), then ONE wide aggregate computes all
+  row-predicate violation sums, all uniqueness gaps
+  (count − count(distinct key)), and all orphan counts map-side
+  combined. Uniqueness uses exact multi-distinct aggregation (Spark
+  plans it as one Expand + partial aggs — a single shuffle for the
+  whole report, no per-constraint jobs). The 1-row wide result is
+  exploded driver-free into (constraint, n_checked, n_violations,
+  passed) rows.
+- `k_anonymity_profile` is two keyed aggregates: group sizes (partial
+  agg over the quasi-identifier key — the only shuffle that scales
+  with data), then one global fold of the size histogram into per-k
+  risk rows. Group-space cardinality never reaches the driver; the
+  per-k fold is computed as conditional sums inside the same global
+  aggregate and exploded into rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["constraint_report", "k_anonymity_profile"]
+
+
+def constraint_report(
+    df: DataFrame,
+    row_checks: Sequence[tuple[str, Column]] = (),
+    unique: Sequence[tuple[str, Sequence[str]]] = (),
+    fks: Sequence[tuple[str, str, DataFrame, str]] = (),
+) -> DataFrame:
+    """One row per declared constraint: ``(constraint, n_checked,
+    n_violations, passed)`` — evaluated in a single pass over `df`.
+
+    - ``row_checks``: (name, violation_predicate) — the predicate is
+      TRUE exactly on violating rows (e.g. ``F.col("price") < 0`` for
+      a non-negativity check). NULL predicate results count as
+      non-violations (``cast("bigint")`` of NULL sums as 0), matching
+      SQL three-valued semantics; declare an explicit ``isNull`` check
+      when nulls themselves are the violation.
+    - ``unique``: (name, key_columns) — violations = total rows minus
+      distinct keys, i.e. the number of EXCESS rows sharing an
+      already-seen key (0 ⇔ the key is unique). Rows with a NULL in
+      the key collapse into countDistinct's null-dropping semantics —
+      pair with a not-null row check for primary-key validation.
+    - ``fks``: (name, fk_col, dim_df, dim_key) — violations = rows
+      whose NON-NULL ``fk_col`` has no match in ``dim_df[dim_key]``
+      (classic FK semantics: NULL references are legal and are not
+      counted in ``n_checked`` either). The dim side is
+      distinct-projected and broadcast, so each FK adds one marker
+      column and never changes `df`'s row count.
+
+    ``n_checked`` is the total row count for row/uniqueness checks and
+    the non-null reference count for FK checks. ``passed`` ⇔
+    ``n_violations = 0``. Constraint names must be unique across the
+    three groups (they key the report rows).
+    """
+    names = [n for n, _ in row_checks]
+    names += [n for n, _ in unique]
+    names += [n for n, *_ in fks]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"constraint names must be unique, got duplicates: {dupes}"
+        )
+    if not names:
+        raise ValueError("constraint_report: no constraints declared")
+
+    # referential marker columns: one broadcast LEFT join per FK, dim
+    # side distinct-projected so row multiplicity is provably unchanged
+    marked = df
+    hit_cols: dict[str, str] = {}
+    for i, (name, fk_col, dim_df, dim_key) in enumerate(fks):
+        hit = f"_fk_hit_{i}"
+        hit_cols[name] = hit
+        dim = F.broadcast(
+            dim_df.select(F.col(dim_key).alias(fk_col)).distinct()
+            .withColumn(hit, F.lit(1))
+        )
+        marked = marked.join(dim, fk_col, "left")
+
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for i, (name, pred) in enumerate(row_checks):
+        aggs.append(
+            F.sum(pred.cast("bigint")).alias(f"_rc_{i}")
+        )
+    for i, (name, key_cols) in enumerate(unique):
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(*[F.col(c) for c in key_cols])
+            ).alias(f"_uq_{i}")
+        )
+    for i, (name, fk_col, _dim, _key) in enumerate(fks):
+        nn = F.col(fk_col).isNotNull()
+        aggs.append(F.sum(nn.cast("bigint")).alias(f"_fkn_{i}"))
+        aggs.append(
+            F.sum(
+                (nn & F.col(hit_cols[name]).isNull()).cast("bigint")
+            ).alias(f"_fkv_{i}")
+        )
+    wide = marked.agg(*aggs)
+
+    def _row(name: str, checked: Column, violations: Column) -> Column:
+        v = F.coalesce(violations, F.lit(0)).cast("bigint")
+        return F.struct(
+            F.lit(name).alias("constraint"),
+            checked.cast("bigint").alias("n_checked"),
+            v.alias("n_violations"),
+            (v == 0).alias("passed"),
+        )
+
+    structs = [
+        _row(name, F.col("_n_rows"), F.col(f"_rc_{i}"))
+        for i, (name, _) in enumerate(row_checks)
+    ]
+    structs += [
+        _row(name, F.col("_n_rows"), F.col(f"_uq_{i}"))
+        for i, (name, _) in enumerate(unique)
+    ]
+    structs += [
+        _row(name, F.coalesce(F.col(f"_fkn_{i}"), F.lit(0)),
+             F.col(f"_fkv_{i}"))
+        for i, (name, *_rest) in enumerate(fks)
+    ]
+    return wide.select(
+        F.explode(F.array(*structs)).alias("_c")
+    ).select("_c.*")
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    ks: Sequence[int] = (2, 5, 10),
+) -> DataFrame:
+    """Re-identification risk of the quasi-identifier column set: one
+    row per requested k — ``(k, n_rows, n_groups, groups_below,
+    rows_below, risk_share)`` where ``groups_below``/``rows_below``
+    count quasi-identifier groups (and the rows in them) of size < k,
+    and ``risk_share`` = rows_below / n_rows rounded to 6 dp. A
+    dataset is k-anonymous w.r.t. the column set iff ``rows_below`` is
+    0 at that k. NULL quasi values form their own group (GROUP BY
+    semantics in both engines).
+
+    Plan: one keyed partial-agg shuffle for group sizes, then ONE
+    global aggregate folding the size histogram into every k's
+    conditional sums at once (no per-k jobs, no driver-side group
+    list), exploded into per-k rows.
+    """
+    ks = sorted({int(k) for k in ks})
+    if not ks or ks[0] < 2:
+        raise ValueError(f"ks must be ints >= 2, got {ks!r}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    if not cols:
+        raise ValueError("k_anonymity_profile: no quasi columns")
+    sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_g"))
+    aggs = [
+        F.count(F.lit(1)).alias("_n_groups"),
+        F.sum("_g").alias("_n_rows"),
+    ]
+    for k in ks:
+        below = F.col("_g") < k
+        aggs.append(
+            F.sum(F.when(below, F.col("_g"))).alias(f"_rb_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(below, F.lit(1))).alias(f"_gb_{k}")
+        )
+    wide = sizes.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(k).alias("k"),
+            F.col("_n_rows").cast("bigint").alias("n_rows"),
+            F.col("_n_groups").cast("bigint").alias("n_groups"),
+            F.coalesce(F.col(f"_gb_{k}"), F.lit(0))
+            .cast("bigint")
+            .alias("groups_below"),
+            F.coalesce(F.col(f"_rb_{k}"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_below"),
+            F.round(
+                F.coalesce(F.col(f"_rb_{k}"), F.lit(0))
+                / F.col("_n_rows"),
+                6,
+            ).alias("risk_share"),
+        )
+        for k in ks
+    ]
+    return wide.select(
+        F.explode(F.array(*structs)).alias("_k")
+    ).select("_k.*")

@@ -1,0 +1,145 @@
+"""Semantics of operators/validation.py: the declarative constraint
+suite and the k-anonymity risk profile (SURVEY §2.11 data-quality
+family). Cross-engine value checks live in test_oracle_parity
+(`orders_constraint_report`, `customer_k_anonymity`); this file pins
+the operator-level edge semantics the oracles can't isolate: NULL
+handling per constraint kind, FK null-reference exclusion, the
+excess-rows uniqueness metric, and the one-pass plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lol_data_collection_system_spark.operators.validation import (
+    constraint_report,
+    k_anonymity_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    # id 4 duplicates id 3's key; id 5 has a NULL fk (legal reference);
+    # id 6 is an orphan (fk 99 not in dim); price -1 on id 2 violates
+    # positivity; NULL price on id 5 is NOT a positivity violation
+    # (three-valued semantics) but IS a not-null violation.
+    return spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 20, -1.0),
+            (3, 30, 7.0),
+            (4, 30, 8.0),
+            (5, None, None),
+            (6, 99, 2.0),
+        ],
+        "id bigint, fk bigint, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # duplicate dim row for key 30: the distinct-projection must keep
+    # the fact row count unchanged (no join fan-out)
+    return spark.createDataFrame(
+        [(10,), (20,), (30,), (30,), (40,)], "k bigint"
+    )
+
+
+def test_constraint_report_counts(facts, dim):
+    rows = {
+        r["constraint"]: r
+        for r in constraint_report(
+            facts,
+            row_checks=[
+                ("price_not_null", F.col("price").isNull()),
+                ("price_positive", F.col("price") <= 0),
+            ],
+            unique=[("id_unique", ["id"]), ("fk_unique", ["fk"])],
+            fks=[("fk_dim", "fk", dim, "k")],
+        ).collect()
+    }
+    assert len(rows) == 5
+    # NULL price: counted by the isNull check, NOT by the predicate
+    # check (NULL <= 0 is NULL -> non-violation)
+    assert rows["price_not_null"]["n_violations"] == 1
+    assert not rows["price_not_null"]["passed"]
+    assert rows["price_positive"]["n_violations"] == 1
+    # uniqueness = excess rows: ids all distinct; fk has 6 rows but
+    # countDistinct drops the NULL -> 6 - 4 distinct = 2 "excess"
+    # (one real dup + the null row) — pair with a not-null check for
+    # PK semantics, exactly as documented
+    assert rows["id_unique"]["n_violations"] == 0
+    assert rows["id_unique"]["passed"]
+    assert rows["fk_unique"]["n_violations"] == 2
+    # FK: n_checked counts only non-null references (5 of 6 rows);
+    # the NULL reference is legal; the orphan is fk=99 only — and the
+    # duplicated dim row for key 30 must not fan out the fact side
+    assert rows["fk_dim"]["n_checked"] == 5
+    assert rows["fk_dim"]["n_violations"] == 1
+    for r in rows.values():
+        assert r["n_checked"] == 6 or r["constraint"] == "fk_dim"
+        assert r["passed"] == (r["n_violations"] == 0)
+
+
+def test_constraint_report_single_pass_plan(facts, dim):
+    df = constraint_report(
+        facts,
+        row_checks=[("p", F.col("price") < 0)],
+        unique=[("u", ["id"])],
+        fks=[("f", "fk", dim, "k")],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the FK marker join broadcasts the distinct-projected dim
+    assert "BroadcastHashJoin" in plan
+    # one scan of the fact table feeds every constraint
+    assert plan.count("Scan ExistingRDD") <= 2  # fact + broadcast dim
+
+
+def test_constraint_report_validation(facts, dim):
+    with pytest.raises(ValueError, match="unique"):
+        constraint_report(
+            facts,
+            row_checks=[("dup", F.col("price") < 0)],
+            unique=[("dup", ["id"])],
+        )
+    with pytest.raises(ValueError, match="no constraints"):
+        constraint_report(facts)
+
+
+def test_k_anonymity_profile(spark):
+    # groups: a×1 -> 3 rows, a×2 -> 1, b×1 -> 1, NULL×1 -> 2
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 1), ("a", 1),
+            ("a", 2),
+            ("b", 1),
+            (None, 1), (None, 1),
+        ],
+        "qa string, qb int",
+    )
+    out = {
+        r["k"]: r
+        for r in k_anonymity_profile(df, ["qa", "qb"], ks=(2, 3, 5))
+        .collect()
+    }
+    assert set(out) == {2, 3, 5}
+    for r in out.values():
+        assert r["n_rows"] == 7 and r["n_groups"] == 4
+    # k=2: singletons only (a×2, b×1) -> 2 groups, 2 rows; the NULL
+    # quasi pair is its OWN group of size 2, not merged or dropped
+    assert out[2]["groups_below"] == 2 and out[2]["rows_below"] == 2
+    assert out[2]["risk_share"] == pytest.approx(2 / 7, abs=1e-6)
+    # k=3: adds the NULL group (size 2)
+    assert out[3]["groups_below"] == 3 and out[3]["rows_below"] == 4
+    # k=5: every group is below -> all rows at risk
+    assert out[5]["groups_below"] == 4 and out[5]["rows_below"] == 7
+    assert out[5]["risk_share"] == 1.0
+
+
+def test_k_anonymity_validation(spark):
+    df = spark.createDataFrame([("a",)], "qa string")
+    with pytest.raises(ValueError, match="ks must be"):
+        k_anonymity_profile(df, ["qa"], ks=(1,))
+    with pytest.raises(ValueError, match="no quasi"):
+        k_anonymity_profile(df, [])
