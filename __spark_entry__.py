@@ -3459,6 +3459,8 @@ _FRONT: tuple[str, ...] = (
     "serving_funnel",
     "orders_constraint_report",
     "customer_k_anonymity",
+    "embedding_ivfpq_topk",
+    "ivfpq_stored_topk",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3506,8 +3508,8 @@ _FRONT: tuple[str, ...] = (
     "point_lookup",
     "pricing_summary",
     "promo_parts_by_brand",
-    "purchase_last_click",
-    "region_priority_pivot",
+    # purchase_last_click / region_priority_pivot: displaced to round 9's
+    # padding cohort by the two new IVFADC declarations (window cap 50).
 )
 
 

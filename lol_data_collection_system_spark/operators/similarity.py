@@ -708,6 +708,167 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 6,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN (Jégou et al. 2011's IVFADC — the FAISS
+    billion-scale index shape): a Lloyd-TRAINED coarse quantizer routes
+    the search to ``nprobe`` cells, and within those cells candidates
+    are scored from PQ codes of their RESIDUALS (vector − its cell
+    centroid) via the asymmetric-distance table — the composition that
+    beats either half alone, because residuals have far less variance
+    than raw vectors, so the same code budget quantizes them tighter.
+
+    Inner-product decomposition (what makes IVFADC exact to state):
+    ``x ≈ c(x) + u(r_x)`` with ``r_x = x − c(x)`` and ``u`` the PQ
+    reconstruction, so ``⟨q, x⟩ ≈ ⟨q, c(x)⟩ + Σ_m ⟨q_m, u_m(r_x)⟩`` —
+    the first term is one broadcast number per probed cell, the second
+    is the standard per-subspace ADC lookup. All dots rounded to 6 dp,
+    sums in fixed left-to-right order — engine-portable like the rest
+    of the family.
+
+    Plan shape at 100 TB: coarse training is `kmeans_assign`'s loop
+    (or skipped entirely on the stored path); the residual frame is one
+    broadcast-centroid map-side `zip_with`; the codebook + query-dot
+    tables travel as ONE broadcast row; candidate scoring reads ONLY
+    the probed cells (a broadcast semi-join on cid — the corpus scan
+    prunes to nprobe/n_cells of the data) and runs the code argmax +
+    ADC lookup fused in a map-side `array_max` per subspace; the final
+    top-k is TakeOrderedAndProject. No shuffle ever carries vectors.
+
+    Stored-serving contract (train once → parquet → serve): pass ALL of
+    ``index`` (the (id, cid) `kmeans_assign` frame), ``centroids`` (the
+    (cid, cvec) `kmeans_centroids` frame — MUST be from the same k /
+    iters, it is the recompute off the final assignment), and
+    ``codebooks`` (the (subspace, cid, cvec) residual `pq_codebooks`
+    frame). Training determinism makes the stored path bit-identical to
+    in-plan — pinned by the shared `ivfpq_stored_topk` oracle. Partial
+    artifact sets raise: a mismatched assignment/centroid pair would
+    silently mis-center every residual.
+    """
+    if (index is None) != (centroids is None):
+        raise ValueError(
+            "ivf_pq_topk: index and centroids are one artifact pair — "
+            "pass both (stored serving) or neither (in-plan training); "
+            "mixing a stored assignment with re-derived centroids (or "
+            "vice versa) would mis-center the residuals"
+        )
+    if codebooks is not None and index is None:
+        raise ValueError(
+            "ivf_pq_topk: stored codebooks encode residuals w.r.t. a "
+            "specific coarse quantizer — pass index/centroids with them"
+        )
+    if index is not None:
+        assigned = index.select(F.col(id_col), F.col("cid")).join(
+            emb.select(F.col(id_col), F.col(vec_col)), id_col
+        )
+        cell_rows = centroids.select("cid", "cvec")
+    else:
+        assigned, cents1 = _lloyd_rounds(
+            emb, n_cells, coarse_iters, id_col, vec_col, True
+        )
+        cell_rows = cents1.select(F.explode("cents").alias("_c")).select(
+            F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec")
+        )
+
+    res = assigned.join(F.broadcast(cell_rows), "cid").select(
+        F.col(id_col),
+        F.col("cid"),
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"), lambda a, b: a.cast("double") - b
+        ).alias("_res"),
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            res.select(F.col(id_col), F.col("_res").alias(vec_col)),
+            n_subspaces,
+            sub_dim,
+            n_codes,
+            id_col,
+            vec_col,
+        )
+
+    def qslice(m: int) -> Column:
+        return F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
+
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"),
+        *[qslice(m).alias(f"q{m}") for m in range(n_subspaces)],
+    )
+    # nprobe nearest cells by query·centroid — n_cells rows total, so the
+    # sort is trivially small; ties break toward the smaller cid.
+    probed = (
+        cell_rows.crossJoin(F.broadcast(q.select("_qv")))
+        .select(
+            "cid", F.round(dot(F.col("cvec"), F.col("_qv")), 6).alias("qcd")
+        )
+        .orderBy(F.col("qcd").desc(), F.col("cid").asc())
+        .limit(nprobe)
+    )
+    # One broadcast array per subspace: (cid, residual centroid, query
+    # dot) — `pq_topk`'s table, built from RAW query slices (the ⟨q, u⟩
+    # term decomposes over q's own subspaces; no per-cell residual query).
+    cents = codebooks.crossJoin(F.broadcast(q.drop("_qv"))).agg(
+        *[
+            F.collect_list(
+                F.when(
+                    F.col("subspace") == m,
+                    F.struct(
+                        F.col("cid"),
+                        F.col("cvec"),
+                        F.round(dot(F.col("cvec"), F.col(f"q{m}")), 6).alias(
+                            "qd"
+                        ),
+                    ),
+                )
+            ).alias(f"book{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+
+    cand = (
+        res.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(probed), "cid")
+        .crossJoin(F.broadcast(cents))
+    )
+
+    def adc(m: int) -> Column:
+        x_m = F.slice(F.col("_res"), 1 + m * sub_dim, sub_dim)
+        scored = F.transform(
+            F.col(f"book{m}"),
+            lambda c: F.struct(
+                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["qd"].alias("qd"),
+            ),
+        )
+        return F.array_max(scored)["qd"]
+
+    acc: Column = F.col("qcd")
+    for m in range(n_subspaces):
+        acc = acc + adc(m)  # fixed left-to-right order, mirrored in SQL
+    scored = cand.select(F.col(id_col), F.round(acc, 6).alias("approx_ip"))
+    order = [F.col("approx_ip").desc(), F.col(id_col).asc()]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "approx_ip"
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-NN graph construction
 # ---------------------------------------------------------------------------

@@ -1889,6 +1889,261 @@ def q_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ composite ANN (IVFADC — the FAISS billion-scale index shape):
+# trained coarse cells route the search, PQ codes of the RESIDUALS score
+# the candidates. Completes the ANN family: IVF alone scans raw vectors
+# in one cell; PQ alone scans codes of the whole corpus; IVFADC scans
+# codes of nprobe cells. Coarse params shared with the trained-IVF
+# queries so the stored variant reuses the persisted (vec_id, cid)
+# assignment artifact unchanged.
+# ---------------------------------------------------------------------------
+IVFPQ_NPROBE = 2
+
+
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan IVFADC: Lloyd-trained coarse cells (same k/iters as
+    `embedding_ivf_trained_topk`), residual PQ codebooks seeded from the
+    first `PQ_CENTROIDS` residuals, nprobe-cell ADC scan. The oracle
+    unrolls the coarse Lloyd rounds PLUS the final centroid recompute
+    (residuals need the centroids the assignment was averaged into),
+    then re-derives residuals, codebooks, probe set, and the ADC sum
+    from first principles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_pq_topk(
+        emb,
+        QUERY_VEC_ID,
+        TOPK,
+        n_cells=IVF_TRAINED_K,
+        coarse_iters=IVF_TRAINED_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        n_subspaces=PQ_SUBSPACES,
+        sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CENTROIDS,
+    )
+
+
+def _coarse_cte_parts_with_final(k: int, iters: int, dim: int) -> list[str]:
+    """`_kmeans_cte_parts` plus the FINAL centroid recompute
+    (``ex_{iters}``/``cent_{iters}``) that the trained-IVF oracle never
+    needs but residual quantization does: Spark's `_lloyd_rounds`
+    returns the centroids recomputed from the final assignment, and the
+    residual of every vector is taken against exactly those."""
+    parts = _kmeans_cte_parts(k, iters, dim)
+    parts.append(
+        f"""ex_{iters} AS (
+  SELECT a.cid, t.i AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS val
+  FROM assign_{iters} a JOIN embeddings e USING (vec_id),
+       unnest(generate_series(1, {dim})) AS t(i))"""
+    )
+    parts.append(
+        f"""cent_{iters} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+  FROM (SELECT cid, dim, SUM(CAST(val AS DECIMAL(38,10))) AS s,
+               COUNT(*) AS n
+        FROM ex_{iters} GROUP BY cid, dim) GROUP BY cid)"""
+    )
+    return parts
+
+
+def _ivfpq_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nprobe: int = IVFPQ_NPROBE,
+    m: int = PQ_SUBSPACES,
+    d: int = PQ_SUB_DIM,
+    kc: int = PQ_CENTROIDS,
+) -> str:
+    qid = QUERY_VEC_ID
+    sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
+    parts = _coarse_cte_parts_with_final(k, iters, dim)
+    parts.append(
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)"
+    )
+    parts.append(f"q AS (SELECT e FROM v WHERE vec_id = {qid})")
+    # residuals against the FINAL recomputed centroids
+    parts.append(
+        f"""res AS (
+  SELECT a.vec_id, a.cid,
+         list(CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]
+              ORDER BY t.i) AS r
+  FROM assign_{iters} a JOIN embeddings e USING (vec_id)
+       JOIN cent_{iters} c ON c.cid = a.cid,
+       unnest(generate_series(1, {dim})) AS t(i)
+  GROUP BY a.vec_id, a.cid)"""
+    )
+    # nprobe nearest cells by query·centroid (6-dp round, smaller-cid tie)
+    parts.append(
+        f"""qc AS (
+  SELECT c.cid, round(list_dot_product(c.cvec, q.e), 6) AS qcd
+  FROM cent_{iters} c, q)"""
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT cid, qcd FROM (
+    SELECT cid, qcd,
+           row_number() OVER (ORDER BY qcd DESC, cid) AS rn
+    FROM qc) WHERE rn <= {nprobe})"""
+    )
+    parts.append(
+        f"""cand AS (
+  SELECT r.vec_id, r.r, p.qcd
+  FROM res r JOIN probe p ON p.cid = r.cid
+  WHERE r.vec_id != {qid})"""
+    )
+    for i in range(m):
+        parts.append(
+            f"""book{i} AS (
+  SELECT CAST(vec_id AS INT) AS bcid, {sub('r', i)} AS cvec
+  FROM res WHERE vec_id < {kc})"""
+        )
+        parts.append(
+            f"""qd{i} AS (
+  SELECT b.bcid,
+         round(list_dot_product(b.cvec, {sub('q.e', i)}), 6) AS qd
+  FROM book{i} b, q)"""
+        )
+        parts.append(
+            f"""sims{i} AS (
+  SELECT c.vec_id, b.bcid,
+         round(list_dot_product({sub('c.r', i)}, b.cvec), 6) AS s
+  FROM cand c, book{i} b)"""
+        )
+        parts.append(
+            f"""best{i} AS (
+  SELECT vec_id, bcid FROM (
+    SELECT vec_id, bcid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, bcid) AS rn
+    FROM sims{i}) WHERE rn = 1)"""
+        )
+    joins = " ".join(
+        f"JOIN best{i} b{i} ON b{i}.vec_id = c.vec_id "
+        f"JOIN qd{i} t{i} ON t{i}.bcid = b{i}.bcid"
+        for i in range(m)
+    )
+    ip_sum = "c.qcd + " + " + ".join(f"t{i}.qd" for i in range(m))
+    parts.append(
+        f"""approx AS (
+  SELECT c.vec_id, round({ip_sum}, 6) AS approx_ip
+  FROM cand c {joins})"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, rank, approx_ip FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank,
+         approx_ip
+  FROM approx)
+WHERE rank <= {TOPK}
+"""
+
+
+def _ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources import materialize_summary
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sim_ops.kmeans_centroids(
+            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+        )
+
+    return materialize_summary(
+        spark,
+        _os.path.join(
+            SUMMARY_CACHE_DIR,
+            f"ivf_cents_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}"
+            ".parquet",
+        ),
+        build,
+        sources=[_os.path.join(sf_dir, "embeddings.parquet")],
+        ttl_s=None,
+        fingerprint="listing",  # O(file count) serve-path staleness
+    )
+
+
+def _ivfpq_books_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ codebooks as a persisted artifact. The build derives
+    assignment + centroids in-plan (deterministic, so independent
+    rebuilds of the three artifacts stay mutually consistent) and seeds
+    codebooks from the first `PQ_CENTROIDS` residuals — exactly what
+    `ivf_pq_topk` does when `codebooks=None`."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from ..sources import materialize_summary
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned = sim_ops.kmeans_assign(
+            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS, keep_vec=True
+        )
+        cents = sim_ops.kmeans_centroids(
+            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+        )
+        res = assigned.join(_F.broadcast(cents), "cid").select(
+            "vec_id",
+            _F.zip_with(
+                _F.col("embedding"),
+                _F.col("cvec"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("embedding"),
+        )
+        return sim_ops.pq_codebooks(
+            res, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS
+        )
+
+    return materialize_summary(
+        spark,
+        _os.path.join(
+            SUMMARY_CACHE_DIR,
+            f"ivfpq_books_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}"
+            f"_m{PQ_SUBSPACES}d{PQ_SUB_DIM}c{PQ_CENTROIDS}.parquet",
+        ),
+        build,
+        sources=[_os.path.join(sf_dir, "embeddings.parquet")],
+        ttl_s=None,
+        fingerprint="listing",
+    )
+
+
+def q_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_ivfpq_topk` served ENTIRELY from persisted artifacts:
+    the (vec_id, cid) assignment (SHARED with `ivf_stored_topk` — same
+    k/iters, same parquet file), the (cid, cvec) centroid frame, and
+    the residual (subspace, cid, cvec) codebooks. Zero Lloyd rounds and
+    zero codebook derivation at query time; training determinism makes
+    the result bit-identical to the in-plan twin, so both share one
+    oracle — the driver hash gate IS the stored-path proof."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_pq_topk(
+        emb,
+        QUERY_VEC_ID,
+        TOPK,
+        n_cells=IVF_TRAINED_K,
+        coarse_iters=IVF_TRAINED_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        n_subspaces=PQ_SUBSPACES,
+        sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CENTROIDS,
+        index=_ivf_index_cached(spark, sf_dir),
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+        codebooks=_ivfpq_books_cached(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM perplexity proxy (CCNet-style quality ranking)
 # ---------------------------------------------------------------------------
 def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4613,6 +4868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_negatives": q_contrastive_negatives,
     "embedding_pq_topk": q_embedding_pq_topk,
     "pq_trained_topk": q_pq_trained_topk,
+    "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+    "ivfpq_stored_topk": q_ivfpq_stored_topk,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
     "pii_scan": q_pii_scan,
@@ -4710,6 +4967,10 @@ ORACLES: dict[str, str] = {
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "embedding_pq_topk": _pq_oracle(),
     "pq_trained_topk": _pq_trained_oracle(),
+    "embedding_ivfpq_topk": _ivfpq_oracle(),
+    # fully-stored IVFADC twin shares the in-plan oracle: training is
+    # deterministic, so hash-identity IS the stored-serving gate
+    "ivfpq_stored_topk": _ivfpq_oracle(),
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
     "pii_scan": _pii_scan_oracle(),

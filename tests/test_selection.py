@@ -331,6 +331,105 @@ def test_pq_topk_shape_and_code_behavior(spark):
         assert math.isclose(got[3], expect, rel_tol=0, abs_tol=1e-9)
 
 
+def _ivfpq_emb(spark):
+    return spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(64)])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_ivfpq_topk_shape_probe_containment_and_determinism(spark):
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    out = sim.ivf_pq_topk(
+        emb, 0, 10, n_cells=5, coarse_iters=2, nprobe=2,
+        n_subspaces=2, sub_dim=32, n_codes=8,
+    )
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.vec_id != 0 for r in rows)
+    scores = [r.approx_ip for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # candidates come ONLY from the nprobe cells nearest the query
+    assign = {
+        r.vec_id: r.cid
+        for r in sim.kmeans_assign(emb, k=5, iters=2).collect()
+    }
+    cents = {
+        r.cid: r.cvec
+        for r in sim.kmeans_centroids(emb, k=5, iters=2).collect()
+    }
+    q = [float((2 * (d + 5)) % 19) - 9.0 for d in range(64)]
+    qcd = sorted(
+        ((round(sum(a * b for a, b in zip(cv, q)), 6), cid)
+         for cid, cv in cents.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probed = {cid for _, cid in qcd[:2]}
+    assert {assign[r.vec_id] for r in rows} <= probed
+
+    # layout invariance: same result after a repartition
+    again = sim.ivf_pq_topk(
+        emb.repartition(7), 0, 10, n_cells=5, coarse_iters=2, nprobe=2,
+        n_subspaces=2, sub_dim=32, n_codes=8,
+    ).orderBy("rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_ivfpq_stored_artifacts_serve_bit_identical(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    in_plan = sim.ivf_pq_topk(
+        emb, 0, 10, n_cells=5, coarse_iters=2, nprobe=2,
+        n_subspaces=2, sub_dim=32, n_codes=8,
+    ).orderBy("rank").collect()
+
+    assigned = sim.kmeans_assign(emb, k=5, iters=2, keep_vec=True)
+    cents = sim.kmeans_centroids(emb, k=5, iters=2)
+    res = assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), F.col("cvec"),
+            lambda a, b: a.cast("double") - b,
+        ).alias("embedding"),
+    )
+    books = sim.pq_codebooks(res, 2, 32, 8)
+    for name, df in (
+        ("idx", assigned.select("vec_id", "cid")),
+        ("cents", cents),
+        ("books", books),
+    ):
+        df.write.parquet(str(tmp_path / name))
+    stored = sim.ivf_pq_topk(
+        emb, 0, 10, n_cells=5, coarse_iters=2, nprobe=2,
+        n_subspaces=2, sub_dim=32, n_codes=8,
+        index=spark.read.parquet(str(tmp_path / "idx")),
+        centroids=spark.read.parquet(str(tmp_path / "cents")),
+        codebooks=spark.read.parquet(str(tmp_path / "books")),
+    ).orderBy("rank").collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in in_plan]
+
+
+def test_ivfpq_partial_artifacts_raise(spark):
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    idx = sim.kmeans_assign(emb, k=5, iters=2)
+    with _pytest.raises(ValueError, match="artifact pair"):
+        sim.ivf_pq_topk(emb, 0, index=idx)
+    books = sim.pq_codebooks(emb, 2, 32, 8)
+    with _pytest.raises(ValueError, match="coarse quantizer"):
+        sim.ivf_pq_topk(emb, 0, codebooks=books)
+
+
 def test_might_contain_rejects_colliding_columns(spark):
     import pytest as _pytest
 
