@@ -3461,6 +3461,7 @@ _FRONT: tuple[str, ...] = (
     "customer_k_anonymity",
     "embedding_ivfpq_topk",
     "ivfpq_stored_topk",
+    "simhash_near_dup",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3507,9 +3508,9 @@ _FRONT: tuple[str, ...] = (
     "part_type_bucket_pivot",
     "point_lookup",
     "pricing_summary",
-    "promo_parts_by_brand",
-    # purchase_last_click / region_priority_pivot: displaced to round 9's
-    # padding cohort by the two new IVFADC declarations (window cap 50).
+    # promo_parts_by_brand / purchase_last_click / region_priority_pivot:
+    # displaced to round 9's padding cohort by the three new declarations
+    # (IVFADC ×2, simhash_near_dup; window cap 50).
 )
 
 

@@ -431,6 +431,98 @@ FROM bits GROUP BY doc_id
 """
 
 
+SIMHASH_ND_THRESHOLD = 3
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup components over the corpus (Charikar/Manku web
+    near-dedup): 128-bit wide fingerprints → exact-dup collapse →
+    recall-1 Hamming banding (16-bit bands) → bit_count verify →
+    connected components. The text near-dup family's third member
+    (MinHash/Jaccard = set overlap, embeddings = semantic, SimHash =
+    weighted-token direction at 16 bytes/doc of pair-time state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_components(
+        docs, "doc_id", "text", threshold=SIMHASH_ND_THRESHOLD
+    )
+
+
+def _simhash_nd_oracle(threshold: int = SIMHASH_ND_THRESHOLD) -> str:
+    """Full re-derivation: 128-bit SimHash (four 32-bit md5 slices per
+    token; bit 63 of each word packed as the long MIN_VALUE literal),
+    distinct-signature reps, the SAME 8×16-bit banding (logical right
+    shift spelled via the unsigned-reinterpretation HUGEINT offset —
+    DuckDB's BIGINT >> sign-extends where Spark's shiftrightunsigned
+    must not), bit_count(xor) verify, recursive min-label closure."""
+    two64 = 1 << 64
+    slices = ", ".join(
+        f"CAST(('0x' || substr(md5(t), {1 + 8 * j}, 8)) AS BIGINT) AS h{j}"
+        for j in range(4)
+    )
+    word_sql = []
+    for w in range(2):
+        word_sql.append(
+            f"""CAST(SUM(CASE WHEN wi = {w} AND contrib > 0 THEN
+        CASE WHEN bi = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             ELSE CAST((1::BIGINT << bi) AS HUGEINT) END
+      ELSE 0 END) AS BIGINT) AS w{w}"""
+        )
+    words = ",\n       ".join(word_sql)
+    return f"""
+WITH RECURSIVE sh_tok AS (
+  SELECT doc_id, unnest(list_distinct({_NTOKS})) AS t FROM documents),
+sh_hash AS (
+  SELECT doc_id, {slices} FROM sh_tok),
+sh_bits AS (
+  SELECT doc_id, w.wi, b.bi,
+         SUM((((CASE w.wi * 2 + (b.bi // 32)
+                 WHEN 0 THEN h0 WHEN 1 THEN h1
+                 WHEN 2 THEN h2 ELSE h3 END) >> (b.bi % 32)) & 1) * 2 - 1)
+           AS contrib
+  FROM sh_hash
+  CROSS JOIN generate_series(0, 1) w(wi)
+  CROSS JOIN generate_series(0, 63) b(bi)
+  GROUP BY doc_id, w.wi, b.bi),
+sh_sig AS (
+  SELECT doc_id,
+       {words}
+  FROM sh_bits GROUP BY doc_id),
+sh_reps AS (
+  SELECT w0, w1, MIN(doc_id) AS rep FROM sh_sig GROUP BY w0, w1),
+sh_u AS (
+  SELECT rep, w0, w1,
+         CASE WHEN w0 >= 0 THEN CAST(w0 AS HUGEINT)
+              ELSE CAST(w0 AS HUGEINT) + {two64} END AS u0,
+         CASE WHEN w1 >= 0 THEN CAST(w1 AS HUGEINT)
+              ELSE CAST(w1 AS HUGEINT) + {two64} END AS u1
+  FROM sh_reps),
+sh_band AS (
+  SELECT rep, w0, w1, g.b AS band_idx,
+         CAST(((CASE WHEN g.b < 4 THEN u0 ELSE u1 END
+                >> ((g.b % 4) * 16)) % 65536) AS BIGINT) AS band_val
+  FROM sh_u CROSS JOIN generate_series(0, 7) g(b)),
+sh_edges AS (
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+  FROM sh_band a
+  JOIN sh_band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.rep < b.rep
+  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        <= {threshold}),
+sh_sym AS (
+  SELECT id_a AS u, id_b AS v FROM sh_edges
+  UNION SELECT id_b, id_a FROM sh_edges),
+sh_reach(node, reached) AS (
+  SELECT u, u FROM sh_sym
+  UNION
+  SELECT r.node, s.v FROM sh_reach r JOIN sh_sym s ON s.u = r.reached),
+sh_comp AS (SELECT node, MIN(reached) AS m FROM sh_reach GROUP BY node)
+SELECT g.doc_id, COALESCE(c.m, r.rep) AS component_id
+FROM sh_sig g
+JOIN sh_reps r ON r.w0 = g.w0 AND r.w1 = g.w1
+LEFT JOIN sh_comp c ON c.node = r.rep
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup_ops.embedding_near_dup_pairs(
@@ -4824,6 +4916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_capped": q_minhash_lsh_capped,
     "simhash_docs": q_simhash_docs,
+    "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_topk": q_embedding_ann_topk,
@@ -4921,6 +5014,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": _minhash_oracle(),
     "minhash_lsh_capped": _minhash_oracle(capped=True),
     "simhash_docs": _simhash_oracle(),
+    "simhash_near_dup": _simhash_nd_oracle(),
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_ann_topk": ORACLE_EMBEDDING_ANN_TOPK,

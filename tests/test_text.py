@@ -726,3 +726,102 @@ def test_strip_html_blocks_tags_entities_and_decode_order(spark):
     got = {r.i: r.o for r in df.select("i", strip_html(F.col("s")).alias("o")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_simhash128_word_packing_matches_python(spark):
+    """Each 64-bit word reproduces the documented md5-slice convention,
+    including the MIN_VALUE packing of bit 63 — checked against a pure
+    Python reimplementation on small token sets."""
+    import hashlib
+
+    from lol_data_collection_system_spark.operators.dedup import simhash128
+
+    docs = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # identical -> identical words
+        (2, "epsilon zeta eta theta iota kappa"),
+        (3, "one"),  # single token: every bit sign = that token's bit
+    ]
+
+    def py_sig(text):
+        toks = sorted(set(text.split()))
+        sums = [[0] * 64 for _ in range(2)]
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            sl = [int(hx[8 * j: 8 * j + 8], 16) for j in range(4)]
+            for w in range(2):
+                for i in range(64):
+                    bit = (sl[2 * w + i // 32] >> (i % 32)) & 1
+                    sums[w][i] += bit * 2 - 1
+        out = []
+        for w in range(2):
+            v = sum(1 << i for i in range(63) if sums[w][i] > 0)
+            if sums[w][63] > 0:
+                v += -(1 << 63)
+            out.append(v)
+        return tuple(out)
+
+    got = {
+        r.doc_id: (r.simhash_w0, r.simhash_w1)
+        for r in simhash128(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    for i, text in docs:
+        assert got[i] == py_sig(text), (i, got[i], py_sig(text))
+    assert got[0] == got[1]
+
+
+def test_simhash_components_match_bruteforce_union_find(spark):
+    """The banded+CC composition equals a brute-force all-pairs Hamming
+    union-find over the SAME signatures — pinning banding recall-1
+    (threshold < n_bands) and min-id component labeling end to end."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        simhash128,
+        simhash_components,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    docs = []
+    for i in range(30):
+        if i % 3 == 0:
+            docs.append((i, base + f"variant{i // 3}"))
+        elif i % 3 == 1:
+            docs.append((i, base + f"variant{i // 3}"))  # exact dup of i-1
+        else:
+            docs.append((i, f"totally different text number {i} " * 3))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sigs = {
+        r.doc_id: ((r.simhash_w0 ^ 0) & ((1 << 64) - 1),
+                   (r.simhash_w1 ^ 0) & ((1 << 64) - 1))
+        for r in simhash128(df, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                    sigs[a][1] ^ sigs[b][1]
+                ).count("1")
+                if d <= 3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+
+    got = {
+        r.doc_id: r.component_id
+        for r in simhash_components(df, threshold=3).collect()
+    }
+    assert got == want
+    # the exact dups really did land together (fixture sanity)
+    assert got[0] == got[1] and got[3] == got[4]
