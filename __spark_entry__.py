@@ -3462,6 +3462,7 @@ _FRONT: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "ivfpq_stored_topk",
     "simhash_near_dup",
+    "ivf_batch_serve",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3507,10 +3508,10 @@ _FRONT: tuple[str, ...] = (
     "orders_page",
     "part_type_bucket_pivot",
     "point_lookup",
-    "pricing_summary",
-    # promo_parts_by_brand / purchase_last_click / region_priority_pivot:
-    # displaced to round 9's padding cohort by the three new declarations
-    # (IVFADC ×2, simhash_near_dup; window cap 50).
+    # pricing_summary / promo_parts_by_brand / purchase_last_click /
+    # region_priority_pivot: displaced to round 9's padding cohort by the
+    # four new declarations (IVFADC ×2, simhash_near_dup, ivf_batch_serve;
+    # window cap 50).
 )
 
 

@@ -545,6 +545,90 @@ def ivf_trained_topk(
     return _rank_topk(scored, k, id_col)
 
 
+def ivf_serve_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch ANN SERVING over a stored IVF index: a whole FRAME of query
+    vectors (``(query_id, vec)`` — external vectors, not corpus rows)
+    each routed to its nearest stored centroid and scored exactly
+    against that cell's members; returns ``(query_id, vec_id, rank,
+    cos_sim)`` top-k per query. This is the retrieval-serving shape —
+    `ivf_trained_topk` answers ONE in-corpus probe, this answers a
+    batch (or, via `streaming.serve.ann_serve_stream`, a stream) of
+    arbitrary incoming vectors against artifacts trained once.
+
+    Routing convention matches production IVF: corpus cells are FIXED
+    by the stored assignment; queries route by argmax cosine against
+    the stored centroids (6-dp round, smaller-cid tie — the
+    `kmeans_assign` rule). Scores round to 4 dp like the whole IVF
+    family.
+
+    Plan shape: the centroid set travels as ONE broadcast row into a
+    map-side bucket argmax over the query frame; the query frame (small
+    relative to the corpus by serving definition) broadcasts into an
+    equi-join on cid against the assigned corpus — candidates are only
+    the probed cells' members; per-query top-k is a rank window
+    PARTITIONED by query (WindowGroupLimit keeps per-partition heads
+    before the exchange — never a global sort). Stream-safe up to the
+    window: the streaming twin applies this whole function per
+    micro-batch via foreachBatch.
+    """
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid").cast("int").alias("cid"), F.col("cvec")
+            )
+        ).alias("cents")
+    )
+
+    def best_cid() -> Column:
+        def centroid_sim(c: Column) -> Column:
+            return F.struct(
+                F.round(cosine(F.col("_qv"), c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_max(F.transform(F.col("cents"), centroid_sim))["cid"]
+
+    routed = (
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            best_cid().cast("bigint").alias("_qbucket"),
+        )
+    )
+    corpus = index.select(F.col(id_col), F.col("cid")).join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    scored = corpus.join(
+        F.broadcast(routed), F.col("cid") == F.col("_qbucket")
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cos_sim")
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     n_subspaces: int = 2,

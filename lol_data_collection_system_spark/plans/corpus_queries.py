@@ -2235,6 +2235,85 @@ def q_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SERVE_N_QUERIES = 3
+SERVE_TOPK = 5
+
+
+def q_ivf_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving from the stored IVF artifacts: a FRAME of query
+    vectors (the first `SERVE_N_QUERIES` embeddings standing in for an
+    external request batch) each routed by the persisted centroids and
+    scored against its cell's members from the persisted assignment —
+    `ivf_serve_topk`, the multi-query serving shape the streaming twin
+    (`streaming.serve.ann_serve_stream`) applies per micro-batch. Zero
+    training at query time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivf_serve_topk(
+        queries,
+        emb,
+        index=_ivf_index_cached(spark, sf_dir),
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+        k=SERVE_TOPK,
+    )
+
+
+def _ivf_serve_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nq: int = SERVE_N_QUERIES,
+    topk: int = SERVE_TOPK,
+) -> str:
+    """Re-derives training from first principles (Lloyd rounds + the
+    final centroid recompute the stored artifacts contain), then the
+    serving convention: corpus cells from the stored assignment
+    (``assign_{iters}``), query routing by argmax 6-dp cosine against
+    the stored centroids (``cent_{iters}``), 4-dp exact scores, rank
+    ties toward the smaller corpus id."""
+    cos_qc = (
+        "round(list_dot_product(q.qe, c.cvec)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    ctes = ",\n".join(_coarse_cte_parts_with_final(k, iters, dim))
+    return f"""
+WITH {ctes},
+qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq}),
+qscore AS (
+  SELECT q.query_id, c.cid, {cos_qc} AS sim
+  FROM qs q CROSS JOIN cent_{iters} c),
+qbucket AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM qscore) WHERE rn = 1),
+scored AS (
+  SELECT qb.query_id, e.vec_id, {cos_qe} AS cos_sim
+  FROM qbucket qb
+  JOIN assign_{iters} a ON a.cid = qb.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = qb.query_id)
+SELECT query_id, vec_id, rank, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {topk}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM perplexity proxy (CCNet-style quality ranking)
 # ---------------------------------------------------------------------------
@@ -4963,6 +5042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_trained_topk": q_pq_trained_topk,
     "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     "ivfpq_stored_topk": q_ivfpq_stored_topk,
+    "ivf_batch_serve": q_ivf_batch_serve,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
     "pii_scan": q_pii_scan,
@@ -5065,6 +5145,7 @@ ORACLES: dict[str, str] = {
     # fully-stored IVFADC twin shares the in-plan oracle: training is
     # deterministic, so hash-identity IS the stored-serving gate
     "ivfpq_stored_topk": _ivfpq_oracle(),
+    "ivf_batch_serve": _ivf_serve_oracle(),
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
     "pii_scan": _pii_scan_oracle(),

@@ -1783,3 +1783,70 @@ def test_corpus_guard_rejects_capped_stored_index(spark, tmp_path):
             delta, corpus, band_size=2,
             corpus_index=read_corpus_index(spark, path),
         )
+
+
+def test_ann_serve_stream_equals_batch_operator(spark, tmp_path):
+    """Streaming ANN serving (foreachBatch over the stored IVF index)
+    must equal the batch operator on the union of the micro-batches —
+    structural stream==batch, since scoring is stateless per query."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+    from lol_data_collection_system_spark.streaming.serve import (
+        ann_serve_stream,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(16)])
+         for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    index = sim.kmeans_assign(emb, k=4, iters=2)
+    cents = sim.kmeans_centroids(emb, k=4, iters=2)
+    # queries: perturbed corpus vectors, split into two stream files
+    queries = [
+        (100 + i,
+         [v + 0.25 * ((i + d) % 3) for d, v in enumerate(
+             [float(((i + 2) * (d2 + 5)) % 19) - 9.0 for d2 in range(16)])])
+        for i in range(6)
+    ]
+    schema = T2.StructType([
+        T2.StructField("query_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType())),
+    ])
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    spark.createDataFrame(queries[:3], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(queries[3:], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = ann_serve_stream(
+        stream, str(out_dir), str(ckpt), emb, index, cents, k=4
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivf_serve_topk(
+            spark.createDataFrame(queries, schema), emb, index, cents, k=4
+        ).collect()
+    )
+    assert got == want
+    assert len({t[0] for t in got}) == 6  # every query answered
+    # per-query ranks are contiguous from 1
+    by_q = {}
+    for qid, _vid, rank, _cos in got:
+        by_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
