@@ -45,7 +45,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["constraint_report", "k_anonymity_profile"]
+__all__ = [
+    "constraint_report",
+    "k_anonymity_profile",
+    "delete_propagation",
+    "purge_deleted",
+]
 
 
 def constraint_report(
@@ -151,6 +156,73 @@ def constraint_report(
     return wide.select(
         F.explode(F.array(*structs)).alias("_c")
     ).select("_c.*")
+
+
+def delete_propagation(
+    labels: DataFrame,
+    delete_df: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """Right-to-be-forgotten propagation through near-duplicate
+    components: a deletion request for a document must also remove its
+    near-copies, or the content survives deletion verbatim under other
+    ids — the duplication loophole every trained-on-crawl pipeline has
+    to close. Returns one row per labeled document:
+    ``(id, component_id, status)`` with status ``deleted_direct`` (id in
+    the request), ``deleted_via_dup`` (shares a near-dup component with
+    a requested id), or ``kept``.
+
+    ``labels`` is any (id, component_id) near-dup labeling — the
+    `graph.dedup_clusters` frame (MinHash/Jaccard), `hamming_components`
+    (SimHash/perceptual), or a stored copy of either; propagation policy
+    is one hop over components by construction, matching the clustering
+    that produced them.
+
+    Scale shape: deletion requests are tiny by nature, so both joins are
+    BROADCAST (the request list, then the distinct touched components —
+    bounded by the request size); the corpus-sized labels frame never
+    shuffles here. Derived artifacts (stored indexes, rollups) are NOT
+    patched in place — they rebuild through their source fingerprints
+    once the purged corpus is written (`sources/cache.py` staleness
+    contract), which is the only deletion-correct maintenance policy.
+    """
+    dels = F.broadcast(
+        delete_df.select(F.col(id_col)).distinct().withColumn(
+            "_del", F.lit(1)
+        )
+    )
+    marked = labels.select(F.col(id_col), F.col(component_col)).join(
+        dels, id_col, "left"
+    )
+    del_comps = F.broadcast(
+        marked.filter(F.col("_del") == 1)
+        .select(component_col)
+        .distinct()
+        .withColumn("_cdel", F.lit(1))
+    )
+    return marked.join(del_comps, component_col, "left").select(
+        F.col(id_col),
+        F.col(component_col),
+        F.when(F.col("_del") == 1, F.lit("deleted_direct"))
+        .when(F.col("_cdel") == 1, F.lit("deleted_via_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def purge_deleted(
+    df: DataFrame,
+    propagation: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The purged corpus: `df` minus every row the `delete_propagation`
+    report marks non-kept (one broadcast-able semi-join on the flagged
+    ids — the flagged set is request-bounded, never corpus-sized)."""
+    flagged = propagation.filter(F.col("status") != "kept").select(
+        F.col(id_col)
+    )
+    return df.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def k_anonymity_profile(

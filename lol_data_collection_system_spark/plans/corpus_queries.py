@@ -749,6 +749,39 @@ SELECT doc_id, component_id FROM comps
 
 
 
+DELETE_MOD = 97
+
+
+def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a key-derived deletion request
+    (doc_id ≡ 0 mod 97 — the in-plan fixture trick) expands one hop
+    through the near-dup components, flagging every near-copy of a
+    requested document. Shares the memoized converged label frame with
+    `dedup_components`/`component_canonicals` (CC runs once per
+    session)."""
+    from ..operators import validation as validation_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _dedup_labels_cached(spark, sf_dir)
+    dels = docs.filter(F.col("doc_id") % DELETE_MOD == 0).select("doc_id")
+    return validation_ops.delete_propagation(labels, dels)
+
+
+ORACLE_DELETE_PROPAGATION = f"""
+{_CC_CTES},
+dels AS (SELECT doc_id FROM documents WHERE doc_id % {DELETE_MOD} = 0),
+delcomp AS (
+  SELECT DISTINCT c.component_id FROM comps c JOIN dels d USING (doc_id))
+SELECT c.doc_id, c.component_id,
+       CASE WHEN d.doc_id IS NOT NULL THEN 'deleted_direct'
+            WHEN dc.component_id IS NOT NULL THEN 'deleted_via_dup'
+            ELSE 'kept' END AS status
+FROM comps c
+LEFT JOIN dels d ON d.doc_id = c.doc_id
+LEFT JOIN delcomp dc ON dc.component_id = c.component_id
+"""
+
+
 def q_component_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup canonicalization: near-dup components keep
     their longest member (`n_chars`, ties → smallest id). Shares the
@@ -5043,6 +5076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     "ivfpq_stored_topk": q_ivfpq_stored_topk,
     "ivf_batch_serve": q_ivf_batch_serve,
+    "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
     "pii_scan": q_pii_scan,
@@ -5146,6 +5180,7 @@ ORACLES: dict[str, str] = {
     # deterministic, so hash-identity IS the stored-serving gate
     "ivfpq_stored_topk": _ivfpq_oracle(),
     "ivf_batch_serve": _ivf_serve_oracle(),
+    "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
     "pii_scan": _pii_scan_oracle(),

@@ -143,3 +143,47 @@ def test_k_anonymity_validation(spark):
         k_anonymity_profile(df, ["qa"], ks=(1,))
     with pytest.raises(ValueError, match="no quasi"):
         k_anonymity_profile(df, [])
+
+
+def test_delete_propagation_statuses_and_purge(spark):
+    """Direct deletes, one-hop component expansion, kept rows untouched;
+    purge_deleted removes exactly the non-kept set."""
+    from lol_data_collection_system_spark.operators.validation import (
+        delete_propagation,
+        purge_deleted,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)],
+        ["doc_id", "component_id"],
+    )
+    dels = spark.createDataFrame([(2,), (6,), (99,)], ["doc_id"])
+    got = {
+        r.doc_id: r.status
+        for r in delete_propagation(labels, dels).collect()
+    }
+    assert got == {
+        1: "deleted_via_dup",
+        2: "deleted_direct",
+        3: "deleted_via_dup",
+        4: "kept",
+        5: "deleted_via_dup",
+        6: "deleted_direct",
+        7: "kept",
+    }
+    docs = labels.select("doc_id")
+    kept = purge_deleted(docs, delete_propagation(labels, dels))
+    assert sorted(r.doc_id for r in kept.collect()) == [4, 7]
+
+
+def test_delete_propagation_empty_request_keeps_everything(spark):
+    from lol_data_collection_system_spark.operators.validation import (
+        delete_propagation,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], ["doc_id", "component_id"]
+    )
+    empty = spark.createDataFrame([], "doc_id bigint")
+    got = delete_propagation(labels, empty).collect()
+    assert {r.status for r in got} == {"kept"} and len(got) == 2
