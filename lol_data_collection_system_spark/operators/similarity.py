@@ -545,6 +545,74 @@ def ivf_trained_topk(
     return _rank_topk(scored, k, id_col)
 
 
+def route_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    out_col: str = "cid",
+) -> DataFrame:
+    """Assign every row of `df` to its nearest stored centroid by the
+    `kmeans_assign` rule (cosine rounded to 6 dp, ties toward the
+    smaller cid) — the ONE routing convention shared by query serving
+    (`ivf_serve_topk`) and incremental index maintenance
+    (`ivf_index_append`), so served queries and appended vectors always
+    land by identical math. The centroid set travels as ONE broadcast
+    row; routing is map-side only."""
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid").cast("int").alias("cid"), F.col("cvec")
+            )
+        ).alias("cents")
+    )
+
+    def centroid_sim(c: Column) -> Column:
+        return F.struct(
+            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        )
+
+    best = F.array_max(F.transform(F.col("cents"), centroid_sim))["cid"]
+    return df.crossJoin(F.broadcast(cents_row)).select(
+        *[F.col(c) for c in df.columns],
+        best.cast("bigint").alias(out_col),
+    )
+
+
+def ivf_index_append(
+    index: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: route a DELTA of new vectors
+    to the STORED centroids and append them to the stored (id, cid)
+    assignment — continuous ingest without retraining, the standard
+    production IVF policy (cells drift only as much as the data does;
+    retraining is a scheduled offline job, not an ingest-path cost).
+
+    Idempotent by construction: delta ids already present in the index
+    are dropped (left-anti on the id), so replaying an ingest batch —
+    or re-appending after a crash between write and checkpoint — never
+    duplicates assignments or flips an existing vector's cell. Routing
+    uses `route_to_centroids`' exact serving rule, so a vector appended
+    today is found in exactly the cell tomorrow's queries probe.
+
+    Plan shape: centroids broadcast into a map-side argmax over the
+    delta; the anti-join keys on ids only (16 B/row); the union is
+    metadata-only. Cost tracks the DELTA, never the index size.
+    """
+    routed = route_to_centroids(
+        new_emb.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
+    ).select(F.col(id_col), F.col("cid"))
+    fresh = routed.join(
+        index.select(F.col(id_col)), id_col, "left_anti"
+    )
+    return index.select(F.col(id_col), F.col("cid")).unionByName(fresh)
+
+
 def ivf_serve_topk(
     queries: DataFrame,
     emb: DataFrame,
@@ -580,34 +648,11 @@ def ivf_serve_topk(
     window: the streaming twin applies this whole function per
     micro-batch via foreachBatch.
     """
-    cents_row = centroids.agg(
-        F.collect_list(
-            F.struct(
-                F.col("cid").cast("int").alias("cid"), F.col("cvec")
-            )
-        ).alias("cents")
-    )
-
-    def best_cid() -> Column:
-        def centroid_sim(c: Column) -> Column:
-            return F.struct(
-                F.round(cosine(F.col("_qv"), c["cvec"]), 6).alias("sim"),
-                (-c["cid"]).alias("neg_cid"),
-                c["cid"].alias("cid"),
-            )
-
-        return F.array_max(F.transform(F.col("cents"), centroid_sim))["cid"]
-
-    routed = (
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv")
-        )
-        .crossJoin(F.broadcast(cents_row))
-        .select(
-            F.col(query_id_col),
-            F.col("_qv"),
-            best_cid().cast("bigint").alias("_qbucket"),
-        )
+    routed = route_to_centroids(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
+        centroids,
+        "_qv",
+        out_col="_qbucket",
     )
     corpus = index.select(F.col(id_col), F.col("cid")).join(
         emb.select(F.col(id_col), F.col(vec_col)), id_col

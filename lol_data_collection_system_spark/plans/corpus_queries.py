@@ -1832,14 +1832,18 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
 
 
-def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
+def _kmeans_cte_parts(
+    k: int, iters: int, dim: int, src: str = "embeddings"
+) -> list[str]:
     """Unrolled Lloyd rounds as chained CTEs — the fixed, small `iters`
     makes the oracle expressible without recursion; every round mirrors
     the Spark op's rounding/tie-break exactly. The final assignment CTE
-    is ``assign_{iters}``; reused by the trained-IVF oracle."""
+    is ``assign_{iters}``; reused by the trained-IVF oracle. ``src``
+    names the training table/CTE (a filtered base for the incremental
+    oracles)."""
     parts = [
         f"cent_0 AS (SELECT CAST(vec_id AS INT) AS cid,"
-        f" CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings"
+        f" CAST(embedding AS DOUBLE[]) AS cvec FROM {src}"
         f" WHERE vec_id < {k})"
     ]
     for i in range(1, iters + 1):
@@ -1850,7 +1854,7 @@ def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
-  FROM embeddings e CROSS JOIN cent_{i - 1} c)"""
+  FROM {src} e CROSS JOIN cent_{i - 1} c)"""
         )
         parts.append(
             f"""assign_{i} AS (
@@ -1863,7 +1867,7 @@ def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
             parts.append(
                 f"""ex_{i} AS (
   SELECT a.cid, t.i AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS val
-  FROM assign_{i} a JOIN embeddings e USING (vec_id),
+  FROM assign_{i} a JOIN {src} e USING (vec_id),
        unnest(generate_series(1, {dim})) AS t(i))"""
             )
             parts.append(
@@ -2047,17 +2051,19 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coarse_cte_parts_with_final(k: int, iters: int, dim: int) -> list[str]:
+def _coarse_cte_parts_with_final(
+    k: int, iters: int, dim: int, src: str = "embeddings"
+) -> list[str]:
     """`_kmeans_cte_parts` plus the FINAL centroid recompute
     (``ex_{iters}``/``cent_{iters}``) that the trained-IVF oracle never
     needs but residual quantization does: Spark's `_lloyd_rounds`
     returns the centroids recomputed from the final assignment, and the
     residual of every vector is taken against exactly those."""
-    parts = _kmeans_cte_parts(k, iters, dim)
+    parts = _kmeans_cte_parts(k, iters, dim, src)
     parts.append(
         f"""ex_{iters} AS (
   SELECT a.cid, t.i AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS val
-  FROM assign_{iters} a JOIN embeddings e USING (vec_id),
+  FROM assign_{iters} a JOIN {src} e USING (vec_id),
        unnest(generate_series(1, {dim})) AS t(i))"""
     )
     parts.append(
@@ -2336,6 +2342,108 @@ scored AS (
   SELECT qb.query_id, e.vec_id, {cos_qe} AS cos_sim
   FROM qbucket qb
   JOIN assign_{iters} a ON a.cid = qb.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = qb.query_id)
+SELECT query_id, vec_id, rank, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {topk}
+"""
+
+
+INCR_DELTA_MOD = 10  # vec_id % 10 == 9 is the "newly ingested" cohort
+
+
+def q_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance, served end to end: the coarse
+    quantizer trains on the BASE cohort only (vec_id % 10 != 9); the
+    held-out delta is then appended by `ivf_index_append` — routed to
+    the FROZEN centroids by the serving rule, zero retraining — and a
+    query batch is served over the merged assignment. The hash gate
+    proves appended vectors are findable in exactly the cells queries
+    probe, and that ingest cost tracked the delta (no Lloyd rounds ran
+    over it — the oracle gives the delta no training CTEs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % INCR_DELTA_MOD != 9)
+    delta = emb.filter(F.col("vec_id") % INCR_DELTA_MOD == 9)
+    index = sim_ops.kmeans_assign(
+        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+    )
+    cents = sim_ops.kmeans_centroids(
+        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+    )
+    merged = sim_ops.ivf_index_append(index, delta, cents)
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivf_serve_topk(
+        queries, emb, merged, cents, k=SERVE_TOPK
+    )
+
+
+def _ivf_incremental_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nq: int = SERVE_N_QUERIES,
+    topk: int = SERVE_TOPK,
+    mod: int = INCR_DELTA_MOD,
+) -> str:
+    cos_dc = (
+        "round(list_dot_product(d.e, c.cvec)"
+        " / (sqrt(list_dot_product(d.e, d.e))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qc = (
+        "round(list_dot_product(q.qe, c.cvec)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    parts = [
+        f"ivfb AS (SELECT * FROM embeddings WHERE vec_id % {mod} != {mod - 1})"
+    ] + _coarse_cte_parts_with_final(k, iters, dim, src="ivfb")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+delta AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % {mod} = {mod - 1}),
+dscore AS (
+  SELECT d.vec_id, c.cid, {cos_dc} AS sim
+  FROM delta d CROSS JOIN cent_{iters} c),
+dassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM dscore) WHERE rn = 1),
+merged AS (
+  SELECT vec_id, cid FROM assign_{iters}
+  UNION ALL SELECT vec_id, cid FROM dassign),
+qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq}),
+qscore AS (
+  SELECT q.query_id, c.cid, {cos_qc} AS sim
+  FROM qs q CROSS JOIN cent_{iters} c),
+qbucket AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM qscore) WHERE rn = 1),
+scored AS (
+  SELECT qb.query_id, e.vec_id, {cos_qe} AS cos_sim
+  FROM qbucket qb
+  JOIN merged a ON a.cid = qb.cid
   JOIN embeddings e ON e.vec_id = a.vec_id
   JOIN qs q ON q.query_id = qb.query_id)
 SELECT query_id, vec_id, rank, cos_sim FROM (
@@ -5076,6 +5184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     "ivfpq_stored_topk": q_ivfpq_stored_topk,
     "ivf_batch_serve": q_ivf_batch_serve,
+    "ivf_incremental_serve": q_ivf_incremental_serve,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -5180,6 +5289,7 @@ ORACLES: dict[str, str] = {
     # deterministic, so hash-identity IS the stored-serving gate
     "ivfpq_stored_topk": _ivfpq_oracle(),
     "ivf_batch_serve": _ivf_serve_oracle(),
+    "ivf_incremental_serve": _ivf_incremental_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,

@@ -550,3 +550,39 @@ def test_interleave_alternates_sources_and_is_deterministic(spark):
     assert [(r.position, r.doc_id) for r in again] == [
         (r.position, r.doc_id) for r in out
     ]
+
+
+def test_ivf_index_append_idempotent_and_frozen(spark):
+    """Appending a delta routes by the stored centroids; replaying the
+    same delta is a no-op; existing assignments never flip."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    index = sim.kmeans_assign(base, k=4, iters=2)
+    cents = sim.kmeans_centroids(base, k=4, iters=2)
+
+    merged = sim.ivf_index_append(index, delta, cents)
+    rows = {r.vec_id: r.cid for r in merged.collect()}
+    assert set(rows) == {r.vec_id for r in emb.collect()}
+    # base assignments unchanged
+    for r in index.collect():
+        assert rows[r.vec_id] == r.cid
+    # delta rows landed where the serving rule routes them
+    routed = {
+        r.vec_id: r.cid
+        for r in sim.route_to_centroids(
+            delta.select("vec_id", "embedding"), cents, "embedding"
+        ).collect()
+    }
+    for vid, cid in routed.items():
+        assert rows[vid] == cid
+    # replay: appending the same delta again changes nothing
+    again = {
+        r.vec_id: r.cid
+        for r in sim.ivf_index_append(merged, delta, cents).collect()
+    }
+    assert again == rows
