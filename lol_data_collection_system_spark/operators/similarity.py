@@ -607,6 +607,12 @@ def ivf_index_append(
     routed = route_to_centroids(
         new_emb.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
     ).select(F.col(id_col), F.col("cid"))
+    # a delta carrying the same id twice (upstream retry glue, dirty
+    # feeds) must not produce two assignments: collapse per id — exact
+    # duplicates agree on cid anyway, conflicting payloads resolve
+    # deterministically to the smaller cid. One partial-agg shuffle over
+    # the DELTA only.
+    routed = routed.groupBy(id_col).agg(F.min("cid").alias("cid"))
     fresh = routed.join(
         index.select(F.col(id_col)), id_col, "left_anti"
     )

@@ -15,9 +15,11 @@ index), so the exact batch semantics drop out of `foreachBatch`
 applying the BATCH operator (`similarity.ivf_serve_topk`) to each
 micro-batch. stream == batch is structural, not approximate: the union
 of per-batch results equals the batch operator on the union of inputs,
-row for row (pinned by pytest). State is zero; replay of a batch
-rewrites the same deterministic rows (sink keyed by query_id is
-idempotent under overwrite-by-batch or dedup-on-read).
+row for row (pinned by pytest). State is zero; the sink partitions by
+batch id and dynamically OVERWRITES only that partition, so a replayed
+batch (crash between write and checkpoint commit) rewrites its own
+deterministic rows in place instead of appending duplicates — pinned
+by the sink-replay pytest.
 """
 
 from __future__ import annotations
@@ -44,6 +46,8 @@ def ann_serve_sink(
     the wiring so tests (and backfills) can call it on a static frame."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         out = ivf_serve_topk(
             batch_df,
             emb,
@@ -54,7 +58,15 @@ def ann_serve_sink(
             vec_col=vec_col,
             query_id_col=query_id_col,
         )
-        out.write.mode("append").parquet(out_dir)
+        # replay-idempotent: a re-delivered batch overwrites ITS OWN
+        # partition (deterministic rows), never appends a second copy
+        (
+            out.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
 
     return sink
 

@@ -586,3 +586,24 @@ def test_ivf_index_append_idempotent_and_frozen(spark):
         for r in sim.ivf_index_append(merged, delta, cents).collect()
     }
     assert again == rows
+
+
+def test_ivf_index_append_collapses_duplicate_delta_ids(spark):
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    index = sim.kmeans_assign(base, k=4, iters=2)
+    cents = sim.kmeans_centroids(base, k=4, iters=2)
+    doubled = delta.unionByName(delta)  # retry glue: same ids twice
+    merged = sim.ivf_index_append(index, doubled, cents).collect()
+    ids = [r.vec_id for r in merged]
+    assert len(ids) == len(set(ids))  # one assignment per id
+    want = {
+        r.vec_id: r.cid
+        for r in sim.ivf_index_append(index, delta, cents).collect()
+    }
+    assert {r.vec_id: r.cid for r in merged} == want

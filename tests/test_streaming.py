@@ -1835,7 +1835,10 @@ def test_ann_serve_stream_equals_batch_operator(spark, tmp_path):
     q.awaitTermination(120)
 
     got = sorted(
-        tuple(r) for r in spark.read.parquet(str(out_dir)).collect()
+        tuple(r)
+        for r in spark.read.parquet(str(out_dir))
+        .drop("_batch_id")
+        .collect()
     )
     want = sorted(
         tuple(r)
@@ -1850,3 +1853,20 @@ def test_ann_serve_stream_equals_batch_operator(spark, tmp_path):
     for qid, _vid, rank, _cos in got:
         by_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    # sink replay (crash between write and checkpoint commit): re-running
+    # a batch overwrites its own partition, never appends a second copy
+    from lol_data_collection_system_spark.streaming.serve import (
+        ann_serve_sink,
+    )
+
+    sink = ann_serve_sink(str(out_dir), emb, index, cents, k=4)
+    replay_df = spark.createDataFrame(queries[:3], schema)
+    sink(replay_df, 0)  # batch 0 delivered again
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out_dir))
+        .drop("_batch_id")
+        .collect()
+    )
+    assert again == want
