@@ -3464,6 +3464,7 @@ _FRONT: tuple[str, ...] = (
     "simhash_near_dup",
     "ivf_batch_serve",
     "ivf_incremental_serve",
+    "ivfadc_refine_serve",
     "delete_propagation",
     # ---- newest driver row = round 1:
     "fight_enrichment",
@@ -3507,12 +3508,11 @@ _FRONT: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "order_flags",
     "order_status_tallies",
-    "orders_page",
-    # part_type_bucket_pivot / point_lookup / pricing_summary /
-    # promo_parts_by_brand / purchase_last_click / region_priority_pivot:
-    # displaced to round 9's padding cohort by the six new declarations
+    # orders_page / part_type_bucket_pivot / point_lookup / pricing_summary
+    # / promo_parts_by_brand / purchase_last_click / region_priority_pivot:
+    # displaced to round 9's padding cohort by the seven new declarations
     # (IVFADC ×2, simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
-    # delete_propagation; window cap 50).
+    # ivfadc_refine_serve, delete_propagation; window cap 50).
 )
 
 

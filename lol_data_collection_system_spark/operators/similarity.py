@@ -1004,6 +1004,198 @@ def ivf_pq_topk(
     )
 
 
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their PQ codes — the STORED CODE TABLE that
+    makes PQ an actual storage win: `pq_topk`'s in-plan scan re-derives
+    every candidate's codes from its full vector at query time, which is
+    correct but reads vectors; at billion scale the code table
+    ``(id, codes: array<int>)`` is written ONCE (m bytes/vector instead
+    of 4·d) and every ADC scan reads codes only. Code m = argmax of the
+    6-dp-rounded dot with subspace m's codebook (smaller-cid ties) —
+    identical to the in-plan choice, so stored codes reproduce in-plan
+    scores bit-for-bit.
+
+    Pass RESIDUAL vectors (and residual codebooks) for the IVFADC
+    layout, raw vectors for flat PQ. Map-side only: the codebook
+    travels as one broadcast row."""
+    books = codebooks.agg(
+        *[
+            F.collect_list(
+                F.when(
+                    F.col("subspace") == m,
+                    F.struct(F.col("cid"), F.col("cvec")),
+                )
+            ).alias(f"book{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+
+    def code(m: int) -> Column:
+        x_m = F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
+        scored = F.transform(
+            F.col(f"book{m}"),
+            lambda c: F.struct(
+                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_max(scored)["cid"]
+
+    return emb.crossJoin(F.broadcast(books)).select(
+        F.col(id_col),
+        F.array(*[code(m) for m in range(n_subspaces)]).alias("codes"),
+    )
+
+
+def ivfadc_refine_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    refine: int = 20,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The complete billion-scale serving funnel (Jégou et al.'s IVFADC
+    + the standard exact-refine pass), multi-query: each query routes to
+    its cell by the stored centroids (`route_to_centroids`' serving
+    rule), the cell's candidates are scored from the STORED CODE TABLE
+    only (ADC: approx ⟨q,x⟩ = ⟨q,c⟩ + Σ_m qd_m[code_m] — 2 ints/row
+    read, never a vector), the top-`refine` per query fetch their REAL
+    vectors for exact cosine, and the top-`k` of that rerank is the
+    answer. Returns ``(query_id, vec_id, rank, cos_sim, approx_ip)``.
+
+    This is what the stored artifacts exist FOR: at 100 TB the funnel
+    reads (centroids broadcast) + (probed cells' code rows) + (refine ×
+    queries full vectors) — the full-vector volume is bounded by the
+    REFINE budget, not the corpus or even the cell. All arithmetic
+    follows the family conventions (6-dp dots for routing/ADC, 4-dp
+    exact scores, smaller-id ties), so the whole composition
+    hash-gates.
+
+    Plan shape: two broadcast-driven map-side scans (routing over
+    queries, ADC over probed code rows with the per-query dot tables
+    carried as arrays indexed by code) + two per-query rank windows
+    (WindowGroupLimit — the exchange sees refine·|queries| rows, the
+    final one k·|queries|) + one id-keyed join to fetch refine
+    vectors."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    routed = route_to_centroids(q, centroids, "_qv", out_col="_qcell")
+    # the coarse term ⟨q, c(cell)⟩ for the ROUTED cell
+    cents_row = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias(
+            "_cents"
+        )
+    )
+    routed = routed.crossJoin(F.broadcast(cents_row)).select(
+        F.col(query_id_col),
+        F.col("_qv"),
+        F.col("_qcell"),
+        F.round(
+            dot(
+                F.filter(
+                    F.col("_cents"),
+                    lambda c: c["cid"].cast("bigint") == F.col("_qcell"),
+                )[0]["cvec"],
+                F.col("_qv"),
+            ),
+            6,
+        ).alias("_qcd"),
+    )
+    # per-query ADC tables: (cid, qd) struct arrays per subspace, looked
+    # up by EXACT cid — positional indexing would silently misalign on
+    # trained codebooks, whose empty Lloyd cells leave cid gaps
+    books = codebooks.crossJoin(
+        F.broadcast(routed.select(query_id_col, "_qv"))
+    )
+    qd = books.groupBy(query_id_col).agg(
+        *[
+            F.collect_list(
+                F.when(
+                    F.col("subspace") == m,
+                    F.struct(
+                        F.col("cid"),
+                        F.round(
+                            dot(
+                                F.col("cvec"),
+                                F.slice(
+                                    F.col("_qv"), 1 + m * sub_dim, sub_dim
+                                ),
+                            ),
+                            6,
+                        ).alias("qd"),
+                    ),
+                )
+            ).alias(f"_qd{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    per_query = F.broadcast(
+        routed.join(F.broadcast(qd), query_id_col).select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            F.col("_qcell"),
+            F.col("_qcd"),
+            *[F.col(f"_qd{m}") for m in range(n_subspaces)],
+        )
+    )
+    # ADC scan: probed cells' CODE rows only — never a vector
+    cand = (
+        index.select(F.col(id_col), F.col("cid"))
+        .join(codes.select(F.col(id_col), F.col("codes")), id_col)
+        .join(per_query, F.col("cid") == F.col("_qcell"))
+    )
+    approx: Column = F.col("_qcd")
+    for m in range(n_subspaces):
+        code_m = F.element_at(F.col("codes"), m + 1)
+        approx = approx + F.filter(
+            F.col(f"_qd{m}"), lambda s: s["cid"] == code_m
+        )[0]["qd"]
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("_qv"),
+        F.round(approx, 6).alias("approx_ip"),
+    )
+    w_r = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    shortlist = scored.withColumn("_arank", F.row_number().over(w_r)).filter(
+        F.col("_arank") <= refine
+    )
+    # refine: fetch the REAL vectors for the shortlist only
+    refined = shortlist.join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("approx_ip"),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+    )
+    w_k = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cos_sim", "approx_ip")
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-NN graph construction
 # ---------------------------------------------------------------------------

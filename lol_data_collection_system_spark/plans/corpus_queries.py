@@ -2353,6 +2353,204 @@ WHERE rank <= {topk}
 """
 
 
+REFINE_R = 20
+
+
+def _ivfadc_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored PQ CODE TABLE (id, codes) over RESIDUALS — the
+    artifact that makes ADC scans read m ints/vector instead of the
+    vector. Build recipe identical to `_ivfpq_books_cached`'s residual
+    derivation so codes, codebooks, assignment, and centroids stay
+    mutually consistent across independent rebuilds (training is
+    deterministic end to end)."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from ..sources import materialize_summary
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned = sim_ops.kmeans_assign(
+            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS, keep_vec=True
+        )
+        cents = sim_ops.kmeans_centroids(
+            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+        )
+        res = assigned.join(_F.broadcast(cents), "cid").select(
+            "vec_id",
+            _F.zip_with(
+                _F.col("embedding"),
+                _F.col("cvec"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("embedding"),
+        )
+        books = sim_ops.pq_codebooks(
+            res, PQ_SUBSPACES, PQ_SUB_DIM, PQ_CENTROIDS
+        )
+        return sim_ops.pq_encode(res, books, PQ_SUBSPACES, PQ_SUB_DIM)
+
+    return materialize_summary(
+        spark,
+        _os.path.join(
+            SUMMARY_CACHE_DIR,
+            f"ivfadc_codes_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}"
+            f"_m{PQ_SUBSPACES}d{PQ_SUB_DIM}c{PQ_CENTROIDS}.parquet",
+        ),
+        build,
+        sources=[_os.path.join(sf_dir, "embeddings.parquet")],
+        ttl_s=None,
+        fingerprint="listing",
+    )
+
+
+def q_ivfadc_refine_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete billion-scale serving funnel over STORED artifacts
+    only: route (stored centroids) → ADC scan of the routed cell's
+    STORED CODE ROWS (assignment + code table — no vector reads) →
+    top-`REFINE_R` shortlist fetches real vectors for exact cosine →
+    top-`SERVE_TOPK`. Four persisted artifacts compose; zero training
+    at query time; the oracle re-derives every stage from first
+    principles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivfadc_refine_topk(
+        queries,
+        emb,
+        index=_ivf_index_cached(spark, sf_dir),
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+        codebooks=_ivfpq_books_cached(spark, sf_dir),
+        codes=_ivfadc_codes_cached(spark, sf_dir),
+        k=SERVE_TOPK,
+        refine=REFINE_R,
+        n_subspaces=PQ_SUBSPACES,
+        sub_dim=PQ_SUB_DIM,
+    )
+
+
+def _ivfadc_refine_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nq: int = SERVE_N_QUERIES,
+    topk: int = SERVE_TOPK,
+    refine: int = REFINE_R,
+    m: int = PQ_SUBSPACES,
+    d: int = PQ_SUB_DIM,
+    kc: int = PQ_CENTROIDS,
+) -> str:
+    sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
+    cos_qc = (
+        "round(list_dot_product(q.qe, c.cvec)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    parts = _coarse_cte_parts_with_final(k, iters, dim)
+    parts.append(
+        f"""res AS (
+  SELECT a.vec_id, a.cid,
+         list(CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]
+              ORDER BY t.i) AS r
+  FROM assign_{iters} a JOIN embeddings e USING (vec_id)
+       JOIN cent_{iters} c ON c.cid = a.cid,
+       unnest(generate_series(1, {dim})) AS t(i)
+  GROUP BY a.vec_id, a.cid)"""
+    )
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq})"""
+    )
+    # routing by the SERVING rule (cosine), coarse ADC term by dot
+    parts.append(
+        f"""qroute AS (
+  SELECT query_id, cid AS qcell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.cid) AS rn
+    FROM qs q CROSS JOIN cent_{iters} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""qcd AS (
+  SELECT r.query_id, round(list_dot_product(q.qe, c.cvec), 6) AS qcd
+  FROM qroute r JOIN qs q USING (query_id)
+  JOIN cent_{iters} c ON c.cid = r.qcell)"""
+    )
+    for i in range(m):
+        parts.append(
+            f"""book{i} AS (
+  SELECT CAST(vec_id AS INT) AS bcid, {sub('r', i)} AS cvec
+  FROM res WHERE vec_id < {kc})"""
+        )
+        parts.append(
+            f"""qd{i} AS (
+  SELECT q.query_id, b.bcid,
+         round(list_dot_product(b.cvec, {sub('q.qe', i)}), 6) AS qd
+  FROM book{i} b CROSS JOIN qs q)"""
+        )
+        parts.append(
+            f"""cbest{i} AS (
+  SELECT vec_id, bcid FROM (
+    SELECT x.vec_id, b.bcid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(list_dot_product(
+                                  {sub('x.r', i)}, b.cvec), 6) DESC,
+                              b.bcid) AS rn
+    FROM res x, book{i} b) WHERE rn = 1)"""
+        )
+    joins = " ".join(
+        f"JOIN cbest{i} b{i} ON b{i}.vec_id = a.vec_id "
+        f"JOIN qd{i} t{i} ON t{i}.bcid = b{i}.bcid"
+        f" AND t{i}.query_id = r.query_id"
+        for i in range(m)
+    )
+    ip_sum = "g.qcd + " + " + ".join(f"t{i}.qd" for i in range(m))
+    parts.append(
+        f"""approx AS (
+  SELECT r.query_id, a.vec_id, round({ip_sum}, 6) AS approx_ip
+  FROM qroute r
+  JOIN assign_{iters} a ON a.cid = r.qcell
+  JOIN qcd g ON g.query_id = r.query_id
+  {joins})"""
+    )
+    parts.append(
+        f"""shortlist AS (
+  SELECT query_id, vec_id, approx_ip FROM (
+    SELECT query_id, vec_id, approx_ip,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_ip DESC, vec_id) AS rn
+    FROM approx) WHERE rn <= {refine})"""
+    )
+    parts.append(
+        f"""refined AS (
+  SELECT s.query_id, s.vec_id, s.approx_ip, {cos_qe} AS cos_sim
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.query_id = s.query_id)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, vec_id, rank, cos_sim, approx_ip FROM (
+  SELECT query_id, vec_id, cos_sim, approx_ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM refined)
+WHERE rank <= {topk}
+"""
+
+
 INCR_DELTA_MOD = 10  # vec_id % 10 == 9 is the "newly ingested" cohort
 
 
@@ -5185,6 +5383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_stored_topk": q_ivfpq_stored_topk,
     "ivf_batch_serve": q_ivf_batch_serve,
     "ivf_incremental_serve": q_ivf_incremental_serve,
+    "ivfadc_refine_serve": q_ivfadc_refine_serve,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -5290,6 +5489,7 @@ ORACLES: dict[str, str] = {
     "ivfpq_stored_topk": _ivfpq_oracle(),
     "ivf_batch_serve": _ivf_serve_oracle(),
     "ivf_incremental_serve": _ivf_incremental_oracle(),
+    "ivfadc_refine_serve": _ivfadc_refine_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,

@@ -607,3 +607,86 @@ def test_ivf_index_append_collapses_duplicate_delta_ids(spark):
         for r in sim.ivf_index_append(index, delta, cents).collect()
     }
     assert {r.vec_id: r.cid for r in merged} == want
+
+
+def test_pq_encode_matches_inplan_code_choice(spark):
+    """Stored codes = the argmax choice pq_topk/ivf_pq_topk make
+    in-plan, including the smaller-cid tie; python twin on the seeded
+    books."""
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    books = sim.pq_codebooks(emb, 2, 32, 8)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(emb, books, 2, 32).collect()
+    }
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for vid, v in vecs.items():
+        for mm in range(2):
+            xs = v[mm * 32: (mm + 1) * 32]
+            scored = sorted(
+                (
+                    (-round(sum(a * b for a, b in zip(
+                        xs, vecs[c][mm * 32: (mm + 1) * 32])), 6), c)
+                    for c in range(8)
+                ),
+            )
+            assert codes[vid][mm] == scored[0][1], (vid, mm)
+
+
+def test_ivfadc_refine_funnel_shape_and_exactness(spark, tmp_path):
+    """The funnel returns exact cosine scores on a code-scanned
+    shortlist: ranks contiguous, cos_sim matches brute recompute, and
+    every returned candidate sits in the query's routed cell."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+
+    emb = _ivfpq_emb(spark)
+    index = sim.kmeans_assign(emb, k=5, iters=2)
+    cents = sim.kmeans_centroids(emb, k=5, iters=2)
+    res = (
+        sim.kmeans_assign(emb, k=5, iters=2, keep_vec=True)
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"), F.col("cvec"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("embedding"),
+        )
+    )
+    books = sim.pq_codebooks(res, 2, 32, 8)
+    codes = sim.pq_encode(res, books, 2, 32)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivfadc_refine_topk(
+        queries, emb, index, cents, books, codes, k=3, refine=8,
+        n_subspaces=2, sub_dim=32,
+    ).collect()
+    assert len({r.query_id for r in out}) == 2
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assign = {r.vec_id: r.cid for r in index.collect()}
+    routed = {
+        r.query_id: r.cid
+        for r in sim.route_to_centroids(
+            queries.withColumnRenamed("embedding", "e"), cents, "e"
+        ).collect()
+    }
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        # candidate in the routed cell
+        assert assign[r.vec_id] == routed[r.query_id]
+        # exact cosine really is exact
+        q, v = vecs[r.query_id], vecs[r.vec_id]
+        dq = math.sqrt(sum(a * a for a in q))
+        dv = math.sqrt(sum(a * a for a in v))
+        want = round(sum(a * b for a, b in zip(q, v)) / (dq * dv), 4)
+        assert math.isclose(r.cos_sim, want, rel_tol=0, abs_tol=1e-9)
+    for rows in by_q.values():
+        assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
