@@ -3466,6 +3466,7 @@ _FRONT: tuple[str, ...] = (
     "ivf_incremental_serve",
     "ivfadc_refine_serve",
     "delete_propagation",
+    "lsh_plan_eval",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3507,12 +3508,12 @@ _FRONT: tuple[str, ...] = (
     "ngram_jaccard_capped",
     "ngram_jaccard_pairs",
     "order_flags",
-    "order_status_tallies",
-    # orders_page / part_type_bucket_pivot / point_lookup / pricing_summary
-    # / promo_parts_by_brand / purchase_last_click / region_priority_pivot:
-    # displaced to round 9's padding cohort by the seven new declarations
-    # (IVFADC ×2, simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
-    # ivfadc_refine_serve, delete_propagation; window cap 50).
+    # order_status_tallies / orders_page / part_type_bucket_pivot /
+    # point_lookup / pricing_summary / promo_parts_by_brand /
+    # purchase_last_click / region_priority_pivot: displaced to round 9's
+    # padding cohort by the eight new declarations (IVFADC ×2,
+    # simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
+    # ivfadc_refine_serve, delete_propagation, lsh_plan_eval; window cap 50).
 )
 
 

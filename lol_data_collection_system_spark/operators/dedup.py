@@ -1153,6 +1153,88 @@ def minhash_jaccard_calibration(
     )
 
 
+def lsh_plan_eval(
+    pairs: DataFrame,
+    n_hashes: int = 16,
+    threshold: float = 0.05,
+    jaccard_col: str = "true_jaccard",
+) -> DataFrame:
+    """Data-driven LSH band-plan evaluation: for every (n_bands,
+    band_size) split of the signature (b·r = n_hashes), the S-curve
+    collision probability ``p(s) = 1 − (1 − s^r)^b`` averaged over this
+    corpus's OBSERVED candidate-pair Jaccard distribution — split at
+    `threshold` into expected recall on true pairs and expected
+    false-candidate stickiness on sub-threshold pairs. This is the
+    number that picks the banding geometry: the textbook S-curve only
+    says where the cliff is; what matters is how much of YOUR pair mass
+    sits on each side of it.
+
+    `pairs` is any frame carrying a per-pair Jaccard column — normally
+    `minhash_jaccard_calibration`'s output, in which case the
+    distribution is the current banding's candidate set (documented
+    bias: pairs no band catches are invisible; at corpus scale that is
+    the only observable distribution without an all-pairs join).
+
+    Determinism contract: ``s^r`` and ``(1−s^r)^b`` are UNROLLED
+    left-associated multiplications, never ``pow`` — both engines
+    execute the identical IEEE op sequence (library pow differs in
+    ULPs); per-pair p rounds to 6 dp and averages as exact
+    DECIMAL(18,6) sums with ONE final double division. One map-side
+    pass over the pair frame computes every plan's sums in a single
+    aggregate; the report explodes driver-free.
+    """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    plans = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    ]
+    j = F.col(jaccard_col)
+    is_true = j >= F.lit(float(threshold))
+
+    def p_collide(b: int, r: int):
+        s_r = j
+        for _ in range(r - 1):
+            s_r = s_r * j  # j^r, fixed left-to-right
+        miss = F.lit(1.0) - s_r
+        acc = miss
+        for _ in range(b - 1):
+            acc = acc * miss  # (1 - j^r)^b, fixed left-to-right
+        return F.round(F.lit(1.0) - acc, 6).cast("decimal(18,6)")
+
+    aggs = [
+        F.sum(is_true.cast("bigint")).alias("_nt"),
+        F.sum((~is_true).cast("bigint")).alias("_nf"),
+    ]
+    for b, r in plans:
+        p = p_collide(b, r)
+        aggs.append(F.sum(F.when(is_true, p)).alias(f"_tp_{b}"))
+        aggs.append(F.sum(F.when(~is_true, p)).alias(f"_fp_{b}"))
+    wide = pairs.agg(*aggs)
+
+    def plan_row(b: int, r: int):
+        nt = F.coalesce(F.col("_nt"), F.lit(0)).cast("bigint")
+        nf = F.coalesce(F.col("_nf"), F.lit(0)).cast("bigint")
+        return F.struct(
+            F.lit(b).alias("n_bands"),
+            F.lit(r).alias("band_size"),
+            nt.alias("n_true_pairs"),
+            nf.alias("n_sub_pairs"),
+            F.when(
+                nt > 0,
+                F.round(F.col(f"_tp_{b}").cast("double") / nt, 6),
+            ).alias("est_recall"),
+            F.when(
+                nf > 0,
+                F.round(F.col(f"_fp_{b}").cast("double") / nf, 6),
+            ).alias("est_fp_stickiness"),
+        )
+
+    return wide.select(
+        F.explode(F.array(*[plan_row(b, r) for b, r in plans])).alias("_p")
+    ).select("_p.*")
+
+
 def remove_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

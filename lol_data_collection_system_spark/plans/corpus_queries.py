@@ -2968,6 +2968,62 @@ FROM est e JOIN truej t ON t.id_a = e.id_a AND t.id_b = e.id_b
 """
 
 
+def q_lsh_plan_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven banding-geometry selection: every (n_bands,
+    band_size) split of the 16-hash signature scored by expected recall
+    / false-candidate stickiness over the corpus's OBSERVED
+    candidate-pair Jaccard distribution (the calibration frame). The
+    tuning table behind `minhash_lsh_pairs`' geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    cal = dedup_ops.minhash_jaccard_calibration(
+        docs, "doc_id", "text", SHINGLE_K, MINHASH_N, MINHASH_BAND
+    )
+    return dedup_ops.lsh_plan_eval(cal, MINHASH_N, JACCARD_THRESHOLD)
+
+
+def _lsh_plan_oracle(
+    n: int = MINHASH_N, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    plans = [(b, n // b) for b in range(1, n + 1) if n % b == 0]
+
+    def p_sql(b: int, r: int) -> str:
+        jr = "(" + " * ".join(["j"] * r) + ")"
+        miss = f"(CAST(1 AS DOUBLE) - {jr})"
+        acc = "(" + " * ".join([miss] * b) + ")"
+        return (
+            f"CAST(round(CAST(1 AS DOUBLE) - {acc}, 6) AS DECIMAL(18,6))"
+        )
+
+    plan_selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS band_size,
+       CAST(coalesce(SUM(CASE WHEN istrue THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(SUM(CASE WHEN istrue THEN 0 ELSE 1 END), 0)
+            AS BIGINT) AS n_sub_pairs,
+       CASE WHEN SUM(CASE WHEN istrue THEN 1 ELSE 0 END) > 0 THEN
+         round(CAST(SUM(CASE WHEN istrue THEN {p_sql(b, r)} END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN istrue THEN 1 ELSE 0 END), 6)
+       END AS est_recall,
+       CASE WHEN SUM(CASE WHEN istrue THEN 0 ELSE 1 END) > 0 THEN
+         round(CAST(SUM(CASE WHEN NOT istrue THEN {p_sql(b, r)} END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN istrue THEN 0 ELSE 1 END), 6)
+       END AS est_fp_stickiness
+FROM flagged"""
+        for b, r in plans
+    )
+    cal = _minhash_calibration_oracle().strip()
+    return f"""
+WITH cal AS ({cal}),
+flagged AS (
+  SELECT true_jaccard AS j,
+         true_jaccard >= CAST({threshold} AS DOUBLE) AS istrue
+  FROM cal)
+{plan_selects}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Substring-dedup scrubber (span removal transform)
 # ---------------------------------------------------------------------------
@@ -5371,6 +5427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "token_budget_plan": q_token_budget_plan,
     "minhash_calibration": q_minhash_calibration,
+    "lsh_plan_eval": q_lsh_plan_eval,
     "span_scrubbed_docs": q_span_scrubbed_docs,
     "lm_score_buckets": q_lm_score_buckets,
     "component_canonicals": q_component_canonicals,
@@ -5475,6 +5532,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": _kmeans_oracle(),
     "token_budget_plan": ORACLE_TOKEN_BUDGET_PLAN,
     "minhash_calibration": _minhash_calibration_oracle(),
+    "lsh_plan_eval": _lsh_plan_oracle(),
     "span_scrubbed_docs": ORACLE_SPAN_SCRUBBED_DOCS,
     "lm_score_buckets": _lm_buckets_oracle(),
     "component_canonicals": ORACLE_COMPONENT_CANONICALS,

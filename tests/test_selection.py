@@ -690,3 +690,37 @@ def test_ivfadc_refine_funnel_shape_and_exactness(spark, tmp_path):
         assert math.isclose(r.cos_sim, want, rel_tol=0, abs_tol=1e-9)
     for rows in by_q.values():
         assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
+
+
+def test_lsh_plan_eval_scurve_properties(spark):
+    """More bands at fixed n_hashes = more permissive: est_recall AND
+    fp stickiness both rise monotonically with n_bands; exact-dup pairs
+    (j=1) collide with probability 1 under every plan."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        lsh_plan_eval,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 0.8), (5, 6, 0.5), (7, 8, 0.2), (9, 10, 0.01)],
+        ["id_a", "id_b", "true_jaccard"],
+    )
+    rows = {
+        r.n_bands: r
+        for r in lsh_plan_eval(pairs, n_hashes=16, threshold=0.4).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8, 16}
+    recalls = [rows[b].est_recall for b in (1, 2, 4, 8, 16)]
+    fps = [rows[b].est_fp_stickiness for b in (1, 2, 4, 8, 16)]
+    assert recalls == sorted(recalls)
+    assert fps == sorted(fps)
+    # with band_size=1, every pair with j>0 collides w.p. ~1-(1-j)^16
+    import math
+    j = 0.2
+    want = round(1 - (1 - j) ** 16, 6)
+    # fp side of b=16 averages p(0.2) and p(0.01)
+    p001 = round(1 - (1 - 0.01) ** 16, 6)
+    assert math.isclose(
+        rows[16].est_fp_stickiness, round((want + p001) / 2, 6), abs_tol=1e-6
+    )
+    # n_true/n_sub counts split at the threshold
+    assert rows[1].n_true_pairs == 3 and rows[1].n_sub_pairs == 2
