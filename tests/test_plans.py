@@ -1003,3 +1003,33 @@ def test_profile_then_salt_composition(spark):
     plain = sorted(map(tuple, big.join(small, "k").collect()))
     salted = sorted(map(tuple, salted_skew_join(big, small, "k").collect()))
     assert salted == plain  # salting is physical routing, not semantics
+
+
+def test_ivfpq_topk_take_ordered_and_no_cartesian(spark):
+    """IVFADC: the final k-cut must be TakeOrderedAndProject and the
+    candidate scan an equi-join on the probed cells — codebook/centroid
+    frames travel broadcast, never a cartesian or sort-merge join."""
+    plan = _plan(spark, "embedding_ivfpq_topk")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_serve_topk_windowgrouplimit(spark):
+    """Multi-query serving: the per-query top-k must run as
+    WindowGroupLimit (per-partition heads survive, not whole cells) and
+    the query batch must reach the corpus as a broadcast equi-join."""
+    plan = _plan(spark, "ivf_batch_serve")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfadc_refine_funnel_two_rank_windows(spark):
+    """The refine funnel: BOTH rank cuts (ADC shortlist, exact rerank)
+    must be WindowGroupLimit passes; the code scan must never read
+    vectors through a sort-merge join."""
+    plan = _plan(spark, "ivfadc_refine_serve")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
