@@ -131,6 +131,166 @@ def bands_from_shingles(
     )
 
 
+def simhash128_local(text_col: str):
+    """Row-local 128-bit SimHash as a ``struct(w0, w1)`` column — the
+    per-event form of `dedup.simhash128` (identical output, pinned by
+    pytest): distinct normalized tokens, md5-slice bit contributions,
+    sign per bit, MIN_VALUE packing for bit 63 of each word. Built
+    entirely with array higher-order functions: one md5 per token
+    (bound once via the one-element-array trick), a 128-int ±1 fold,
+    and the fold result bound ONCE before the 128 packing reads — no
+    explode, no shuffle, no aggregation ahead of the dedup state.
+
+    Sign test here is ``Σ(±1) > 0``; the batch op tests ``2·cnt > n``.
+    They are the same predicate (Σ = 2·cnt − n), so stream buckets live
+    in the SAME fingerprint space as `simhash_components`' banding.
+    """
+    from ..operators.text import normalized_text, tokens
+
+    toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
+
+    def contribs(t):
+        slices = F.struct(
+            *[
+                F.conv(F.substring(F.md5(t), 1 + 8 * j, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"s{j}")
+                for j in range(4)
+            ]
+        )
+
+        def bits(s):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(127)),
+                lambda i: (
+                    F.call_function(
+                        "shiftright",
+                        F.when(i < 32, s["s0"])
+                        .when(i < 64, s["s1"])
+                        .when(i < 96, s["s2"])
+                        .otherwise(s["s3"]),
+                        i % 32,
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("int"),
+            )
+
+        # bind the four md5 slices once; bits() reads them 128 times
+        return F.element_at(F.transform(F.array(slices), bits), 1)
+
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 128),
+        lambda acc, t: F.zip_with(acc, contribs(t), lambda a, c: a + c),
+    )
+
+    def word(arr, w: int):
+        sig = F.lit(0).cast("bigint")
+        for i in range(63):
+            sig = sig + F.when(
+                F.element_at(arr, 64 * w + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        # bit 63 as the MIN_VALUE literal (1 << 63 overflows a long)
+        return sig + F.when(
+            F.element_at(arr, 64 * w + 64) > 0, F.lit(-(1 << 63))
+        ).otherwise(F.lit(0))
+
+    # bind the fold result once; the 128 packing reads hit the lambda
+    # variable, not 128 re-evaluations of the fold
+    return F.element_at(
+        F.transform(
+            F.array(sums),
+            lambda arr: F.struct(
+                word(arr, 0).cast("bigint").alias("w0"),
+                word(arr, 1).cast("bigint").alias("w1"),
+            ),
+        ),
+        1,
+    )
+
+
+def simhash_near_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    n_bands: int = 8,
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Streaming SimHash near-duplicate guard — the online half of
+    `dedup.simhash_components` (same 128-bit fingerprint, same 8×16-bit
+    band geometry): a document is kept iff it is the FIRST arrival in
+    EVERY one of its band buckets, so a re-upload or light edit within
+    ``n_bands − 1`` Hamming bits shares ≥1 band with the original
+    (pigeonhole) and is dropped — the candidate rule the batch grouping
+    joins on, evaluated conservatively online (candidate ⇒ drop, no
+    Hamming verify tier; kept stream ⊆ the batch novel set).
+
+    Why SimHash next to the MinHash guard (`near_dedup_stream`): the
+    per-event signature work is a single token fold instead of n_hashes
+    permutations over shingles, the bucket key is 16 BYTES of
+    fingerprint, and the drop rule tracks weighted-token direction
+    rather than shingle-set overlap — the classic crawl-ingest trade.
+
+    Plan shape mirrors the MinHash/media guards: row-local signature →
+    JVM band split → per-BUCKET `dropDuplicatesWithinWatermark` → the
+    shared all-bands-won emit stage. Batch frames run the identical
+    plan with (ts, id)-ordered bucket winners, so stream==batch twins
+    compare kept-id sets. Output: (window, id, ts, sig, bands sorted)
+    with ``sig`` = "w0:w1".
+    """
+    sig = simhash128_local(text_col)
+    hashed = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        sig["w0"].alias("_w0"),
+        sig["w1"].alias("_w1"),
+    ).withColumn(
+        "sig", F.concat_ws(":", F.col("_w0"), F.col("_w1"))
+    )
+    band_bits = 128 // n_bands
+    bands_per_word = n_bands // 2
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(
+                    F.col("_w0") if b < bands_per_word else F.col("_w1"),
+                    (b % bands_per_word) * band_bits,
+                )
+                .bitwiseAND(F.lit(mask))
+                .cast("string")
+                .alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = hashed.select(
+        id_col, ts_col, "sig", F.explode(bands).alias("_b")
+    ).select(id_col, ts_col, "sig", "_b.band_idx", "_b.band_hash")
+    if docs.isStreaming:
+        winners = exploded.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
+        return _all_bands_won(
+            winners, n_bands, id_col, ts_col, "sig", emit_window, True
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(ts_col, id_col)
+    winners = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return _all_bands_won(
+        winners, n_bands, id_col, ts_col, "sig", emit_window, True
+    )
+
+
 def _all_bands_won(
     rows: DataFrame,
     n_bands: int,

@@ -1870,3 +1870,107 @@ def test_ann_serve_stream_equals_batch_operator(spark, tmp_path):
         .collect()
     )
     assert again == want
+
+
+def test_simhash128_local_matches_batch_operator(spark):
+    """The row-local fold signature must equal dedup.simhash128's
+    lane-packed aggregate bit for bit — the stream buckets must live in
+    the batch fingerprint space."""
+    from pyspark.sql import functions as F2
+
+    from lol_data_collection_system_spark.operators.dedup import simhash128
+    from lol_data_collection_system_spark.streaming.dedup import (
+        simhash128_local,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different words everywhere tonight"),
+            (4, "one"),
+            (5, "alpha beta gamma delta zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    want = {
+        r.doc_id: (r.simhash_w0, r.simhash_w1)
+        for r in simhash128(docs, "doc_id", "text").collect()
+    }
+    got = {
+        r.doc_id: (r.s.w0, r.s.w1)
+        for r in docs.select(
+            "doc_id", simhash128_local("text").alias("s")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_simhash_near_dedup_stream_equals_batch_and_drops_reupload(
+    spark, tmp_path
+):
+    """Exact re-uploads lose every band and drop; distinct docs keep;
+    the kept-id set equals the batch twin's across micro-batches."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.streaming.dedup import (
+        simhash_near_dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", t0),
+        (2, "a completely different document about spark plans", t0 + dt.timedelta(seconds=30)),
+        # exact re-upload of 1 (same token set): must drop
+        (3, "the quick brown fox jumps over the lazy dog", t0 + dt.timedelta(minutes=2)),
+        # fresh content in the second file: must keep
+        (4, "yet another unrelated piece of text entirely here", t0 + dt.timedelta(minutes=3)),
+        # re-upload of 2 arriving later: must drop
+        (5, "a completely different document about spark plans", t0 + dt.timedelta(minutes=4)),
+    ]
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("ts", T2.TimestampType()),
+    ])
+    batch_df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "src"
+    src.mkdir()
+    cut = t0 + dt.timedelta(minutes=2, seconds=30)
+    spark.createDataFrame(
+        [r for r in rows if r[2] < cut], schema
+    ).coalesce(1).write.json(str(src / "f1"))
+    spark.createDataFrame(
+        [r for r in rows if r[2] >= cut], schema
+    ).coalesce(1).write.json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        simhash_near_dedup_stream(stream, watermark_delay="0 seconds")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept_stream = {
+        r.doc_id for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    kept_batch = {
+        r.doc_id
+        for r in simhash_near_dedup_stream(batch_df).collect()
+    }
+    assert kept_stream == kept_batch == {1, 2, 4}
