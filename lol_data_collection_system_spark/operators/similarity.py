@@ -1177,8 +1177,10 @@ def ivfadc_refine_topk(
     shortlist = scored.withColumn("_arank", F.row_number().over(w_r)).filter(
         F.col("_arank") <= refine
     )
-    # refine: fetch the REAL vectors for the shortlist only
-    refined = shortlist.join(
+    # refine: fetch the REAL vectors for the shortlist only — the
+    # shortlist is refine×|queries| rows by construction, so it
+    # BROADCASTS into the vector fetch (the corpus never shuffles by id)
+    refined = F.broadcast(shortlist).join(
         emb.select(F.col(id_col), F.col(vec_col)), id_col
     ).select(
         F.col(query_id_col),
