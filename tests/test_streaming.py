@@ -1974,3 +1974,102 @@ def test_simhash_near_dedup_stream_equals_batch_and_drops_reupload(
         for r in simhash_near_dedup_stream(batch_df).collect()
     }
     assert kept_stream == kept_batch == {1, 2, 4}
+
+
+def test_ivf_ingest_stream_builds_versioned_index(spark, tmp_path):
+    """Streaming ingest folds micro-batches into the versioned index
+    store: final content == the batch route of all vectors; a
+    fresh-checkpoint re-run over the same files leaves the content
+    unchanged (content-keyed idempotency, not batch-id-keyed); serving
+    from the store equals serving from the in-memory merge."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+    from lol_data_collection_system_spark.streaming.serve import (
+        ivf_ingest_stream,
+        read_ivf_index,
+    )
+
+    base_emb = spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(16)])
+         for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    cents = sim.kmeans_centroids(base_emb, k=4, iters=2)
+    deltas = [
+        (100 + i, [float(((i + 7) * (d + 3)) % 17) - 8.0 for d in range(16)])
+        for i in range(8)
+    ]
+    schema = T2.StructType([
+        T2.StructField("vec_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType())),
+    ])
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    spark.createDataFrame(deltas[:4], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(deltas[4:], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = ivf_ingest_stream(
+            stream, str(tmp_path / "store"), str(tmp_path / ckpt_name),
+            cents,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    got = {
+        r.vec_id: r.cid
+        for r in read_ivf_index(spark, str(tmp_path / "store")).collect()
+    }
+    empty = spark.createDataFrame([], "vec_id bigint, cid bigint")
+    want = {
+        r.vec_id: r.cid
+        for r in sim.ivf_index_append(
+            empty, spark.createDataFrame(deltas, schema), cents
+        ).collect()
+    }
+    assert got == want and len(got) == 8
+
+    # fresh checkpoint, same files: content unchanged
+    run("ckpt2")
+    again = {
+        r.vec_id: r.cid
+        for r in read_ivf_index(spark, str(tmp_path / "store")).collect()
+    }
+    assert again == got
+
+    # serving from the store == serving from the in-memory merge
+    queries = spark.createDataFrame(deltas[:2], schema).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    # the store indexes only the DELTAS (base_emb was never ingested),
+    # so the vector side must cover the delta ids
+    all_vecs = base_emb.unionByName(spark.createDataFrame(deltas, schema))
+    from_store = sorted(
+        tuple(r)
+        for r in sim.ivf_serve_topk(
+            queries, all_vecs,
+            read_ivf_index(spark, str(tmp_path / "store")), cents, k=3,
+        ).collect()
+    )
+    in_mem = sorted(
+        tuple(r)
+        for r in sim.ivf_serve_topk(
+            queries, all_vecs,
+            sim.ivf_index_append(
+                empty, spark.createDataFrame(deltas, schema), cents
+            ),
+            cents, k=3,
+        ).collect()
+    )
+    assert from_store == in_mem and len(from_store) > 0
