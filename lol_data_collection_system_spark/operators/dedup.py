@@ -1569,6 +1569,112 @@ def validate_corpus_index(corpus_index, *, consumer: str, **want) -> None:
         )
 
 
+def append_corpus_index(
+    spark,
+    path: str,
+    novel_docs: DataFrame,
+) -> None:
+    """Fold NOVEL documents into the committed corpus index WITHOUT
+    rewriting it — the dedup-side analog of `ivf_index_append`: the new
+    version hardlinks every parquet file of the previous one (O(file
+    count) metadata, zero data copy — the `rollup._link_untouched_
+    partitions` mechanism) and appends only the delta's rows, so
+    maintenance cost tracks the DELTA while the store stays one
+    atomically-committed version. Derivation params (k, columns, band
+    geometry, sets) come from the INDEX's meta — the caller cannot
+    drift the shingle space.
+
+    REFUSES df-capped indexes loudly: the df cap is a corpus-level
+    statistic, so appending documents changes doc frequencies and the
+    EXISTING docs' capped shingle sets silently go stale — rebuilding
+    via `write_corpus_index` is the only cap-correct maintenance (the
+    honest split: uncapped indexes append in O(delta), capped ones
+    rebuild on a schedule).
+
+    Idempotent per id: delta ids already indexed (per the shingle
+    table) are anti-joined out, and delta FINGERPRINTS already present
+    keep the index's existing representative (first-indexed wins — the
+    arrival-order convention; a full rebuild would instead pick the
+    global min id, so byte parity with rebuilds holds exactly when
+    ingest ids grow monotonically and novel docs are pre-classified,
+    i.e. the documented ingest contract). A replayed batch re-commits
+    identical content — one redundant version, never duplicate rows;
+    `commit_version`'s compare-and-swap raises on a concurrent writer.
+    """
+    import os as _os
+    from pathlib import Path as _Path
+
+    from ..sources.versioned import commit_version, current_version
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed corpus index at {path}: build one with "
+            f"write_corpus_index first"
+        )
+    vdir, meta = cur
+    if meta.get("max_doc_freq") is not None or meta.get("has_hot"):
+        raise ValueError(
+            f"corpus index at {path} was written with a doc-frequency "
+            f"cap (max_doc_freq={meta.get('max_doc_freq')}): appending "
+            f"would silently stale the existing docs' capped shingle "
+            f"sets (the cap is a corpus-level statistic) — rebuild via "
+            f"write_corpus_index instead"
+        )
+    id_col, text_col, k = meta["id_col"], meta["text_col"], meta["k"]
+    existing_ids = (
+        spark.read.parquet(str(_Path(vdir) / "shingles"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    delta = novel_docs.join(existing_ids, id_col, "left_anti")
+    d_fp, d_sh, _hot = corpus_shingle_index(
+        delta, id_col, text_col, k, None
+    )
+    # fingerprints already indexed keep their existing representative
+    existing_fp = spark.read.parquet(str(_Path(vdir) / "fp")).select("fp")
+    d_fp = d_fp.join(existing_fp, "fp", "left_anti")
+    subs: list[tuple[str, DataFrame]] = [("fp", d_fp), ("shingles", d_sh)]
+    if meta.get("bands"):
+        n_hashes, band_size = meta["bands"]
+        subs.append(
+            (
+                "bands",
+                minhash_signatures_from_shingles(
+                    d_sh, id_col, n_hashes
+                ).select(
+                    F.col(id_col),
+                    F.posexplode(
+                        _band_hashes(n_hashes, band_size)
+                    ).alias("band_idx", "band_hash"),
+                ),
+            )
+        )
+    if meta.get("has_sets"):
+        subs.append(
+            (
+                "sets",
+                d_sh.groupBy(id_col).agg(
+                    F.collect_set("shingle").alias("_c_set"),
+                    F.count(F.lit(1)).alias("_c_size"),
+                ),
+            )
+        )
+
+    def writer(new_vdir: str) -> None:
+        for sub, ddf in subs:
+            src, tgt = _Path(vdir) / sub, _Path(new_vdir) / sub
+            tgt.mkdir(parents=True, exist_ok=True)
+            for f in src.iterdir():
+                # data files only: writer-metadata (_SUCCESS, .crc)
+                # regenerates on append and must not alias old inodes
+                if f.is_file() and not f.name.startswith(("_", ".")):
+                    _os.link(f, tgt / f.name)
+            ddf.write.mode("append").parquet(str(tgt))
+
+    commit_version(path, writer, meta, expect_current=vdir)
+
+
 def read_corpus_index(
     spark, path: str, expect: dict | None = None
 ) -> "CorpusIndex":

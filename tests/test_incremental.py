@@ -184,3 +184,65 @@ def test_incremental_dedup_string_ids(spark):
 def test_knn_graph_empty_corpus_derived_bits(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert sim.knn_graph(df, k=2, lsh_bits=None).count() == 0
+
+
+def test_append_corpus_index_matches_full_rebuild(spark, tmp_path):
+    """Delta-only index maintenance: appended store content equals a
+    full rebuild over corpus+novel; already-indexed ids are skipped;
+    replay re-commits identical content; df-capped indexes refuse."""
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        append_corpus_index,
+        read_corpus_index,
+        write_corpus_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} with some shared words here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    novel = spark.createDataFrame(
+        [(10, "a genuinely new document about stream ingestion"),
+         (11, "another new one covering index maintenance paths"),
+         (3, "an id collision that must be skipped entirely")],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "idx")
+    write_corpus_index(base, p, bands=(16, 4), sets=True)
+    append_corpus_index(spark, p, novel)
+
+    rebuilt_p = str(tmp_path / "rebuilt")
+    write_corpus_index(
+        base.unionByName(novel.filter("doc_id != 3")), rebuilt_p,
+        bands=(16, 4), sets=True,
+    )
+
+    def snapshot(path):
+        idx = read_corpus_index(spark, path)
+        fp_df, sh_df, _hot = idx
+        fp = sorted(tuple(r) for r in fp_df.collect())
+        sh = sorted(tuple(r) for r in sh_df.collect())
+        bands = sorted(tuple(r) for r in idx.bands.collect())
+        sets_ = sorted(
+            (r["doc_id"], tuple(sorted(r["_c_set"])), r["_c_size"])
+            for r in idx.sets.collect()
+        )
+        return fp, sh, bands, sets_
+
+    got, want = snapshot(p), snapshot(rebuilt_p)
+    assert got == want
+    # new docs are represented; the colliding id kept its BASE content
+    reps = {r[1] for r in got[0]}
+    assert {10, 11} <= reps and 3 in reps
+
+    # replay: identical content, no duplicate rows
+    append_corpus_index(spark, p, novel)
+    assert snapshot(p) == want
+
+    # df-capped index refuses appends
+    capped_p = str(tmp_path / "capped")
+    write_corpus_index(base, capped_p, max_doc_freq=5)
+    with _pytest.raises(ValueError, match="rebuild"):
+        append_corpus_index(spark, capped_p, novel)
