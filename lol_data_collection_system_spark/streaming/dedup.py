@@ -872,3 +872,126 @@ def classify_stream(
         F.coalesce("_emid", "_nmid", no_match).cast(id_type).alias("match_id"),
         jaccard_out.cast("double").alias("jaccard"),
     )
+
+
+def corpus_ingest_sink(
+    index_path: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+):
+    """foreachBatch body for a SELF-GROWING corpus ingest: classify each
+    micro-batch against the stored corpus index (`incremental_dedup`'s
+    exact/near/novel statuses), persist the statuses, then fold the
+    batch's NOVEL documents into the index via `append_corpus_index` —
+    so batch N+1 deduplicates against batch N's survivors, which the
+    static-corpus guard (`corpus_guard_stream`) by construction cannot
+    do. This is the continuous-crawl loop: classify → admit → index.
+
+    Granularity: documents within ONE micro-batch classify against the
+    index only, not each other (in-batch near-dups pass together; run
+    `near_dedup_stream` upstream or batch `dedup_clusters` downstream
+    when in-batch collisions matter).
+
+    Replay correctness (crash between any write and the checkpoint
+    commit): the batch's own ids are ANTI-JOINED OUT of the index
+    frames before classifying, so a replayed batch — whose novel docs
+    the crashed run may already have appended — reproduces its original
+    statuses instead of suddenly seeing itself as exact_dup; the status
+    sink overwrites only its own batch partition; the index append is
+    content-idempotent. (A full fresh-checkpoint rerun reproduces
+    statuses exactly when batches' novel sets don't cross-collide — the
+    fold is order-defined, like any incremental classification.)
+
+    Uncapped indexes only — `append_corpus_index`'s honest split: a
+    df-capped index rebuilds on a schedule instead of appending.
+    """
+    from ..operators.dedup import (
+        append_corpus_index,
+        incremental_dedup,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from ..sources.versioned import current_version
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if current_version(index_path) is None:
+            # first batch seeds an EMPTY index with this sink's params
+            write_corpus_index(
+                batch_df.limit(0), index_path, id_col, text_col, k,
+                max_doc_freq=None,
+            )
+        idx = read_corpus_index(
+            spark, index_path, expect={"k": k, "max_doc_freq": None}
+        )
+        idx_fp, idx_sh, _hot = idx
+        # self-exclusion: a replayed batch must not classify against its
+        # own (already-appended) rows
+        own = F.broadcast(batch_df.select(F.col(id_col)).distinct())
+        fp_f = idx_fp.join(
+            own.withColumnRenamed(id_col, "_exact_match_id"),
+            "_exact_match_id",
+            "left_anti",
+        )
+        sh_f = idx_sh.join(own, id_col, "left_anti")
+        statuses = incremental_dedup(
+            None,  # unused: the index triple replaces the corpus scan
+            batch_df,
+            id_col,
+            text_col,
+            k,
+            n_hashes,
+            band_size,
+            threshold,
+            max_doc_freq=None,
+            corpus_index=(fp_f, sh_f, None),
+        ).localCheckpoint(eager=False)
+        (
+            statuses.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        novel = batch_df.join(
+            statuses.filter(F.col("status") == "novel").select(
+                F.col(id_col)
+            ),
+            id_col,
+        )
+        append_corpus_index(spark, index_path, novel)
+
+    return sink
+
+
+def corpus_ingest_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+):
+    """Wire a document stream into the self-growing corpus ingest loop;
+    returns the StreamingQuery (availableNow — swap the trigger for
+    continuous crawling)."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            corpus_ingest_sink(
+                index_path, out_dir, id_col, text_col, k,
+                n_hashes, band_size, threshold,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2073,3 +2073,83 @@ def test_ivf_ingest_stream_builds_versioned_index(spark, tmp_path):
         ).collect()
     )
     assert from_store == in_mem and len(from_store) > 0
+
+
+def test_corpus_ingest_stream_self_grows_and_replays_exactly(
+    spark, tmp_path
+):
+    """Batch 2 must dedupe against batch 1's novel survivors (the
+    static-corpus guard cannot); a fresh-checkpoint rerun reproduces the
+    statuses and index content exactly (self-exclusion on replay)."""
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        read_corpus_index,
+    )
+    from lol_data_collection_system_spark.streaming.dedup import (
+        corpus_ingest_stream,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank and then sleeps through the afternoon sun"
+    )
+    rows_f1 = [
+        (1, base_text),
+        (2, "an entirely different document about query planning here"),
+    ]
+    rows_f2 = [
+        (3, base_text),  # exact copy of batch-1 novel doc 1
+        (4, base_text + " extra tail"),  # near-dup of doc 1
+        (5, "yet another unrelated text about window functions only"),
+    ]
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(rows_f1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(rows_f2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = corpus_ingest_stream(
+            stream,
+            str(tmp_path / "idx"),
+            str(tmp_path / "statuses"),
+            str(tmp_path / ckpt),
+            threshold=0.3,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    statuses = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "statuses")).collect()
+    }
+    assert statuses[1][0] == "novel" and statuses[2][0] == "novel"
+    assert statuses[3] == ("exact_dup", 1)
+    assert statuses[4][0] == "near_dup" and statuses[4][1] == 1
+    assert statuses[5][0] == "novel"
+    idx_fp, _sh, _hot = read_corpus_index(spark, str(tmp_path / "idx"))
+    indexed = {r["_exact_match_id"] for r in idx_fp.collect()}
+    assert indexed == {1, 2, 5}
+
+    # fresh checkpoint, same files: statuses and index content unchanged
+    run("ckpt2")
+    again = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "statuses")).collect()
+    }
+    assert again == statuses
+    idx_fp2, _sh2, _hot2 = read_corpus_index(spark, str(tmp_path / "idx"))
+    assert {r["_exact_match_id"] for r in idx_fp2.collect()} == {1, 2, 5}
