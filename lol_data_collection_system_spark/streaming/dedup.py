@@ -381,6 +381,112 @@ def near_dedup_stream(
     )
 
 
+def _payload_phash():
+    """The shared payload→dHash Arrow pandas_udf (the justified codec
+    exception): real 64-bit dHash for decodable BMPs, a deterministic
+    md5-derived stand-in for corrupt/unknown payloads — the stream must
+    not die on one bad blob, and a random-looking hash keeps the blob
+    effectively unique."""
+    from ..operators.multimodal import _signed64, dhash64
+
+    @F.pandas_udf("long")
+    def _phash(payloads: pd.Series) -> pd.Series:
+        import hashlib
+        import struct
+
+        def one(b) -> int:
+            raw = bytes(b)
+            try:
+                return _signed64(dhash64(raw))
+            except (ValueError, struct.error, IndexError):
+                return _signed64(
+                    int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+                )
+
+        return payloads.map(one)
+
+    return _phash
+
+
+def _phash_band_structs(col, n_bands: int, bits: int):
+    """(band_idx, band_hash) struct array over a 64-bit fingerprint
+    column — `hamming_candidate_edges`' contiguous-band geometry as a
+    row-local expression, shared by every perceptual guard."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(col, b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("string")
+                .alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def media_corpus_guard_stream(
+    media: DataFrame,
+    corpus_phash: DataFrame,
+    id_col: str = "media_id",
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    bits: int = 64,
+    watermark_delay: str = "10 minutes",
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Guard an incoming media stream against a STATIC perceptual
+    corpus: drop payloads whose dHash shares ≥1 Hamming band with ANY
+    corpus fingerprint — the media analog of `corpus_guard_stream`,
+    completing the vs-corpus symmetry (text had both the within-stream
+    guard and the corpus guard; media only had the former). The
+    candidate rule is `hamming_components`' banding, so everything this
+    guard drops is a batch candidate pair with the corpus (conservative
+    direction; exact re-uploads collide on ALL bands and always drop).
+
+    ``corpus_phash``: a (phash) frame — `multimodal.phash_images`
+    output or a stored fingerprint artifact; at 100 TB this is 8 bytes
+    per corpus asset, derived once, never the payloads.
+
+    Plan shape: payload→dHash (shared Arrow udf) → JVM band split →
+    stateless stream-static LEFT-ANTI join against the corpus's
+    DISTINCT band buckets → the shared all-bands-won windowed emit (the
+    only stateful stage). Batch frames run the identical plan, so
+    stream==batch twins compare kept-id sets. Output:
+    (window, id, ts, phash, bands sorted).
+    """
+    hashed = media.select(
+        F.col(id_col),
+        F.col(ts_col),
+        _payload_phash()(F.col(payload_col)).alias("phash"),
+    )
+    bands = _phash_band_structs(F.col("phash"), n_bands, bits)
+    exploded = hashed.select(
+        id_col, ts_col, "phash", F.explode(bands).alias("_b")
+    ).select(id_col, ts_col, "phash", "_b.band_idx", "_b.band_hash")
+    corpus_bands = (
+        corpus_phash.select(
+            F.explode(
+                _phash_band_structs(F.col("phash"), n_bands, bits)
+            ).alias("_b")
+        )
+        .select("_b.band_idx", "_b.band_hash")
+        .distinct()
+    )
+    survivors = exploded.join(
+        corpus_bands, ["band_idx", "band_hash"], "left_anti"
+    )
+    if media.isStreaming:
+        survivors = survivors.withWatermark(ts_col, watermark_delay)
+    return _all_bands_won(
+        survivors, n_bands, id_col, ts_col, "phash", emit_window, True
+    )
+
+
 def media_near_dedup_stream(
     media: DataFrame,
     id_col: str = "media_id",
@@ -410,45 +516,12 @@ def media_near_dedup_stream(
     the stream==batch twin compares kept-id sets. Output:
     (window, id, ts, phash, bands sorted).
     """
-    from ..operators.multimodal import _signed64, dhash64
-
-    @F.pandas_udf("long")
-    def _phash(payloads: pd.Series) -> pd.Series:
-        import hashlib
-        import struct
-
-        def one(b) -> int:
-            raw = bytes(b)
-            try:
-                return _signed64(dhash64(raw))
-            except (ValueError, struct.error, IndexError):
-                # corrupt/non-BMP payload: a deterministic md5-derived
-                # 64-bit stand-in (the `_decode_payload` stub policy) —
-                # the stream must not die on one bad blob, and a random-
-                # looking hash keeps the blob effectively unique
-                return _signed64(
-                    int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
-                )
-
-        return payloads.map(one)
-
     hashed = media.select(
-        F.col(id_col), F.col(ts_col), _phash(F.col(payload_col)).alias("phash")
+        F.col(id_col),
+        F.col(ts_col),
+        _payload_phash()(F.col(payload_col)).alias("phash"),
     )
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.shiftrightunsigned(F.col("phash"), b * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .cast("string")
-                .alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = _phash_band_structs(F.col("phash"), n_bands, bits)
     exploded = hashed.select(
         id_col, ts_col, "phash", F.explode(bands).alias("_b")
     ).select(id_col, ts_col, "phash", "_b.band_idx", "_b.band_hash")

@@ -2153,3 +2153,101 @@ def test_corpus_ingest_stream_self_grows_and_replays_exactly(
     assert again == statuses
     idx_fp2, _sh2, _hot2 = read_corpus_index(spark, str(tmp_path / "idx"))
     assert {r["_exact_match_id"] for r in idx_fp2.collect()} == {1, 2, 5}
+
+
+def test_media_corpus_guard_drops_corpus_reuploads(spark, tmp_path):
+    """Re-uploads (including brightness-shifted ones) of EXISTING corpus
+    assets drop; genuinely new structure passes; stream == batch."""
+    import base64
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.streaming.dedup import (
+        media_corpus_guard_stream,
+    )
+
+    w, h = 12, 10
+    checker = [
+        (40 + 90 * ((x * 3 + y * 7) % 2), 10, 20)
+        for y in range(h)
+        for x in range(w)
+    ]
+    other = [
+        (10 + 13 * ((x // 2 + y) % 2), 10, 20)
+        for y in range(h)
+        for x in range(w)
+    ]
+    corpus = spark.createDataFrame(
+        [(100, bytearray(mm.encode_bmp(w, h, checker)))],
+        ["media_id", "payload"],
+    )
+    corpus_phash = mm.phash_images(corpus).select("phash")
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        # brightness-shifted re-upload of the corpus asset: dropped
+        (1, t0, mm.encode_bmp(
+            w, h, [(r + 30, g + 30, b + 30) for r, g, b in checker])),
+        # new structure: kept
+        (2, t0 + dt.timedelta(seconds=30), mm.encode_bmp(w, h, other)),
+        # flush row far ahead: closes all emit windows
+        (9, t0 + dt.timedelta(hours=2),
+         mm.encode_bmp(2, 2, [(0, 0, 0)] * 4)),
+    ]
+    schema = T2.StructType([
+        T2.StructField("media_id", T2.LongType()),
+        T2.StructField("ts", T2.TimestampType()),
+        T2.StructField("payload", T2.BinaryType()),
+    ])
+    batch_df = spark.createDataFrame(
+        [(i, ts, bytearray(p)) for i, ts, p in rows], schema
+    )
+
+    src = tmp_path / "mc_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, ts, base64.b64encode(p).decode()) for i, ts, p in rows],
+        ["media_id", "ts", "payload_b64"],
+    ).coalesce(1).write.json(str(src / "f1"))
+    raw_schema = T2.StructType([
+        T2.StructField("media_id", T2.LongType()),
+        T2.StructField("ts", T2.TimestampType()),
+        T2.StructField("payload_b64", T2.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .json(str(src) + "/*")
+        .select(
+            "media_id", "ts",
+            F2.unbase64(F2.col("payload_b64")).alias("payload"),
+        )
+    )
+    out, ckpt = tmp_path / "mc_out", tmp_path / "mc_ckpt"
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(str(out))
+
+    q = (
+        media_corpus_guard_stream(stream, corpus_phash)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept_stream = {
+        r.media_id for r in spark.read.parquet(str(out)).collect()
+    }
+    kept_batch = {
+        r.media_id
+        for r in media_corpus_guard_stream(batch_df, corpus_phash).collect()
+    }
+    # row 9 is the flush row: its OWN emit window stays open at
+    # end-of-stream (append mode), so the stream emits the closed
+    # windows only — batch sees it, both agree on everything closed
+    assert kept_stream == {2}
+    assert kept_batch == {2, 9}
