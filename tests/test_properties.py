@@ -831,7 +831,20 @@ def test_ewma_scores_match_python(spark, series, window):
             .timestamp()
             * 1000
         )
-        want[ms] = (span[t], round(decayed, 6), round(span[t] / decayed, 6))
+        # HALF_UP on the double's exact decimal expansion — Spark's
+        # F.round semantics. Python's bare round() is banker's, which
+        # DIVERGES on exact 6-dp ties: EWMA's dyadic denominators make
+        # them reachable (hypothesis found ratio = 93/128 = 0.7265625).
+        import decimal as _dec
+
+        def r6(x: float) -> float:
+            return float(
+                _dec.Decimal(x).quantize(
+                    _dec.Decimal("1e-6"), rounding=_dec.ROUND_HALF_UP
+                )
+            )
+
+        want[ms] = (span[t], r6(decayed), r6(span[t] / decayed))
 
     df = spark.createDataFrame(rows, ["g", "ts"])
     got = {
