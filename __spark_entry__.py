@@ -3467,6 +3467,7 @@ _FRONT: tuple[str, ...] = (
     "ivfadc_refine_serve",
     "delete_propagation",
     "lsh_plan_eval",
+    "audio_near_dup",
     # ---- newest driver row = round 1:
     "fight_enrichment",
     "fight_outcome_buckets",
@@ -3507,13 +3508,13 @@ _FRONT: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "ngram_jaccard_capped",
     "ngram_jaccard_pairs",
-    "order_flags",
-    # order_status_tallies / orders_page / part_type_bucket_pivot /
-    # point_lookup / pricing_summary / promo_parts_by_brand /
-    # purchase_last_click / region_priority_pivot: displaced to round 9's
-    # padding cohort by the eight new declarations (IVFADC ×2,
-    # simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
-    # ivfadc_refine_serve, delete_propagation, lsh_plan_eval; window cap 50).
+    # order_flags / order_status_tallies / orders_page /
+    # part_type_bucket_pivot / point_lookup / pricing_summary /
+    # promo_parts_by_brand / purchase_last_click / region_priority_pivot:
+    # displaced to round 9's padding cohort by the nine new declarations
+    # (IVFADC ×2, simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
+    # ivfadc_refine_serve, delete_propagation, lsh_plan_eval,
+    # audio_near_dup; window cap 50).
 )
 
 

@@ -591,3 +591,91 @@ def resize_images(
                 )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (waveform dHash — the audio half of the perceptual
+# near-dup family)
+# ---------------------------------------------------------------------------
+#: Waveform dHash grid: 65 sample taps → 64 adjacent differences, the
+#: audio analog of `dhash64`'s 9×8 image grid.
+AHASH_TAPS = 65
+
+
+def decode_wav_samples(payload: bytes) -> list[int]:
+    """Full PCM16 sample decode (the stats-only `decode_wav` can't feed
+    a fingerprint). Same RIFF chunk walk, same PCM16-mono contract."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", chunk, 0
+            )
+            bits = struct.unpack_from("<H", chunk, 14)[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV: need PCM16 mono")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = len(data) // 2
+    return list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def ahash64(payload: bytes) -> int:
+    """64-bit waveform dHash of a PCM16-mono WAV payload: nearest-sample
+    resample of the signed waveform to `AHASH_TAPS` taps, bit i = sign
+    of the i-th adjacent difference (``tap[i+1] > tap[i]``). GAIN
+    invariant by construction — comparisons are unchanged under any
+    positive amplitude scaling, the audio analog of dHash's
+    brightness-shift invariance (a louder re-upload of the same clip
+    hashes identically). Returned as the signed long LongType stores.
+
+    Degenerate inputs are well-defined: constant (or empty/silent)
+    waveforms hash to 0 — all-equal taps have no rising differences.
+    """
+    samples = decode_wav_samples(payload)
+    n = len(samples)
+    if n == 0:
+        return 0
+    taps = [samples[i * n // AHASH_TAPS] for i in range(AHASH_TAPS)]
+    bits = 0
+    for i in range(AHASH_TAPS - 1):
+        if taps[i + 1] > taps[i]:
+            bits |= 1 << i
+    return _signed64(bits)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_audio(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) for every WAV payload via mapInPandas —
+    `phash_images`' shape for the audio modality. Feed
+    `dedup.hamming_components(hash_col="ahash")` for near-dup grouping
+    or the banded streaming guards; at 100 TB the fingerprint table is
+    8 bytes per clip, derived once, payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "ahash": pd.Series(
+                        [ahash64(bytes(p)) for p in pdf["payload"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)

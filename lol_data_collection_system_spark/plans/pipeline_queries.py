@@ -644,8 +644,88 @@ FROM imgs GROUP BY wgrp
 """
 
 
+AHASH_THRESHOLD = 3
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup grouping over the synthesized WAV corpus —
+    the AUDIO half of the perceptual family (`multimodal.ahash_audio`
+    waveform dHash + the same `dedup.hamming_components` machinery the
+    image path uses). The fingerprint is gain-invariant (adjacent-tap
+    comparisons are unchanged under positive amplitude scaling), so a
+    louder re-upload of the same clip lands in the same component.
+
+    Closed-form oracle: the fixture clips are alternating ±(id%1000)
+    over (id%32)+1 samples (`synth_media_row`), so tap j of the 65-tap
+    resample has sign (−1)^(j·n//... ) determined ENTIRELY by the
+    parity of j·n//65 — bit i = a>0 ∧ tap(i+1) even ∧ tap(i) odd, a
+    pure integer expression the oracle evaluates per (n, a), then bands
+    + verifies + closes components exactly like the Spark side."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(docs)
+    audio = media.filter(F.col("modality") == "audio")
+    sigs = mm_ops.ahash_audio(audio)
+    return dedup_ops.hamming_components(
+        sigs, "media_id", "ahash", threshold=AHASH_THRESHOLD
+    )
+
+
+def _audio_near_dup_oracle(threshold: int = AHASH_THRESHOLD) -> str:
+    two64 = 1 << 64
+    return f"""
+WITH RECURSIVE au AS (
+  SELECT doc_id AS media_id, (doc_id % 32) + 1 AS n, doc_id % 1000 AS a
+  FROM documents WHERE doc_id % 3 = 1),
+ah_bits AS (
+  SELECT media_id, g.i AS i,
+         CASE WHEN a > 0
+              AND (((g.i + 1) * n) // 65) % 2 = 0
+              AND ((g.i * n) // 65) % 2 = 1
+              THEN 1 ELSE 0 END AS bit
+  FROM au CROSS JOIN generate_series(0, 63) g(i)),
+ah_sig AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit = 1 THEN
+             CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                  ELSE CAST((1::BIGINT << i) AS HUGEINT) END
+           ELSE 0 END) AS BIGINT) AS ah
+  FROM ah_bits GROUP BY media_id),
+ah_reps AS (SELECT ah, MIN(media_id) AS rep FROM ah_sig GROUP BY ah),
+ah_u AS (
+  SELECT rep, ah,
+         CASE WHEN ah >= 0 THEN CAST(ah AS HUGEINT)
+              ELSE CAST(ah AS HUGEINT) + {two64} END AS u
+  FROM ah_reps),
+ah_band AS (
+  SELECT rep, ah, g.b AS band_idx,
+         CAST(((u >> (8 * g.b)) % 256) AS BIGINT) AS band_val
+  FROM ah_u CROSS JOIN generate_series(0, 7) g(b)),
+ah_edges AS (
+  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+  FROM ah_band x
+  JOIN ah_band y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.rep < y.rep
+  WHERE bit_count(xor(x.ah, y.ah)) <= {threshold}),
+ah_sym AS (
+  SELECT id_a AS u, id_b AS v FROM ah_edges
+  UNION SELECT id_b, id_a FROM ah_edges),
+ah_reach(node, reached) AS (
+  SELECT u, u FROM ah_sym
+  UNION
+  SELECT r.node, s.v FROM ah_reach r JOIN ah_sym s ON s.u = r.reached),
+ah_comp AS (SELECT node, MIN(reached) AS m FROM ah_reach GROUP BY node)
+SELECT s.media_id, COALESCE(c.m, r.rep) AS component_id
+FROM ah_sig s
+JOIN ah_reps r ON r.ah = s.ah
+LEFT JOIN ah_comp c ON c.node = r.rep
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
+    "audio_near_dup": q_audio_near_dup,
     "media_near_dup": q_media_near_dup,
     "media_golden_assets": q_media_golden_assets,
     "media_near_dedup_kept": q_media_near_dedup_kept,
@@ -660,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
+    "audio_near_dup": _audio_near_dup_oracle(),
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
     "media_near_dedup_kept": ORACLE_MEDIA_NEAR_DEDUP_KEPT,

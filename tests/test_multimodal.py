@@ -447,3 +447,61 @@ def test_phash_images_flip_and_brightness_grouping(spark):
     }
     assert comp[1] == comp[2] == comp[3] == 1  # brightness + flip grouped
     assert comp[4] != 1  # different texture stays apart
+
+
+def test_ahash64_gain_invariance_and_twin(spark):
+    """Waveform dHash: positive gain scaling never changes the hash; a
+    python tap-comparison twin reproduces it bit for bit; silence and
+    constant waveforms hash to 0."""
+    from lol_data_collection_system_spark.operators import multimodal as mm
+
+    quiet = [3, -1, 4, 1, -5, 9, -2, 6]
+    loud = [s * 100 for s in quiet]
+    h1 = mm.ahash64(mm.encode_wav(16000, quiet))
+    h2 = mm.ahash64(mm.encode_wav(16000, loud))
+    assert h1 == h2 != 0
+
+    n = len(quiet)
+    taps = [quiet[i * n // mm.AHASH_TAPS] for i in range(mm.AHASH_TAPS)]
+    bits = sum(
+        1 << i for i in range(mm.AHASH_TAPS - 1) if taps[i + 1] > taps[i]
+    )
+    assert h1 == mm._signed64(bits)
+
+    assert mm.ahash64(mm.encode_wav(16000, [0] * 10)) == 0
+    assert mm.ahash64(mm.encode_wav(16000, [7] * 10)) == 0
+
+
+def test_ahash_audio_components_group_reuploads(spark):
+    """A gain-scaled re-upload lands in the original's component; a
+    different waveform keeps its own."""
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.operators.dedup import (
+        hamming_components,
+    )
+
+    wave_a = [3, -1, 4, 1, -5, 9, -2, 6, -3, 8]
+    wave_b = [1, 2, 3, 4, 5, 4, 3, 2, 1, 0]
+    rows = [
+        (1, bytearray(mm.encode_wav(16000, wave_a))),
+        (2, bytearray(mm.encode_wav(16000, [s * 50 for s in wave_a]))),
+        (3, bytearray(mm.encode_wav(16000, wave_b))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        T2.StructType([
+            T2.StructField("media_id", T2.LongType()),
+            T2.StructField("payload", T2.BinaryType()),
+        ]),
+    )
+    sigs = mm.ahash_audio(media)
+    comp = {
+        r.media_id: r.component_id
+        for r in hamming_components(
+            sigs, "media_id", "ahash", threshold=3
+        ).collect()
+    }
+    assert comp[1] == comp[2] == 1
+    assert comp[3] != comp[1]
