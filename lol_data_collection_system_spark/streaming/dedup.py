@@ -382,12 +382,18 @@ def near_dedup_stream(
 
 
 def _payload_phash():
-    """The shared payload→dHash Arrow pandas_udf (the justified codec
-    exception): real 64-bit dHash for decodable BMPs, a deterministic
-    md5-derived stand-in for corrupt/unknown payloads — the stream must
-    not die on one bad blob, and a random-looking hash keeps the blob
-    effectively unique."""
-    from ..operators.multimodal import _signed64, dhash64
+    """The shared payload→fingerprint Arrow pandas_udf (the justified
+    codec exception), modality-dispatching on the BYTES (container
+    magic, never a metadata column): 64-bit image dHash for decodable
+    BMPs, the gain-invariant waveform `ahash64` for PCM16 WAVs (so a
+    louder audio re-upload collides like a brighter image re-upload),
+    and a deterministic md5-derived stand-in for anything else — the
+    stream must not die on one bad blob, and a random-looking hash
+    keeps unknown blobs effectively unique. Image and audio hashes
+    cannot cross-collide semantically: they live in the same 64-bit
+    band space but a collision there is exactly as likely as any other
+    unrelated-hash collision."""
+    from ..operators.multimodal import _signed64, ahash64, dhash64
 
     @F.pandas_udf("long")
     def _phash(payloads: pd.Series) -> pd.Series:
@@ -398,6 +404,10 @@ def _payload_phash():
             raw = bytes(b)
             try:
                 return _signed64(dhash64(raw))
+            except (ValueError, struct.error, IndexError):
+                pass
+            try:
+                return ahash64(raw)
             except (ValueError, struct.error, IndexError):
                 return _signed64(
                     int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
@@ -506,15 +516,24 @@ def media_near_dedup_stream(
     and is dropped, exactly the candidate rule the batch grouping joins
     on.
 
-    Plan shape mirrors `near_dedup_stream`: the dHash is ONE Arrow
-    pandas_udf over the payload bytes (the justified codec exception),
-    the band split stays JVM-side, then per-BUCKET
+    Plan shape mirrors `near_dedup_stream`: the fingerprint is ONE
+    Arrow pandas_udf over the payload bytes (the justified codec
+    exception; modality-dispatching — image dHash, audio `ahash64`,
+    md5 stand-in), the band split stays JVM-side, then per-BUCKET
     `dropDuplicatesWithinWatermark` state and the shared all-bands-won
     emit stage. State is one small row per occupied band bucket within
     the horizon — payload bytes never enter the state store. Batch
     frames run the same plan with (ts, id)-ordered bucket winners, so
     the stream==batch twin compares kept-id sets. Output:
     (window, id, ts, phash, bands sorted).
+
+    Entropy caveat (both guards): banding is CANDIDATE-level — no
+    Hamming verify runs online — which assumes near-full-entropy
+    fingerprints. Degenerate payloads whose fingerprints are mostly
+    zero (e.g. audio clips shorter than the 65-tap grid) share their
+    zero bands with each other and over-drop; that regime belongs to
+    the VERIFIED components path (`audio_near_dup`/`media_near_dup`),
+    not the ingest guard.
     """
     hashed = media.select(
         F.col(id_col),

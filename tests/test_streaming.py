@@ -2251,3 +2251,46 @@ def test_media_corpus_guard_drops_corpus_reuploads(spark, tmp_path):
     # windows only — batch sees it, both agree on everything closed
     assert kept_stream == {2}
     assert kept_batch == {2, 9}
+
+
+def test_media_guard_payload_hash_dispatches_audio(spark):
+    """The shared payload fingerprint dispatches on container magic:
+    a gain-scaled WAV re-upload loses every band to the original in the
+    batch twin of the media guard (audio joins the perceptual dedup)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import multimodal as mm
+    from lol_data_collection_system_spark.streaming.dedup import (
+        media_near_dedup_stream,
+    )
+
+    # clips longer than the 65-tap grid, so every tap is a distinct
+    # sample and the fingerprint has full entropy — the guard's banding
+    # is candidate-level (no Hamming verify online), so degenerate
+    # super-short clips with near-empty fingerprints would share their
+    # zero bands and over-drop; that regime belongs to the verified
+    # components path (audio_near_dup), not the ingest guard
+    wave = [((i * 37 + 11) % 19) - 9 for i in range(130)]
+    other = [((i * 53 + 5) % 23) - 11 for i in range(130)]
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, t0, bytearray(mm.encode_wav(16000, wave))),
+        # louder re-upload 10s later: same ahash -> dropped
+        (2, t0 + dt.timedelta(seconds=10),
+         bytearray(mm.encode_wav(16000, [s * 40 for s in wave]))),
+        # different waveform: kept
+        (3, t0 + dt.timedelta(seconds=20),
+         bytearray(mm.encode_wav(16000, other))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        T2.StructType([
+            T2.StructField("media_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("payload", T2.BinaryType()),
+        ]),
+    )
+    kept = {r.media_id for r in media_near_dedup_stream(media).collect()}
+    assert kept == {1, 3}
