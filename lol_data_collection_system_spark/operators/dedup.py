@@ -1601,10 +1601,13 @@ def append_corpus_index(
     identical content — one redundant version, never duplicate rows;
     `commit_version`'s compare-and-swap raises on a concurrent writer.
     """
-    import os as _os
     from pathlib import Path as _Path
 
-    from ..sources.versioned import commit_version, current_version
+    from ..sources.versioned import (
+        commit_version,
+        current_version,
+        link_or_copy,
+    )
 
     cur = current_version(path)
     if cur is None:
@@ -1669,7 +1672,7 @@ def append_corpus_index(
                 # data files only: writer-metadata (_SUCCESS, .crc)
                 # regenerates on append and must not alias old inodes
                 if f.is_file() and not f.name.startswith(("_", ".")):
-                    _os.link(f, tgt / f.name)
+                    link_or_copy(f, tgt / f.name)
             ddf.write.mode("append").parquet(str(tgt))
 
     commit_version(path, writer, meta, expect_current=vdir)

@@ -39,6 +39,7 @@ holding handles across MULTIPLE commits should copy or re-resolve.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -54,6 +55,25 @@ _LOCK = ".commit.lock"
 #: writers like `write_corpus_index`, whose new version is not derived
 #: from the store's current state, so no update can be lost)
 _ANY = object()
+
+
+def link_or_copy(src, dst) -> None:
+    """Hardlink ``src`` → ``dst``, degrading to a metadata-preserving
+    copy when the filesystem cannot link: EXDEV (the new version
+    directory landed on a different filesystem than its predecessor —
+    tmpfs, a mounted volume, an object-store FUSE layer) or EPERM/
+    EOPNOTSUPP (filesystems that forbid hardlinks outright). The
+    zero-copy fast path is an OPTIMIZATION of the append-grown stores
+    (rollup partitions, corpus-index appends, IVF assignment ingest),
+    never a correctness requirement — the committed version must be
+    complete either way, so a cross-device store pays the copy instead
+    of dying mid-writer with an unactionable OSError (ADVICE r8)."""
+    try:
+        os.link(src, dst)
+    except OSError as exc:
+        if exc.errno not in (errno.EXDEV, errno.EPERM, errno.ENOTSUP):
+            raise
+        shutil.copy2(src, dst)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -118,6 +138,78 @@ def commit_version(
         for d in rootp.glob("v-*"):
             if d.name not in (vname, prev):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+def data_files(d) -> list:
+    """The parquet DATA files directly under `d` — writer metadata
+    (_SUCCESS, .crc sidecars) excluded, exactly the set the hardlink
+    appenders carry forward."""
+    p = Path(d)
+    if not p.is_dir():
+        return []
+    return sorted(
+        f for f in p.iterdir()
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+
+
+def compact_version(
+    spark, root: str, max_files: int, target_files: int | None = None
+) -> bool:
+    """Auto-compaction for APPEND-GROWN stores (VERDICT r8 #4): every
+    hardlink-append (`dedup.append_corpus_index`, `streaming.serve.
+    ivf_ingest_sink`) adds one part-file set per batch, and nothing
+    bounded the file count — a year of micro-batches turns every read
+    into tens of thousands of file opens. This watcher checks the
+    CURRENT version's flat parquet subdirs; if any holds more than
+    ``max_files`` data files, it commits ONE new version in which the
+    oversized subdirs are rewritten coalesced to ``target_files``
+    (default ``max(1, max_files // 4)``) and every other subdir is
+    hardlinked forward unchanged. Content is row-identical (a pure
+    parquet rewrite — no re-derivation, the store's meta is carried
+    verbatim); the pointer-swap protocol makes the compaction crash-
+    safe and the compare-and-swap refuses to bury a concurrent append.
+
+    Returns True iff a compaction version was committed. Only FLAT
+    parquet subdirs (data files directly under ``{vdir}/{sub}/``)
+    participate; partitioned layouts (the rollup store) bound their own
+    per-partition file counts by rewriting touched partitions whole.
+
+    Call it AFTER an append commit — the sinks do, gated on the same
+    threshold, so the store self-heals without an external scheduler.
+    """
+    cur = current_version(root)
+    if cur is None:
+        return False
+    vdir, meta = cur
+    vpath = Path(vdir)
+    subs = [d for d in sorted(vpath.iterdir()) if d.is_dir()]
+    oversized = {d.name for d in subs if len(data_files(d)) > max_files}
+    if not oversized:
+        return False
+    n_out = target_files if target_files is not None else max(
+        1, max_files // 4
+    )
+
+    def writer(new_vdir: str) -> None:
+        for d in subs:
+            tgt = Path(new_vdir) / d.name
+            if d.name in oversized:
+                # rewrite coalesced: the read completes before any
+                # delete — the source version stays untouched until
+                # its normal post-commit cleanup
+                (
+                    spark.read.parquet(str(d))
+                    .coalesce(n_out)
+                    .write.parquet(str(tgt))
+                )
+            else:
+                tgt.mkdir(parents=True, exist_ok=True)
+                for f in data_files(d):
+                    link_or_copy(f, tgt / f.name)
+
+    commit_version(root, writer, meta, expect_current=vdir)
+    return True
 
 
 def current_version(root: str) -> tuple[str, dict] | None:

@@ -65,9 +65,11 @@ def _link_untouched_partitions(
     alive after the old version directory is garbage-collected. The
     committed version stays COMPLETE (every partition present under one
     version dir), so readers and the crash-safety argument are
-    unchanged."""
-    import os as _os
+    unchanged. Cross-filesystem version roots degrade to copies
+    (`versioned.link_or_copy`) instead of failing mid-writer."""
     from pathlib import Path as _Path
+
+    from ..sources.versioned import link_or_copy
 
     src, dst = _Path(src_vdir), _Path(dst_vdir)
     prefix = f"{partition_col}="
@@ -81,7 +83,7 @@ def _link_untouched_partitions(
                 continue
             tgt = dst / f.relative_to(src)
             tgt.parent.mkdir(parents=True, exist_ok=True)
-            _os.link(f, tgt)
+            link_or_copy(f, tgt)
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:

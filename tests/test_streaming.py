@@ -2294,3 +2294,97 @@ def test_media_guard_payload_hash_dispatches_audio(spark):
     )
     kept = {r.media_id for r in media_near_dedup_stream(media).collect()}
     assert kept == {1, 3}
+
+
+def test_ivf_ingest_writes_delta_bytes_and_autocompacts(spark, tmp_path):
+    """The stored ingest path holds ivf_index_append's cost claim
+    (VERDICT r8 #1): each micro-batch version writes only the DELTA's
+    part-files and hardlinks the rest forward — fresh bytes per batch
+    are flat while the index grows — and once the part-file count
+    crosses the compaction threshold the sink self-compacts to a
+    content-identical coalesced version (VERDICT r8 #4)."""
+    import os
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+        data_files,
+    )
+    from lol_data_collection_system_spark.streaming.serve import (
+        ivf_ingest_sink,
+        read_ivf_index,
+    )
+
+    base_emb = spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(16)])
+         for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    cents = sim.kmeans_centroids(base_emb, k=4, iters=2)
+    store = str(tmp_path / "store")
+
+    def batch(lo, n):
+        return spark.createDataFrame(
+            [(lo + i,
+              [float(((lo + i + 7) * (d + 3)) % 17) - 8.0
+               for d in range(16)])
+             for i in range(n)],
+            ["vec_id", "embedding"],
+        ).coalesce(1)
+
+    # compaction OFF: measure per-batch fresh (non-hardlinked) bytes
+    sink = ivf_ingest_sink(store, cents, compact_files=None)
+    fresh_bytes, total_rows = [], 0
+    for b in range(6):
+        sink(batch(100 * (b + 1), 4), b)
+        total_rows += 4
+        vdir, _ = current_version(store)
+        stats = [os.stat(f) for f in data_files(os.path.join(vdir, "index"))]
+        # fresh files have link count 1 inside this version until the
+        # NEXT append links them forward; hardlinked carry-overs have
+        # nlink >= 2 (previous version still holds them)
+        fresh_bytes.append(
+            sum(s.st_size for s in stats if s.st_nlink == 1)
+        )
+    # fresh bytes stay flat (one 4-row file) while the index grows 6x
+    assert max(fresh_bytes) <= 2 * min(b for b in fresh_bytes if b > 0)
+    got = {r.vec_id: r.cid for r in read_ivf_index(spark, store).collect()}
+    assert len(got) == total_rows
+
+    # replayed batch: delta is empty -> no new version committed
+    vdir_before, _ = current_version(store)
+    sink(batch(100, 4), 0)
+    vdir_after, _ = current_version(store)
+    assert vdir_after == vdir_before
+
+    # compaction ON with a tiny threshold: content identical, file
+    # count bounded
+    sink2 = ivf_ingest_sink(store, cents, compact_files=4)
+    for b in range(4):
+        sink2(batch(1000 + 100 * b, 3), 10 + b)
+    vdir, _ = current_version(store)
+    n_files = len(data_files(os.path.join(vdir, "index")))
+    assert n_files <= 4
+    merged = {
+        r.vec_id: r.cid for r in read_ivf_index(spark, store).collect()
+    }
+    # expectation: route every ingested vector in one in-plan append
+    all_ingested = spark.createDataFrame(
+        [(100 * (b + 1) + i,
+          [float(((100 * (b + 1) + i + 7) * (d + 3)) % 17) - 8.0
+           for d in range(16)])
+         for b in range(6) for i in range(4)]
+        + [(1000 + 100 * b + i,
+            [float(((1000 + 100 * b + i + 7) * (d + 3)) % 17) - 8.0
+             for d in range(16)])
+           for b in range(4) for i in range(3)],
+        ["vec_id", "embedding"],
+    )
+    want = {
+        r.vec_id: r.cid
+        for r in sim.ivf_index_append(
+            spark.createDataFrame([], "vec_id bigint, cid bigint"),
+            all_ingested, cents,
+        ).collect()
+    }
+    assert merged == want
