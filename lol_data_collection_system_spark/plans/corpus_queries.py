@@ -2653,6 +2653,75 @@ WHERE rank <= {topk}
 """
 
 
+def q_ivf_appended_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance through the STORED ingest path
+    (round 9): the base cohort's Lloyd assignment seeds a versioned
+    on-disk index store; the held-out delta then arrives as THREE
+    micro-batches through `streaming.serve.ivf_ingest_sink` — each
+    batch writing ONLY its routed delta rows and hardlinking the
+    previous version's part-files forward, with the sink's
+    auto-compaction threshold crossed mid-ingest — and a query batch
+    is served from the committed store. Shares `ivf_incremental_serve`'s
+    oracle: the hash gate proves the hardlink-append + compaction
+    machinery is content-neutral end to end (appended vectors land in
+    exactly the cells a full in-plan merge puts them, independent of
+    the batch split and of how many compactions fired)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.cache import listing_fingerprint
+    from ..sources.versioned import commit_version, current_version
+    from ..streaming.serve import ivf_ingest_sink, read_ivf_index
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % INCR_DELTA_MOD != 9)
+    delta = emb.filter(F.col("vec_id") % INCR_DELTA_MOD == 9)
+    cents = sim_ops.kmeans_centroids(
+        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+    )
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    # every derivation param in the path so a constant change can never
+    # serve a store appended under the old ones
+    path = _os.path.join(
+        SUMMARY_CACHE_DIR,
+        f"ivf_store_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}"
+        f"m{INCR_DELTA_MOD}",
+    )
+    fp_now = listing_fingerprint(_os.path.join(sf_dir, "embeddings.parquet"))
+    sidecar = path + ".src.json"
+    stale = True
+    try:
+        stale = _json.loads(open(sidecar).read()) != fp_now
+    except (OSError, ValueError):
+        pass
+    if stale or current_version(path) is None:
+        _shutil.rmtree(path, ignore_errors=True)
+        # seed version: the base cohort's LLOYD assignment (training
+        # output), exactly what the in-plan twin unions the delta onto
+        seed = sim_ops.kmeans_assign(
+            base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+        )
+
+        def writer(vdir: str) -> None:
+            seed.write.parquet(_os.path.join(vdir, "index"))
+
+        commit_version(path, writer, {"last_batch_id": -1})
+        sink = ivf_ingest_sink(path, cents, compact_files=16)
+        for j in range(3):
+            # three disjoint micro-batches covering vec_id % 10 == 9
+            sink(delta.filter(F.col("vec_id") % 30 == 10 * j + 9), j)
+        with open(sidecar, "w") as f:
+            _json.dump(fp_now, f)
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivf_serve_topk(
+        queries, emb, read_ivf_index(spark, path), cents, k=SERVE_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM perplexity proxy (CCNet-style quality ranking)
 # ---------------------------------------------------------------------------
@@ -5440,6 +5509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_stored_topk": q_ivfpq_stored_topk,
     "ivf_batch_serve": q_ivf_batch_serve,
     "ivf_incremental_serve": q_ivf_incremental_serve,
+    "ivf_appended_store_serve": q_ivf_appended_store_serve,
     "ivfadc_refine_serve": q_ivfadc_refine_serve,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
@@ -5547,6 +5617,7 @@ ORACLES: dict[str, str] = {
     "ivfpq_stored_topk": _ivfpq_oracle(),
     "ivf_batch_serve": _ivf_serve_oracle(),
     "ivf_incremental_serve": _ivf_incremental_oracle(),
+    "ivf_appended_store_serve": _ivf_incremental_oracle(),
     "ivfadc_refine_serve": _ivfadc_refine_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
