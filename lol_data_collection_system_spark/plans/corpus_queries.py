@@ -2433,6 +2433,45 @@ def q_ivfadc_refine_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfadc_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED IVFADC refine funnel's batch twin (round 9): the
+    query batch arrives as three disjoint micro-batches, each pushed
+    through the full stored-artifact funnel exactly as
+    `streaming.serve.ivfadc_serve_sink` applies it per foreachBatch
+    trigger, and the per-batch results union. Scoring is stateless per
+    query, so the union must equal the whole-batch funnel — this query
+    shares `ivfadc_refine_serve`'s first-principles oracle, making the
+    foreachBatch equivalence claim hash-gated (the writeStream wiring
+    itself is pinned by tests/test_streaming.py's stream==batch twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index_cached(spark, sf_dir)
+    cents = _ivf_centroids_cached(spark, sf_dir)
+    books = _ivfpq_books_cached(spark, sf_dir)
+    codes = _ivfadc_codes_cached(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    parts = [
+        sim_ops.ivfadc_refine_topk(
+            queries.filter(F.col("query_id") % 3 == j),
+            emb,
+            index=index,
+            centroids=cents,
+            codebooks=books,
+            codes=codes,
+            k=SERVE_TOPK,
+            refine=REFINE_R,
+            n_subspaces=PQ_SUBSPACES,
+            sub_dim=PQ_SUB_DIM,
+        )
+        for j in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _ivfadc_refine_oracle(
     k: int = IVF_TRAINED_K,
     iters: int = IVF_TRAINED_ITERS,
@@ -5511,6 +5550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_incremental_serve": q_ivf_incremental_serve,
     "ivf_appended_store_serve": q_ivf_appended_store_serve,
     "ivfadc_refine_serve": q_ivfadc_refine_serve,
+    "ivfadc_stream_serve": q_ivfadc_stream_serve,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -5619,6 +5659,7 @@ ORACLES: dict[str, str] = {
     "ivf_incremental_serve": _ivf_incremental_oracle(),
     "ivf_appended_store_serve": _ivf_incremental_oracle(),
     "ivfadc_refine_serve": _ivfadc_refine_oracle(),
+    "ivfadc_stream_serve": _ivfadc_refine_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,

@@ -2388,3 +2388,98 @@ def test_ivf_ingest_writes_delta_bytes_and_autocompacts(spark, tmp_path):
         ).collect()
     }
     assert merged == want
+
+
+def test_ivfadc_serve_stream_equals_batch_funnel(spark, tmp_path):
+    """The streamed IVFADC + exact-refine funnel (foreachBatch over the
+    four stored artifacts) must equal the batch funnel on the union of
+    the micro-batches — stateless per query, so stream==batch is
+    structural; replaying a batch overwrites its own partition."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from lol_data_collection_system_spark.operators import similarity as sim
+    from lol_data_collection_system_spark.streaming.serve import (
+        ivfadc_serve_sink,
+        ivfadc_serve_stream,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i + 2) * (d + 5)) % 19) - 9.0 for d in range(16)])
+         for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    n_sub, sub_dim = 2, 8
+    index = sim.kmeans_assign(emb, k=3, iters=2)
+    cents = sim.kmeans_centroids(emb, k=3, iters=2)
+    res = index.join(emb, "vec_id").join(
+        F2.broadcast(cents), "cid"
+    ).select(
+        "vec_id",
+        F2.zip_with(
+            F2.col("embedding"), F2.col("cvec"), lambda a, b: a - b
+        ).alias("embedding"),
+    )
+    books = sim.pq_codebooks(res, n_sub, sub_dim, n_centroids=4)
+    codes = sim.pq_encode(res, books, n_sub, sub_dim)
+
+    queries = [
+        (100 + i,
+         [v + 0.25 * ((i + d) % 3) for d, v in enumerate(
+             [float(((i + 2) * (d2 + 5)) % 19) - 9.0 for d2 in range(16)])])
+        for i in range(6)
+    ]
+    schema = T2.StructType([
+        T2.StructField("query_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType())),
+    ])
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    spark.createDataFrame(queries[:3], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(queries[3:], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = ivfadc_serve_stream(
+        stream, str(out_dir), str(ckpt), emb, index, cents, books, codes,
+        k=3, refine=8, n_subspaces=n_sub, sub_dim=sub_dim,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out_dir))
+        .drop("_batch_id")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivfadc_refine_topk(
+            spark.createDataFrame(queries, schema), emb, index, cents,
+            books, codes, k=3, refine=8,
+            n_subspaces=n_sub, sub_dim=sub_dim,
+        ).collect()
+    )
+    assert got == want
+    assert len({t[0] for t in got}) == 6  # every query answered
+
+    # replayed batch rewrites its own partition in place
+    sink = ivfadc_serve_sink(
+        str(out_dir), emb, index, cents, books, codes,
+        k=3, refine=8, n_subspaces=n_sub, sub_dim=sub_dim,
+    )
+    sink(spark.createDataFrame(queries[:3], schema), 0)
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out_dir))
+        .drop("_batch_id")
+        .collect()
+    )
+    assert again == want
