@@ -1584,12 +1584,23 @@ def append_corpus_index(
     geometry, sets) come from the INDEX's meta — the caller cannot
     drift the shingle space.
 
-    REFUSES df-capped indexes loudly: the df cap is a corpus-level
-    statistic, so appending documents changes doc frequencies and the
-    EXISTING docs' capped shingle sets silently go stale — rebuilding
-    via `write_corpus_index` is the only cap-correct maintenance (the
-    honest split: uncapped indexes append in O(delta), capped ones
-    rebuild on a schedule).
+    df-CAPPED indexes append under a BOUNDED-DRIFT rule (VERDICT r8
+    #2 — the cap is a corpus-level statistic, so r8 refused them
+    outright and the skew lever excluded O(delta) maintenance): the
+    delta's per-shingle doc frequencies fold into the STORED counts
+    (the shingle table's own rows — `shingles` emits distinct
+    (id, shingle), so ``count(*) per shingle`` over the stored table IS
+    each kept shingle's df; hot shingles are already recorded in the
+    ``hot`` subdir and can only stay hot). The append proceeds iff NO
+    shingle's cap decision would flip — i.e. no currently-kept (or
+    unseen) shingle's folded df crosses the cap. Under that condition
+    the appended index is EXACTLY the full rebuild: existing docs'
+    capped sets are untouched (their shingles' df stayed ≤ cap), the
+    hot set is unchanged, and delta docs cap against the same hot set
+    a rebuild would derive. A delta that WOULD flip a decision still
+    refuses loudly with the crossing shingles named — accumulated
+    drift must trigger the scheduled `write_corpus_index` rebuild, the
+    one case where O(delta) maintenance is semantically impossible.
 
     Idempotent per id: delta ids already indexed (per the shingle
     table) are anti-joined out, and delta FINGERPRINTS already present
@@ -1616,24 +1627,60 @@ def append_corpus_index(
             f"write_corpus_index first"
         )
     vdir, meta = cur
-    if meta.get("max_doc_freq") is not None or meta.get("has_hot"):
-        raise ValueError(
-            f"corpus index at {path} was written with a doc-frequency "
-            f"cap (max_doc_freq={meta.get('max_doc_freq')}): appending "
-            f"would silently stale the existing docs' capped shingle "
-            f"sets (the cap is a corpus-level statistic) — rebuild via "
-            f"write_corpus_index instead"
-        )
     id_col, text_col, k = meta["id_col"], meta["text_col"], meta["k"]
-    existing_ids = (
-        spark.read.parquet(str(_Path(vdir) / "shingles"))
-        .select(F.col(id_col))
-        .distinct()
-    )
+    cap = meta.get("max_doc_freq")
+    stored_sh = spark.read.parquet(str(_Path(vdir) / "shingles"))
+    existing_ids = stored_sh.select(F.col(id_col)).distinct()
     delta = novel_docs.join(existing_ids, id_col, "left_anti")
     d_fp, d_sh, _hot = corpus_shingle_index(
         delta, id_col, text_col, k, None
     )
+    if cap is not None:
+        # bounded-drift gate: fold the delta's per-shingle df into the
+        # stored counts; the append is rebuild-exact iff no kept/unseen
+        # shingle crosses the cap. Delta-bounded work: the delta's
+        # distinct shingles broadcast into a semi-join that prunes the
+        # stored table before its one count aggregation.
+        hot_df = (
+            spark.read.parquet(str(_Path(vdir) / "hot"))
+            if meta.get("has_hot")
+            else spark.createDataFrame([], "shingle string")
+        )
+        d_df = (
+            d_sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_d_df"))
+        )
+        stored_df = (
+            stored_sh.join(
+                F.broadcast(d_df.select("shingle")), "shingle", "left_semi"
+            )
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_s_df"))
+        )
+        crossing = (
+            d_df.join(stored_df, "shingle", "left")
+            .filter(
+                F.coalesce(F.col("_s_df"), F.lit(0)) + F.col("_d_df")
+                > F.lit(cap)
+            )
+            .select("shingle")
+        )
+        flipped = [r["shingle"] for r in crossing.limit(6).collect()]
+        if flipped:
+            raise ValueError(
+                f"corpus index at {path} (max_doc_freq={cap}): this "
+                f"delta pushes {len(flipped)}{'+' if len(flipped) > 5 else ''} "
+                f"shingle(s) over the cap (e.g. {flipped[:5]!r}) — the "
+                f"existing docs' capped sets would silently go stale; "
+                f"rebuild via write_corpus_index instead (bounded-drift "
+                f"appends are rebuild-exact only while no cap decision "
+                f"flips)"
+            )
+        # no decision flips: the hot set is unchanged, so delta docs cap
+        # against exactly the hot set a full rebuild would derive (the
+        # fp append path is cap-independent and stays as below)
+        d_sh = d_sh.join(F.broadcast(hot_df), "shingle", "left_anti")
     # fingerprints already indexed keep their existing representative
     existing_fp = spark.read.parquet(str(_Path(vdir) / "fp")).select("fp")
     d_fp = d_fp.join(existing_fp, "fp", "left_anti")
@@ -1665,15 +1712,18 @@ def append_corpus_index(
         )
 
     def writer(new_vdir: str) -> None:
-        for sub, ddf in subs:
-            src, tgt = _Path(vdir) / sub, _Path(new_vdir) / sub
+        # every existing subdir links forward whole (fp/shingles/bands/
+        # sets AND hot — a capped index's stop set must survive the
+        # append verbatim); data files only: writer-metadata (_SUCCESS,
+        # .crc) regenerates on append and must not alias old inodes
+        for src in sorted(p for p in _Path(vdir).iterdir() if p.is_dir()):
+            tgt = _Path(new_vdir) / src.name
             tgt.mkdir(parents=True, exist_ok=True)
             for f in src.iterdir():
-                # data files only: writer-metadata (_SUCCESS, .crc)
-                # regenerates on append and must not alias old inodes
                 if f.is_file() and not f.name.startswith(("_", ".")):
                     link_or_copy(f, tgt / f.name)
-            ddf.write.mode("append").parquet(str(tgt))
+        for sub, ddf in subs:
+            ddf.write.mode("append").parquet(str(_Path(new_vdir) / sub))
 
     commit_version(path, writer, meta, expect_current=vdir)
 

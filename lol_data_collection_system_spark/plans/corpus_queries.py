@@ -3385,21 +3385,30 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_parts() -> tuple[str, str]:
+def _incremental_parts(
+    delta_sql: str | None = None, corpus_sql: str | None = None
+) -> tuple[str, str]:
     """(CTE chain, final select) of the incremental-dedup oracle — split
     so `_serving_oracle` can compose the same classification as a CTE
-    under its funnel stages (one derivation, two oracles)."""
+    under its funnel stages (one derivation, two oracles).
+    ``delta_sql``/``corpus_sql`` override the cohort CTE bodies (the
+    capped-append twin classifies a different delta against a grown
+    corpus); the classification chain itself is shared verbatim."""
     from ..operators.dedup import MINHASH_PRIME
 
     mh_exprs = _minhash_perm_exprs()
     band_exprs = _minhash_band_exprs()
     sh = _shingle_list_sql()
-    ctes = f"""delta AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    if delta_sql is None:
+        delta_sql = f"""SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
   UNION ALL
   SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, text FROM documents
-  WHERE doc_id % 7 = 0 AND doc_id % 5 != 0),
-corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+  WHERE doc_id % 7 = 0 AND doc_id % 5 != 0"""
+    if corpus_sql is None:
+        corpus_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0"
+    ctes = f"""delta AS (
+  {delta_sql}),
+corpus AS ({corpus_sql}),
 corpus_fp AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS mid
               FROM corpus GROUP BY 1),
 delta_fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM delta),
@@ -3461,6 +3470,136 @@ LEFT JOIN near n ON n.did = dd.doc_id"""
 
 def _incremental_oracle() -> str:
     ctes, final = _incremental_parts()
+    return f"\nWITH {ctes}\n{final}\n"
+
+
+#: id offsets for the capped-append fixture's re-crawled / near-variant
+#: cohorts (disjoint from RECRAWL_OFFSET's space at every sf).
+CAPPED_APPEND_OFF = 1_000_000
+#: synthetic append-cohort text: 8 per-doc-namespaced tokens, so every
+#: shingle of an appended doc has corpus df exactly 1 — the appended
+#: batch can never flip a cap decision at ANY scale factor, which is the
+#: regime `append_corpus_index`'s bounded-drift rule admits.
+_M_TOKENS = 8
+
+
+def _m_text_spark(did) -> F.Column:
+    return F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("m"), did.cast("string"), F.lit(f"t{i}"))
+            for i in range(_M_TOKENS)
+        ],
+    )
+
+
+_M_TEXT_SQL = (
+    "array_to_string(list_transform(generate_series(0, "
+    f"{_M_TOKENS - 1}), i -> 'm' || CAST(doc_id AS VARCHAR) || 't' || "
+    "CAST(i AS VARCHAR)), ' ')"
+)
+
+
+def q_capped_index_append_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cap-tolerant corpus-index maintenance, classified end to end
+    (round 9; VERDICT r8 #2): a df-CAPPED index (the production skew
+    lever) is built on the base corpus, a per-doc-namespaced append
+    cohort folds in via `append_corpus_index`'s bounded-drift rule
+    (O(delta) hardlink-append — no shingle's cap decision can flip, so
+    the appended index is rebuild-exact), and a fresh delta — natural
+    docs, exact re-crawls of the APPENDED docs, and near-variants of
+    them — classifies against the grown index. The oracle rebuilds the
+    capped classification from first principles over base ∪ appended,
+    so the hash gate proves the drift-guarded append serves bit-
+    identically to the full rebuild, including the near-dup tier over
+    rows that only exist via the append path."""
+    import json as _json
+    import os as _os
+
+    from ..sources.cache import listing_fingerprint
+    from ..sources.versioned import current_version
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    m = docs.filter((did % 5 == 0) & (did % 2 == 0)).select(
+        "doc_id", _m_text_spark(did).alias("text")
+    )
+    fresh_nat = docs.filter((did % 5 == 0) & (did % 2 == 1))
+    recrawl = m.select(
+        (did + CAPPED_APPEND_OFF).alias("doc_id"), F.col("text")
+    )
+    near = m.select(
+        (did + 2 * CAPPED_APPEND_OFF).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" m"),
+            did.cast("string"),
+            F.lit(f"t{_M_TOKENS}x"),
+        ).alias("text"),
+    )
+    delta = fresh_nat.unionByName(recrawl).unionByName(near)
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        SUMMARY_CACHE_DIR,
+        f"capped_index_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}"
+        f"b{MINHASH_N}x{MINHASH_BAND}m{_M_TOKENS}",
+    )
+    fp_now = listing_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+    sidecar = path + ".src.json"
+    stale = True
+    try:
+        stale = _json.loads(open(sidecar).read()) != fp_now
+    except (OSError, ValueError):
+        pass
+    if stale or current_version(path) is None:
+        import shutil as _shutil
+
+        _shutil.rmtree(path, ignore_errors=True)
+        dedup_ops.write_corpus_index(
+            corpus, path, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF,
+            bands=(MINHASH_N, MINHASH_BAND), sets=True,
+        )
+        dedup_ops.append_corpus_index(spark, path, m)
+        with open(sidecar, "w") as f:
+            _json.dump(fp_now, f)
+    return dedup_ops.incremental_dedup(
+        None,
+        delta,
+        "doc_id",
+        "text",
+        SHINGLE_K,
+        MINHASH_N,
+        MINHASH_BAND,
+        JACCARD_THRESHOLD,
+        SHINGLE_MAX_DF,
+        corpus_index=dedup_ops.read_corpus_index(
+            spark, path,
+            expect={"k": SHINGLE_K, "max_doc_freq": SHINGLE_MAX_DF},
+        ),
+    )
+
+
+def _capped_append_oracle() -> str:
+    corpus_sql = f"""SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id, {_M_TEXT_SQL} AS text FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 2 = 0"""
+    delta_sql = f"""SELECT doc_id, text FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {CAPPED_APPEND_OFF} AS doc_id, {_M_TEXT_SQL} AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {2 * CAPPED_APPEND_OFF} AS doc_id,
+         {_M_TEXT_SQL} || ' m' || CAST(doc_id AS VARCHAR)
+           || 't{_M_TOKENS}x' AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 2 = 0"""
+    ctes, final = _incremental_parts(delta_sql, corpus_sql)
     return f"\nWITH {ctes}\n{final}\n"
 
 
@@ -5558,6 +5697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redacted_docs": q_pii_redacted_docs,
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_stored": q_incremental_dedup_stored,
+    "capped_index_append_classify": q_capped_index_append_classify,
     "serving_funnel": q_serving_funnel,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
@@ -5669,6 +5809,7 @@ ORACLES: dict[str, str] = {
     # stored-index twin deliberately shares the in-plan oracle (the
     # ivf_stored_topk pattern): hash-identity IS the gate
     "incremental_dedup_stored": _incremental_oracle(),
+    "capped_index_append_classify": _capped_append_oracle(),
     "serving_funnel": _serving_oracle(),
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,

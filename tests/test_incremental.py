@@ -241,8 +241,43 @@ def test_append_corpus_index_matches_full_rebuild(spark, tmp_path):
     append_corpus_index(spark, p, novel)
     assert snapshot(p) == want
 
-    # df-capped index refuses appends
+    # df-capped index, bounded-drift append (VERDICT r8 #2): a delta
+    # that flips NO cap decision appends in O(delta) and the result
+    # equals the full capped rebuild — hot set, shingles, bands, sets
     capped_p = str(tmp_path / "capped")
-    write_corpus_index(base, capped_p, max_doc_freq=5)
-    with _pytest.raises(ValueError, match="rebuild"):
-        append_corpus_index(spark, capped_p, novel)
+    write_corpus_index(
+        base, capped_p, max_doc_freq=5, bands=(16, 4), sets=True
+    )
+    append_corpus_index(spark, capped_p, novel)
+    capped_rebuilt = str(tmp_path / "capped_rebuilt")
+    write_corpus_index(
+        base.unionByName(novel.filter("doc_id != 3")), capped_rebuilt,
+        max_doc_freq=5, bands=(16, 4), sets=True,
+    )
+
+    def snapshot_capped(path):
+        idx = read_corpus_index(spark, path)
+        fp_df, sh_df, hot_df = idx
+        return (
+            sorted(tuple(r) for r in fp_df.collect()),
+            sorted(tuple(r) for r in sh_df.collect()),
+            sorted(r["shingle"] for r in hot_df.collect()),
+            sorted(tuple(r) for r in idx.bands.collect()),
+            sorted(
+                (r["doc_id"], tuple(sorted(r["_c_set"])), r["_c_size"])
+                for r in idx.sets.collect()
+            ),
+        )
+
+    assert snapshot_capped(capped_p) == snapshot_capped(capped_rebuilt)
+
+    # a delta that pushes ANY shingle over the cap refuses loudly: the
+    # existing docs' capped sets would go stale (6 fresh docs sharing
+    # one phrase -> its shingles' folded df = 6 > 5)
+    crossing = spark.createDataFrame(
+        [(20 + i, "the exact same repeated phrase appears here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="over the cap"):
+        append_corpus_index(spark, capped_p, crossing)
