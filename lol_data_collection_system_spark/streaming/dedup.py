@@ -717,18 +717,24 @@ def classify_stream(
     - candidate tier: the doc's bands (computed row-locally over its
       CAPPED shingle set, mirroring the batch pipeline which bands the
       capped shingle frame) explode into a stream-static INNER join
-      against the corpus band index. Stateless; a doc with an empty
+      against the NARROW corpus band index (id, band_idx, band_hash —
+      24 B rows, never a shingle set). Stateless; a doc with an empty
       capped set produces no band rows, exactly as it vanishes from the
       batch band frame.
-    - verify tier: ROW-LOCAL. Each corpus index row carries the corpus
-      doc's full capped shingle set, so Jaccard is `array_intersect`
-      against the stream row's own set — no pairwise shuffle, no state.
-      Repeated (doc, candidate) matches from multiple bands yield
-      identical Jaccard rows, so the min/max aggregate below absorbs
-      them just like the batch `distinct`.
+    - pair dedup: candidates collapse to DISTINCT (delta doc, corpus
+      doc) pairs before any verify operand attaches — duplicate band
+      hits of one pair carry identical payloads, so this changes no
+      output, but each pair now fetches its corpus set once instead of
+      up-to-n_bands times (VERDICT r8 #3: the verify sets previously
+      rode the band join n_bands× AND every duplicate hit re-paid the
+      intersection). Watermark-scoped keyed state, bounded by the
+      delta's candidate pairs in the horizon.
+    - verify tier: ROW-LOCAL. Each deduped pair joins the corpus doc's
+      stored capped shingle set by id, so Jaccard is `array_intersect`
+      against the stream row's own set — no pairwise shuffle.
     - combine: union the verify rows with one per-doc base row (so docs
       with zero candidates still emit), then ONE watermarked windowed
-      aggregation — the only stateful operator in the plan.
+      aggregation.
 
     The corpus-df cap (`max_doc_freq`) ships row-locally in one of two
     representations, chosen by `stop_set`:
@@ -763,11 +769,13 @@ def classify_stream(
     `stop_bloom_bits` (None = auto: 16 bits/key, clamped to
     [2^16, 2^22]) and `stop_bloom_hashes` set the Bloom geometry.
 
-    Index cost: the band index duplicates each corpus doc's shingle set
-    once per band (n_bands ×). That is the price of a stateless verify
-    tier; the alternative (shingle-join verify like batch) needs a
-    second chained stateful aggregation. At 100 TB the index is
-    precomputed + stored, not derived in-plan as here.
+    Index cost: the band join carries 24 B rows; the per-doc shingle
+    SETS live in a separate (id, set) frame probed once per distinct
+    candidate pair (r9 — previously each corpus set was materialized
+    once per band row, an ×n_bands constant SCALING r8 A3 measured as
+    the guard's dominant cost). At 100 TB both frames are precomputed
+    + stored (`write_corpus_index(bands=, sets=True)`), not derived
+    in-plan as here.
 
     Output: (window, id, status, match_id, jaccard) — one row per doc
     per emit window; batch frames run the identical plan minus the
@@ -878,18 +886,26 @@ def classify_stream(
                 "band_idx", "band_hash"
             ),
         )
-    index = (
-        banded.join(c_sets, id_col)
-        .select(
-            "band_idx",
-            "band_hash",
-            F.col(id_col).alias("_cid"),
-            "_c_set",
-            "_c_size",
-        )
+    # candidate tier joins the NARROW band index (24 B rows); the heavy
+    # verify operands (_c_set) attach ONLY to deduplicated candidate
+    # pairs below — previously each corpus doc's shingle set rode the
+    # static side n_bands (8) times and every duplicate band hit of the
+    # same (doc, corpus) pair recomputed the intersection (SCALING r8
+    # A3 measured the guard verify-heavy even fully stored; VERDICT r8
+    # #3). Candidate dedup costs one keyed state store within the
+    # watermark horizon, bounded by the DELTA's candidate pairs.
+    band_index = banded.select(
+        "band_idx", "band_hash", F.col(id_col).alias("_cid")
+    )
+    c_sets = c_sets.select(
+        F.col(id_col).alias("_cid"), "_c_set", "_c_size"
     )
 
     # ---- stream side: everything row-local until the final aggregate ----
+    if docs.isStreaming:
+        # one upstream watermark serves the candidate dedup AND the
+        # final windowed aggregate (chained stateful operators)
+        docs = docs.withWatermark(ts_col, watermark_delay)
     d_set = row_shingles(text_col, k)
     if stop_probe is not None:
         d_set = F.filter(d_set, lambda s: ~stop_probe(s))
@@ -927,12 +943,23 @@ def classify_stream(
         / (F.size("_d_set") + F.col("_c_size") - n_inter),
         6,
     )
-    b_rows = exploded.join(index, ["band_idx", "band_hash"]).select(
+    cand = exploded.join(band_index, ["band_idx", "band_hash"]).select(
+        id_col, ts_col, "_exact_mid", "_d_set", "_cid"
+    )
+    # distinct (delta doc, corpus doc) pairs BEFORE the verify sets
+    # attach: duplicate band hits of one pair carry identical payloads
+    # (same doc → same ts/_d_set/_exact_mid), so dropping them changes
+    # no output — the final aggregate absorbed them before; now they
+    # never fetch a set or pay an intersection
+    cand = (
+        cand.dropDuplicatesWithinWatermark([id_col, "_cid"])
+        if docs.isStreaming
+        else cand.dropDuplicates([id_col, "_cid"])
+    )
+    b_rows = cand.join(c_sets, "_cid").select(
         id_col, ts_col, "_exact_mid", "_cid", jac.alias("_jac")
     )
     unioned = a_rows.unionByName(b_rows)
-    if docs.isStreaming:
-        unioned = unioned.withWatermark(ts_col, watermark_delay)
     verified_cid = F.when(F.col("_jac") >= threshold, F.col("_cid"))
     verified_jac = F.when(F.col("_jac") >= threshold, F.col("_jac"))
     agg = unioned.groupBy(
