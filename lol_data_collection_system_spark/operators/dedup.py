@@ -1679,8 +1679,13 @@ def append_corpus_index(
             )
         # no decision flips: the hot set is unchanged, so delta docs cap
         # against exactly the hot set a full rebuild would derive (the
-        # fp append path is cap-independent and stays as below)
-        d_sh = d_sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+        # fp append path is cap-independent and stays as below). The
+        # trailing select pins the stored column ORDER: the join moves
+        # its key first, and appended part-files must match the base
+        # files' layout or a mixed-dir read picks one at random
+        d_sh = d_sh.join(
+            F.broadcast(hot_df), "shingle", "left_anti"
+        ).select(id_col, "shingle")
     # fingerprints already indexed keep their existing representative
     existing_fp = spark.read.parquet(str(_Path(vdir) / "fp")).select("fp")
     d_fp = d_fp.join(existing_fp, "fp", "left_anti")

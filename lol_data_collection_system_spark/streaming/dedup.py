@@ -1002,6 +1002,7 @@ def corpus_ingest_sink(
     n_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.8,
+    compact_files: int | None = 64,
 ):
     """foreachBatch body for a SELF-GROWING corpus ingest: classify each
     micro-batch against the stored corpus index (`incremental_dedup`'s
@@ -1026,8 +1027,18 @@ def corpus_ingest_sink(
     statuses exactly when batches' novel sets don't cross-collide — the
     fold is order-defined, like any incremental classification.)
 
-    Uncapped indexes only — `append_corpus_index`'s honest split: a
-    df-capped index rebuilds on a schedule instead of appending.
+    Uncapped indexes only — the sink seeds its own empty index, and
+    an uncapped one keeps every append unconditionally legal (a
+    df-capped index appends only under `append_corpus_index`'s
+    bounded-drift rule and must rebuild when a cap decision flips —
+    the wrong failure mode for an unattended ingest loop).
+
+    ``compact_files``: every append adds one part-file set per subdir;
+    once any subdir of the committed index crosses this many data
+    files the sink triggers `versioned.compact_version` — a
+    content-identical coalesced rewrite in its own CAS-guarded commit
+    — so the store self-heals without an external scheduler (VERDICT
+    r8 #4). None disables.
     """
     from ..operators.dedup import (
         append_corpus_index,
@@ -1084,6 +1095,10 @@ def corpus_ingest_sink(
             id_col,
         )
         append_corpus_index(spark, index_path, novel)
+        if compact_files is not None:
+            from ..sources.versioned import compact_version
+
+            compact_version(spark, index_path, compact_files)
 
     return sink
 
@@ -1099,6 +1114,7 @@ def corpus_ingest_stream(
     n_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.8,
+    compact_files: int | None = 64,
 ):
     """Wire a document stream into the self-growing corpus ingest loop;
     returns the StreamingQuery (availableNow — swap the trigger for
@@ -1107,7 +1123,7 @@ def corpus_ingest_stream(
         docs_stream.writeStream.foreachBatch(
             corpus_ingest_sink(
                 index_path, out_dir, id_col, text_col, k,
-                n_hashes, band_size, threshold,
+                n_hashes, band_size, threshold, compact_files,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

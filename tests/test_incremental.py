@@ -281,3 +281,73 @@ def test_append_corpus_index_matches_full_rebuild(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="over the cap"):
         append_corpus_index(spark, capped_p, crossing)
+
+
+def test_corpus_index_autocompacts_content_identical(spark, tmp_path):
+    """Append-grown stores self-heal (VERDICT r8 #4): after N appends
+    the oversized subdirs compact to a coalesced, content-identical
+    version with the data-file count bounded; undersized subdirs are
+    hardlinked forward untouched, and the meta survives verbatim."""
+    from lol_data_collection_system_spark.operators.dedup import (
+        append_corpus_index,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.sources.versioned import (
+        compact_version,
+        current_version,
+        data_files,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} with some shared words here")
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "idx")
+    write_corpus_index(base, p, bands=(16, 4), sets=True)
+    for j in range(5):
+        novel = spark.createDataFrame(
+            [(100 + 10 * j + i,
+              f"fresh ingest wave {j} doc {i} about topic {j}-{i}")
+             for i in range(2)],
+            ["doc_id", "text"],
+        )
+        append_corpus_index(spark, p, novel)
+
+    def snapshot():
+        idx = read_corpus_index(spark, p)
+        fp_df, sh_df, _hot = idx
+        return (
+            sorted(tuple(r) for r in fp_df.collect()),
+            sorted(tuple(r) for r in sh_df.collect()),
+            sorted(tuple(r) for r in idx.bands.collect()),
+            sorted(
+                (r["doc_id"], tuple(sorted(r["_c_set"])), r["_c_size"])
+                for r in idx.sets.collect()
+            ),
+        )
+
+    before = snapshot()
+    vdir, meta_before = current_version(p)
+    import pathlib
+
+    grown = {
+        d.name: len(data_files(d))
+        for d in pathlib.Path(vdir).iterdir() if d.is_dir()
+    }
+    assert max(grown.values()) > 4  # the appends really grew the store
+
+    assert compact_version(spark, p, max_files=4) is True
+    vdir2, meta_after = current_version(p)
+    assert vdir2 != vdir and meta_after == meta_before
+    counts = {
+        d.name: len(data_files(d))
+        for d in pathlib.Path(vdir2).iterdir() if d.is_dir()
+    }
+    assert all(n <= 4 for n in counts.values()), counts
+    assert snapshot() == before
+
+    # already compact: a second call is a no-op (no new version)
+    assert compact_version(spark, p, max_files=4) is False
+    assert current_version(p)[0] == vdir2
