@@ -128,9 +128,13 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     )
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, float]:
-    """Parse PCM16 mono WAV: (sample_rate, n_samples, mean |amplitude|).
-    Walks the RIFF chunk list — fmt/data need not be adjacent."""
+def _walk_riff(payload: bytes) -> tuple[int, bytes]:
+    """THE RIFF chunk walk (magic check, fmt parse, word-aligned
+    advance) shared by `decode_wav` and `decode_wav_samples` — one
+    implementation so a container-handling fix can never land in one
+    consumer and silently miss the other (ADVICE r8). Returns
+    (sample_rate, data chunk bytes); fmt/data need not be adjacent.
+    PCM16-mono is the supported contract; anything else raises."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, data = 12, None, None
@@ -147,6 +151,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return sample_rate, data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Parse PCM16 mono WAV: (sample_rate, n_samples, mean |amplitude|)."""
+    sample_rate, data = _walk_riff(payload)
     n = len(data) // 2
     samples = struct.unpack(f"<{n}h", data[: 2 * n])
     return sample_rate, n, (sum(abs(s) for s in samples) / n) if n else 0.0
@@ -604,25 +614,8 @@ AHASH_TAPS = 65
 
 def decode_wav_samples(payload: bytes) -> list[int]:
     """Full PCM16 sample decode (the stats-only `decode_wav` can't feed
-    a fingerprint). Same RIFF chunk walk, same PCM16-mono contract."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    pos, sample_rate, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid, clen = struct.unpack_from("<4sI", payload, pos)
-        chunk = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            audio_fmt, channels, sample_rate = struct.unpack_from(
-                "<HHI", chunk, 0
-            )
-            bits = struct.unpack_from("<H", chunk, 14)[0]
-            if (audio_fmt, channels, bits) != (1, 1, 16):
-                raise ValueError("unsupported WAV: need PCM16 mono")
-        elif cid == b"data":
-            data = chunk
-        pos += 8 + clen + (clen & 1)
-    if sample_rate is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
+    a fingerprint). Same `_walk_riff` walk, same PCM16-mono contract."""
+    _sample_rate, data = _walk_riff(payload)
     n = len(data) // 2
     return list(struct.unpack(f"<{n}h", data[: 2 * n]))
 

@@ -440,7 +440,7 @@ def _phash_band_structs(col, n_bands: int, bits: int):
 
 def media_corpus_guard_stream(
     media: DataFrame,
-    corpus_phash: DataFrame,
+    corpus_phash: DataFrame | None = None,
     id_col: str = "media_id",
     ts_col: str = "ts",
     payload_col: str = "payload",
@@ -448,6 +448,7 @@ def media_corpus_guard_stream(
     bits: int = 64,
     watermark_delay: str = "10 minutes",
     emit_window: str = "1 minute",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Guard an incoming media stream against a STATIC perceptual
     corpus: drop payloads whose dHash shares ≥1 Hamming band with ANY
@@ -461,6 +462,16 @@ def media_corpus_guard_stream(
     ``corpus_phash``: a (phash) frame — `multimodal.phash_images`
     output or a stored fingerprint artifact; at 100 TB this is 8 bytes
     per corpus asset, derived once, never the payloads.
+
+    ``corpus_bands``: the pre-split DISTINCT (band_idx, band_hash)
+    frame, when the caller already holds it (a stored artifact, or a
+    persisted derivation shared across guards). When only
+    ``corpus_phash`` is given, the band split + distinct derive
+    IN-PLAN — and in continuous-trigger mode the static side of a
+    stream-static join re-evaluates per micro-batch, so a long-running
+    guard should pass ``corpus_bands`` (or a cached/localCheckpointed
+    ``corpus_phash``) rather than re-scanning the fingerprint table
+    every trigger (ADVICE r8).
 
     Plan shape: payload→dHash (shared Arrow udf) → JVM band split →
     stateless stream-static LEFT-ANTI join against the corpus's
@@ -478,15 +489,24 @@ def media_corpus_guard_stream(
     exploded = hashed.select(
         id_col, ts_col, "phash", F.explode(bands).alias("_b")
     ).select(id_col, ts_col, "phash", "_b.band_idx", "_b.band_hash")
-    corpus_bands = (
-        corpus_phash.select(
-            F.explode(
-                _phash_band_structs(F.col("phash"), n_bands, bits)
-            ).alias("_b")
+    if corpus_bands is None:
+        if corpus_phash is None:
+            raise ValueError(
+                "media_corpus_guard_stream needs corpus_phash (the "
+                "fingerprint frame to band in-plan) or corpus_bands "
+                "(the pre-derived distinct band buckets)"
+            )
+        corpus_bands = (
+            corpus_phash.select(
+                F.explode(
+                    _phash_band_structs(F.col("phash"), n_bands, bits)
+                ).alias("_b")
+            )
+            .select("_b.band_idx", "_b.band_hash")
+            .distinct()
         )
-        .select("_b.band_idx", "_b.band_hash")
-        .distinct()
-    )
+    else:
+        corpus_bands = corpus_bands.select("band_idx", "band_hash")
     survivors = exploded.join(
         corpus_bands, ["band_idx", "band_hash"], "left_anti"
     )
@@ -1027,6 +1047,17 @@ def corpus_ingest_sink(
     statuses exactly when batches' novel sets don't cross-collide — the
     fold is order-defined, like any incremental classification.)
 
+    Status-store caveat (ADVICE r8): the per-batch partition overwrite
+    keys replay idempotency on ``_batch_id`` WITHIN one checkpoint
+    lineage. A fresh-checkpoint rerun whose file→batch split differs
+    (changed ``maxFilesPerTrigger``, new files landed) writes new
+    partitions without clearing the old lineage's, so a doc can appear
+    under two batch ids — and because in-batch docs never classify
+    against each other, the two rows' statuses can legitimately
+    disagree. Read the store through `read_ingest_statuses`, which
+    collapses to each doc's LATEST row (the classification against the
+    most-grown index), or point reruns at a fresh ``out_dir``.
+
     Uncapped indexes only — the sink seeds its own empty index, and
     an uncapped one keeps every append unconditionally legal (a
     df-capped index appends only under `append_corpus_index`'s
@@ -1101,6 +1132,29 @@ def corpus_ingest_sink(
             compact_version(spark, index_path, compact_files)
 
     return sink
+
+
+def read_ingest_statuses(
+    spark, out_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The ingest status store collapsed to ONE row per doc — the
+    LATEST batch's classification wins (largest ``_batch_id``; within a
+    healthy single-lineage run every doc has exactly one row and this
+    is the identity). This is the batch-split-safe read (ADVICE r8): a
+    fresh-checkpoint rerun under a different file→batch split leaves
+    the prior lineage's partitions in place, so the raw store can hold
+    a doc twice with disagreeing statuses — latest-wins picks the
+    classification made against the most-grown index, the same row a
+    single-lineage rerun at that split would have produced."""
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy(id_col).orderBy(F.col("_batch_id").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
 
 
 def corpus_ingest_stream(

@@ -2483,3 +2483,42 @@ def test_ivfadc_serve_stream_equals_batch_funnel(spark, tmp_path):
         .collect()
     )
     assert again == want
+
+
+def test_read_ingest_statuses_latest_wins(spark, tmp_path):
+    """A rerun under a different file->batch split can leave one doc in
+    two batch partitions with disagreeing statuses; the reader collapses
+    to the latest batch's row (ADVICE r8)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from lol_data_collection_system_spark.streaming.dedup import (
+        read_ingest_statuses,
+    )
+
+    w = F2.struct(
+        F2.lit(dt.datetime(2024, 1, 1)).alias("start"),
+        F2.lit(dt.datetime(2024, 1, 1, 0, 1)).alias("end"),
+    )
+    out = str(tmp_path / "statuses")
+    for bid, rows in [
+        (0, [(1, "novel", -1, 0.0), (2, "novel", -1, 0.0)]),
+        (3, [(2, "exact_dup", 1, 1.0), (5, "novel", -1, 0.0)]),
+    ]:
+        (
+            spark.createDataFrame(
+                rows, "doc_id long, status string, match_id long, jaccard double"
+            )
+            .select(w.alias("window"), "*")
+            .withColumn("_batch_id", F2.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+    got = {
+        r.doc_id: r.status
+        for r in read_ingest_statuses(spark, out).collect()
+    }
+    assert got == {1: "novel", 2: "exact_dup", 5: "novel"}
