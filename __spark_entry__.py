@@ -3444,77 +3444,66 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-8 driver sample window. The rotation is COMPLETE, so
-    # ---- this block front-loads the round-8 NEW declaration(s), then
-    # ---- — per the round-7 verdict's freshness ask — re-samples the
-    # ---- LEAST-recently-sampled names: the nine whose newest driver
-    # ---- row is still round 1, then the round-3 cohort (oldest of
-    # ---- its 50; the remaining twelve r3 names — returnflag_set_
-    # ---- signature, richest_customer_per_nation, semantic_near_dup,
-    # ---- simhash_docs, sliding_rate_count, sql_revenue_by_nation,
-    # ---- temperature_mix_rates, temperature_mix_sample,
-    # ---- top3_lineitems_per_supplier, trailing_order_avg,
-    # ---- type_prefix_counts, winnow_signatures — are round 9's
-    # ---- padding cohort).
-    "serving_funnel",
-    "orders_constraint_report",
-    "customer_k_anonymity",
-    "embedding_ivfpq_topk",
-    "ivfpq_stored_topk",
-    "simhash_near_dup",
-    "ivf_batch_serve",
-    "ivf_incremental_serve",
-    "ivfadc_refine_serve",
-    "delete_propagation",
-    "lsh_plan_eval",
-    "audio_near_dup",
-    # ---- newest driver row = round 1:
-    "fight_enrichment",
-    "fight_outcome_buckets",
-    "geo_zone_counts",
-    "media_decode_features",
-    "media_frame_sample",
-    "normalized_order_price",
-    "order_feature_scores",
-    "role_assignment",
-    "session_window_stats",
-    # ---- newest driver row = round 3:
-    "acctbal_mean_of_means",
-    "cumulative_user_value",
-    "customers_per_region",
-    "customers_without_orders",
-    "dedup_components",
-    "doc_chunks",
-    "doc_fingerprint_dups",
-    "doc_lm_scores",
-    "doc_quality_by_source",
-    "doc_token_stats",
-    "embedding_ann_topk",
-    "embedding_bucket_sizes",
-    "embedding_ivf_probe_topk",
-    "embedding_ivf_topk",
-    "embedding_ivf_trained_topk",
-    "embedding_near_dup",
-    "embedding_quantize",
-    "embedding_topk",
-    "events_near_errors",
-    "hourly_event_counts",
-    "json_props_stats",
-    "lang_id_confusion",
-    "last_week_event_mix",
-    "latest_event_per_user_type",
-    "max_error_streak",
-    "minhash_lsh_capped",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    # order_flags / order_status_tallies / orders_page /
-    # part_type_bucket_pivot / point_lookup / pricing_summary /
-    # promo_parts_by_brand / purchase_last_click / region_priority_pivot:
-    # displaced to round 9's padding cohort by the nine new declarations
-    # (IVFADC ×2, simhash_near_dup, ivf_batch_serve, ivf_incremental_serve,
-    # ivfadc_refine_serve, delete_propagation, lsh_plan_eval,
-    # audio_near_dup; window cap 50).
+    # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
+    # ---- three round-9 NEW declarations, then the LEAST-recently-
+    # ---- sampled cohort: all 21 names whose newest driver row is
+    # ---- still round 3 (the twelve named in the r8 verdict plus the
+    # ---- nine displaced last round), then the first 26 of the
+    # ---- round-4 cohort in name order (the remaining 24 r4 names are
+    # ---- round 10's padding cohort; after this round no query's
+    # ---- newest driver row is older than round 4).
+    "ivf_appended_store_serve",
+    "ivfadc_stream_serve",
+    "capped_index_append_classify",
+    # ---- newest driver row = round 3 (all of them):
+    "order_flags",
+    "order_status_tallies",
+    "orders_page",
+    "part_type_bucket_pivot",
+    "point_lookup",
+    "pricing_summary",
+    "promo_parts_by_brand",
+    "purchase_last_click",
+    "region_priority_pivot",
+    "returnflag_set_signature",
+    "richest_customer_per_nation",
+    "semantic_near_dup",
+    "simhash_docs",
+    "sliding_rate_count",
+    "sql_revenue_by_nation",
+    "temperature_mix_rates",
+    "temperature_mix_sample",
+    "top3_lineitems_per_supplier",
+    "trailing_order_avg",
+    "type_prefix_counts",
+    "winnow_signatures",
+    # ---- newest driver row = round 4, first 26 by name:
+    "bigram_lm_scores",
+    "bloom_blocklist_confusion",
+    "bloom_decontamination",
+    "bm25_search",
+    "bpe_merge_table",
+    "bpe_segmented_docs",
+    "component_canonicals",
+    "containment_pairs",
+    "contrastive_negatives",
+    "corpus_datasheet",
+    "corpus_diff_summary",
+    "corpus_funnel",
+    "corpus_funnel_scrubbed",
+    "corpus_train_split",
+    "doc_novelty_scores",
+    "doc_quality_filter",
+    "doc_repetition_signals",
+    "doc_text_scrub",
+    "doc_tfidf_top_terms",
+    "doc_token_entropy",
+    "dsir_doc_weights",
+    "dsir_sample",
+    "embedding_cluster_stats",
+    "embedding_kmeans",
+    "embedding_pq_topk",
+    "embedding_rp_recall",
 )
 
 
