@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word k-gram shingle sets.
 
@@ -136,8 +137,15 @@ def ngram_jaccard_pairs(
     # Lazily checkpointed: the (capped) shingle frame is consumed by the
     # size aggregate AND both self-join sides, and Spark recomputes an
     # uncached subtree (scan + explode + two windows) once per consumer.
+    # ``shingles_df`` (a prebuilt (id, shingle) frame, e.g. a session-
+    # shared persisted derivation) skips the tokenize+window pass — the
+    # cap and everything downstream are bit-identical either way.
     sh = cap_shingles(
-        shingles(df, id_col, text_col, k), id_col, max_doc_freq
+        shingles(df, id_col, text_col, k)
+        if shingles_df is None
+        else shingles_df,
+        id_col,
+        max_doc_freq,
     ).localCheckpoint(eager=False)
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
@@ -192,6 +200,7 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 16,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """n_hashes-wide MinHash signature per document.
 
@@ -210,7 +219,13 @@ def minhash_signatures(
     nested array exprs — n md5s per shingle plus shingle-array recompute
     per signature column; 60× slower at sf0.1.)
     """
-    sh = cap_shingles(shingles(df, id_col, text_col, k), id_col, max_doc_freq)
+    sh = cap_shingles(
+        shingles(df, id_col, text_col, k)
+        if shingles_df is None
+        else shingles_df,
+        id_col,
+        max_doc_freq,
+    )
     return minhash_signatures_from_shingles(sh, id_col, n_hashes)
 
 
@@ -242,6 +257,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (n_hashes/band_size
     bands of band_size rows), hash each band, self-join on (band_idx,
@@ -253,7 +269,10 @@ def lsh_candidate_pairs(
     the shingle-side skew feeding the signatures. Returns distinct
     (id_a < id_b).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, max_doc_freq)
+    sig = minhash_signatures(
+        df, id_col, text_col, k, n_hashes, max_doc_freq,
+        shingles_df=shingles_df,
+    )
     return _candidate_pairs_from_signatures(sig, id_col, n_hashes, band_size)
 
 
@@ -1068,6 +1087,7 @@ def minhash_jaccard_calibration(
     k: int = 3,
     n_hashes: int = 16,
     band_size: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-quality audit: for every LSH candidate pair, the MinHash
     ESTIMATE of Jaccard (fraction of agreeing signature components)
@@ -1091,9 +1111,9 @@ def minhash_jaccard_calibration(
     automatic subplan reuse across sides (same rationale as the fight
     frames; sf0.1 warm: 3.9 s → 3.3 s).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes).localCheckpoint(
-        eager=False
-    )
+    sig = minhash_signatures(
+        df, id_col, text_col, k, n_hashes, shingles_df=shingles_df
+    ).localCheckpoint(eager=False)
     pairs = _candidate_pairs_from_signatures(sig, id_col, n_hashes, band_size)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
@@ -1112,7 +1132,11 @@ def minhash_jaccard_calibration(
         "id_b",
         F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
     )
-    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = (
+        shingles(df, id_col, text_col, k)
+        if shingles_df is None
+        else shingles_df
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
@@ -1967,6 +1991,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Directed near-containment pairs: C(A→B) = |A∩B| / |A| over word
     k-gram shingle sets — "how much of A appears inside B". Catches
@@ -1981,7 +2006,11 @@ def containment_pairs(
     shuffle (the intersection aggregate serves both directions).
     """
     sh = cap_shingles(
-        shingles(df, id_col, text_col, k), id_col, max_doc_freq
+        shingles(df, id_col, text_col, k)
+        if shingles_df is None
+        else shingles_df,
+        id_col,
+        max_doc_freq,
     ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
