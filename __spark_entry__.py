@@ -3445,16 +3445,17 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
     # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
-    # ---- three round-9 NEW declarations, then the LEAST-recently-
+    # ---- four round-9 NEW declarations, then the LEAST-recently-
     # ---- sampled cohort: all 21 names whose newest driver row is
     # ---- still round 3 (the twelve named in the r8 verdict plus the
-    # ---- nine displaced last round), then the first 26 of the
-    # ---- round-4 cohort in name order (the remaining 24 r4 names are
+    # ---- nine displaced last round), then the first 25 of the
+    # ---- round-4 cohort in name order (the remaining 25 r4 names are
     # ---- round 10's padding cohort; after this round no query's
     # ---- newest driver row is older than round 4).
     "ivf_appended_store_serve",
     "ivfadc_stream_serve",
     "capped_index_append_classify",
+    "ivfadc_recall_eval",
     # ---- newest driver row = round 3 (all of them):
     "order_flags",
     "order_status_tallies",
@@ -3477,7 +3478,7 @@ _FRONT: tuple[str, ...] = (
     "trailing_order_avg",
     "type_prefix_counts",
     "winnow_signatures",
-    # ---- newest driver row = round 4, first 26 by name:
+    # ---- newest driver row = round 4, first 25 by name:
     "bigram_lm_scores",
     "bloom_blocklist_confusion",
     "bloom_decontamination",
@@ -3503,7 +3504,6 @@ _FRONT: tuple[str, ...] = (
     "embedding_cluster_stats",
     "embedding_kmeans",
     "embedding_pq_topk",
-    "embedding_rp_recall",
 )
 
 

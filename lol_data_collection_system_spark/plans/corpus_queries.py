@@ -2612,6 +2612,97 @@ WHERE rank <= {topk}
 """
 
 
+def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the IVFADC refine funnel against the EXACT
+    cosine ranking over the same query batch (round 9) — the
+    measure-don't-guess audit for the approximate serving path: routing
+    probes ONE cell and ADC quantizes, so recall < 1 is expected and
+    this query puts the exact number under the hash gate (both engines
+    re-derive the funnel AND the exact top-k, so the recall column is
+    deterministic). Returns (query_id, n_hits, recall). The exact side
+    scores the corpus against the BROADCAST query frame — map-side rows
+    + WindowGroupLimit, no corpus shuffle; the funnel side reuses
+    `ivfadc_refine_serve`'s plan."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    funnel = q_ivfadc_refine_serve(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                sim_ops.cosine(F.col("embedding"), F.col("_qv")), 4
+            ).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SERVE_TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits = funnel.join(exact, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / SERVE_TOPK,
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivfadc_recall_oracle(
+    nq: int = SERVE_N_QUERIES, topk: int = SERVE_TOPK
+) -> str:
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    funnel = _ivfadc_refine_oracle().strip()
+    return f"""
+WITH funnel AS (
+{funnel}
+),
+rq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qe} DESC, e.vec_id) AS rn
+    FROM rq q CROSS JOIN embeddings e) WHERE rn <= {topk}),
+hits AS (
+  SELECT f.query_id, COUNT(*) AS n_hits
+  FROM funnel f JOIN exact x
+    ON x.query_id = f.query_id AND x.vec_id = f.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {topk}, 6) AS recall
+FROM rq q LEFT JOIN hits h USING (query_id)
+"""
+
+
 INCR_DELTA_MOD = 10  # vec_id % 10 == 9 is the "newly ingested" cohort
 
 
@@ -5715,6 +5806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_appended_store_serve": q_ivf_appended_store_serve,
     "ivfadc_refine_serve": q_ivfadc_refine_serve,
     "ivfadc_stream_serve": q_ivfadc_stream_serve,
+    "ivfadc_recall_eval": q_ivfadc_recall_eval,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -5825,6 +5917,7 @@ ORACLES: dict[str, str] = {
     "ivf_appended_store_serve": _ivf_incremental_oracle(),
     "ivfadc_refine_serve": _ivfadc_refine_oracle(),
     "ivfadc_stream_serve": _ivfadc_refine_oracle(),
+    "ivfadc_recall_eval": _ivfadc_recall_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
