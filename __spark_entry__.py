@@ -1047,6 +1047,54 @@ def q_customer_k_anonymity(
     )
 
 
+def q_customer_l_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct l-diversity of the market segment (the sensitive
+    attribute) w.r.t. the (nation, acctbal-bucket) quasi-identifier
+    set — the audit k-anonymity cannot make: a quasi group can be
+    large yet homogeneous in the sensitive column (round 9, the
+    governance family's homogeneity-attack read)."""
+    from lol_data_collection_system_spark.operators.validation import (
+        l_diversity_profile,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    return l_diversity_profile(
+        customer,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("acctbal_kb"),
+        ],
+        "c_mktsegment",
+        ls=(2, 3, 5),
+    )
+
+
+ORACLE_CUSTOMER_L_DIVERSITY = """
+WITH sizes AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_kb,
+         COUNT(*) AS g,
+         COUNT(DISTINCT c_mktsegment)
+           + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS d
+  FROM customer GROUP BY 1, 2),
+ls(l) AS (VALUES (2), (3), (5))
+SELECT CAST(l AS INT) AS l,
+       CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN d < l THEN 1 END), 0) AS BIGINT)
+         AS groups_below,
+       CAST(COALESCE(SUM(CASE WHEN d < l THEN g END), 0) AS BIGINT)
+         AS rows_below,
+       round(CAST(COALESCE(SUM(CASE WHEN d < l THEN g END), 0) AS DOUBLE)
+             / SUM(g), 6) AS risk_share
+FROM ls, sizes GROUP BY l
+"""
+
+
 ORACLE_CUSTOMER_K_ANONYMITY = """
 WITH sizes AS (
   SELECT c_nationkey, c_mktsegment,
@@ -3377,6 +3425,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_key_skew": q_user_key_skew,
     "orders_constraint_report": q_orders_constraint_report,
     "customer_k_anonymity": q_customer_k_anonymity,
+    "customer_l_diversity": q_customer_l_diversity,
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -3445,17 +3494,18 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
     # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
-    # ---- four round-9 NEW declarations, then the LEAST-recently-
+    # ---- five round-9 NEW declarations, then the LEAST-recently-
     # ---- sampled cohort: all 21 names whose newest driver row is
     # ---- still round 3 (the twelve named in the r8 verdict plus the
-    # ---- nine displaced last round), then the first 25 of the
-    # ---- round-4 cohort in name order (the remaining 25 r4 names are
+    # ---- nine displaced last round), then the first 24 of the
+    # ---- round-4 cohort in name order (the remaining 26 r4 names are
     # ---- round 10's padding cohort; after this round no query's
     # ---- newest driver row is older than round 4).
     "ivf_appended_store_serve",
     "ivfadc_stream_serve",
     "capped_index_append_classify",
     "ivfadc_recall_eval",
+    "customer_l_diversity",
     # ---- newest driver row = round 3 (all of them):
     "order_flags",
     "order_status_tallies",
@@ -3478,7 +3528,7 @@ _FRONT: tuple[str, ...] = (
     "trailing_order_avg",
     "type_prefix_counts",
     "winnow_signatures",
-    # ---- newest driver row = round 4, first 25 by name:
+    # ---- newest driver row = round 4, first 24 by name:
     "bigram_lm_scores",
     "bloom_blocklist_confusion",
     "bloom_decontamination",
@@ -3503,7 +3553,6 @@ _FRONT: tuple[str, ...] = (
     "dsir_sample",
     "embedding_cluster_stats",
     "embedding_kmeans",
-    "embedding_pq_topk",
 )
 
 
@@ -3550,6 +3599,7 @@ _ORACLES: dict[str, str] = {
     "user_key_skew": ORACLE_USER_KEY_SKEW,
     "orders_constraint_report": ORACLE_ORDERS_CONSTRAINT_REPORT,
     "customer_k_anonymity": ORACLE_CUSTOMER_K_ANONYMITY,
+    "customer_l_diversity": ORACLE_CUSTOMER_L_DIVERSITY,
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,

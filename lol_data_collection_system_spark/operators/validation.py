@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "constraint_report",
     "k_anonymity_profile",
+    "l_diversity_profile",
     "delete_propagation",
     "purge_deleted",
 ]
@@ -286,3 +287,80 @@ def k_anonymity_profile(
     return wide.select(
         F.explode(F.array(*structs)).alias("_k")
     ).select("_k.*")
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    sensitive_col: str | Column,
+    ls: Sequence[int] = (2, 3, 5),
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al., TKDD 2007) of a
+    sensitive column w.r.t. a quasi-identifier column set — the audit
+    k-anonymity cannot make: a group can be large (k-anonymous) yet
+    leak the sensitive attribute outright when every member shares one
+    value (the homogeneity attack). One row per requested l:
+    ``(l, n_rows, n_groups, groups_below, rows_below, risk_share)``
+    where ``groups_below``/``rows_below`` count quasi groups (and their
+    rows) carrying FEWER than l distinct sensitive values; the dataset
+    is distinct-l-diverse iff ``rows_below`` is 0 at that l. NULL quasi
+    values form their own group; a NULL sensitive value counts as a
+    value (count_distinct ignores NULLs, so it is coalesced in via a
+    max flag — both engines agree).
+
+    Plan: one keyed aggregate over the quasi set (partial-agg'd count +
+    distinct-sensitive count), then ONE global fold of the diversity
+    histogram into every l's conditional sums, exploded into per-l rows
+    — no per-l jobs, nothing driver-side. The same 100 TB shape as
+    `k_anonymity_profile`.
+    """
+    ls = sorted({int(v) for v in ls})
+    if not ls or ls[0] < 2:
+        raise ValueError(f"ls must be ints >= 2, got {ls!r}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    if not cols:
+        raise ValueError("l_diversity_profile: no quasi columns")
+    sens = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    proj = df.select(*cols, sens.alias("_s"))
+    quasi_names = [c for c in proj.columns if c != "_s"]
+    sizes = proj.groupBy(*quasi_names).agg(
+        F.count(F.lit(1)).alias("_g"),
+        (
+            F.count_distinct(F.col("_s"))
+            + F.max(F.col("_s").isNull().cast("int"))
+        ).alias("_d"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n_groups"),
+        F.sum("_g").alias("_n_rows"),
+    ]
+    for l in ls:
+        below = F.col("_d") < l
+        aggs.append(F.sum(F.when(below, F.col("_g"))).alias(f"_rb_{l}"))
+        aggs.append(F.sum(F.when(below, F.lit(1))).alias(f"_gb_{l}"))
+    wide = sizes.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(l).alias("l"),
+            F.col("_n_rows").cast("bigint").alias("n_rows"),
+            F.col("_n_groups").cast("bigint").alias("n_groups"),
+            F.coalesce(F.col(f"_gb_{l}"), F.lit(0))
+            .cast("bigint")
+            .alias("groups_below"),
+            F.coalesce(F.col(f"_rb_{l}"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_below"),
+            F.round(
+                F.coalesce(F.col(f"_rb_{l}"), F.lit(0)) / F.col("_n_rows"),
+                6,
+            ).alias("risk_share"),
+        )
+        for l in ls
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("_l")).select(
+        "_l.*"
+    )
