@@ -1078,6 +1078,81 @@ def pq_encode(
     )
 
 
+def pq_distortion_report(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    n_subspaces: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantization-quality audit of a stored PQ layout: per subspace,
+    the mean squared reconstruction error of the STORED code table
+    against the vectors it encodes — ``(subspace, n_vectors, mse,
+    max_se)``. This is the number that says whether a codebook is
+    worth serving (ADC scores are only as good as the residual energy
+    the codes fail to capture) and the regression gate for retraining:
+    distortion creeping up as the corpus drifts is the retrain signal.
+
+    Pass the SAME vectors the codes were trained on (residuals for the
+    IVFADC layout, raw vectors for flat PQ) — the report is meaningless
+    across mismatched spaces.
+
+    Determinism: per-row squared error rounds to 6 dp and sums as exact
+    DECIMAL(28,6) (order-free); one final double division per subspace.
+    Plan: codebook travels as one broadcast row into a map-side lookup
+    keyed by the stored code (exact cid match — codebooks from Lloyd
+    training can have cid gaps), then one partial-agg'd global
+    aggregate per subspace inside a single groupBy. No shuffle beyond
+    the id-keyed codes join and the k-row aggregate."""
+    books = codebooks.agg(
+        *[
+            F.collect_list(
+                F.when(
+                    F.col("subspace") == m,
+                    F.struct(F.col("cid"), F.col("cvec")),
+                )
+            ).alias(f"book{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    joined = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        codes.select(F.col(id_col), F.col("codes")), id_col
+    ).crossJoin(F.broadcast(books))
+
+    def se(m: int) -> Column:
+        x_m = F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
+        code_m = F.element_at(F.col("codes"), m + 1)
+        cw = F.filter(
+            F.col(f"book{m}"), lambda c: c["cid"] == code_m
+        )[0]["cvec"]
+        diff = F.zip_with(x_m, cw, lambda a, b: a.cast("double") - b)
+        return F.round(dot(diff, diff), 6)
+
+    rows = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"), se(m).alias("_se")
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.subspace", "_e._se")
+    return rows.groupBy("subspace").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("_se").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+        F.max("_se").alias("max_se"),
+    )
+
+
 def ivfadc_refine_topk(
     queries: DataFrame,
     emb: DataFrame,

@@ -2612,6 +2612,103 @@ WHERE rank <= {topk}
 """
 
 
+def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization distortion of the stored IVFADC layout
+    (round 9): mean/max squared reconstruction error of the persisted
+    residual code table against the residuals it encodes — the
+    artifact-quality number behind `ivfadc_recall_eval`'s recall (codes
+    only serve as well as the residual energy they capture) and the
+    retrain trigger when corpus drift pushes distortion up. The oracle
+    re-derives training, residuals, codeword choice, and the exact
+    decimal error fold from first principles."""
+    from pyspark.sql import functions as _F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim_ops.kmeans_assign(
+        emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS, keep_vec=True
+    )
+    cents = _ivf_centroids_cached(spark, sf_dir)
+    res = assigned.join(_F.broadcast(cents), "cid").select(
+        "vec_id",
+        _F.zip_with(
+            _F.col("embedding"),
+            _F.col("cvec"),
+            lambda a, b: a.cast("double") - b,
+        ).alias("embedding"),
+    )
+    return sim_ops.pq_distortion_report(
+        res,
+        _ivfpq_books_cached(spark, sf_dir),
+        _ivfadc_codes_cached(spark, sf_dir),
+        PQ_SUBSPACES,
+        PQ_SUB_DIM,
+    )
+
+
+def _pq_distortion_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    m: int = PQ_SUBSPACES,
+    d: int = PQ_SUB_DIM,
+    kc: int = PQ_CENTROIDS,
+) -> str:
+    sub = lambda col, i: f"{col}[{1 + i * d}:{(i + 1) * d}]"  # noqa: E731
+    parts = _coarse_cte_parts_with_final(k, iters, dim)
+    parts.append(
+        f"""res AS (
+  SELECT a.vec_id, a.cid,
+         list(CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]
+              ORDER BY t.i) AS r
+  FROM assign_{iters} a JOIN embeddings e USING (vec_id)
+       JOIN cent_{iters} c ON c.cid = a.cid,
+       unnest(generate_series(1, {dim})) AS t(i)
+  GROUP BY a.vec_id, a.cid)"""
+    )
+    err_selects = []
+    for i in range(m):
+        parts.append(
+            f"""book{i} AS (
+  SELECT CAST(vec_id AS INT) AS bcid, {sub('r', i)} AS cvec
+  FROM res WHERE vec_id < {kc})"""
+        )
+        parts.append(
+            f"""cbest{i} AS (
+  SELECT vec_id, bcid FROM (
+    SELECT x.vec_id, b.bcid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(list_dot_product(
+                                  {sub('x.r', i)}, b.cvec), 6) DESC,
+                              b.bcid) AS rn
+    FROM res x, book{i} b) WHERE rn = 1)"""
+        )
+        diff = (
+            f"list_transform(generate_series(1, {d}), "
+            f"j -> x.r[{i * d} + j] - b.cvec[j])"
+        )
+        parts.append(
+            f"""err{i} AS (
+  SELECT x.vec_id, round(list_dot_product({diff}, {diff}), 6) AS se
+  FROM res x
+  JOIN cbest{i} c ON c.vec_id = x.vec_id
+  JOIN book{i} b ON b.bcid = c.bcid)"""
+        )
+        err_selects.append(
+            f"SELECT CAST({i} AS INT) AS subspace, se FROM err{i}"
+        )
+    union = "\nUNION ALL\n".join(err_selects)
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+allerr AS ({union})
+SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(se AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mse,
+       MAX(se) AS max_se
+FROM allerr GROUP BY subspace
+"""
+
+
 def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k of the IVFADC refine funnel against the EXACT
     cosine ranking over the same query batch (round 9) — the
@@ -5807,6 +5904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfadc_refine_serve": q_ivfadc_refine_serve,
     "ivfadc_stream_serve": q_ivfadc_stream_serve,
     "ivfadc_recall_eval": q_ivfadc_recall_eval,
+    "pq_distortion_report": q_pq_distortion_report,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -5918,6 +6016,7 @@ ORACLES: dict[str, str] = {
     "ivfadc_refine_serve": _ivfadc_refine_oracle(),
     "ivfadc_stream_serve": _ivfadc_refine_oracle(),
     "ivfadc_recall_eval": _ivfadc_recall_oracle(),
+    "pq_distortion_report": _pq_distortion_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
