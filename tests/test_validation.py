@@ -187,3 +187,78 @@ def test_delete_propagation_empty_request_keeps_everything(spark):
     empty = spark.createDataFrame([], "doc_id bigint")
     got = delete_propagation(labels, empty).collect()
     assert {r.status for r in got} == {"kept"} and len(got) == 2
+
+
+def test_l_diversity_profile_homogeneity_and_nulls(spark):
+    """Distinct l-diversity counts groups by DISTINCT sensitive values:
+    a large homogeneous group is flagged at l=2 (the attack k-anonymity
+    misses), a NULL sensitive value counts as a value, and NULL quasi
+    values form their own group."""
+    from lol_data_collection_system_spark.operators.validation import (
+        l_diversity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # group A: 3 rows, all same sensitive -> d=1 (homogeneous)
+            (1, "x"), (1, "x"), (1, "x"),
+            # group B: 2 rows, sensitive {y, NULL} -> d=2
+            (2, "y"), (2, None),
+            # group NULL-quasi: 2 rows, {x, y} -> d=2
+            (None, "x"), (None, "y"),
+        ],
+        "q int, s string",
+    )
+    out = {r["l"]: r for r in l_diversity_profile(df, ["q"], "s", ls=(2, 3)).collect()}
+    assert out[2]["n_rows"] == 7 and out[2]["n_groups"] == 3
+    # only the homogeneous group is below l=2
+    assert out[2]["groups_below"] == 1 and out[2]["rows_below"] == 3
+    assert out[2]["risk_share"] == round(3 / 7, 6)  # 6-dp contract
+    # at l=3 every group is below (max distinct = 2)
+    assert out[3]["groups_below"] == 3 and out[3]["rows_below"] == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ls must be"):
+        l_diversity_profile(df, ["q"], "s", ls=(1,))
+    with _pytest.raises(ValueError, match="no quasi"):
+        l_diversity_profile(df, [], "s")
+
+
+def test_pq_distortion_report_exact_codewords_have_zero_mse(spark):
+    """Vectors that ARE codewords reconstruct exactly (mse 0); a vector
+    off every codeword contributes its true squared error; stored codes
+    drive the lookup (cid gaps included)."""
+    from lol_data_collection_system_spark.operators.similarity import (
+        pq_distortion_report,
+    )
+
+    # 2 subspaces x 2 dims; books: subspace 0 has cids {0, 2} (gap!)
+    books = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (0, 2, [0.0, 1.0]),
+            (1, 0, [2.0, 0.0]), (1, 1, [0.0, 2.0]),
+        ],
+        "subspace int, cid int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            # exact codewords: se = 0 in both subspaces
+            (10, [1.0, 0.0, 2.0, 0.0]),
+            # off by (0,1) in subspace 0 (vs cid 0), exact in subspace 1
+            (11, [1.0, 1.0, 0.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(10, [0, 0]), (11, [0, 1])], "vec_id long, codes array<int>"
+    )
+    out = {
+        r["subspace"]: r
+        for r in pq_distortion_report(
+            vecs, books, codes, n_subspaces=2, sub_dim=2
+        ).collect()
+    }
+    assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    assert out[0]["mse"] == 0.5 and out[0]["max_se"] == 1.0  # (0 + 1)/2
+    assert out[1]["mse"] == 0.0 and out[1]["max_se"] == 0.0
