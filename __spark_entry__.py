@@ -3494,11 +3494,11 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
     # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
-    # ---- six round-9 NEW declarations, then the LEAST-recently-
+    # ---- seven round-9 NEW declarations, then the LEAST-recently-
     # ---- sampled cohort: all 21 names whose newest driver row is
     # ---- still round 3 (the twelve named in the r8 verdict plus the
-    # ---- nine displaced last round), then the first 23 of the
-    # ---- round-4 cohort in name order (the remaining 27 r4 names are
+    # ---- nine displaced last round), then the first 22 of the
+    # ---- round-4 cohort in name order (the remaining 28 r4 names are
     # ---- round 10's padding cohort; after this round no query's
     # ---- newest driver row is older than round 4).
     "ivf_appended_store_serve",
@@ -3507,6 +3507,7 @@ _FRONT: tuple[str, ...] = (
     "ivfadc_recall_eval",
     "customer_l_diversity",
     "pq_distortion_report",
+    "ivf_nprobe_recall_sweep",
     # ---- newest driver row = round 3 (all of them):
     "order_flags",
     "order_status_tallies",
@@ -3529,7 +3530,7 @@ _FRONT: tuple[str, ...] = (
     "trailing_order_avg",
     "type_prefix_counts",
     "winnow_signatures",
-    # ---- newest driver row = round 4, first 23 by name:
+    # ---- newest driver row = round 4, first 22 by name:
     "bigram_lm_scores",
     "bloom_blocklist_confusion",
     "bloom_decontamination",
@@ -3552,7 +3553,6 @@ _FRONT: tuple[str, ...] = (
     "doc_token_entropy",
     "dsir_doc_weights",
     "dsir_sample",
-    "embedding_cluster_stats",
 )
 
 

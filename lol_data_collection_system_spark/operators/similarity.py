@@ -651,6 +651,7 @@ def ivf_serve_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Batch ANN SERVING over a stored IVF index: a whole FRAME of query
     vectors (``(query_id, vec)`` — external vectors, not corpus rows)
@@ -676,13 +677,49 @@ def ivf_serve_topk(
     before the exchange — never a global sort). Stream-safe up to the
     window: the streaming twin applies this whole function per
     micro-batch via foreachBatch.
+
+    ``nprobe`` > 1 probes the query's top-nprobe cells (same 6-dp
+    cosine / smaller-cid tie ordering — nprobe=1 reduces exactly to the
+    single-cell route): the standard recall/cost dial, candidates grow
+    to nprobe/n_cells of the corpus. Cells partition the corpus, so a
+    candidate appears once regardless of how many cells are probed.
     """
-    routed = route_to_centroids(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
-        centroids,
-        "_qv",
-        out_col="_qbucket",
-    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    if nprobe <= 1:
+        routed = route_to_centroids(
+            q, centroids, "_qv", out_col="_qbucket"
+        )
+    else:
+        cents_row = centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("cid").cast("int").alias("cid"), F.col("cvec")
+                )
+            ).alias("cents")
+        )
+
+        def centroid_key(c: Column) -> Column:
+            # ascending sort on (-sim, cid) == descending (sim, -cid):
+            # identical order to route_to_centroids' argmax rule
+            return F.struct(
+                (-F.round(cosine(F.col("_qv"), c["cvec"]), 6)).alias(
+                    "neg_sim"
+                ),
+                c["cid"].alias("cid"),
+            )
+
+        cells = F.slice(
+            F.array_sort(F.transform(F.col("cents"), centroid_key)),
+            1,
+            nprobe,
+        )
+        routed = q.crossJoin(F.broadcast(cents_row)).select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            F.explode(
+                F.transform(cells, lambda c: c["cid"].cast("bigint"))
+            ).alias("_qbucket"),
+        )
     corpus = index.select(F.col(id_col), F.col("cid")).join(
         emb.select(F.col(id_col), F.col(vec_col)), id_col
     )

@@ -2612,6 +2612,162 @@ WHERE rank <= {topk}
 """
 
 
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning table (round 9) — `lsh_plan_eval`'s
+    pick-the-knob-from-data move applied to IVF serving: for each
+    candidate nprobe, serve the whole query batch over the STORED
+    index probing that many cells and measure recall@k against the
+    exact cosine ranking. One row per nprobe: ``(nprobe, n_queries,
+    total_hits, mean_recall, min_recall)``. All ratios are
+    integer-over-integer (hits are counts, denominators are k·|Q|), so
+    both engines compute identical doubles — the recall/cost dial is
+    itself hash-gated. The exact side is derived once and shared by
+    every sweep point."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index_cached(spark, sf_dir)
+    cents = _ivf_centroids_cached(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                sim_ops.cosine(F.col("embedding"), F.col("_qv")), 4
+            ).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SERVE_TOPK)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for np_ in NPROBE_SWEEP:
+        served = sim_ops.ivf_serve_topk(
+            queries.select("query_id", F.col("_qv").alias("embedding")),
+            emb,
+            index,
+            cents,
+            k=SERVE_TOPK,
+            nprobe=np_,
+        ).select("query_id", "vec_id")
+        per_q = (
+            queries.select("query_id")
+            .join(
+                served.join(exact, ["query_id", "vec_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("_h")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.coalesce(F.col("_h"), F.lit(0)).alias("_h"),
+            )
+        )
+        row = per_q.agg(
+            F.lit(np_).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("_h").cast("bigint").alias("total_hits"),
+            F.round(
+                F.sum("_h").cast("double")
+                / (F.count(F.lit(1)) * SERVE_TOPK),
+                6,
+            ).alias("mean_recall"),
+            F.round(
+                F.min("_h").cast("double") / SERVE_TOPK, 6
+            ).alias("min_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ivf_nprobe_sweep_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nq: int = SERVE_N_QUERIES,
+    topk: int = SERVE_TOPK,
+    sweep: tuple[int, ...] = NPROBE_SWEEP,
+) -> str:
+    cos_qc = (
+        "round(list_dot_product(q.qe, c.cvec)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    parts = _coarse_cte_parts_with_final(k, iters, dim)
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq})"""
+    )
+    parts.append(
+        f"""qrank AS (
+  SELECT q.query_id, c.cid,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos_qc} DESC, c.cid) AS crn
+  FROM qs q CROSS JOIN cent_{iters} c)"""
+    )
+    parts.append(
+        f"""exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qe} DESC, e.vec_id) AS rn
+    FROM qs q CROSS JOIN embeddings e) WHERE rn <= {topk})"""
+    )
+    point_sqls = []
+    for np_ in sweep:
+        parts.append(
+            f"""served_{np_} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT r.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY {cos_qe} DESC, e.vec_id) AS rn
+    FROM (SELECT query_id, cid FROM qrank WHERE crn <= {np_}) r
+    JOIN assign_{iters} a ON a.cid = r.cid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN qs q ON q.query_id = r.query_id) WHERE rn <= {topk})"""
+        )
+        parts.append(
+            f"""hits_{np_} AS (
+  SELECT q.query_id, COALESCE(h.n, 0) AS n_hits
+  FROM qs q LEFT JOIN (
+    SELECT s.query_id, COUNT(*) AS n
+    FROM served_{np_} s JOIN exact x
+      ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+    GROUP BY 1) h USING (query_id))"""
+        )
+        point_sqls.append(
+            f"""SELECT CAST({np_} AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       round(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * {topk}), 6)
+         AS mean_recall,
+       round(CAST(MIN(n_hits) AS DOUBLE) / {topk}, 6) AS min_recall
+FROM hits_{np_}"""
+        )
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(point_sqls)
+    return f"\nWITH {ctes}\n{union}\n"
+
+
 def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-subspace quantization distortion of the stored IVFADC layout
     (round 9): mean/max squared reconstruction error of the persisted
@@ -5905,6 +6061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfadc_stream_serve": q_ivfadc_stream_serve,
     "ivfadc_recall_eval": q_ivfadc_recall_eval,
     "pq_distortion_report": q_pq_distortion_report,
+    "ivf_nprobe_recall_sweep": q_ivf_nprobe_recall_sweep,
     "delete_propagation": q_delete_propagation,
     "doc_text_scrub": q_doc_text_scrub,
     "nfc_normalized_docs": q_nfc_normalized_docs,
@@ -6017,6 +6174,7 @@ ORACLES: dict[str, str] = {
     "ivfadc_stream_serve": _ivfadc_refine_oracle(),
     "ivfadc_recall_eval": _ivfadc_recall_oracle(),
     "pq_distortion_report": _pq_distortion_oracle(),
+    "ivf_nprobe_recall_sweep": _ivf_nprobe_sweep_oracle(),
     "delete_propagation": ORACLE_DELETE_PROPAGATION,
     "doc_text_scrub": ORACLE_DOC_TEXT_SCRUB,
     "nfc_normalized_docs": ORACLE_NFC_NORMALIZED_DOCS,
