@@ -1073,6 +1073,71 @@ def q_customer_l_diversity(
     )
 
 
+def q_customer_t_closeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-closeness of the market segment w.r.t. the (nation,
+    acctbal-bucket) quasi set (round 9) — the skewness-attack audit
+    l-diversity cannot make: a group can be diverse yet distributed
+    very differently from the table. Equal-distance EMD == total
+    variation; all comparisons run on exact integers (micros)."""
+    from lol_data_collection_system_spark.operators.validation import (
+        t_closeness_profile,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    return t_closeness_profile(
+        customer,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("acctbal_kb"),
+        ],
+        "c_mktsegment",
+        ts=(0.2, 0.35, 0.5),
+    )
+
+
+ORACLE_CUSTOMER_T_CLOSENESS = """
+WITH cell AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_kb,
+         c_mktsegment AS s, COUNT(*) AS gs
+  FROM customer GROUP BY 1, 2, 3),
+ghist AS (SELECT s, SUM(gs) AS Gs FROM cell GROUP BY 1),
+tot AS (SELECT SUM(gs) AS G FROM cell),
+gsz AS (SELECT c_nationkey, acctbal_kb, SUM(gs) AS g
+        FROM cell GROUP BY 1, 2),
+folded AS (
+  SELECT z.c_nationkey, z.acctbal_kb, z.g,
+         SUM(ABS(CAST(c.gs AS HUGEINT) * t.G
+                 - CAST(gl.Gs AS HUGEINT) * z.g)
+             - CAST(gl.Gs AS HUGEINT) * z.g)
+           + CAST(MAX(t.G) AS HUGEINT) * z.g AS num,
+         2 * CAST(z.g AS HUGEINT) * MAX(t.G) AS den
+  FROM cell c
+  JOIN ghist gl USING (s)
+  JOIN gsz z ON z.c_nationkey = c.c_nationkey
+            AND z.acctbal_kb = c.acctbal_kb
+  CROSS JOIN tot t
+  GROUP BY 1, 2, 3),
+ts(t_micros, tval) AS (VALUES (200000, 0.2), (350000, 0.35),
+                              (500000, 0.5))
+SELECT CAST(tval AS DOUBLE) AS t,
+       CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN num * 1000000 > t_micros * den
+                          THEN 1 END), 0) AS BIGINT) AS groups_above,
+       CAST(COALESCE(SUM(CASE WHEN num * 1000000 > t_micros * den
+                          THEN g END), 0) AS BIGINT) AS rows_above,
+       round(CAST(COALESCE(SUM(CASE WHEN num * 1000000 > t_micros * den
+                            THEN g END), 0) AS DOUBLE) / SUM(g), 6)
+         AS risk_share
+FROM ts, folded GROUP BY t_micros, tval
+"""
+
+
 ORACLE_CUSTOMER_L_DIVERSITY = """
 WITH sizes AS (
   SELECT c_nationkey,
@@ -3426,6 +3491,7 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_constraint_report": q_orders_constraint_report,
     "customer_k_anonymity": q_customer_k_anonymity,
     "customer_l_diversity": q_customer_l_diversity,
+    "customer_t_closeness": q_customer_t_closeness,
     "top_unshipped_orders": q_top_unshipped_orders,
     "large_volume_customers": q_large_volume_customers,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -3494,11 +3560,11 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
     # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
-    # ---- seven round-9 NEW declarations, then the LEAST-recently-
+    # ---- eight round-9 NEW declarations, then the LEAST-recently-
     # ---- sampled cohort: all 21 names whose newest driver row is
     # ---- still round 3 (the twelve named in the r8 verdict plus the
-    # ---- nine displaced last round), then the first 22 of the
-    # ---- round-4 cohort in name order (the remaining 28 r4 names are
+    # ---- nine displaced last round), then the first 21 of the
+    # ---- round-4 cohort in name order (the remaining 29 r4 names are
     # ---- round 10's padding cohort; after this round no query's
     # ---- newest driver row is older than round 4).
     "ivf_appended_store_serve",
@@ -3506,6 +3572,7 @@ _FRONT: tuple[str, ...] = (
     "capped_index_append_classify",
     "ivfadc_recall_eval",
     "customer_l_diversity",
+    "customer_t_closeness",
     "pq_distortion_report",
     "ivf_nprobe_recall_sweep",
     # ---- newest driver row = round 3 (all of them):
@@ -3530,7 +3597,7 @@ _FRONT: tuple[str, ...] = (
     "trailing_order_avg",
     "type_prefix_counts",
     "winnow_signatures",
-    # ---- newest driver row = round 4, first 22 by name:
+    # ---- newest driver row = round 4, first 21 by name:
     "bigram_lm_scores",
     "bloom_blocklist_confusion",
     "bloom_decontamination",
@@ -3552,7 +3619,6 @@ _FRONT: tuple[str, ...] = (
     "doc_tfidf_top_terms",
     "doc_token_entropy",
     "dsir_doc_weights",
-    "dsir_sample",
 )
 
 
@@ -3600,6 +3666,7 @@ _ORACLES: dict[str, str] = {
     "orders_constraint_report": ORACLE_ORDERS_CONSTRAINT_REPORT,
     "customer_k_anonymity": ORACLE_CUSTOMER_K_ANONYMITY,
     "customer_l_diversity": ORACLE_CUSTOMER_L_DIVERSITY,
+    "customer_t_closeness": ORACLE_CUSTOMER_T_CLOSENESS,
     "top_unshipped_orders": ORACLE_TOP_UNSHIPPED_ORDERS,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,

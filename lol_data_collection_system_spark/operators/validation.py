@@ -49,6 +49,7 @@ __all__ = [
     "constraint_report",
     "k_anonymity_profile",
     "l_diversity_profile",
+    "t_closeness_profile",
     "delete_propagation",
     "purge_deleted",
 ]
@@ -363,4 +364,125 @@ def l_diversity_profile(
     ]
     return wide.select(F.explode(F.array(*structs)).alias("_l")).select(
         "_l.*"
+    )
+
+
+def t_closeness_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    sensitive_col: str | Column,
+    ts: Sequence[float] = (0.2, 0.3, 0.5),
+) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) of a
+    CATEGORICAL sensitive column w.r.t. a quasi-identifier set — the
+    audit l-diversity cannot make: a group can carry many distinct
+    sensitive values yet still leak by having a very different
+    DISTRIBUTION than the table (the skewness attack). For the
+    equal-distance category metric the earth-mover's distance reduces
+    to total variation, ``TVD(group) = ½·Σ_s |p_s − q_s|`` against the
+    global distribution. One row per requested t: ``(t, n_rows,
+    n_groups, groups_above, rows_above, risk_share)`` counting groups
+    (and their rows) with TVD > t; the dataset satisfies t-closeness
+    iff ``rows_above`` is 0.
+
+    Exactness contract: with g = group size, G = table size, the
+    comparison runs on INTEGERS —
+    ``Σ_s |g_s·G − G_s·g| > t · 2·g·G`` — where the absent-category
+    terms fold in algebraically (Σ over categories present in the
+    group of ``|g_s·G − G_s·g| − G_s·g``, plus ``G·g``), so neither
+    engine ever sums a float; t enters once as its exact MICROS integer
+    (``num·10⁶ > t_micros·den`` — ts are honored to 6 dp).
+    ``risk_share`` = rows_above / n_rows rounded to 6 dp.
+
+    Plan: one (quasi, sensitive) keyed aggregate (the only shuffle that
+    scales with data), a broadcast join of the |sensitive|-row global
+    histogram, one per-group fold, then the same global per-t
+    conditional-sum explode as the k-anonymity/l-diversity profiles —
+    no per-t jobs, group space never reaches the driver.
+    """
+    ts = sorted({float(t) for t in ts})
+    if not ts or ts[0] <= 0 or ts[-1] >= 1:
+        raise ValueError(f"ts must be in (0, 1), got {ts!r}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    if not cols:
+        raise ValueError("t_closeness_profile: no quasi columns")
+    sens = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    proj = df.select(*cols, sens.alias("_s"))
+    quasi_names = [c for c in proj.columns if c != "_s"]
+    cell = proj.groupBy(*quasi_names, "_s").agg(
+        F.count(F.lit(1)).alias("_gs")
+    )
+    glob = F.broadcast(
+        proj.groupBy("_s").agg(F.count(F.lit(1)).alias("_sglob"))
+    )
+    # frame-QUALIFIED references throughout: cell and glob share proj's
+    # lineage, and Spark 4's analyzer reports bare names ambiguous
+    # across such self-join sides even when only one side carries them
+    joined = cell.join(glob, "_s")
+    grp = joined.groupBy(*[cell[q] for q in quasi_names]).agg(
+        F.sum(cell["_gs"]).alias("_g"),
+        # Σ over PRESENT categories of (|g_s·G − G_s·g| − G_s·g); the
+        # global total G multiplies in afterwards (it is a constant per
+        # row, carried via the 1-row broadcast below)
+        F.collect_list(
+            F.struct(
+                cell["_gs"].alias("_gs"), glob["_sglob"].alias("_sglob")
+            )
+        ).alias("_cells"),
+    )
+    total = F.broadcast(proj.agg(F.count(F.lit(1)).alias("_G")))
+    g, G = grp["_g"], total["_G"]  # qualified: shared-lineage crossJoin
+    term = F.aggregate(
+        F.col("_cells"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: acc
+        + (
+            F.abs(
+                c["_gs"].cast("decimal(38,0)") * G
+                - c["_sglob"].cast("decimal(38,0)") * g
+            )
+            - c["_sglob"].cast("decimal(38,0)") * g
+        ).cast("decimal(38,0)"),
+    )
+    folded = grp.crossJoin(total).select(
+        g.alias("_g"),
+        (term + G.cast("decimal(38,0)") * g).alias("_num"),  # Σ|…| exact
+        (F.lit(2).cast("decimal(38,0)") * g * G).alias("_den"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n_groups"),
+        F.sum("_g").alias("_n_rows"),
+    ]
+    for i, t in enumerate(ts):
+        t_micros = round(t * 1_000_000)
+        above = F.col("_num") * F.lit(1_000_000).cast(
+            "decimal(38,0)"
+        ) > F.lit(t_micros).cast("decimal(38,0)") * F.col("_den")
+        aggs.append(F.sum(F.when(above, F.col("_g"))).alias(f"_ra_{i}"))
+        aggs.append(F.sum(F.when(above, F.lit(1))).alias(f"_ga_{i}"))
+    wide = folded.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(format(t, ".6f")).cast("double").alias("t"),
+            F.col("_n_rows").cast("bigint").alias("n_rows"),
+            F.col("_n_groups").cast("bigint").alias("n_groups"),
+            F.coalesce(F.col(f"_ga_{i}"), F.lit(0))
+            .cast("bigint")
+            .alias("groups_above"),
+            F.coalesce(F.col(f"_ra_{i}"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_above"),
+            F.round(
+                F.coalesce(F.col(f"_ra_{i}"), F.lit(0)) / F.col("_n_rows"),
+                6,
+            ).alias("risk_share"),
+        )
+        for i, t in enumerate(ts)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("_t")).select(
+        "_t.*"
     )

@@ -262,3 +262,44 @@ def test_pq_distortion_report_exact_codewords_have_zero_mse(spark):
     assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
     assert out[0]["mse"] == 0.5 and out[0]["max_se"] == 1.0  # (0 + 1)/2
     assert out[1]["mse"] == 0.0 and out[1]["max_se"] == 0.0
+
+
+def test_t_closeness_flags_skewed_groups_exactly(spark):
+    """Equal-distance EMD == total variation, computed on exact
+    integers: a group distributed like the table passes tight t; a
+    skewed group is flagged exactly when TVD crosses t."""
+    from lol_data_collection_system_spark.operators.validation import (
+        t_closeness_profile,
+    )
+
+    # global: 4×a, 4×b (p = 0.5/0.5)
+    # group 1: 2×a, 2×b  -> TVD 0
+    # group 2: 2×a, 1×b  -> TVD = ½(|2/3−½| + |1/3−½|) = 1/6
+    # group 3: 1×b       -> TVD = ½(½ + ½) = ½
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"),
+         (2, "a"), (2, "a"), (2, "b"),
+         (3, "b")],
+        "q int, s string",
+    )
+    out = {
+        r["t"]: r
+        for r in t_closeness_profile(
+            df, ["q"], "s", ts=(0.1, 0.2, 0.6)
+        ).collect()
+    }
+    assert out[0.1]["n_rows"] == 8 and out[0.1]["n_groups"] == 3
+    # t=0.1: groups 2 (1/6) and 3 (1/2) exceed
+    assert out[0.1]["groups_above"] == 2 and out[0.1]["rows_above"] == 4
+    # t=0.2: only group 3
+    assert out[0.2]["groups_above"] == 1 and out[0.2]["rows_above"] == 1
+    assert out[0.2]["risk_share"] == 0.125
+    # t=0.6: none
+    assert out[0.6]["groups_above"] == 0 and out[0.6]["rows_above"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ts must be"):
+        t_closeness_profile(df, ["q"], "s", ts=(0.0,))
+    with _pytest.raises(ValueError, match="no quasi"):
+        t_closeness_profile(df, [], "s")
