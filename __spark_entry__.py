@@ -1117,7 +1117,7 @@ folded AS (
            + CAST(MAX(t.G) AS HUGEINT) * z.g AS num,
          2 * CAST(z.g AS HUGEINT) * MAX(t.G) AS den
   FROM cell c
-  JOIN ghist gl USING (s)
+  JOIN ghist gl ON c.s IS NOT DISTINCT FROM gl.s
   JOIN gsz z ON z.c_nationkey = c.c_nationkey
             AND z.acctbal_kb = c.acctbal_kb
   CROSS JOIN tot t

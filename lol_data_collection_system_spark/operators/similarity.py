@@ -1126,11 +1126,16 @@ def pq_distortion_report(
 ) -> DataFrame:
     """Quantization-quality audit of a stored PQ layout: per subspace,
     the mean squared reconstruction error of the STORED code table
-    against the vectors it encodes — ``(subspace, n_vectors, mse,
-    max_se)``. This is the number that says whether a codebook is
-    worth serving (ADC scores are only as good as the residual energy
-    the codes fail to capture) and the regression gate for retraining:
-    distortion creeping up as the corpus drifts is the retrain signal.
+    against the vectors it encodes — ``(subspace, n_vectors,
+    n_unmatched, mse, max_se)``. This is the number that says whether a
+    codebook is worth serving (ADC scores are only as good as the
+    residual energy the codes fail to capture) and the regression gate
+    for retraining: distortion creeping up as the corpus drifts is the
+    retrain signal. ``n_unmatched`` counts stored codes with NO
+    matching cid in the codebook — a corrupted or mismatched code
+    table; those rows are EXCLUDED from mse/max_se and surfaced loudly
+    instead of silently deflating the distortion (ADVICE r9). A healthy
+    layout reports 0.
 
     Pass the SAME vectors the codes were trained on (residuals for the
     IVFADC layout, raw vectors for flat PQ) — the report is meaningless
@@ -1161,9 +1166,11 @@ def pq_distortion_report(
     def se(m: int) -> Column:
         x_m = F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
         code_m = F.element_at(F.col("codes"), m + 1)
-        cw = F.filter(
-            F.col(f"book{m}"), lambda c: c["cid"] == code_m
-        )[0]["cvec"]
+        # F.get (not [0]): an unmatched code yields NULL se rather than
+        # an ANSI array-index error, and NULLs are counted loudly below
+        cw = F.get(
+            F.filter(F.col(f"book{m}"), lambda c: c["cid"] == code_m), 0
+        )["cvec"]
         diff = F.zip_with(x_m, cw, lambda a, b: a.cast("double") - b)
         return F.round(dot(diff, diff), 6)
 
@@ -1179,11 +1186,15 @@ def pq_distortion_report(
             )
         ).alias("_e")
     ).select("_e.subspace", "_e._se")
+    # count("_se") counts MATCHED rows only (nulls are codes absent from
+    # the codebook); the denominator must match the numerator's row set
+    # or a mismatch would deflate mse
     return rows.groupBy("subspace").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
+        F.count("_se").alias("n_vectors"),
+        F.sum(F.col("_se").isNull().cast("bigint")).alias("n_unmatched"),
         F.round(
             F.sum(F.col("_se").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1)),
+            / F.count("_se"),
             6,
         ).alias("mse"),
         F.max("_se").alias("max_se"),

@@ -383,7 +383,9 @@ def t_closeness_profile(
     global distribution. One row per requested t: ``(t, n_rows,
     n_groups, groups_above, rows_above, risk_share)`` counting groups
     (and their rows) with TVD > t; the dataset satisfies t-closeness
-    iff ``rows_above`` is 0.
+    iff ``rows_above`` is 0. NULL quasi values form their own group and
+    a NULL sensitive value is a real category (null-safe histogram
+    join), matching `l_diversity_profile`'s NULL semantics.
 
     Exactness contract: with g = group size, G = table size, the
     comparison runs on INTEGERS —
@@ -421,8 +423,13 @@ def t_closeness_profile(
     )
     # frame-QUALIFIED references throughout: cell and glob share proj's
     # lineage, and Spark 4's analyzer reports bare names ambiguous
-    # across such self-join sides even when only one side carries them
-    joined = cell.join(glob, "_s")
+    # across such self-join sides even when only one side carries them.
+    # NULL-safe on the sensitive key (ADVICE r9): NULL is a real
+    # category here — a plain equi-join would drop NULL-sensitive rows
+    # from n_rows and every group's histogram, silently understating
+    # risk, and inconsistently with l_diversity_profile's
+    # NULL-counts-as-a-value semantics.
+    joined = cell.join(glob, cell["_s"].eqNullSafe(glob["_s"]))
     grp = joined.groupBy(*[cell[q] for q in quasi_names]).agg(
         F.sum(cell["_gs"]).alias("_g"),
         # Σ over PRESENT categories of (|g_s·G − G_s·g| − G_s·g); the

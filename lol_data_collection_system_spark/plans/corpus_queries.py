@@ -2857,9 +2857,11 @@ def _pq_distortion_oracle(
     return f"""
 WITH {ctes},
 allerr AS ({union})
-SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+SELECT subspace, CAST(COUNT(se) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN se IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
        round(CAST(SUM(CAST(se AS DECIMAL(28,6))) AS DOUBLE)
-             / COUNT(*), 6) AS mse,
+             / COUNT(se), 6) AS mse,
        MAX(se) AS max_se
 FROM allerr GROUP BY subspace
 """

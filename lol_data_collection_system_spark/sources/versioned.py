@@ -153,6 +153,23 @@ def data_files(d) -> list:
     )
 
 
+def _link_tree(src, dst) -> None:
+    """Hardlink-carry a subdir forward INCLUDING nested partition
+    directories (ADVICE r9: the flat-only carry silently omitted a
+    partitioned layout's partition dirs from the new committed version
+    — data loss, not a refusal). Writer metadata (_*/.*-prefixed files)
+    stays excluded, matching `data_files`."""
+    srcp, dstp = Path(src), Path(dst)
+    dstp.mkdir(parents=True, exist_ok=True)
+    for entry in sorted(srcp.iterdir()):
+        if entry.name.startswith(("_", ".")):
+            continue
+        if entry.is_dir():
+            _link_tree(entry, dstp / entry.name)
+        else:
+            link_or_copy(entry, dstp / entry.name)
+
+
 def compact_version(
     spark, root: str, max_files: int, target_files: int | None = None
 ) -> bool:
@@ -171,9 +188,12 @@ def compact_version(
     safe and the compare-and-swap refuses to bury a concurrent append.
 
     Returns True iff a compaction version was committed. Only FLAT
-    parquet subdirs (data files directly under ``{vdir}/{sub}/``)
-    participate; partitioned layouts (the rollup store) bound their own
-    per-partition file counts by rewriting touched partitions whole.
+    parquet subdirs (data files directly under ``{vdir}/{sub}/``) are
+    ELIGIBLE for rewriting; partitioned layouts (the rollup store)
+    bound their own per-partition file counts by rewriting touched
+    partitions whole, and are carried forward RECURSIVELY intact
+    (partition dirs hardlinked, ADVICE r9 — previously the flat carry
+    silently dropped them from the new version).
 
     Call it AFTER an append commit — the sinks do, gated on the same
     threshold, so the store self-heals without an external scheduler.
@@ -204,9 +224,7 @@ def compact_version(
                     .write.parquet(str(tgt))
                 )
             else:
-                tgt.mkdir(parents=True, exist_ok=True)
-                for f in data_files(d):
-                    link_or_copy(f, tgt / f.name)
+                _link_tree(d, tgt)
 
     commit_version(root, writer, meta, expect_current=vdir)
     return True

@@ -741,14 +741,18 @@ def classify_stream(
       24 B rows, never a shingle set). Stateless; a doc with an empty
       capped set produces no band rows, exactly as it vanishes from the
       batch band frame.
-    - pair dedup: candidates collapse to DISTINCT (delta doc, corpus
-      doc) pairs before any verify operand attaches — duplicate band
-      hits of one pair carry identical payloads, so this changes no
-      output, but each pair now fetches its corpus set once instead of
-      up-to-n_bands times (VERDICT r8 #3: the verify sets previously
+    - pair dedup: candidates collapse to DISTINCT (delta observation,
+      corpus doc) pairs before any verify operand attaches — duplicate
+      band hits of one pair carry identical payloads, so this changes
+      no output, but each pair now fetches its corpus set once instead
+      of up-to-n_bands times (VERDICT r8 #3: the verify sets previously
       rode the band join n_bands× AND every duplicate hit re-paid the
-      intersection). Watermark-scoped keyed state, bounded by the
-      delta's candidate pairs in the horizon.
+      intersection). The dedup key is the full row identity
+      (id, ts, payload digest, corpus id) — NOT just (id, corpus id) —
+      so a doc id re-observed at a later event time inside the
+      watermark horizon keeps its own verify rows and classifies in its
+      own emit window (ADVICE r9). Watermark-scoped keyed state,
+      bounded by the delta's candidate pairs in the horizon.
     - verify tier: ROW-LOCAL. Each deduped pair joins the corpus doc's
       stored capped shingle set by id, so Jaccard is `array_intersect`
       against the stream row's own set — no pairwise shuffle.
@@ -964,17 +968,28 @@ def classify_stream(
         6,
     )
     cand = exploded.join(band_index, ["band_idx", "band_hash"]).select(
-        id_col, ts_col, "_exact_mid", "_d_set", "_cid"
+        id_col,
+        ts_col,
+        "_exact_mid",
+        "_d_set",
+        F.xxhash64("_exact_mid", "_d_set").alias("_dh"),
+        "_cid",
     )
-    # distinct (delta doc, corpus doc) pairs BEFORE the verify sets
-    # attach: duplicate band hits of one pair carry identical payloads
-    # (same doc → same ts/_d_set/_exact_mid), so dropping them changes
-    # no output — the final aggregate absorbed them before; now they
-    # never fetch a set or pay an intersection
+    # distinct (delta observation, corpus doc) pairs BEFORE the verify
+    # sets attach: duplicate band hits of one (row, corpus-doc) pair
+    # carry identical payloads, so dropping them changes no output — the
+    # final aggregate absorbed them before; now they never fetch a set
+    # or pay an intersection. The key carries the FULL row identity
+    # (ts + a payload digest, not just the doc id): a doc id
+    # re-observed at a later event time within the watermark horizon —
+    # a re-crawl under the same id — is a distinct observation whose
+    # verify rows must reach its own emit window; keying on
+    # [id, _cid] alone silently dropped it, so the later window saw
+    # only its base row and reported `novel` (ADVICE r9).
     cand = (
-        cand.dropDuplicatesWithinWatermark([id_col, "_cid"])
+        cand.dropDuplicatesWithinWatermark([id_col, ts_col, "_dh", "_cid"])
         if docs.isStreaming
-        else cand.dropDuplicates([id_col, "_cid"])
+        else cand.dropDuplicates([id_col, ts_col, "_dh", "_cid"])
     )
     b_rows = cand.join(c_sets, "_cid").select(
         id_col, ts_col, "_exact_mid", "_cid", jac.alias("_jac")

@@ -282,6 +282,92 @@ def test_append_corpus_index_matches_full_rebuild(spark, tmp_path):
     with _pytest.raises(ValueError, match="over the cap"):
         append_corpus_index(spark, capped_p, crossing)
 
+    # df side table (ADVICE r9): the gate probes O(distinct shingles)
+    # counts, appended O(delta) — the folded side table must equal the
+    # stored shingle table's true per-shingle df after the append
+    import pathlib as _pl
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+
+    vdir, vmeta = current_version(capped_p)
+    assert vmeta["has_df"]
+    folded = {
+        r["shingle"]: r["s"]
+        for r in spark.read.parquet(str(_pl.Path(vdir) / "df"))
+        .groupBy("shingle")
+        .agg(F.sum("df").alias("s"))
+        .collect()
+    }
+    truth = {
+        r["shingle"]: r["c"]
+        for r in read_corpus_index(spark, capped_p)[1]
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert folded == truth
+
+
+def test_append_capped_index_legacy_without_df_side_table(spark, tmp_path):
+    """Pre-side-table indexes (no ``df`` subdir, no has_df meta) still
+    append under the bounded-drift rule via the documented O(corpus)
+    fallback read — same accept/refuse decisions, same content."""
+    import json as _json
+    import pathlib as _pl
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from lol_data_collection_system_spark.operators.dedup import (
+        append_corpus_index,
+        read_corpus_index,
+        write_corpus_index,
+    )
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} with some shared words here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    novel = spark.createDataFrame(
+        [(10, "a genuinely new document about stream ingestion")],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "legacy")
+    write_corpus_index(base, p, max_doc_freq=5, bands=(16, 4), sets=True)
+    # strip the side table, emulating an index written before it existed
+    vdir, meta = current_version(p)
+    _sh.rmtree(_pl.Path(vdir) / "df")
+    meta.pop("has_df")
+    (_pl.Path(vdir) / "_meta.json").write_text(_json.dumps(meta))
+
+    append_corpus_index(spark, p, novel)
+    rebuilt = str(tmp_path / "legacy_rebuilt")
+    write_corpus_index(
+        base.unionByName(novel), rebuilt,
+        max_doc_freq=5, bands=(16, 4), sets=True,
+    )
+    got = sorted(tuple(r) for r in read_corpus_index(spark, p)[1].collect())
+    want = sorted(
+        tuple(r) for r in read_corpus_index(spark, rebuilt)[1].collect()
+    )
+    assert got == want
+
+    crossing = spark.createDataFrame(
+        [(20 + i, "the exact same repeated phrase appears here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="over the cap"):
+        append_corpus_index(spark, p, crossing)
+
 
 def test_corpus_index_autocompacts_content_identical(spark, tmp_path):
     """Append-grown stores self-heal (VERDICT r8 #4): after N appends
@@ -351,3 +437,54 @@ def test_corpus_index_autocompacts_content_identical(spark, tmp_path):
     # already compact: a second call is a no-op (no new version)
     assert compact_version(spark, p, max_files=4) is False
     assert current_version(p)[0] == vdir2
+
+
+def test_compact_version_carries_partitioned_subdirs_forward(
+    spark, tmp_path
+):
+    """ADVICE r9 regression: a version holding BOTH a flat oversized
+    subdir and a PARTITIONED (nested-directory) subdir must carry the
+    partitioned layout forward intact — the flat-only hardlink silently
+    committed a version with every partition directory missing (data
+    loss, not a refusal)."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources.versioned import (
+        commit_version,
+        compact_version,
+        current_version,
+    )
+
+    p = str(tmp_path / "store")
+    flat = spark.range(40).withColumnRenamed("id", "v")
+    parted = spark.range(20).select(
+        F.col("id").alias("v"), (F.col("id") % 4).alias("pk")
+    )
+
+    def writer(vdir: str) -> None:
+        flat.repartition(8).write.parquet(str(pathlib.Path(vdir) / "flat"))
+        parted.write.partitionBy("pk").parquet(
+            str(pathlib.Path(vdir) / "parted")
+        )
+
+    commit_version(p, writer, {"note": "seed"})
+    vdir, _ = current_version(p)
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(pathlib.Path(vdir) / "parted"))
+        .select("v", "pk")
+        .collect()
+    )
+
+    assert compact_version(spark, p, max_files=4) is True
+    vdir2, _ = current_version(p)
+    assert vdir2 != vdir
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(pathlib.Path(vdir2) / "parted"))
+        .select("v", "pk")
+        .collect()
+    )
+    assert got == want  # every partition dir survived the carry

@@ -834,6 +834,77 @@ def test_classify_stream_exact_status_parity(spark, tmp_path):
     assert got_stream == {i: want[i] for i in (10, 11, 12, 13)}
 
 
+def test_classify_stream_reobserved_id_classifies_in_each_window(
+    spark, tmp_path
+):
+    """ADVICE r9 regression: a doc id re-observed at a LATER event time
+    within the watermark horizon (a re-crawl under the same id) must get
+    its own verify rows — the candidate dedup key carries the full row
+    identity (id, ts, payload digest, corpus id), not just (id, corpus
+    id). Pre-fix, the second observation's candidate pair was dropped by
+    the keyed state, so its emit window aggregated only the base row and
+    reported `novel` instead of `near_dup`."""
+    from lol_data_collection_system_spark.streaming import classify_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "re_docs"
+    src.mkdir()
+
+    def write(name, rs):
+        spark.createDataFrame(rs, ["ts_s", "doc_id", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    # same id, two observations two emit-windows apart, well inside the
+    # 10-minute watermark horizon; then a flush row to close both windows
+    write("f1", [("2024-01-01 00:00:05", 20, near)])
+    write("f2", [("2024-01-01 00:02:05", 20, near)])
+    write("f3", [("2024-01-01 02:00:00", 99, "flush flush flush flush")])
+
+    kw = dict(k=3, band_size=2, threshold=0.5)
+    batch = spark.read.schema(schema).json(str(src) + "/*")
+    got_batch = {
+        (r.window.start.minute, r.doc_id): r.status
+        for r in classify_stream(batch, corpus, **kw).collect()
+        if r.doc_id == 20
+    }
+    assert got_batch == {(0, 20): "near_dup", (2, 20): "near_dup"}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    out_dir, ckpt = tmp_path / "re_out", tmp_path / "re_ckpt"
+    q = (
+        classify_stream(stream, corpus, **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r.window.start.minute, r.doc_id): r.status
+        for r in spark.read.parquet(str(out_dir)).collect()
+        if r.doc_id == 20
+    }
+    assert got_stream == {(0, 20): "near_dup", (2, 20): "near_dup"}
+
+
 def test_classifier_scoring_is_stream_capable(spark, tmp_path):
     """Model serving on the ingest stream: weights trained offline fold
     into a pure projection (`logreg_score`), so the SAME operator scores

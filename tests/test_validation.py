@@ -260,8 +260,40 @@ def test_pq_distortion_report_exact_codewords_have_zero_mse(spark):
         ).collect()
     }
     assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    assert out[0]["n_unmatched"] == 0 and out[1]["n_unmatched"] == 0
     assert out[0]["mse"] == 0.5 and out[0]["max_se"] == 1.0  # (0 + 1)/2
     assert out[1]["mse"] == 0.0 and out[1]["max_se"] == 0.0
+
+
+def test_pq_distortion_report_unmatched_codes_are_loud(spark):
+    """ADVICE r9 regression: a stored code with no matching cid in the
+    codebook must surface as n_unmatched (and stay OUT of mse/max_se),
+    not silently read as lower distortion."""
+    from lol_data_collection_system_spark.operators.similarity import (
+        pq_distortion_report,
+    )
+
+    books = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [2.0, 0.0])],
+        "subspace int, cid int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0, 2.0, 0.0]), (11, [1.0, 1.0, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # doc 11's subspace-0 code points at cid 9 — absent from the book
+    codes = spark.createDataFrame(
+        [(10, [0, 0]), (11, [9, 0])], "vec_id long, codes array<int>"
+    )
+    out = {
+        r["subspace"]: r
+        for r in pq_distortion_report(
+            vecs, books, codes, n_subspaces=2, sub_dim=2
+        ).collect()
+    }
+    assert out[0]["n_vectors"] == 1 and out[0]["n_unmatched"] == 1
+    assert out[0]["mse"] == 0.0  # only the matched row counts
+    assert out[1]["n_vectors"] == 2 and out[1]["n_unmatched"] == 0
 
 
 def test_t_closeness_flags_skewed_groups_exactly(spark):
@@ -303,3 +335,31 @@ def test_t_closeness_flags_skewed_groups_exactly(spark):
         t_closeness_profile(df, ["q"], "s", ts=(0.0,))
     with _pytest.raises(ValueError, match="no quasi"):
         t_closeness_profile(df, [], "s")
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    """ADVICE r9 regression: NULL sensitive values are a real category
+    (null-safe histogram join), not silently dropped — a plain
+    equi-join excluded them from n_rows AND every group's TVD, so the
+    4-row table below used to report n_rows=2, understating risk.
+
+    global: 2×a, 2×NULL (p = 0.5/0.5)
+    group 1: 1×a, 1×NULL -> TVD 0
+    group 2: 1×a         -> TVD = ½(½ + ½) = ½ (all-a vs the table)
+    group 3: 1×NULL      -> TVD ½ likewise
+    """
+    from lol_data_collection_system_spark.operators.validation import (
+        t_closeness_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "a"), (3, None)],
+        "q int, s string",
+    )
+    out = {
+        r["t"]: r
+        for r in t_closeness_profile(df, ["q"], "s", ts=(0.3, 0.6)).collect()
+    }
+    assert out[0.3]["n_rows"] == 4 and out[0.3]["n_groups"] == 3
+    assert out[0.3]["groups_above"] == 2 and out[0.3]["rows_above"] == 2
+    assert out[0.6]["groups_above"] == 0 and out[0.6]["rows_above"] == 0
