@@ -1804,6 +1804,81 @@ def append_corpus_index(
     commit_version(path, writer, meta, expect_current=vdir)
 
 
+def delete_from_corpus_index(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+) -> bool:
+    """Right-to-be-forgotten against the STORED corpus index (VERDICT
+    r9 #1): commit an O(delete-set) tombstone version — every consumer
+    reading through `read_corpus_index` anti-joins the deleted ids out
+    of the fp/shingle/band/set frames immediately, and the next
+    `compact_version` pass rewrites the keyed subdirs minus those rows
+    (the physical purge), so deletion never requires the from-source
+    rebuild that a 10⁹-row store cannot afford. ``delete_ids`` is any
+    1-column frame of doc ids (pass `delete_propagation`'s non-kept ids
+    to close the near-duplicate loophole — content surviving deletion
+    verbatim under other ids).
+
+    df-capped indexes stay exact for the append gate: the deleted docs'
+    per-shingle counts fold in as NEGATIVE rows of the ``df`` side
+    table in the same commit, so folded dfs always equal the LOGICAL
+    (tombstone-filtered) corpus's true dfs. The hot set stays FROZEN —
+    a deletion can only lower dfs, and the index never stored the hot
+    shingles' occurrences, so un-hotting is undecidable from the store
+    alone; frozen-hot is conservative (over-stopping, never a missed
+    stop) and mirrors the append rule's monotonicity. A scheduled
+    `write_corpus_index` rebuild re-derives the hot set from the purged
+    corpus when drift accumulates.
+
+    Deriving the negative rows reads the stored shingle table pruned to
+    the delete-set (broadcast semi-join) — an O(corpus)-scan read per
+    delete batch, same documented shape as the pre-side-table gate;
+    write volume is O(delete-set). Tombstoned ids count as EXISTING for
+    `append_corpus_index` until the purge (their physical rows remain),
+    so a deleted id cannot be re-ingested — and can be again after
+    compaction. Replayed delete batches are no-ops (already-tombstoned
+    ids commit nothing). Returns True iff a version was committed."""
+    from pathlib import Path as _Path
+
+    from ..sources.versioned import (
+        append_tombstones,
+        current_version,
+        read_tombstones,
+    )
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed corpus index at {path}")
+    vdir, meta = cur
+    id_col = meta["id_col"]
+    fresh = delete_ids.toDF("_tomb_id").distinct()
+    prior = read_tombstones(spark, path)
+    if prior is not None:
+        fresh = fresh.join(F.broadcast(prior), "_tomb_id", "left_anti")
+    extra = None
+    if meta.get("has_df"):
+        neg = (
+            spark.read.parquet(str(_Path(vdir) / "shingles"))
+            .join(
+                F.broadcast(fresh.select(F.col("_tomb_id").alias(id_col))),
+                id_col,
+                "left_semi",
+            )
+            .groupBy("shingle")
+            .agg((-F.count(F.lit(1))).alias("df"))
+        )
+        extra = [("df", neg)]
+    keys = {"fp": "_exact_match_id", "shingles": id_col}
+    if meta.get("bands"):
+        keys["bands"] = id_col
+    if meta.get("has_sets"):
+        keys["sets"] = id_col
+    return append_tombstones(
+        spark, path, fresh, key_cols=keys, extra_subs=extra
+    )
+
+
 def read_corpus_index(
     spark, path: str, expect: dict | None = None
 ) -> "CorpusIndex":
@@ -1858,6 +1933,26 @@ def read_corpus_index(
         if meta.get("has_sets")
         else None
     )
+    if meta.get("has_tombstones"):
+        # logical deletes (delete_from_corpus_index): anti-join the
+        # pending delete-set out of every id-keyed frame — O(delete-set)
+        # broadcast per read; `compact_version` later makes it physical
+        id_col = meta["id_col"]
+        tombs = spark.read.parquet(str(_Path(vdir) / "tombstones"))
+
+        def _alive(df, key):
+            return df.join(
+                F.broadcast(tombs.select(F.col("_tomb_id").alias(key))),
+                key,
+                "left_anti",
+            )
+
+        fp = _alive(fp, "_exact_match_id")
+        sh = _alive(sh, id_col)
+        if band_df is not None:
+            band_df = _alive(band_df, id_col)
+        if sets_df is not None:
+            sets_df = _alive(sets_df, id_col)
     return CorpusIndex(fp, sh, hot, meta, bands=band_df, sets=sets_df)
 
 

@@ -3756,14 +3756,24 @@ def q_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_parts(
-    delta_sql: str | None = None, corpus_sql: str | None = None
+    delta_sql: str | None = None,
+    corpus_sql: str | None = None,
+    del_filter: bool = False,
 ) -> tuple[str, str]:
     """(CTE chain, final select) of the incremental-dedup oracle — split
     so `_serving_oracle` can compose the same classification as a CTE
     under its funnel stages (one derivation, two oracles).
     ``delta_sql``/``corpus_sql`` override the cohort CTE bodies (the
     capped-append twin classifies a different delta against a grown
-    corpus); the classification chain itself is shared verbatim."""
+    corpus); the classification chain itself is shared verbatim.
+
+    ``del_filter=True`` mirrors `delete_from_corpus_index`'s tombstone
+    semantics exactly: the caller provides a ``dels(doc_id)`` CTE
+    upstream, and the filter applies AFTER the full-corpus derivation —
+    the hot set stays frozen (computed over the undeleted corpus, as
+    the store froze it) and the fp table drops rows whose
+    REPRESENTATIVE is deleted (the store keeps one representative per
+    fp, so that row is what the tombstone hides)."""
     from ..operators.dedup import MINHASH_PRIME
 
     mh_exprs = _minhash_perm_exprs()
@@ -3776,11 +3786,22 @@ def _incremental_parts(
   WHERE doc_id % 7 = 0 AND doc_id % 5 != 0"""
     if corpus_sql is None:
         corpus_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0"
+    if del_filter:
+        fp_ctes = f"""corpus_fp0 AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS mid
+               FROM corpus GROUP BY 1),
+corpus_fp AS (SELECT fp, mid FROM corpus_fp0
+              WHERE mid NOT IN (SELECT doc_id FROM dels)),"""
+        c_sh_ctes = f"""c_sh1 AS (SELECT * FROM c_sh0 ANTI JOIN hot USING (shingle)),
+c_sh AS (SELECT * FROM c_sh1
+         WHERE doc_id NOT IN (SELECT doc_id FROM dels)),"""
+    else:
+        fp_ctes = f"""corpus_fp AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS mid
+              FROM corpus GROUP BY 1),"""
+        c_sh_ctes = "c_sh AS (SELECT * FROM c_sh0 ANTI JOIN hot USING (shingle)),"
     ctes = f"""delta AS (
   {delta_sql}),
 corpus AS ({corpus_sql}),
-corpus_fp AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS mid
-              FROM corpus GROUP BY 1),
+{fp_ctes}
 delta_fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM delta),
 exact AS (SELECT d.doc_id, cf.mid FROM delta_fp d JOIN corpus_fp cf USING (fp)),
 c_sh0 AS (SELECT doc_id, unnest({sh}) AS shingle
@@ -3788,7 +3809,7 @@ c_sh0 AS (SELECT doc_id, unnest({sh}) AS shingle
 d_sh0 AS (SELECT doc_id, unnest({sh}) AS shingle
           FROM (SELECT doc_id, {_NTOKS} AS t FROM delta)),
 hot AS (SELECT shingle FROM c_sh0 GROUP BY 1 HAVING COUNT(*) > {SHINGLE_MAX_DF}),
-c_sh AS (SELECT * FROM c_sh0 ANTI JOIN hot USING (shingle)),
+{c_sh_ctes}
 d_sh AS (SELECT * FROM d_sh0 ANTI JOIN hot USING (shingle)),
 c_hashed AS (SELECT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
@@ -4104,6 +4125,273 @@ FROM (
          ROW_NUMBER() OVER (ORDER BY approx_ip DESC, vec_id) AS rank
   FROM pq_approx)
 WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Serving funnel with a DELETION step (round 10; VERDICT r9 #1)
+# ---------------------------------------------------------------------------
+#: (applicationId, sf_dir) → composed deleted-funnel frame (persisted
+#: classification reused by two stages, same reason as the base funnel)
+_DELETED_FUNNEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def q_serving_funnel_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`serving_funnel` with a RIGHT-TO-BE-FORGOTTEN step between build
+    and serve (round 10): a key-derived deletion request (doc_id ≡ 0
+    mod 97) expands one hop through the near-dup components
+    (`delete_propagation` — deleting a doc must delete its near-copies
+    or the content survives verbatim under other ids), and the expanded
+    set is tombstoned into BOTH stored index families
+    (`dedup.delete_from_corpus_index`, `serve.delete_from_ivf_store` —
+    O(delete-set) commits, no rebuild). The fresh delta then classifies
+    against the DELETED corpus index and a query batch serves from the
+    DELETED IVF store. One (stage, n_rows, metric) row per stage:
+    `delta` + per-status rows (exact decimal jaccard sums) + `ann_topk`
+    (exact decimal sum of the top-k cosines). The DuckDB twin
+    re-derives the components, the frozen-hot tombstone semantics, the
+    Lloyd rounds, and the serve — the hash gate proves deletion-by-
+    tombstone serves bit-identically to first-principles recomputation
+    over the logically purged stores."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators import validation as validation_ops
+    from ..sources.cache import listing_fingerprint
+    from ..sources.versioned import commit_version, current_version
+    from ..streaming.serve import delete_from_ivf_store, read_ivf_index
+    from .domain_queries import SUMMARY_CACHE_DIR
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DELETED_FUNNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    fresh = docs.filter(did % 5 == 0)
+    recrawl = docs.filter((did % 7 == 0) & (did % 5 != 0)).select(
+        (did + RECRAWL_OFFSET).alias("doc_id"), "text"
+    )
+    delta = fresh.unionByName(recrawl)
+    # the expanded delete-set: request ∪ its near-dup components
+    dels = (
+        validation_ops.delete_propagation(
+            _dedup_labels_cached(spark, sf_dir),
+            docs.filter(did % DELETE_MOD == 0).select("doc_id"),
+        )
+        .filter(F.col("status") != "kept")
+        .select("doc_id")
+    )
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    fp_now = listing_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+
+    # -- corpus index: build, then tombstone the expanded delete-set --
+    cpath = _os.path.join(
+        SUMMARY_CACHE_DIR,
+        f"corpus_index_del_{sf_name}_k{SHINGLE_K}cap{SHINGLE_MAX_DF}"
+        f"b{MINHASH_N}x{MINHASH_BAND}d{DELETE_MOD}",
+    )
+    sidecar = cpath + ".src.json"
+    stale = True
+    try:
+        stale = _json.loads(open(sidecar).read()) != fp_now
+    except (OSError, ValueError):
+        pass
+    if stale or current_version(cpath) is None:
+        _shutil.rmtree(cpath, ignore_errors=True)
+        dedup_ops.write_corpus_index(
+            corpus, cpath, "doc_id", "text", SHINGLE_K, SHINGLE_MAX_DF,
+            bands=(MINHASH_N, MINHASH_BAND),
+        )
+        dedup_ops.delete_from_corpus_index(spark, cpath, dels)
+        with open(sidecar, "w") as f:
+            _json.dump(fp_now, f)
+    inc = dedup_ops.incremental_dedup(
+        None,
+        delta,
+        "doc_id",
+        "text",
+        SHINGLE_K,
+        MINHASH_N,
+        MINHASH_BAND,
+        JACCARD_THRESHOLD,
+        SHINGLE_MAX_DF,
+        corpus_index=dedup_ops.read_corpus_index(
+            spark, cpath,
+            expect={"k": SHINGLE_K, "max_doc_freq": SHINGLE_MAX_DF},
+        ),
+    ).persist()
+
+    # -- IVF store: seed with the trained assignment, tombstone, serve --
+    emb_fp = listing_fingerprint(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    vpath = _os.path.join(
+        SUMMARY_CACHE_DIR,
+        f"ivf_store_del_{sf_name}_k{IVF_TRAINED_K}i{IVF_TRAINED_ITERS}"
+        f"d{DELETE_MOD}",
+    )
+    vsidecar = vpath + ".src.json"
+    vstale = True
+    try:
+        vstale = _json.loads(open(vsidecar).read()) != [fp_now, emb_fp]
+    except (OSError, ValueError):
+        pass
+    if vstale or current_version(vpath) is None:
+        _shutil.rmtree(vpath, ignore_errors=True)
+        seed = _ivf_index_cached(spark, sf_dir)
+
+        def writer(vdir: str) -> None:
+            seed.write.parquet(_os.path.join(vdir, "index"))
+
+        commit_version(vpath, writer, {"last_batch_id": -1})
+        delete_from_ivf_store(spark, vpath, dels)
+        with open(vsidecar, "w") as f:
+            _json.dump([fp_now, emb_fp], f)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    ann = sim_ops.ivf_serve_topk(
+        queries,
+        emb,
+        read_ivf_index(spark, vpath),
+        _ivf_centroids_cached(spark, sf_dir),
+        k=SERVE_TOPK,
+    )
+
+    jac_sum = F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+    n_rows = F.count(F.lit(1)).alias("n_rows")
+    d_stage = inc.agg(
+        F.lit("delta").alias("stage"), n_rows, jac_sum.alias("metric")
+    )
+    s_stage = inc.groupBy(F.col("status").alias("stage")).agg(
+        n_rows, jac_sum.alias("metric")
+    )
+    a_stage = ann.agg(
+        F.lit("ann_topk").alias("stage"),
+        n_rows,
+        F.sum(F.col("cos_sim").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("metric"),
+    )
+    out = d_stage.unionByName(s_stage).unionByName(a_stage)
+    _DELETED_FUNNEL_CACHE[key] = out
+    return out
+
+
+def _cc_cte_parts_prefixed(p: str = "cc_") -> str:
+    """The recursive near-dup connected-components chain (`_CC_CTES`'
+    derivation) with PREFIXED CTE names, composable inside oracles whose
+    other chains own `inter`/`sizes`/`comp` (the incremental-dedup
+    parts). Same math, different namespace."""
+    sh = _shingle_list_sql()
+    return f"""{p}sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+{p}capped AS (
+  SELECT s.doc_id, s.shingle
+  FROM {p}sh s JOIN (SELECT shingle FROM {p}sh GROUP BY shingle
+                     HAVING COUNT(*) <= {SHINGLE_MAX_DF}) rare
+    ON s.shingle = rare.shingle),
+{p}sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM {p}capped
+             GROUP BY doc_id),
+{p}inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM {p}capped a JOIN {p}capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+{p}edges AS (
+  SELECT id_a, id_b FROM {p}inter
+  JOIN {p}sizes sa ON sa.doc_id = id_a
+  JOIN {p}sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE)
+              / (sa.set_size + sb.set_size - n_inter), 6)
+        >= {JACCARD_THRESHOLD}),
+{p}sym AS (
+  SELECT id_a AS u, id_b AS v FROM {p}edges
+  UNION SELECT id_b, id_a FROM {p}edges),
+{p}reach(node, reached) AS (
+  SELECT u, u FROM {p}sym
+  UNION
+  SELECT r.node, s.v FROM {p}reach r JOIN {p}sym s ON s.u = r.reached),
+{p}comp AS (SELECT node, MIN(reached) AS m FROM {p}reach GROUP BY node),
+{p}comps AS (
+  SELECT d.doc_id, COALESCE(c.m, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN {p}comp c ON c.node = d.doc_id)"""
+
+
+def _deleted_funnel_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    nq: int = SERVE_N_QUERIES,
+    topk: int = SERVE_TOPK,
+) -> str:
+    cc = _cc_cte_parts_prefixed()
+    inc_ctes, inc_final = _incremental_parts(del_filter=True)
+    km = ",\n".join(_coarse_cte_parts_with_final(k, iters, dim))
+    cos_qc = (
+        "round(list_dot_product(q.qe, c.cvec)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    cos_qe = (
+        "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        "    * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    return f"""
+WITH RECURSIVE {cc},
+dels0 AS (SELECT doc_id FROM documents WHERE doc_id % {DELETE_MOD} = 0),
+delcomp AS (SELECT DISTINCT component_id FROM cc_comps
+            JOIN dels0 USING (doc_id)),
+dels AS (SELECT doc_id FROM cc_comps
+         WHERE component_id IN (SELECT component_id FROM delcomp)),
+{inc_ctes},
+inc AS ({inc_final}),
+{km},
+qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {nq}),
+qscore AS (
+  SELECT q.query_id, c.cid, {cos_qc} AS sim
+  FROM qs q CROSS JOIN cent_{iters} c),
+qbucket AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM qscore) WHERE rn = 1),
+scored AS (
+  SELECT qb.query_id, e.vec_id, {cos_qe} AS cos_sim
+  FROM qbucket qb
+  JOIN assign_{iters} a ON a.cid = qb.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = qb.query_id
+  WHERE a.vec_id NOT IN (SELECT doc_id FROM dels)),
+ann AS (
+  SELECT query_id, vec_id, cos_sim FROM (
+    SELECT query_id, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {topk})
+SELECT 'delta' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS metric
+FROM inc
+UNION ALL
+SELECT status AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS metric
+FROM inc GROUP BY status
+UNION ALL
+SELECT 'ann_topk' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) AS metric
+FROM ann
 """
 
 
@@ -6073,6 +6361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_stored": q_incremental_dedup_stored,
     "capped_index_append_classify": q_capped_index_append_classify,
     "serving_funnel": q_serving_funnel,
+    "serving_funnel_deleted": q_serving_funnel_deleted,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
@@ -6188,6 +6477,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_stored": _incremental_oracle(),
     "capped_index_append_classify": _capped_append_oracle(),
     "serving_funnel": _serving_oracle(),
+    "serving_funnel_deleted": _deleted_funnel_oracle(),
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,

@@ -153,6 +153,81 @@ def data_files(d) -> list:
     )
 
 
+#: subdir + canonical column name for a versioned store's delete-set
+_TOMBSTONES = "tombstones"
+_TOMB_COL = "_tomb_id"
+
+
+def read_tombstones(spark, root: str):
+    """The committed version's pending delete-set as a 1-column
+    (`_tomb_id`) DataFrame, or None when the store carries none. Small
+    by nature (deletion requests, not corpus rows) — consumers broadcast
+    it into anti-joins."""
+    cur = current_version(root)
+    if cur is None:
+        return None
+    vdir, meta = cur
+    if not meta.get("has_tombstones"):
+        return None
+    return spark.read.parquet(str(Path(vdir) / _TOMBSTONES))
+
+
+def append_tombstones(
+    spark,
+    root: str,
+    ids_df,
+    key_cols: dict[str, str],
+    extra_subs: "list[tuple[str, object]] | None" = None,
+) -> bool:
+    """Commit one new version whose ONLY change is the delete-set folded
+    into the ``tombstones`` subdir — the O(delete-set) half of
+    right-to-be-forgotten against an append-grown store (VERDICT r9 #1):
+    every data file of the previous version hardlinks forward, the new
+    tombstone rows append, and readers anti-join them out until
+    `compact_version` physically purges. ``ids_df`` is any 1-column
+    frame of ids to delete; ``key_cols`` maps each id-KEYED subdir to
+    its key column (recorded in the version meta — purge time uses it
+    to know which subdirs to rewrite). ``extra_subs`` lets a family
+    append sidecar rows in the SAME commit (the corpus index's negative
+    df rows).
+
+    Replayed delete batches are no-ops: ids already tombstoned are
+    anti-joined out, and an all-duplicate request commits nothing.
+    Returns True iff a version was committed."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed store at {root}: nothing to delete from"
+        )
+    vdir, meta = cur
+    fresh = ids_df.toDF(_TOMB_COL).distinct()
+    if meta.get("has_tombstones"):
+        existing = spark.read.parquet(str(Path(vdir) / _TOMBSTONES))
+        fresh = fresh.join(F.broadcast(existing), _TOMB_COL, "left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    if not fresh.take(1):
+        return False
+
+    def writer(new_vdir: str) -> None:
+        for src in sorted(p for p in Path(vdir).iterdir() if p.is_dir()):
+            _link_tree(src, Path(new_vdir) / src.name)
+        fresh.write.mode("append").parquet(
+            str(Path(new_vdir) / _TOMBSTONES)
+        )
+        for sub, ddf in extra_subs or ():
+            ddf.write.mode("append").parquet(str(Path(new_vdir) / sub))
+
+    new_meta = dict(meta)
+    new_meta["has_tombstones"] = True
+    keys = dict(meta.get("tombstone_keys") or {})
+    keys.update(key_cols)
+    new_meta["tombstone_keys"] = keys
+    commit_version(root, writer, new_meta, expect_current=vdir)
+    return True
+
+
 def _link_tree(src, dst) -> None:
     """Hardlink-carry a subdir forward INCLUDING nested partition
     directories (ADVICE r9: the flat-only carry silently omitted a
@@ -197,7 +272,18 @@ def compact_version(
 
     Call it AFTER an append commit — the sinks do, gated on the same
     threshold, so the store self-heals without an external scheduler.
+
+    Tombstone purge (VERDICT r9 #1): when the current version carries
+    pending tombstones (`append_tombstones`), compaction is FORCED
+    regardless of file counts — every subdir named in the meta's
+    ``tombstone_keys`` rewrites minus the tombstoned ids, the
+    ``tombstones`` subdir is dropped, and the committed version is the
+    physically-purged store. Logical deletes are O(delete-set) at
+    request time; the one rewrite amortizes into the compaction the
+    store was paying anyway.
     """
+    from pyspark.sql import functions as F
+
     cur = current_version(root)
     if cur is None:
         return False
@@ -205,8 +291,18 @@ def compact_version(
     vpath = Path(vdir)
     subs = [d for d in sorted(vpath.iterdir()) if d.is_dir()]
     oversized = {d.name for d in subs if len(data_files(d)) > max_files}
-    if not oversized:
+    # pending tombstones force a compaction pass: this is where the
+    # logical delete-set becomes a PHYSICAL purge (VERDICT r9 #1) — the
+    # id-keyed subdirs rewrite minus the tombstoned ids and the
+    # tombstone subdir itself is dropped, so right-to-be-forgotten
+    # completes without a from-source rebuild
+    purging = bool(meta.get("has_tombstones"))
+    if not oversized and not purging:
         return False
+    tomb_keys = meta.get("tombstone_keys") or {}
+    tombs = (
+        spark.read.parquet(str(vpath / _TOMBSTONES)) if purging else None
+    )
     n_out = target_files if target_files is not None else max(
         1, max_files // 4
     )
@@ -214,7 +310,25 @@ def compact_version(
     def writer(new_vdir: str) -> None:
         for d in subs:
             tgt = Path(new_vdir) / d.name
-            if d.name in oversized:
+            if purging and d.name == _TOMBSTONES:
+                continue  # applied below, physically gone in this version
+            key = tomb_keys.get(d.name) if purging else None
+            if key is not None:
+                # left_anti preserves the left schema/column order, so
+                # the purged rewrite keeps the store's file layout
+                (
+                    spark.read.parquet(str(d))
+                    .join(
+                        F.broadcast(
+                            tombs.select(F.col(_TOMB_COL).alias(key))
+                        ),
+                        key,
+                        "left_anti",
+                    )
+                    .coalesce(n_out)
+                    .write.parquet(str(tgt))
+                )
+            elif d.name in oversized:
                 # rewrite coalesced: the read completes before any
                 # delete — the source version stays untouched until
                 # its normal post-commit cleanup
@@ -226,7 +340,8 @@ def compact_version(
             else:
                 _link_tree(d, tgt)
 
-    commit_version(root, writer, meta, expect_current=vdir)
+    new_meta = {**meta, "has_tombstones": False} if purging else meta
+    commit_version(root, writer, new_meta, expect_current=vdir)
     return True
 
 

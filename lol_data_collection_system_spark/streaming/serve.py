@@ -33,6 +33,7 @@ from ..operators.similarity import ivf_serve_topk
 __all__ = [
     "ann_serve_sink",
     "ann_serve_stream",
+    "delete_from_ivf_store",
     "ivfadc_serve_sink",
     "ivfadc_serve_stream",
     "ivf_ingest_sink",
@@ -220,7 +221,11 @@ def ivfadc_serve_stream(
 def read_ivf_index(spark: SparkSession, store_root: str) -> DataFrame:
     """The committed (id, cid) assignment of a versioned IVF index
     store — what `ivf_serve_topk` takes as ``index``. Raises before the
-    first commit (an unbuilt index must not silently serve empty)."""
+    first commit (an unbuilt index must not silently serve empty).
+    Pending tombstones (`delete_from_ivf_store`) anti-join out here, so
+    deleted vectors stop serving the instant the delete commits."""
+    from pyspark.sql import functions as F
+
     from ..sources.versioned import current_version
 
     cur = current_version(store_root)
@@ -229,8 +234,44 @@ def read_ivf_index(spark: SparkSession, store_root: str) -> DataFrame:
             f"no committed IVF index at {store_root}: run the ingest "
             f"stream (or ivf_index_append + commit) first"
         )
-    vdir, _meta = cur
-    return spark.read.parquet(os.path.join(vdir, "index"))
+    vdir, meta = cur
+    idx = spark.read.parquet(os.path.join(vdir, "index"))
+    if meta.get("has_tombstones"):
+        key = meta["tombstone_keys"]["index"]
+        tombs = spark.read.parquet(os.path.join(vdir, "tombstones"))
+        idx = idx.join(
+            F.broadcast(tombs.select(F.col("_tomb_id").alias(key))),
+            key,
+            "left_anti",
+        )
+    return idx
+
+
+def delete_from_ivf_store(
+    spark: SparkSession,
+    store_root: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> bool:
+    """Right-to-be-forgotten against the versioned IVF serving store
+    (VERDICT r9 #1): commit an O(delete-set) tombstone version —
+    `read_ivf_index` anti-joins the deleted vectors out immediately,
+    and the next `compact_version` pass (the ingest sink's
+    ``compact_files`` watcher, or a direct call) rewrites the
+    assignment minus those rows, so deletion never needs a full store
+    rebuild. Replayed delete batches are no-ops. Tombstoned ids count
+    as EXISTING for `ivf_ingest_sink`'s anti-join until the purge, so
+    a deleted vector cannot silently re-enter the serving set — and
+    can be re-ingested after compaction. Returns True iff a version
+    was committed."""
+    from ..sources.versioned import append_tombstones
+
+    return append_tombstones(
+        spark,
+        store_root,
+        delete_ids.toDF("_tomb_id").distinct(),
+        key_cols={"index": id_col},
+    )
 
 
 def ivf_ingest_sink(
@@ -273,6 +314,7 @@ def ivf_ingest_sink(
 
     from ..operators.similarity import ivf_index_delta
     from ..sources.versioned import (
+        _link_tree,
         commit_version,
         compact_version,
         current_version,
@@ -312,11 +354,18 @@ def ivf_ingest_sink(
                     tgt = idx / f.name
                     if not tgt.exists():  # part names are task-UUID'd
                         link_or_copy(f, tgt)
+                # every NON-index subdir (pending tombstones) links
+                # forward whole — an ingest between a delete and its
+                # purge must not resurrect the deleted vectors
+                for src in Path(prev_dir).iterdir():
+                    if src.is_dir() and src.name != "index":
+                        _link_tree(src, Path(vdir) / src.name)
 
+        prior_meta = {} if cur is None else dict(cur[1])
         commit_version(
             store_root,
             writer,
-            {"last_batch_id": int(batch_id)},
+            {**prior_meta, "last_batch_id": int(batch_id)},
             expect_current=prev_dir,
         )
         if compact_files is not None:
