@@ -613,6 +613,43 @@ def ivf_index_append(
     )
 
 
+def ivf_cell_profile(
+    index: DataFrame, n_cells: int | None = None
+) -> DataFrame:
+    """Cell-occupancy profile of a stored IVF assignment (VERDICT r9
+    #3): one row per cell — ``(cid, n_vectors, share, load_factor)``
+    where ``share`` = cell fraction of the index and ``load_factor`` =
+    share × n_cells (1.0 = perfectly balanced; the hottest cell's
+    load_factor IS probe-cost inflation, because a probe scans its
+    routed cell whole). This is the monitor recall sweeps miss:
+    frozen-centroid routing under drifting ingest piles vectors into
+    few cells, so probe cost grows as O(hot cell) while recall can look
+    fine — the load_factor threshold is what `ivf_ingest_sink`'s
+    ``skew_ratio`` consumes to trigger a retrain.
+
+    ``n_cells`` defaults to the number of OCCUPIED cells; pass the
+    trained k to count empty cells against the balance denominator.
+    Plan: one partial-agg'd groupBy on cid (k-row result) + a 1-row
+    broadcast total — nothing scales past k."""
+    counts = index.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = counts.agg(
+        F.sum("n_vectors").alias("_tot"),
+        (
+            F.lit(n_cells)
+            if n_cells is not None
+            else F.count(F.lit(1))
+        ).alias("_k"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.round(F.col("n_vectors") / F.col("_tot"), 6).alias("share"),
+        F.round(
+            F.col("n_vectors") * F.col("_k") / F.col("_tot"), 6
+        ).alias("load_factor"),
+    )
+
+
 def ivf_index_delta(
     index: DataFrame,
     new_emb: DataFrame,

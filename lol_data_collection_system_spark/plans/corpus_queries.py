@@ -3077,9 +3077,36 @@ def q_ivf_appended_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
 
+    from ..streaming.serve import read_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % INCR_DELTA_MOD != 9)
+    cents = sim_ops.kmeans_centroids(
+        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+    )
+    path = _ivf_appended_store_cached(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivf_serve_topk(
+        queries, emb, read_ivf_index(spark, path), cents, k=SERVE_TOPK
+    )
+
+
+def _ivf_appended_store_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the versioned on-disk IVF store the appended-serve
+    family reads: base-cohort Lloyd assignment as the seed version,
+    then the held-out delta ingested as three micro-batches through
+    `ivf_ingest_sink` (hardlink-appends + a mid-ingest compaction).
+    Returns the store path. Shared by `ivf_appended_store_serve` and
+    `ivf_cell_skew_profile` (round 10) — one store, two audits."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
     from ..sources.cache import listing_fingerprint
     from ..sources.versioned import commit_version, current_version
-    from ..streaming.serve import ivf_ingest_sink, read_ivf_index
+    from ..streaming.serve import ivf_ingest_sink
     from .domain_queries import SUMMARY_CACHE_DIR
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3121,12 +3148,67 @@ def q_ivf_appended_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink(delta.filter(F.col("vec_id") % 30 == 10 * j + 9), j)
         with open(sidecar, "w") as f:
             _json.dump(fp_now, f)
-    queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
+    return path
+
+
+def q_ivf_cell_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy skew monitor over the APPENDED IVF store (round
+    10; VERDICT r9 #3): frozen-centroid routing under drifting ingest
+    piles vectors into few cells — probe cost grows as O(hot cell)
+    while recall sweeps look fine, so the occupancy profile is the
+    audit that feeds `ivf_ingest_sink(skew_ratio=)`'s retrain trigger.
+    One row per trained cell: (cid, n_vectors, share, load_factor) over
+    the stored assignment — the DuckDB twin re-derives the base Lloyd
+    rounds, the delta's frozen-centroid routing, and the occupancy math
+    from first principles, so the hash gate pins the monitor to the
+    store the serve queries actually read."""
+    from ..streaming.serve import read_ivf_index
+
+    path = _ivf_appended_store_cached(spark, sf_dir)
+    return sim_ops.ivf_cell_profile(
+        read_ivf_index(spark, path), n_cells=IVF_TRAINED_K
     )
-    return sim_ops.ivf_serve_topk(
-        queries, emb, read_ivf_index(spark, path), cents, k=SERVE_TOPK
+
+
+def _ivf_cell_skew_oracle(
+    k: int = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
+    mod: int = INCR_DELTA_MOD,
+) -> str:
+    cos_dc = (
+        "round(list_dot_product(d.e, c.cvec)"
+        " / (sqrt(list_dot_product(d.e, d.e))"
+        "    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
     )
+    parts = [
+        f"ivfb AS (SELECT * FROM embeddings WHERE vec_id % {mod} != {mod - 1})"
+    ] + _coarse_cte_parts_with_final(k, iters, dim, src="ivfb")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+delta AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % {mod} = {mod - 1}),
+dscore AS (
+  SELECT d.vec_id, c.cid, {cos_dc} AS sim
+  FROM delta d CROSS JOIN cent_{iters} c),
+dassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM dscore) WHERE rn = 1),
+merged AS (
+  SELECT vec_id, cid FROM assign_{iters}
+  UNION ALL SELECT vec_id, cid FROM dassign),
+counts AS (SELECT cid, COUNT(*) AS n FROM merged GROUP BY cid),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT CAST(cid AS BIGINT) AS cid, CAST(n AS BIGINT) AS n_vectors,
+       round(CAST(n AS DOUBLE) / t, 6) AS share,
+       round(CAST(n AS DOUBLE) * {k} / t, 6) AS load_factor
+FROM counts, tot
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6362,6 +6444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capped_index_append_classify": q_capped_index_append_classify,
     "serving_funnel": q_serving_funnel,
     "serving_funnel_deleted": q_serving_funnel_deleted,
+    "ivf_cell_skew_profile": q_ivf_cell_skew_profile,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
@@ -6478,6 +6561,7 @@ ORACLES: dict[str, str] = {
     "capped_index_append_classify": _capped_append_oracle(),
     "serving_funnel": _serving_oracle(),
     "serving_funnel_deleted": _deleted_funnel_oracle(),
+    "ivf_cell_skew_profile": _ivf_cell_skew_oracle(),
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,

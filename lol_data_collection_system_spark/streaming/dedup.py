@@ -1038,6 +1038,8 @@ def corpus_ingest_sink(
     band_size: int = 4,
     threshold: float = 0.8,
     compact_files: int | None = 64,
+    max_doc_freq: int | None = None,
+    rebuild_docs=None,
 ):
     """foreachBatch body for a SELF-GROWING corpus ingest: classify each
     micro-batch against the stored corpus index (`incremental_dedup`'s
@@ -1073,11 +1075,22 @@ def corpus_ingest_sink(
     collapses to each doc's LATEST row (the classification against the
     most-grown index), or point reruns at a fresh ``out_dir``.
 
-    Uncapped indexes only — the sink seeds its own empty index, and
-    an uncapped one keeps every append unconditionally legal (a
-    df-capped index appends only under `append_corpus_index`'s
-    bounded-drift rule and must rebuild when a cap decision flips —
-    the wrong failure mode for an unattended ingest loop).
+    ``max_doc_freq`` + ``rebuild_docs`` enable a df-CAPPED ingest loop
+    (VERDICT r9 #2 — wiring the drift audit to a maintenance action):
+    capped indexes append under `append_corpus_index`'s bounded-drift
+    rule, and a refusal (a delta would flip a cap decision — the drift
+    signal itself) is the WRONG failure mode for an unattended loop,
+    so the sink catches it and triggers the scheduled rebuild inline:
+    ``rebuild_docs(spark)`` must return the index's PRE-BATCH document
+    set (the caller's source-of-truth corpus store, read through its
+    deletion filter); the sink unions the batch's novel rows and
+    commits `write_corpus_index` over the whole logical corpus — the
+    rebuilt index equals a from-scratch build, hot set re-derived.
+    Undrifted batches never rebuild (the O(delta) append keeps
+    serving). Both None = the uncapped r9 behavior, where every append
+    is unconditionally legal. A cap WITHOUT ``rebuild_docs`` (or the
+    reverse) raises at construction — a drift signal with no action is
+    the unattended-crash mode this parameter pair exists to close.
 
     ``compact_files``: every append adds one part-file set per subdir;
     once any subdir of the committed index crosses this many data
@@ -1094,18 +1107,28 @@ def corpus_ingest_sink(
     )
     from ..sources.versioned import current_version
 
+    if (max_doc_freq is None) != (rebuild_docs is None):
+        raise ValueError(
+            "corpus_ingest_sink: max_doc_freq and rebuild_docs come "
+            "together — a capped index WILL eventually refuse an append "
+            "(that is the drift signal), and an unattended loop needs "
+            "the rebuild action wired; a rebuild source without a cap "
+            "is dead configuration"
+        )
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if current_version(index_path) is None:
             # first batch seeds an EMPTY index with this sink's params
             write_corpus_index(
                 batch_df.limit(0), index_path, id_col, text_col, k,
-                max_doc_freq=None,
+                max_doc_freq=max_doc_freq,
             )
         idx = read_corpus_index(
-            spark, index_path, expect={"k": k, "max_doc_freq": None}
+            spark, index_path,
+            expect={"k": k, "max_doc_freq": max_doc_freq},
         )
-        idx_fp, idx_sh, _hot = idx
+        idx_fp, idx_sh, idx_hot = idx
         # self-exclusion: a replayed batch must not classify against its
         # own (already-appended) rows
         own = F.broadcast(batch_df.select(F.col(id_col)).distinct())
@@ -1124,8 +1147,11 @@ def corpus_ingest_sink(
             n_hashes,
             band_size,
             threshold,
-            max_doc_freq=None,
-            corpus_index=(fp_f, sh_f, None),
+            max_doc_freq=max_doc_freq,
+            # the hot set is corpus-level state, never self-excluded:
+            # bounded-drift appends can't flip it, so a replayed batch
+            # sees the same hot set its first run did
+            corpus_index=(fp_f, sh_f, idx_hot),
         ).localCheckpoint(eager=False)
         (
             statuses.withColumn("_batch_id", F.lit(int(batch_id)))
@@ -1140,7 +1166,26 @@ def corpus_ingest_sink(
             ),
             id_col,
         )
-        append_corpus_index(spark, index_path, novel)
+        try:
+            append_corpus_index(spark, index_path, novel)
+        except ValueError as exc:
+            if rebuild_docs is None or "over the cap" not in str(exc):
+                raise
+            # the drift signal: this batch flips a cap decision, so the
+            # O(delta) append is semantically impossible — rebuild from
+            # the logical corpus (pre-batch docs ∪ this batch's novel
+            # rows), hot set re-derived. write_corpus_index commits a
+            # complete fresh version; a replayed batch then finds its
+            # ids indexed and appends an empty delta.
+            full = (
+                rebuild_docs(spark)
+                .select(F.col(id_col), F.col(text_col))
+                .unionByName(novel.select(F.col(id_col), F.col(text_col)))
+            )
+            write_corpus_index(
+                full, index_path, id_col, text_col, k,
+                max_doc_freq=max_doc_freq,
+            )
         if compact_files is not None:
             from ..sources.versioned import compact_version
 
@@ -1184,6 +1229,8 @@ def corpus_ingest_stream(
     band_size: int = 4,
     threshold: float = 0.8,
     compact_files: int | None = 64,
+    max_doc_freq: int | None = None,
+    rebuild_docs=None,
 ):
     """Wire a document stream into the self-growing corpus ingest loop;
     returns the StreamingQuery (availableNow — swap the trigger for
@@ -1193,6 +1240,7 @@ def corpus_ingest_stream(
             corpus_ingest_sink(
                 index_path, out_dir, id_col, text_col, k,
                 n_hashes, band_size, threshold, compact_files,
+                max_doc_freq, rebuild_docs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
