@@ -561,7 +561,27 @@ def benchmark_contamination(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def token_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The (id, md5-of-distinct-token) frame BOTH SimHash widths hash
+    from — one tokenize + one md5 per (doc, distinct token). Factored
+    out (VERDICT r9 #4) so a suite can persist it ONCE and feed every
+    SimHash consumer via their ``hashed_df`` pass-through, the same
+    shared-scan lever the MinHash family gets from `shingles`'
+    ``shingles_df``: the 16-bit and 128-bit signatures read different
+    substrings of the SAME md5, so the frame serves both bit-identically."""
+    toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
+    return df.select(F.col(id_col), F.explode(toks).alias("t")).select(
+        F.col(id_col), F.md5(F.col("t")).alias("m")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    hashed_df: DataFrame | None = None,
+) -> DataFrame:
     """`bits`-bit SimHash per document from token hashes.
 
     Token hash = first 4 hex chars of md5 (16 bits, engine-portable via
@@ -572,11 +592,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Plan shape: explode distinct tokens → one md5 per token → `bits`
     integer partial sums per doc (map-side combine) → sign + pack. (The
     per-doc array-fold formulation recomputed the md5 once per bit.)
-    """
-    toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("t"))
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("bigint")
-    contribs = exploded.select(
+    ``hashed_df`` (a `token_md5` frame, typically persisted and shared
+    with the 128-bit consumers) replaces the tokenize+md5 pass;
+    bit-identical by construction."""
+    hashed = (
+        hashed_df
+        if hashed_df is not None
+        else token_md5(df, id_col, text_col)
+    )
+    h = F.conv(F.substring(F.col("m"), 1, 4), 16, 10).cast("bigint")
+    contribs = hashed.select(
         F.col(id_col),
         *[
             ((F.shiftright(h, i) % 2) * 2 - 1).alias(f"c_{i}")
@@ -592,7 +617,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
-def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash128(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hashed_df: DataFrame | None = None,
+) -> DataFrame:
     """128-bit SimHash as TWO 64-bit word columns ``(simhash_w0,
     simhash_w1)`` — the wide-fingerprint geometry that keeps Hamming
     banding out of the quadratic regime (`hamming_candidate_edges`'
@@ -620,19 +650,19 @@ def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     amplification.
     """
     lanes_per_long, lane_bits = 2, 32
-    toks = F.array_distinct(tokens(normalized_text(F.col(text_col))))
-    hashed = (
-        df.select(F.col(id_col), F.explode(toks).alias("t"))
-        .select(F.col(id_col), F.md5(F.col("t")).alias("m"))
-        .select(
-            F.col(id_col),
-            *[
-                F.conv(F.substring(F.col("m"), 1 + 8 * j, 8), 16, 10)
-                .cast("bigint")
-                .alias(f"h{j}")
-                for j in range(4)
-            ],
-        )
+    md5_frame = (
+        hashed_df
+        if hashed_df is not None
+        else token_md5(df, id_col, text_col)
+    )
+    hashed = md5_frame.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.col("m"), 1 + 8 * j, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"h{j}")
+            for j in range(4)
+        ],
     )
     lane_cols = []
     for g in range(128 // lanes_per_long):
@@ -681,6 +711,7 @@ def simhash_components(
     threshold: int = 3,
     n_bands: int = 8,
     pair_budget: int | str | None = "auto",
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, component_id) SimHash near-duplicate grouping over text —
     Charikar/Manku-style web near-dedup: documents whose 128-bit
@@ -699,8 +730,14 @@ def simhash_components(
     """
     # the signature frame feeds BOTH the rep groupBy and the final
     # member rejoin inside hamming_components — checkpoint it so the
-    # token explode + lane aggregate runs once, not per consumer
-    sigs = simhash128(df, id_col, text_col).localCheckpoint(eager=False)
+    # token explode + lane aggregate runs once, not per consumer.
+    # ``hashed_df`` (a shared persisted `token_md5` frame) additionally
+    # drops the tokenize+md5 pass this query otherwise pays alone
+    # (VERDICT r9 #4: the suite's most expensive query re-tokenized
+    # what the MinHash family shares)
+    sigs = simhash128(
+        df, id_col, text_col, hashed_df=hashed_df
+    ).localCheckpoint(eager=False)
     return hamming_components(
         sigs,
         id_col,

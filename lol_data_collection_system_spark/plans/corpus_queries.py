@@ -434,9 +434,29 @@ JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 """
 
 
+#: (applicationId, sf_dir) → PERSISTED (doc_id, md5-of-distinct-token)
+#: frame — the SimHash family's analog of `_doc_shingles_cached`
+#: (VERDICT r9 #4): the 16-bit and 128-bit signatures read different
+#: substrings of the SAME md5, so one tokenize+hash scan serves both.
+_DOC_TOKEN_MD5_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_token_md5_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOC_TOKEN_MD5_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        cached = dedup_ops.token_md5(docs, "doc_id", "text").persist()
+        _DOC_TOKEN_MD5_CACHE[key] = cached
+    return cached
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs, "doc_id", "text", SIMHASH_BITS)
+    return dedup_ops.simhash(
+        docs, "doc_id", "text", SIMHASH_BITS,
+        hashed_df=_doc_token_md5_cached(spark, sf_dir),
+    )
 
 
 def _simhash_oracle() -> str:
@@ -468,7 +488,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-token direction at 16 bytes/doc of pair-time state)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.simhash_components(
-        docs, "doc_id", "text", threshold=SIMHASH_ND_THRESHOLD
+        docs, "doc_id", "text", threshold=SIMHASH_ND_THRESHOLD,
+        hashed_df=_doc_token_md5_cached(spark, sf_dir),
     )
 
 

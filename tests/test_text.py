@@ -771,6 +771,35 @@ def test_simhash128_word_packing_matches_python(spark):
         assert got[i] == py_sig(text), (i, got[i], py_sig(text))
     assert got[0] == got[1]
 
+    # the shared token-md5 pass-through (VERDICT r9 #4) is bit-identical
+    # for BOTH widths — one tokenize+md5 scan serves the whole family
+    from lol_data_collection_system_spark.operators.dedup import (
+        simhash,
+        token_md5,
+    )
+
+    frame = spark.createDataFrame(docs, ["doc_id", "text"])
+    shared = token_md5(frame, "doc_id", "text").persist()
+    via_shared = {
+        r.doc_id: (r.simhash_w0, r.simhash_w1)
+        for r in simhash128(
+            frame, "doc_id", "text", hashed_df=shared
+        ).collect()
+    }
+    assert via_shared == got
+    direct16 = {
+        r.doc_id: r.simhash
+        for r in simhash(frame, "doc_id", "text", 16).collect()
+    }
+    shared16 = {
+        r.doc_id: r.simhash
+        for r in simhash(
+            frame, "doc_id", "text", 16, hashed_df=shared
+        ).collect()
+    }
+    assert shared16 == direct16
+    shared.unpersist()
+
 
 def test_simhash_components_match_bruteforce_union_find(spark):
     """The banded+CC composition equals a brute-force all-pairs Hamming
