@@ -380,6 +380,26 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def q_media_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`media_near_dup` over the PNG container (round 10; VERDICT r9
+    #6): the SAME gradient images re-encoded as 8-bit RGB PNG with the
+    per-row filter type cycling through all five
+    (None/Sub/Up/Average/Paeth — `(doc_id + y) % 5`), decoded by the
+    stdlib-zlib IHDR/IDAT walk, dHashed, and component-grouped. The
+    oracle is the BMP path's closed-form width-group map VERBATIM:
+    hash-green here proves every filter reconstruction recovered the
+    exact pixels (one wrong byte anywhere moves a dHash bit and splits
+    or merges a component)."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    images = mm_ops.png_media_from_documents(docs)
+    sigs = mm_ops.phash_images(images)
+    return dedup_ops.hamming_components(
+        sigs, "media_id", "phash", threshold=PHASH_THRESHOLD
+    )
+
+
 def q_media_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`media_near_dup` on the 128-bit fingerprint path
     (`multimodal.dhash128` (hi, lo) word pair + the multi-word banded
@@ -727,6 +747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
     "audio_near_dup": q_audio_near_dup,
     "media_near_dup": q_media_near_dup,
+    "media_png_near_dup": q_media_png_near_dup,
     "media_golden_assets": q_media_golden_assets,
     "media_near_dedup_kept": q_media_near_dedup_kept,
     "media_near_dup_wide": q_media_near_dup_wide,
@@ -742,6 +763,7 @@ ORACLES: dict[str, str] = {
     "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
     "audio_near_dup": _audio_near_dup_oracle(),
     "media_near_dup": ORACLE_MEDIA_NEAR_DUP,
+    "media_png_near_dup": ORACLE_MEDIA_NEAR_DUP,
     "media_golden_assets": ORACLE_MEDIA_GOLDEN_ASSETS,
     "media_near_dedup_kept": ORACLE_MEDIA_NEAR_DEDUP_KEPT,
     # the wide path shares the 64-bit oracle: the closed form keys only

@@ -505,3 +505,89 @@ def test_ahash_audio_components_group_reuploads(spark):
     }
     assert comp[1] == comp[2] == 1
     assert comp[3] != comp[1]
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 10): zlib IHDR/IDAT walk, all five filter reconstructions
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_every_filter_type():
+    """Each of the five PNG filter types (None/Sub/Up/Average/Paeth)
+    must reconstruct the exact pixels — per-filter and mixed per-row."""
+    w, h = 5, 6
+    pixels = [
+        ((13 * x + 7 * y) % 256, (31 * x) % 256, (91 + y) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    for ft in range(5):
+        payload = mm.encode_png(w, h, pixels, row_filter=lambda y: ft)
+        gw, gh, px = mm.decode_png_pixels(payload)
+        assert (gw, gh) == (w, h) and px == pixels, f"filter {ft}"
+    mixed = mm.encode_png(w, h, pixels, row_filter=lambda y: y % 5)
+    gw, gh, px = mm.decode_png_pixels(mixed)
+    assert (gw, gh) == (w, h) and px == pixels
+    gw, gh, mr, mg, mb = mm.decode_png(mixed)
+    n = w * h
+    assert mr == sum(p[0] for p in pixels) / n
+    assert mb == sum(p[2] for p in pixels) / n
+
+
+def test_png_dhash_parity_with_bmp():
+    """Pixel-identical images fingerprint identically regardless of
+    container — BOTH dHash widths, mirrored included — so the PNG path
+    joins the perceptual near-dup family with no recalibration."""
+    w, h = 7, 4
+    pixels = [(40 + x + y, 9, 250) for y in range(h) for x in range(w)]
+    bmp = mm.encode_bmp(w, h, pixels)
+    png = mm.encode_png(w, h, pixels, row_filter=lambda y: (y + 2) % 5)
+    assert mm.dhash64(png) == mm.dhash64(bmp)
+    assert mm.dhash64(png, mirror=True) == mm.dhash64(bmp, mirror=True)
+    assert mm.dhash128(png) == mm.dhash128(bmp)
+
+
+def test_png_corruption_is_loud_then_stubbed():
+    """A flipped byte breaks the chunk CRC: decode raises, and the
+    mapInPandas dispatch falls back to the md5 stub (floats in [0, 1))
+    instead of yielding silently wrong pixels."""
+    import pytest as _pytest
+
+    w, h = 3, 3
+    pixels = [(x * 20, y * 20, 5) for y in range(h) for x in range(w)]
+    good = mm.encode_png(w, h, pixels)
+    assert mm._decode_payload(good, "image")[0] == float(w)  # real decode
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # inside IDAT -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        mm.decode_png_pixels(bytes(bad))
+    feats = mm._decode_payload(bytes(bad), "image")
+    assert all(0.0 <= f < 1.0 for f in feats)  # documented stub shape
+
+
+def test_png_media_adapter_matches_bmp_fixture_pixels(spark):
+    """`png_media_from_documents` re-encodes the image cohort pixel-
+    identically (cycling filters), so decode_features over it reports
+    the same width/height/channel means as the BMP fixture."""
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(0, 30, 3)], "doc_id long, n_chars long"
+    )
+    png_feats = {
+        r["media_id"]: (r["f0"], r["f1"], r["f2"], r["f3"], r["f4"])
+        for r in mm.decode_features(mm.png_media_from_documents(docs))
+        .selectExpr(
+            "media_id",
+            *[f"feature[{i}] AS f{i}" for i in range(mm.N_FEATURES)],
+        )
+        .collect()
+    }
+    bmp_feats = {
+        r["media_id"]: (r["f0"], r["f1"], r["f2"], r["f3"], r["f4"])
+        for r in mm.decode_features(
+            mm.media_from_documents(docs).filter("modality = 'image'")
+        )
+        .selectExpr(
+            "media_id",
+            *[f"feature[{i}] AS f{i}" for i in range(mm.N_FEATURES)],
+        )
+        .collect()
+    }
+    assert png_feats == bmp_feats and len(png_feats) == 10
