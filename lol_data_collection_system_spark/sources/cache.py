@@ -129,6 +129,7 @@ def materialize_summary(
     sources: Sequence[str] = (),
     ttl_s: float | None = 3600.0,
     fingerprint: str = "stat",
+    refresh: "Callable[[DataFrame, dict, dict], DataFrame | None] | None" = None,
 ) -> DataFrame:
     """Return the summary at `path`, rebuilding via `build()` when stale.
 
@@ -140,6 +141,20 @@ def materialize_summary(
     serve-path mode for persisted indexes over directory-sized tables).
     The returned frame is a plain parquet read of the materialization —
     lazily planned, prunable, shareable across sessions.
+
+    ``refresh`` (VERDICT r9 stretch #8 — bounded-staleness refresh):
+    when a PRIOR materialization exists but went stale, ``refresh(
+    old_summary_df, old_source_fps, new_source_fps)`` may produce the
+    refreshed summary INCREMENTALLY — the fingerprint dicts are the
+    delta ledger (listing mode records relative part names + sizes, so
+    appended files are exactly the keys present in new and absent in
+    old), and an algebraic summary folds the delta in via its merge
+    functions (`streaming/rollup.HOURLY_MERGE`'s mechanism) instead of
+    recomputing the world. Return None to decline (falls back to the
+    full ``build()``, e.g. when files were REWRITTEN rather than
+    appended). The refreshed frame must equal a full recompute — that
+    is the caller's contract, pinned for the rollup shape in
+    tests/test_cache.py.
     """
     if fingerprint not in ("stat", "listing"):
         raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
@@ -149,9 +164,25 @@ def materialize_summary(
         fps = _fingerprints(sources, fingerprint)  # BEFORE building: if an
         # input changes mid-build the next read sees a stale fingerprint
         # and rebuilds, never the reverse
+        new_df = None
+        if refresh is not None and path_p.exists() and meta_path.exists():
+            try:
+                old_fps = json.loads(meta_path.read_text()).get(
+                    "sources", {}
+                )
+            except (json.JSONDecodeError, OSError):
+                old_fps = None
+            if old_fps is not None:
+                new_df = refresh(
+                    spark.read.parquet(str(path_p)), old_fps, fps
+                )
+        if new_df is None:
+            new_df = build()
         tmp = path_p.parent / f".{path_p.name}.tmp-{uuid.uuid4().hex[:8]}"
         path_p.parent.mkdir(parents=True, exist_ok=True)
-        build().write.mode("overwrite").parquet(str(tmp))
+        # the tmp write EXECUTES any refresh read of the old
+        # materialization before the old path is touched
+        new_df.write.mode("overwrite").parquet(str(tmp))
         if path_p.exists():
             shutil.rmtree(path_p, ignore_errors=True)
         try:

@@ -146,3 +146,107 @@ def test_materialize_summary_listing_mode(spark, tmp_path):
     (src / "part-1").write_bytes(b"6")  # the listing changed
     materialize_summary(spark, path, build, **kw)
     assert builds["n"] == 2
+
+
+def test_materialize_summary_incremental_refresh_equals_recompute(
+    spark, tmp_path
+):
+    """VERDICT r9 stretch #8: a stale cache with a `refresh` hook folds
+    ONLY the appended delta into the old summary via the rollup-merge
+    mechanism, and the refreshed materialization equals a full
+    recompute; a REWRITE (not an append) declines to the full build."""
+    from pyspark.sql import functions as F
+
+    from lol_data_collection_system_spark.sources.cache import (
+        materialize_summary,
+    )
+    from lol_data_collection_system_spark.streaming.rollup import (
+        hourly_partial,
+    )
+
+    src = tmp_path / "events_tbl"
+    rows0 = [
+        (1, "click", "2024-01-01 10:05:00", 10.0),
+        (2, "click", "2024-01-01 10:15:00", 20.0),
+        (3, "view", "2024-01-01 11:05:00", 5.0),
+    ]
+    rows1 = [
+        (4, "click", "2024-01-01 10:45:00", 7.0),
+        (5, "buy", "2024-01-01 12:01:00", 99.0),
+    ]
+
+    def ev_frame(rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "event_type", "ts_s", "value"]
+        ).select(
+            "event_id", "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        )
+
+    ev_frame(rows0).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    path = str(tmp_path / "hourly_states.parquet")
+    builds = {"n": 0}
+    refreshed_reads: list = []
+
+    def build():
+        builds["n"] += 1
+        return hourly_partial(spark.read.parquet(str(src)))
+
+    def refresh(old_df, old_fps, new_fps):
+        old_entries = old_fps[str(src)]["entries"]
+        new_entries = new_fps[str(src)]["entries"]
+        if not set(old_entries) <= set(new_entries) or any(
+            old_entries[f] != new_entries[f] for f in old_entries
+        ):
+            return None  # rewritten, not appended: decline to full build
+        fresh = sorted(set(new_entries) - set(old_entries))
+        refreshed_reads.append(fresh)
+        delta = hourly_partial(
+            spark.read.parquet(*[str(src / f) for f in fresh])
+        )
+        # algebraic merge, HOURLY_MERGE semantics: union + re-agg
+        return old_df.unionByName(delta).groupBy(
+            "hour_ms", "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum_value").alias("_sum_value"),
+            F.max("_max_value").alias("_max_value"),
+            F.min("_first_event").alias("_first_event"),
+        )
+
+    kw = dict(
+        sources=[str(src)], ttl_s=None, fingerprint="listing",
+        refresh=refresh,
+    )
+    materialize_summary(spark, path, build, **kw)
+    assert builds["n"] == 1 and refreshed_reads == []
+
+    # append a delta part file (new names: the listing diff IS the delta)
+    ev_frame(rows1).coalesce(1).write.mode("append").parquet(str(src))
+    got = {
+        (r["hour_ms"], r["event_type"]): (
+            r["n_events"], float(r["_sum_value"]), r["_first_event"]
+        )
+        for r in materialize_summary(spark, path, build, **kw).collect()
+    }
+    assert builds["n"] == 1  # the cache miss cost the DELTA, not a build
+    assert len(refreshed_reads) == 1 and refreshed_reads[0]
+    want = {
+        (r["hour_ms"], r["event_type"]): (
+            r["n_events"], float(r["_sum_value"]), r["_first_event"]
+        )
+        for r in hourly_partial(spark.read.parquet(str(src))).collect()
+    }
+    assert got == want  # refreshed summary == full recompute
+
+    # a rewrite (old part files replaced) declines to the full build
+    ev_frame(rows0 + rows1).coalesce(1).write.mode("overwrite").parquet(
+        str(src)
+    )
+    got2 = {
+        (r["hour_ms"], r["event_type"]): r["n_events"]
+        for r in materialize_summary(spark, path, build, **kw).collect()
+    }
+    assert builds["n"] == 2  # declined -> full rebuild
+    assert got2 == {k: v[0] for k, v in want.items()}
