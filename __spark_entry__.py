@@ -3559,66 +3559,66 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-9 driver sample window (VERDICT r8 #5). Front-load the
-    # ---- eight round-9 NEW declarations, then the LEAST-recently-
-    # ---- sampled cohort: all 21 names whose newest driver row is
-    # ---- still round 3 (the twelve named in the r8 verdict plus the
-    # ---- nine displaced last round), then the first 21 of the
-    # ---- round-4 cohort in name order (the remaining 29 r4 names are
-    # ---- round 10's padding cohort; after this round no query's
-    # ---- newest driver row is older than round 4).
-    "ivf_appended_store_serve",
-    "ivfadc_stream_serve",
-    "capped_index_append_classify",
-    "ivfadc_recall_eval",
-    "customer_l_diversity",
-    "customer_t_closeness",
-    "pq_distortion_report",
-    "ivf_nprobe_recall_sweep",
-    # ---- newest driver row = round 3 (all of them):
-    "order_flags",
-    "order_status_tallies",
-    "orders_page",
-    "part_type_bucket_pivot",
-    "point_lookup",
-    "pricing_summary",
-    "promo_parts_by_brand",
-    "purchase_last_click",
-    "region_priority_pivot",
-    "returnflag_set_signature",
-    "richest_customer_per_nation",
-    "semantic_near_dup",
-    "simhash_docs",
-    "sliding_rate_count",
-    "sql_revenue_by_nation",
-    "temperature_mix_rates",
-    "temperature_mix_sample",
-    "top3_lineitems_per_supplier",
-    "trailing_order_avg",
-    "type_prefix_counts",
-    "winnow_signatures",
-    # ---- newest driver row = round 4, first 21 by name:
-    "bigram_lm_scores",
-    "bloom_blocklist_confusion",
-    "bloom_decontamination",
-    "bm25_search",
-    "bpe_merge_table",
-    "bpe_segmented_docs",
-    "component_canonicals",
-    "containment_pairs",
-    "contrastive_negatives",
-    "corpus_datasheet",
-    "corpus_diff_summary",
-    "corpus_funnel",
-    "corpus_funnel_scrubbed",
-    "corpus_train_split",
-    "doc_novelty_scores",
-    "doc_quality_filter",
-    "doc_repetition_signals",
-    "doc_text_scrub",
-    "doc_tfidf_top_terms",
-    "doc_token_entropy",
-    "dsir_doc_weights",
+    # ---- round-10 driver sample window (VERDICT r9 #5). Front-load
+    # ---- the three round-10 NEW declarations, then the LEAST-
+    # ---- recently-sampled cohort: the 29 remaining names whose
+    # ---- newest driver row is round 4, the 6 round-5 names, and the
+    # ---- first 12 of the round-6 cohort in name order. After this
+    # ---- round no query's newest driver row is older than round 6;
+    # ---- the remaining 26 r6 names are round 11's padding cohort.
+    "serving_funnel_deleted",
+    "ivf_cell_skew_profile",
+    "media_png_near_dup",
+    # ---- newest driver row = round 4 (all 29 remaining):
+    "dsir_sample",
+    "embedding_cluster_stats",
+    "embedding_kmeans",
+    "embedding_pq_topk",
+    "embedding_rp_recall",
+    "embedding_rp_topk",
+    "fight_merge",
+    "frequent_terms",
+    "incremental_dedup",
+    "knn_graph",
+    "leakage_safe_split",
+    "line_dup_stats",
+    "lm_score_buckets",
+    "lsh_pair_quality",
+    "media_resized_stats",
+    "minhash_calibration",
+    "pack_sequences",
+    "pagerank_scores",
+    "pii_redacted_docs",
+    "pii_scan",
+    "repeated_substring_spans",
+    "shard_manifest",
+    "span_dup_stats",
+    "span_scrubbed_docs",
+    "stratified_doc_sample",
+    "token_budget_plan",
+    "train_test_contamination",
+    "vocab_top_terms",
+    "weighted_doc_sample",
+    # ---- newest driver row = round 5 (all 6):
+    "basket_dispersion",
+    "bpe_fertility_by_source",
+    "doc_lang_mix",
+    "price_tail_index",
+    "term_pmi_pairs",
+    "volume_autocorrelation",
+    # ---- newest driver row = round 6, first 12 by name:
+    "activity_heatmap",
+    "brand_copurchase_affinity",
+    "brand_return_rates",
+    "cohort_ltv_curve",
+    "customer_scd2_history",
+    "discount_quantity_trend",
+    "doc_length_outliers",
+    "event_pair_affinity",
+    "event_rate_anomalies",
+    "event_transition_matrix",
+    "event_value_trend",
+    "fertility_window_psi",
 )
 
 
