@@ -1580,7 +1580,13 @@ def write_corpus_index(
         {"id_col": id_col, "text_col": text_col, "k": k,
          "max_doc_freq": max_doc_freq, "has_hot": hot is not None,
          "bands": list(bands) if bands is not None else None,
-         "has_sets": sets, "has_df": df_tbl is not None},
+         "has_sets": sets, "has_df": df_tbl is not None,
+         # compaction folds the append/delete delta rows of the df side
+         # table to one row per live shingle (sum-preserving)
+         **({"fold_sums": {"df": {"keys": ["shingle"],
+                                  "sum_cols": ["df"],
+                                  "drop_zero": True}}}
+            if df_tbl is not None else {})},
     )
 
 
@@ -1893,6 +1899,10 @@ def delete_from_corpus_index(
     prior = read_tombstones(spark, path)
     if prior is not None:
         fresh = fresh.join(F.broadcast(prior), "_tomb_id", "left_anti")
+    # pinned ONCE: the tombstone rows and the negative df rows both
+    # derive from this frame — a nondeterministic delete request (a
+    # sampled set, a racing source) must not let the two diverge
+    fresh = fresh.localCheckpoint(eager=True)
     extra = None
     if meta.get("has_df"):
         neg = (

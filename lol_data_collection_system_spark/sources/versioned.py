@@ -300,6 +300,14 @@ def compact_version(
     if not oversized and not purging:
         return False
     tomb_keys = meta.get("tombstone_keys") or {}
+    # meta["fold_sums"]: {subdir: {keys, sum_cols, drop_zero}} — subdirs
+    # holding ALGEBRAIC delta rows (the corpus index's per-shingle df
+    # side table: appends add positive rows, deletes add negative ones;
+    # probes sum per key). Compaction physically folds them: one row per
+    # key, zero-sum rows dropped, so the side table's size tracks LIVE
+    # keys instead of the append+delete history. Sum-preserving, so
+    # every probe reads the same totals.
+    fold_sums = meta.get("fold_sums") or {}
     tombs = (
         spark.read.parquet(str(vpath / _TOMBSTONES)) if purging else None
     )
@@ -312,6 +320,25 @@ def compact_version(
             tgt = Path(new_vdir) / d.name
             if purging and d.name == _TOMBSTONES:
                 continue  # applied below, physically gone in this version
+            spec = fold_sums.get(d.name)
+            if spec is not None and (purging or d.name in oversized):
+                folded = (
+                    spark.read.parquet(str(d))
+                    .groupBy(*spec["keys"])
+                    .agg(*[F.sum(c).alias(c) for c in spec["sum_cols"]])
+                )
+                if spec.get("drop_zero"):
+                    alive = None
+                    for c in spec["sum_cols"]:
+                        e = F.col(c) != 0
+                        alive = e if alive is None else (alive | e)
+                    folded = folded.filter(alive)
+                (
+                    folded.select(*spec["keys"], *spec["sum_cols"])
+                    .coalesce(n_out)
+                    .write.parquet(str(tgt))
+                )
+                continue
             key = tomb_keys.get(d.name) if purging else None
             if key is not None:
                 # left_anti preserves the left schema/column order, so

@@ -483,15 +483,19 @@ def ivf_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_files: int | None = 64,
+    skew_ratio: float | None = None,
+    retrain=None,
 ):
     """Wire a new-vector stream into the versioned IVF index store;
     returns the StreamingQuery (availableNow — swap the trigger for
     continuous ingestion). Pair with `read_ivf_index` +
-    `ivf_serve_topk` on the query side."""
+    `ivf_serve_topk` on the query side; ``skew_ratio``/``retrain``
+    wire the occupancy-skew trigger (see `ivf_ingest_sink`)."""
     return (
         vec_stream.writeStream.foreachBatch(
             ivf_ingest_sink(
-                store_root, centroids, id_col, vec_col, compact_files
+                store_root, centroids, id_col, vec_col, compact_files,
+                skew_ratio, retrain,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -198,6 +198,28 @@ def test_capped_index_delete_keeps_df_side_table_exact(spark, tmp_path):
     }
     assert folded == truth  # side table == logical corpus, post-delete
 
+    # compaction (here: the tombstone purge) physically FOLDS the df
+    # side table — one row per live shingle, zero-sum rows gone, totals
+    # preserved (fold_sums meta, r10)
+    from lol_data_collection_system_spark.sources.versioned import (
+        compact_version,
+    )
+
+    assert compact_version(spark, p, max_files=10_000) is True
+    vdir2, _ = current_version(p)
+    df_rows = spark.read.parquet(str(pathlib.Path(vdir2) / "df")).collect()
+    assert len(df_rows) == len({r["shingle"] for r in df_rows})  # 1/key
+    assert all(r["df"] != 0 for r in df_rows)
+    assert {r["shingle"]: r["df"] for r in df_rows} == truth
+    # and the store still serves: a further append gates correctly
+    append_corpus_index(
+        spark, p,
+        spark.createDataFrame(
+            [(20, "fresh unrelated follow up content entirely new")],
+            "doc_id long, text string",
+        ),
+    )
+
 
 def _mk_store(spark, tmp_path, name, rows, centroids):
     store = str(tmp_path / name)
