@@ -1880,8 +1880,10 @@ def delete_from_corpus_index(
     write volume is O(delete-set). Tombstoned ids count as EXISTING for
     `append_corpus_index` until the purge (their physical rows remain),
     so a deleted id cannot be re-ingested — and can be again after
-    compaction. Replayed delete batches are no-ops (already-tombstoned
-    ids commit nothing). Returns True iff a version was committed."""
+    compaction. Replayed delete batches are no-ops — already-tombstoned
+    ids commit nothing, and after a purge (their tombstones physically
+    gone) a replay's ids are absent from the store and drop out of the
+    present-ids filter. Returns True iff a version was committed."""
     from pathlib import Path as _Path
 
     from ..sources.versioned import (
@@ -1899,6 +1901,20 @@ def delete_from_corpus_index(
     prior = read_tombstones(spark, path)
     if prior is not None:
         fresh = fresh.join(F.broadcast(prior), "_tomb_id", "left_anti")
+    # only ids PRESENT in the store tombstone (shingle ids ∪ fp
+    # representatives — a zero-kept-shingle doc exists only in fp):
+    # requests for absent ids are no-ops, which also makes a replayed
+    # batch a no-op even AFTER the purge dropped its tombstones
+    present = (
+        spark.read.parquet(str(_Path(vdir) / "shingles"))
+        .select(F.col(id_col).alias("_tomb_id"))
+        .unionByName(
+            spark.read.parquet(str(_Path(vdir) / "fp")).select(
+                F.col("_exact_match_id").alias("_tomb_id")
+            )
+        )
+    )
+    fresh = fresh.join(present, "_tomb_id", "left_semi")
     # pinned ONCE: the tombstone rows and the negative df rows both
     # derive from this frame — a nondeterministic delete request (a
     # sampled set, a racing source) must not let the two diverge

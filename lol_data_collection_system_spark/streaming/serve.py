@@ -263,15 +263,29 @@ def delete_from_ivf_store(
     rebuild. Replayed delete batches are no-ops. Tombstoned ids count
     as EXISTING for `ivf_ingest_sink`'s anti-join until the purge, so
     a deleted vector cannot silently re-enter the serving set — and
-    can be re-ingested after compaction. Returns True iff a version
+    can be re-ingested after compaction. Requests for ids ABSENT from
+    the store are dropped, so a replayed batch stays a no-op even
+    after the purge removed its tombstones. Returns True iff a version
     was committed."""
-    from ..sources.versioned import append_tombstones
+    from pyspark.sql import functions as F
 
+    from ..sources.versioned import append_tombstones, current_version
+
+    cur = current_version(store_root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed IVF index at {store_root}: nothing to delete"
+        )
+    present = spark.read.parquet(os.path.join(cur[0], "index")).select(
+        F.col(id_col).alias("_tomb_id")
+    )
+    fresh = (
+        delete_ids.toDF("_tomb_id")
+        .distinct()
+        .join(present, "_tomb_id", "left_semi")
+    )
     return append_tombstones(
-        spark,
-        store_root,
-        delete_ids.toDF("_tomb_id").distinct(),
-        key_cols={"index": id_col},
+        spark, store_root, fresh, key_cols={"index": id_col}
     )
 
 

@@ -312,3 +312,85 @@ def test_ivf_store_delete_serve_and_purge(spark, tmp_path):
         2,
     )
     assert (100, 1, 1) in serve(store)
+
+
+def test_streaming_deletion_queue_folds_both_stores(spark, tmp_path):
+    """The streaming RTBF loop: a file-source stream of deletion
+    requests (two micro-batches) expands through near-dup components
+    and tombstones BOTH stored index families; the final state equals
+    batch deletes of the union; a fresh-checkpoint replay is a no-op;
+    purge_files makes the purge physical within the run."""
+    from lol_data_collection_system_spark.streaming.rtbf import (
+        deletion_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "red orange yellow green blue indigo violet shades"),
+            (3, "red orange yellow green blue indigo violet tones"),
+            (5, "one two three four five six seven eight nine ten"),
+            (6, "entirely separate corpus content about versioning"),
+        ],
+        "doc_id long, text string",
+    )
+    cpath = str(tmp_path / "cidx")
+    write_corpus_index(
+        corpus, cpath, "doc_id", "text", KW["k"], KW["max_doc_freq"],
+        bands=(KW["n_hashes"], KW["band_size"]), sets=True,
+    )
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.85, 0.15]),
+        (5, [0.0, 1.0]), (6, [0.1, 0.9]),
+    ]
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    vpath = _mk_store(spark, tmp_path, "vstore", rows, centroids)
+    labels = dedup_clusters(
+        corpus, spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    )
+
+    src = tmp_path / "del_requests"
+    src.mkdir()
+    spark.createDataFrame([(2,)], "doc_id long").coalesce(1).write.json(
+        str(src / "b1")
+    )
+    spark.createDataFrame([(6,)], "doc_id long").coalesce(1).write.json(
+        str(src / "b2")
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src) + "/*")
+        )
+        q = deletion_stream(
+            stream, str(tmp_path / ckpt),
+            corpus_index_path=cpath, ivf_store_path=vpath,
+            labels=labels, purge_files=10_000,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    # 2 expands to {2, 3}; 6 is a singleton: logical survivors {1, 5}
+    alive_docs = {
+        r["doc_id"] for r in read_corpus_index(spark, cpath)[1]
+        .select("doc_id").distinct().collect()
+    }
+    assert alive_docs == {1, 5}
+    alive_vecs = {
+        r["vec_id"] for r in read_ivf_index(spark, vpath).collect()
+    }
+    assert alive_vecs == {1, 5}
+    # purge_files: the purge already happened physically
+    for p in (cpath, vpath):
+        vdir, meta = current_version(p)
+        assert not meta["has_tombstones"]
+        assert not (pathlib.Path(vdir) / "tombstones").exists()
+
+    # fresh-checkpoint replay of the same request files: a no-op
+    before = (current_version(cpath)[0], current_version(vpath)[0])
+    run("ck2")
+    assert (current_version(cpath)[0], current_version(vpath)[0]) == before
