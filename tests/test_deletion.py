@@ -394,3 +394,50 @@ def test_streaming_deletion_queue_folds_both_stores(spark, tmp_path):
     before = (current_version(cpath)[0], current_version(vpath)[0])
     run("ck2")
     assert (current_version(cpath)[0], current_version(vpath)[0]) == before
+
+
+def test_delete_commit_is_o_delete_set_and_serve_plan_broadcasts(
+    spark, tmp_path
+):
+    """The O(delete-set) claim as measurable evidence: a delete commit
+    HARDLINKS every index part-file forward (st_nlink >= 2 — zero data
+    copied) and writes only tombstone rows as fresh bytes; the
+    tombstone filter in the serve-path read is a broadcast anti-join,
+    never a shuffle."""
+    import os
+
+    rows = [(i, [1.0 - i * 0.01, i * 0.01]) for i in range(200)]
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    store = _mk_store(spark, tmp_path, "big", rows, centroids)
+    dels = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+    assert delete_from_ivf_store(spark, store, dels) is True
+    vdir, _meta = current_version(store)
+
+    fresh_bytes = linked = 0
+    for sub in pathlib.Path(vdir).iterdir():
+        if not sub.is_dir():
+            continue
+        for f in sub.iterdir():
+            if not f.is_file() or f.name.startswith(("_", ".")):
+                continue
+            st = os.stat(f)
+            if st.st_nlink >= 2:
+                linked += 1
+            else:
+                fresh_bytes += st.st_size
+                assert sub.name == "tombstones", (
+                    f"fresh non-tombstone file {f}"
+                )
+    assert linked >= 1  # every index part-file carried by hardlink
+    assert 0 < fresh_bytes < 16_384  # the 3-row delete-set only
+
+    idx = read_ivf_index(spark, store)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = idx._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    # no shuffle exchange anywhere in the tombstone-filtered read
