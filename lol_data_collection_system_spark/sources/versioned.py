@@ -308,6 +308,16 @@ def compact_version(
     # keys instead of the append+delete history. Sum-preserving, so
     # every probe reads the same totals.
     fold_sums = meta.get("fold_sums") or {}
+    overlap = set(tomb_keys) & set(fold_sums)
+    if overlap and purging:
+        # a subdir cannot be both id-keyed (tombstone anti-join) and an
+        # algebraic fold (groupBy-sum) — the fold branch would skip the
+        # purge and deleted rows would survive the rewrite
+        raise ValueError(
+            f"compact_version: subdir(s) {sorted(overlap)} appear in "
+            f"both tombstone_keys and fold_sums — ambiguous purge "
+            f"semantics; fix the store meta"
+        )
     tombs = (
         spark.read.parquet(str(vpath / _TOMBSTONES)) if purging else None
     )
