@@ -178,6 +178,39 @@ def quality_canonicals(
     )
 
 
+def soft_dedup_weights(
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """SoftDeDup-style loss reweighting (He et al. 2024, "SoftDedup":
+    keep every document but down-weight duplicated CONTENT so the
+    training loss sees each near-dup cluster roughly once): one row per
+    labeled document — ``(id, component_id, n_members, weight)`` with
+    ``weight = 1 / n_members`` rounded to 6 dp. Unique documents keep
+    weight 1.0; a 10-copy cluster contributes total weight ~1 instead
+    of 10. The soft alternative to `quality_canonicals`' hard drop —
+    used when duplicated text still carries signal (popularity prior)
+    but must not dominate the mixture.
+
+    Plan: one keyed count over the (id, component) label frame + a
+    component-keyed rejoin — both partial-agg'd, no window, no driver
+    state; at 100 TB this is two shuffles on the component key."""
+    sizes = labels.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labels.select(F.col(id_col), F.col(component_col))
+        .join(sizes, component_col)
+        .select(
+            F.col(id_col),
+            F.col(component_col),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round(F.lit(1.0) / F.col("n_members"), 6).alias("weight"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

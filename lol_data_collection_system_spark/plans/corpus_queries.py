@@ -853,6 +853,32 @@ FROM joined GROUP BY component_id
 """
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup loss reweighting (round 10): every document keeps a
+    row, near-dup clusters are DOWN-WEIGHTED to unit total mass
+    (weight = 1/|component|) instead of dropped — the soft alternative
+    to canonical selection when duplicated text still carries signal
+    but must not dominate the training mixture. Shares the memoized
+    converged label frame with `dedup_components`/`component_canonicals`
+    (CC runs once per session, three consumers)."""
+    from ..operators import graph as graph_ops
+
+    return graph_ops.soft_dedup_weights(
+        _dedup_labels_cached(spark, sf_dir)
+    )
+
+
+ORACLE_SOFT_DEDUP_WEIGHTS = f"""
+{_CC_CTES},
+comp_sizes AS (SELECT component_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM comps GROUP BY component_id)
+SELECT c.doc_id, c.component_id, s.n_members,
+       round(1.0 / s.n_members, 6) AS weight
+FROM comps c JOIN comp_sizes s USING (component_id)
+"""
+
+
 
 def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate generator against
@@ -6466,6 +6492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serving_funnel": q_serving_funnel,
     "serving_funnel_deleted": q_serving_funnel_deleted,
     "ivf_cell_skew_profile": q_ivf_cell_skew_profile,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "knn_graph": q_knn_graph,
     "containment_pairs": q_containment_pairs,
     "shard_manifest": q_shard_manifest,
@@ -6583,6 +6610,7 @@ ORACLES: dict[str, str] = {
     "serving_funnel": _serving_oracle(),
     "serving_funnel_deleted": _deleted_funnel_oracle(),
     "ivf_cell_skew_profile": _ivf_cell_skew_oracle(),
+    "soft_dedup_weights": ORACLE_SOFT_DEDUP_WEIGHTS,
     "knn_graph": _knn_graph_oracle(),
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "shard_manifest": ORACLE_SHARD_MANIFEST,

@@ -69,6 +69,28 @@ def test_dedup_clusters_empty_edges(spark):
     assert got == [(i, i) for i in range(4)]
 
 
+def test_soft_dedup_weights_unit_mass_per_component(spark):
+    """SoftDeDup reweighting: every doc keeps a row, each near-dup
+    component carries total weight ~1 (1/n per member), singletons
+    keep weight 1.0."""
+    from lol_data_collection_system_spark.operators.graph import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame([(3, 1), (4, 3)], ["id_a", "id_b"])
+    labels = dedup_clusters(docs, edges)
+    got = {
+        r["doc_id"]: (r["component_id"], r["n_members"], r["weight"])
+        for r in soft_dedup_weights(labels).collect()
+    }
+    assert len(got) == 6  # nothing dropped
+    assert got[1] == (1, 3, 0.333333)
+    assert got[3] == (1, 3, 0.333333) and got[4] == (1, 3, 0.333333)
+    for singleton in (0, 2, 5):
+        assert got[singleton] == (singleton, 1, 1.0)
+
+
 def test_quality_canonicals_prefers_quality_over_min_id(spark):
     from lol_data_collection_system_spark.operators.graph import (
         quality_canonicals,
