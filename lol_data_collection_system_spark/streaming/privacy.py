@@ -1,0 +1,197 @@
+"""Streaming k-anonymous release gate (round 10): publish a stream of
+rows ONLY as their quasi-identifier groups reach size >= k — the online
+enforcement of the audit `validation.k_anonymity_profile` makes offline.
+
+A batch release can filter sub-k groups after the fact; a stream cannot
+wait for the corpus to finish. The gate quarantines rows whose
+CUMULATIVE quasi group (published ∪ quarantined ∪ this batch) is still
+below k and releases the whole group — quarantined backlog included —
+the moment it crosses. Group sizes only grow, so a published row can
+never retroactively violate: the final published set equals the batch
+filter "rows in groups of total size >= k" over the full input,
+regardless of batch boundaries (pinned by pytest).
+
+Cost shape: per batch, the gate probes a per-group size side table
+(`gsizes` — one row per touched group per commit, folded by sum at
+probe time and physically merged by `compact_version`'s fold_sums
+mechanism), so the ingest path reads O(distinct groups), never the
+published rows. Published rows hardlink forward (O(delta) writes);
+only the (sub-k, bounded-by-quarantined-groups) quarantine rewrites.
+
+Replay correctness: idempotency is CONTENT-keyed on the id column —
+ids already published or quarantined anti-join out, so a replayed or
+fresh-checkpoint-re-delivered batch commits nothing new.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["k_anon_release_sink", "k_anon_release_stream", "read_released"]
+
+
+def read_released(spark, store_root: str) -> DataFrame:
+    """The published (k-anonymous) rows of a release-gate store."""
+    import os
+
+    from ..sources.versioned import current_version
+
+    cur = current_version(store_root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed release store at {store_root}"
+        )
+    return spark.read.parquet(os.path.join(cur[0], "published"))
+
+
+def k_anon_release_sink(
+    store_root: str,
+    quasi_cols: list[str],
+    k: int,
+    id_col: str = "row_id",
+):
+    """foreachBatch body for the k-anonymous release gate. Store
+    layout: ``published`` (released rows, append-by-hardlink),
+    ``quarantine`` (sub-k rows, rewritten whole — bounded by the sub-k
+    group mass), ``gsizes`` ((quasi..., n) delta rows, folded by sum —
+    the probe side table)."""
+    import os
+    from pathlib import Path
+
+    from ..sources.versioned import (
+        _link_tree,
+        commit_version,
+        current_version,
+        data_files,
+        link_or_copy,
+    )
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("k_anon_release_sink: no quasi columns")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = current_version(store_root)
+        if cur is None:
+            prev_dir = None
+            quarantine = batch_df.limit(0)
+            gsizes = (
+                batch_df.limit(0)
+                .select(*quasi_cols)
+                .withColumn("n", F.lit(0).cast("bigint"))
+            )
+            seen = batch_df.limit(0).select(F.col(id_col))
+        else:
+            prev_dir, _meta = cur
+            quarantine = spark.read.parquet(
+                os.path.join(prev_dir, "quarantine")
+            )
+            gsizes = spark.read.parquet(os.path.join(prev_dir, "gsizes"))
+            seen = (
+                spark.read.parquet(os.path.join(prev_dir, "published"))
+                .select(F.col(id_col))
+                .unionByName(quarantine.select(F.col(id_col)))
+            )
+        fresh = batch_df.join(seen, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if not fresh.take(1):
+            # replayed or all-seen batch: group sizes only change with
+            # NEW rows, so no quarantined group can cross k either —
+            # commit nothing (content-keyed idempotency)
+            return
+        pool = quarantine.unionByName(fresh).localCheckpoint(eager=True)
+        pool_counts = pool.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).alias("_pn")
+        )
+        # folded published sizes for ONLY the touched groups (broadcast
+        # semi-join prunes the side table before its one sum)
+        pub_counts = (
+            gsizes.join(
+                F.broadcast(pool_counts.select(*quasi_cols)),
+                quasi_cols,
+                "left_semi",
+            )
+            .groupBy(*quasi_cols)
+            .agg(F.sum("n").alias("_gn"))
+        )
+        ok = (
+            pool_counts.join(pub_counts, quasi_cols, "left")
+            .filter(
+                F.col("_pn") + F.coalesce(F.col("_gn"), F.lit(0))
+                >= F.lit(k)
+            )
+            .select(*quasi_cols)
+        )
+        to_publish = pool.join(
+            F.broadcast(ok), quasi_cols, "left_semi"
+        ).localCheckpoint(eager=True)
+        new_quar = pool.join(F.broadcast(ok), quasi_cols, "left_anti")
+        delta_sizes = to_publish.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+        def writer(vdir: str) -> None:
+            pub = Path(vdir) / "published"
+            to_publish.write.parquet(str(pub))
+            gs = Path(vdir) / "gsizes"
+            delta_sizes.write.parquet(str(gs))
+            if prev_dir is not None:
+                for sub, tgt in (("published", pub), ("gsizes", gs)):
+                    for f in data_files(Path(prev_dir) / sub):
+                        if not (tgt / f.name).exists():
+                            link_or_copy(f, tgt / f.name)
+                # any other subdir (pending tombstones etc.) carries
+                for src in Path(prev_dir).iterdir():
+                    if src.is_dir() and src.name not in (
+                        "published", "gsizes", "quarantine"
+                    ):
+                        _link_tree(src, Path(vdir) / src.name)
+            # quarantine REWRITES whole: it is the sub-k backlog,
+            # bounded by (k-1) rows per open group
+            new_quar.write.parquet(str(Path(vdir) / "quarantine"))
+
+        prior_meta = {} if cur is None else dict(cur[1])
+        commit_version(
+            store_root,
+            writer,
+            {
+                **prior_meta,
+                "last_batch_id": int(batch_id),
+                "k": k,
+                "quasi_cols": list(quasi_cols),
+                "fold_sums": {
+                    "gsizes": {
+                        "keys": list(quasi_cols),
+                        "sum_cols": ["n"],
+                        "drop_zero": True,
+                    }
+                },
+            },
+            expect_current=prev_dir,
+        )
+
+    return sink
+
+
+def k_anon_release_stream(
+    rows_stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    quasi_cols: list[str],
+    k: int,
+    id_col: str = "row_id",
+):
+    """Wire a row stream through the k-anonymous release gate; returns
+    the StreamingQuery (availableNow — swap the trigger for continuous
+    release). Read the published side with `read_released`."""
+    return (
+        rows_stream.writeStream.foreachBatch(
+            k_anon_release_sink(store_root, quasi_cols, k, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

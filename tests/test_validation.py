@@ -363,3 +363,108 @@ def test_t_closeness_null_sensitive_is_a_category(spark):
     assert out[0.3]["n_rows"] == 4 and out[0.3]["n_groups"] == 3
     assert out[0.3]["groups_above"] == 2 and out[0.3]["rows_above"] == 2
     assert out[0.6]["groups_above"] == 0 and out[0.6]["rows_above"] == 0
+
+
+def test_k_anon_release_gate_stream_equals_batch_filter(spark, tmp_path):
+    """Streaming k-anonymous release: rows publish exactly when their
+    cumulative quasi group reaches k (quarantined backlog released with
+    the crossing batch); the final published set equals the batch
+    filter 'groups of total size >= k' regardless of batch boundaries;
+    replays are no-ops; quarantined rows never leak."""
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+    from lol_data_collection_system_spark.streaming.privacy import (
+        k_anon_release_sink,
+        read_released,
+    )
+
+    rows = [
+        # group ('a', 1): one row per batch -> crosses k=3 at batch 2
+        (1, "a", 1), (2, "b", 1), (3, "b", 1), (4, "b", 1),
+        (5, "a", 1), (6, "c", 2),
+        (7, "a", 1), (8, "c", 2),
+    ]
+    batches = [rows[:4], rows[4:6], rows[6:]]
+    store = str(tmp_path / "gate")
+    sink = k_anon_release_sink(store, ["seg", "band"], k=3, id_col="row_id")
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs, "row_id long, seg string, band int"
+        )
+
+    sink(frame(batches[0]), 0)
+    # batch 0: b-group has 3 rows -> published; a-group 1 row -> held
+    assert {r["row_id"] for r in read_released(spark, store).collect()} \
+        == {2, 3, 4}
+    sink(frame(batches[1]), 1)
+    assert {r["row_id"] for r in read_released(spark, store).collect()} \
+        == {2, 3, 4}  # a at 2, c at 1: still held
+    sink(frame(batches[2]), 2)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    # a crossed 3: ALL its rows (incl. batches 0/1 backlog) release;
+    # c stays at 2: quarantined
+    assert got == {1, 2, 3, 4, 5, 7}
+
+    # == the batch filter over the full input
+    full = frame(rows)
+    sizes = full.groupBy("seg", "band").count().filter("count >= 3")
+    want = {
+        r["row_id"]
+        for r in full.join(sizes.select("seg", "band"), ["seg", "band"])
+        .collect()
+    }
+    assert got == want
+
+    # replayed batch: content-keyed no-op (pointer untouched)
+    before = current_version(store)[0]
+    sink(frame(batches[2]), 2)
+    assert current_version(store)[0] == before
+
+    # published rows hardlink forward; gsizes folds under compaction
+    from lol_data_collection_system_spark.sources.versioned import (
+        compact_version,
+    )
+
+    assert compact_version(spark, store, max_files=1) is True
+    import pathlib as _pl
+
+    vdir, _ = current_version(store)
+    gs = spark.read.parquet(str(_pl.Path(vdir) / "gsizes")).collect()
+    assert {(r["seg"], r["band"], r["n"]) for r in gs} == {
+        ("b", 1, 3), ("a", 1, 3)
+    }
+    assert {r["row_id"] for r in read_released(spark, store).collect()} \
+        == want  # compaction content-neutral
+
+
+def test_k_anon_release_stream_wiring(spark, tmp_path):
+    """The availableNow wiring drains a file-source stream through the
+    gate: same final published set as the sink-by-hand run."""
+    from lol_data_collection_system_spark.streaming.privacy import (
+        k_anon_release_stream,
+        read_released,
+    )
+
+    src = tmp_path / "rows"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1)], "row_id long, seg string, band int"
+    ).coalesce(1).write.json(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, "a", 1), (4, "z", 9)], "row_id long, seg string, band int"
+    ).coalesce(1).write.json(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("row_id long, seg string, band int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    store = str(tmp_path / "gate_stream")
+    q = k_anon_release_stream(
+        stream, store, str(tmp_path / "ckpt"), ["seg", "band"], k=3
+    )
+    q.awaitTermination(120)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 2, 3}  # group a crossed 3; singleton z held
