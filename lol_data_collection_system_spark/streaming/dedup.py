@@ -1176,7 +1176,11 @@ def corpus_ingest_sink(
             # the logical corpus (pre-batch docs ∪ this batch's novel
             # rows), hot set re-derived. write_corpus_index commits a
             # complete fresh version; a replayed batch then finds its
-            # ids indexed and appends an empty delta.
+            # ids indexed and appends an empty delta. The rebuild keeps
+            # the STORE's recorded extras (band/sets subdirs of an
+            # externally-built index must survive a sink rebuild, or
+            # serve-time consumers silently lose their stored tier).
+            _vdir, cur_meta = current_version(index_path)
             full = (
                 rebuild_docs(spark)
                 .select(F.col(id_col), F.col(text_col))
@@ -1185,6 +1189,11 @@ def corpus_ingest_sink(
             write_corpus_index(
                 full, index_path, id_col, text_col, k,
                 max_doc_freq=max_doc_freq,
+                bands=(
+                    tuple(cur_meta["bands"])
+                    if cur_meta.get("bands") else None
+                ),
+                sets=bool(cur_meta.get("has_sets")),
             )
         if compact_files is not None:
             from ..sources.versioned import compact_version

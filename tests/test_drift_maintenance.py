@@ -235,3 +235,44 @@ def test_corpus_ingest_capped_rebuild_on_cap_flip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="come together"):
         corpus_ingest_sink(path, out, max_doc_freq=2)
+
+
+def test_capped_rebuild_preserves_stored_band_and_set_tiers(
+    spark, tmp_path
+):
+    """A sink attached to an externally-built index (bands + sets
+    stored) must not silently drop those subdirs when its drift rebuild
+    fires — serve-time consumers rely on the stored tier."""
+    base = spark.createDataFrame(
+        [
+            (1, "shared phrase among peers plus alpha beta gamma"),
+            (2, "shared phrase among peers plus delta epsilon zeta"),
+        ],
+        DSCHEMA,
+    )
+    path = str(tmp_path / "ext_idx")
+    write_corpus_index(
+        base, path, "doc_id", "text", 3, 2, bands=(16, 2), sets=True
+    )
+    ingested = [tuple(r) for r in base.collect()]
+
+    def rebuild_docs(sp):
+        return sp.createDataFrame(ingested, DSCHEMA)
+
+    out = str(tmp_path / "ext_statuses")
+    sink = corpus_ingest_sink(
+        path, out, k=3, n_hashes=16, band_size=2, threshold=0.5,
+        compact_files=None, max_doc_freq=2, rebuild_docs=rebuild_docs,
+    )
+    # one more holder of the shared phrase -> cap flip -> rebuild
+    sink(
+        spark.createDataFrame(
+            [(3, "shared phrase among peers plus eta theta iota")],
+            DSCHEMA,
+        ),
+        0,
+    )
+    idx = read_corpus_index(spark, path)
+    assert idx.meta["bands"] == [16, 2] and idx.meta["has_sets"]
+    assert idx.bands is not None and idx.bands.take(1)
+    assert idx.sets is not None and idx.sets.take(1)
