@@ -184,11 +184,14 @@ def delete_propagation(
     Scale shape: deletion requests are tiny by nature, so both joins are
     BROADCAST (the request list, then the distinct touched components —
     bounded by the request size); the corpus-sized labels frame never
-    shuffles here. Derived artifacts (stored indexes, rollups) are NOT
-    patched in place — they rebuild through their source fingerprints
-    once the purged corpus is written (`sources/cache.py` staleness
-    contract), which is the only deletion-correct maintenance policy.
-    """
+    shuffles here. Derived-artifact maintenance (round 10): the stored
+    index families take the non-kept set DIRECTLY via O(delete-set)
+    tombstone versions (`dedup.delete_from_corpus_index`,
+    `streaming/serve.delete_from_ivf_store`, queued by
+    `streaming/rtbf.deletion_stream`) with the physical purge at
+    `compact_version` time; artifacts without a tombstone path
+    (cached summaries) still rebuild through their source fingerprints
+    (`sources/cache.py` staleness contract)."""
     dels = F.broadcast(
         delete_df.select(F.col(id_col)).distinct().withColumn(
             "_del", F.lit(1)
