@@ -94,8 +94,14 @@ def k_anon_release_sink(
                 .select(F.col(id_col))
                 .unionByName(quarantine.select(F.col(id_col)))
             )
-        fresh = batch_df.join(seen, id_col, "left_anti").localCheckpoint(
-            eager=True
+        # within-batch duplicate ids dedup BEFORE the seen probe (ADVICE
+        # r10): a batch carrying the same id twice must not double-count
+        # toward k or publish duplicate rows (mirrors rtbf.deletion_sink's
+        # .distinct() on its request batch)
+        fresh = (
+            batch_df.dropDuplicates([id_col])
+            .join(seen, id_col, "left_anti")
+            .localCheckpoint(eager=True)
         )
         if not fresh.take(1):
             # replayed or all-seen batch: group sizes only change with
@@ -103,32 +109,48 @@ def k_anon_release_sink(
             # commit nothing (content-keyed idempotency)
             return
         pool = quarantine.unionByName(fresh).localCheckpoint(eager=True)
-        pool_counts = pool.groupBy(*quasi_cols).agg(
-            F.count(F.lit(1)).alias("_pn")
+        # NULL-safe group key (ADVICE r10): the audit contract says
+        # "NULL quasi values form their own group" — groupBy already
+        # honors that, but a plain equi-join on the quasi columns would
+        # never match a NULL-keyed group, quarantining its rows forever
+        # even past k. Joining on one struct-of-quasi key column makes
+        # the match null-safe (Spark struct equality compares NULL
+        # fields as equal), mirroring the t_closeness_profile fix.
+        gk = F.struct(*[F.col(c) for c in quasi_cols]).alias("_gk")
+        pool_counts = (
+            pool.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("_pn"))
+            .select(gk, "_pn")
         )
         # folded published sizes for ONLY the touched groups (broadcast
         # semi-join prunes the side table before its one sum)
         pub_counts = (
-            gsizes.join(
-                F.broadcast(pool_counts.select(*quasi_cols)),
-                quasi_cols,
+            gsizes.select(gk, "n")
+            .join(
+                F.broadcast(pool_counts.select("_gk")),
+                "_gk",
                 "left_semi",
             )
-            .groupBy(*quasi_cols)
+            .groupBy("_gk")
             .agg(F.sum("n").alias("_gn"))
         )
         ok = (
-            pool_counts.join(pub_counts, quasi_cols, "left")
+            pool_counts.join(pub_counts, "_gk", "left")
             .filter(
                 F.col("_pn") + F.coalesce(F.col("_gn"), F.lit(0))
                 >= F.lit(k)
             )
-            .select(*quasi_cols)
+            .select("_gk")
         )
-        to_publish = pool.join(
-            F.broadcast(ok), quasi_cols, "left_semi"
-        ).localCheckpoint(eager=True)
-        new_quar = pool.join(F.broadcast(ok), quasi_cols, "left_anti")
+        pool_k = pool.select("*", gk)
+        to_publish = (
+            pool_k.join(F.broadcast(ok), "_gk", "left_semi")
+            .drop("_gk")
+            .localCheckpoint(eager=True)
+        )
+        new_quar = pool_k.join(
+            F.broadcast(ok), "_gk", "left_anti"
+        ).drop("_gk")
         delta_sizes = to_publish.groupBy(*quasi_cols).agg(
             F.count(F.lit(1)).cast("bigint").alias("n")
         )

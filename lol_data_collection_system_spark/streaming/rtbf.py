@@ -30,14 +30,27 @@ __all__ = ["deletion_sink", "deletion_stream"]
 def deletion_sink(
     corpus_index_path: str | None = None,
     ivf_store_path: str | None = None,
-    labels: DataFrame | None = None,
+    labels=None,
     id_col: str = "doc_id",
     purge_files: int | None = None,
 ):
     """foreachBatch body: each micro-batch of requested ids expands one
-    hop through the near-dup components (when ``labels`` — any
-    (id, component_id) map — is given) and tombstones into the stored
-    corpus index and/or the versioned IVF store.
+    hop through the near-dup components (when ``labels`` is given) and
+    tombstones into the stored corpus index and/or the versioned IVF
+    store.
+
+    ``labels``: either a static (id, component_id) DataFrame — fine for
+    bounded batch jobs — or a CALLABLE ``spark -> DataFrame`` resolved
+    PER BATCH (ADVICE r10): on a long-running deletion stream a static
+    frame is a start-time snapshot, so documents ingested after stream
+    start would never expand and copies of deleted content would
+    survive. The callable pattern matches the rebuild_docs/retrain
+    providers the ingest sinks use. When ``labels`` is None and the
+    target includes a corpus index, the sink warns loudly: the stored
+    index keeps ONE representative per fingerprint, so deleting a
+    representative without component expansion lets surviving copies of
+    the same content re-admit as "novel" (semantics pinned by the
+    `serving_funnel_deleted` oracle, but weaker than a rebuild).
 
     ``purge_files``: when set, `compact_version` runs after each fold
     with this threshold — pending tombstones FORCE compaction, so every
@@ -57,13 +70,29 @@ def deletion_sink(
             "deletion_sink: no target store — pass corpus_index_path "
             "and/or ivf_store_path"
         )
+    if corpus_index_path is not None and labels is None:
+        import warnings
+
+        warnings.warn(
+            "deletion_sink: corpus-index deletion WITHOUT component "
+            "expansion (labels=None) — the stored index keeps one "
+            "representative per fingerprint, so incoming copies of "
+            "still-present content whose representative is deleted "
+            "will re-admit as novel. Pass labels (a component map or a "
+            "spark->DataFrame provider) unless the delete sets are "
+            "already component-expanded.",
+            stacklevel=2,
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ids = batch_df.select(F.col(id_col)).distinct()
         if labels is not None:
+            # resolve a provider PER BATCH so expansion tracks the live
+            # component map; a static frame stays a start-time snapshot
+            lab = labels(spark) if callable(labels) else labels
             ids = (
-                delete_propagation(labels, ids, id_col=id_col)
+                delete_propagation(lab, ids, id_col=id_col)
                 .filter(F.col("status") != "kept")
                 .select(F.col(id_col))
             )
@@ -86,11 +115,13 @@ def deletion_stream(
     checkpoint_dir: str,
     corpus_index_path: str | None = None,
     ivf_store_path: str | None = None,
-    labels: DataFrame | None = None,
+    labels=None,
     id_col: str = "doc_id",
     purge_files: int | None = None,
 ):
-    """Wire a deletion-request stream into the stored index families;
+    """Wire a deletion-request stream into the stored index families
+    (``labels`` may be a static frame or a per-batch provider — see
+    `deletion_sink`);
     returns the StreamingQuery (availableNow — swap the trigger for a
     continuously-draining deletion queue)."""
     return (

@@ -461,6 +461,26 @@ def ivf_ingest_sink(
             if total and k and hot * k > skew_ratio * total:
                 new_idx, new_cents = retrain(spark)
                 new_idx = new_idx.select(F.col(id_col), F.col("cid"))
+                # the retrain provider's corpus store may LAG the
+                # stream (ADVICE r10): nothing guarantees the batch
+                # this sink just committed is in the retrain source,
+                # and the advanced checkpoint means no replay would
+                # restore it. Route the batch's novel vectors against
+                # the NEW centroids and union them in — ids the retrain
+                # already covers anti-join out inside ivf_index_delta,
+                # so a non-lagging provider commits identical rows.
+                batch_carry = ivf_index_delta(
+                    new_idx,
+                    batch_df.join(
+                        fresh.select(F.col(id_col)), id_col, "left_semi"
+                    ),
+                    new_cents,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                new_idx = new_idx.unionByName(
+                    batch_carry
+                ).localCheckpoint(eager=True)
                 reb_dir, _m = current_version(store_root)
 
                 def rebuild_writer(vdir: str) -> None:

@@ -441,3 +441,103 @@ def test_delete_commit_is_o_delete_set_and_serve_plan_broadcasts(
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
     # no shuffle exchange anywhere in the tombstone-filtered read
+
+
+def test_deletion_sink_live_labels_provider_tracks_late_ingest(
+    spark, tmp_path
+):
+    """``labels`` as a CALLABLE (spark -> DataFrame) re-resolves per
+    request batch (ADVICE r10): a document ingested AFTER the deletion
+    stream starts, near-dup to a LATER deletion request, expands and
+    tombstones — a static labels frame is a start-time snapshot under
+    which that late copy would survive (asserted here too)."""
+    from lol_data_collection_system_spark.streaming.rtbf import (
+        deletion_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "red orange yellow green blue indigo violet shades"),
+        ],
+        "doc_id long, text string",
+    )
+    cpath = str(tmp_path / "cidx_live")
+    write_corpus_index(
+        corpus, cpath, "doc_id", "text", KW["k"], KW["max_doc_freq"],
+        bands=(KW["n_hashes"], KW["band_size"]), sets=True,
+    )
+    labels_path = str(tmp_path / "labels_live")
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    dedup_clusters(corpus, no_pairs).write.mode("overwrite").parquet(
+        labels_path
+    )
+
+    sink = deletion_sink(
+        corpus_index_path=cpath,
+        labels=lambda s: s.read.parquet(labels_path),
+    )
+    snapshot_labels = spark.read.parquet(labels_path).localCheckpoint(
+        eager=True
+    )  # what a static-frame sink would keep using
+    static_sink = deletion_sink(
+        corpus_index_path=cpath, labels=snapshot_labels
+    )
+    sink(spark.createDataFrame([(0,)], "doc_id long"), 0)
+
+    # AFTER stream start: doc 3 (near-dup of 2) ingests and the live
+    # component map is republished to the labels store
+    late = spark.createDataFrame(
+        [(3, "red orange yellow green blue indigo violet tones")],
+        "doc_id long, text string",
+    )
+    append_corpus_index(spark, cpath, late)
+    dedup_clusters(
+        corpus.unionByName(late),
+        spark.createDataFrame([(2, 3)], "id_a long, id_b long"),
+    ).write.mode("overwrite").parquet(labels_path)
+
+    # a static-snapshot expansion of {2} misses the late doc 3
+    static_expanded = {
+        r["doc_id"]
+        for r in delete_propagation(
+            snapshot_labels,
+            spark.createDataFrame([(2,)], "doc_id long"),
+            id_col="doc_id",
+        )
+        .filter(F.col("status") != "kept")
+        .collect()
+    }
+    assert 3 not in static_expanded
+
+    # the live-provider sink takes doc 3 with the request for doc 2
+    sink(spark.createDataFrame([(2,)], "doc_id long"), 1)
+    alive = {
+        r["doc_id"]
+        for r in read_corpus_index(spark, cpath)[1]
+        .select("doc_id").distinct().collect()
+    }
+    assert alive == {1}
+    del static_sink  # constructed to prove the API still accepts frames
+
+
+def test_deletion_sink_warns_on_unexpanded_corpus_delete(spark, tmp_path):
+    """Deleting from a corpus index without component expansion warns
+    loudly (ADVICE r10): the store keeps one representative per
+    fingerprint, so unexpanded deletes can re-admit surviving copies."""
+    import warnings
+
+    from lol_data_collection_system_spark.streaming.rtbf import (
+        deletion_sink,
+    )
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        deletion_sink(corpus_index_path=str(tmp_path / "x"))
+    assert any("component" in str(w.message) for w in rec)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        deletion_sink(ivf_store_path=str(tmp_path / "y"))
+    assert not rec  # vector stores have no representative semantics

@@ -276,3 +276,66 @@ def test_capped_rebuild_preserves_stored_band_and_set_tiers(
     assert idx.meta["bands"] == [16, 2] and idx.meta["has_sets"]
     assert idx.bands is not None and idx.bands.take(1)
     assert idx.sets is not None and idx.sets.take(1)
+
+
+def test_ivf_skew_retrain_carries_in_flight_batch(spark, tmp_path):
+    """A retrain provider whose corpus store LAGS the stream (its source
+    misses the batch that fired the trigger) must not lose that batch's
+    vectors (ADVICE r10): the sink routes the just-committed delta
+    against the NEW centroids and unions it into the rebuild version —
+    the advanced checkpoint means no replay would restore them."""
+    from lol_data_collection_system_spark.operators.similarity import (
+        ivf_index_delta,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    balanced = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    drifted = [(10 + i, [1.0, 0.01 * i]) for i in range(6)]
+
+    # LAGGING provider: reads only the pre-drift corpus snapshot
+    def retrain(sp):
+        vecs = sp.createDataFrame(balanced, VSCHEMA)
+        return (
+            kmeans_assign(vecs, k=2, iters=2),
+            kmeans_centroids(vecs, k=2, iters=2),
+        )
+
+    store = str(tmp_path / "ivf_lag")
+    sink = ivf_ingest_sink(
+        store, cents, compact_files=None, skew_ratio=1.5, retrain=retrain
+    )
+    sink(spark.createDataFrame(balanced, VSCHEMA), 0)
+    sink(spark.createDataFrame(drifted, VSCHEMA), 1)  # fires the retrain
+
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in read_ivf_index(spark, store).collect()
+    }
+    got_ids = {v for v, _ in got}
+    # every drifted-batch vector survives the rebuild...
+    assert got_ids == {1, 2, 3, 4} | {10 + i for i in range(6)}
+    # ...and the carried rows are routed by the RETRAINED centroids
+    retrained_base = kmeans_assign(
+        spark.createDataFrame(balanced, VSCHEMA), k=2, iters=2
+    )
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in retrained_base.unionByName(
+            ivf_index_delta(
+                retrained_base,
+                spark.createDataFrame(drifted, VSCHEMA),
+                kmeans_centroids(
+                    spark.createDataFrame(balanced, VSCHEMA), k=2, iters=2
+                ),
+            )
+        ).collect()
+    }
+    assert got == want
+    # counters reflect the carried rows too (the next trigger decision
+    # sees the physical index)
+    _, meta = current_version(store)
+    assert sum(meta["cell_counts"].values()) == 10

@@ -439,6 +439,66 @@ def test_k_anon_release_gate_stream_equals_batch_filter(spark, tmp_path):
         == want  # compaction content-neutral
 
 
+def test_k_anon_release_gate_null_quasi_group_releases(spark, tmp_path):
+    """NULL quasi values form their own group (the audit operator's
+    documented semantics) and must RELEASE once that group reaches k —
+    a plain equi-join on the quasi columns would quarantine NULL-keyed
+    rows forever (ADVICE r10, fixed via a null-safe struct group key)."""
+    from lol_data_collection_system_spark.streaming.privacy import (
+        k_anon_release_sink,
+        read_released,
+    )
+
+    store = str(tmp_path / "gate_null")
+    sink = k_anon_release_sink(store, ["seg", "band"], k=3, id_col="row_id")
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs, "row_id long, seg string, band int"
+        )
+
+    # the (NULL, NULL) group accumulates across batches and crosses k=3
+    sink(frame([(1, None, None), (2, "a", 1)]), 0)
+    assert read_released(spark, store).count() == 0
+    sink(frame([(3, None, None), (4, None, 7)]), 1)
+    assert read_released(spark, store).count() == 0
+    sink(frame([(5, None, None), (6, None, None)]), 2)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 3, 5, 6}  # (NULL,NULL) released; (a,1),(NULL,7) held
+    # a later batch's rows of the already-crossed NULL group release too
+    # (published gsizes probe must match the NULL key null-safely)
+    sink(frame([(7, None, None)]), 3)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 3, 5, 6, 7}
+
+
+def test_k_anon_release_gate_dedups_within_batch_ids(spark, tmp_path):
+    """A micro-batch carrying the same id twice publishes the row once
+    and counts it ONCE toward k (ADVICE r10): duplicate delivery glue
+    must not inflate group sizes past the privacy threshold."""
+    from lol_data_collection_system_spark.streaming.privacy import (
+        k_anon_release_sink,
+        read_released,
+    )
+
+    store = str(tmp_path / "gate_dup")
+    sink = k_anon_release_sink(store, ["seg"], k=3, id_col="row_id")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "a")],
+        "row_id long, seg string",
+    )
+    sink(df, 0)
+    # 2 DISTINCT ids in group a: k=3 not reached — a double-counting
+    # gate would have published here
+    assert read_released(spark, store).count() == 0
+    sink(
+        spark.createDataFrame([(3, "a")], "row_id long, seg string"), 1
+    )
+    rel = read_released(spark, store).collect()
+    assert sorted(r["row_id"] for r in rel) == [1, 2, 3]
+    assert len(rel) == 3  # id 1 published exactly once
+
+
 def test_k_anon_release_stream_wiring(spark, tmp_path):
     """The availableNow wiring drains a file-source stream through the
     gate: same final published set as the sink-by-hand run."""
