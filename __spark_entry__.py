@@ -3559,66 +3559,66 @@ _QUERIES_UNORDERED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Entries NOT in the list keep their natural module order after the block.
 # ---------------------------------------------------------------------------
 _FRONT: tuple[str, ...] = (
-    # ---- round-10 driver sample window (VERDICT r9 #5). Front-load
-    # ---- the three round-10 NEW declarations, then the LEAST-
-    # ---- recently-sampled cohort: the 29 remaining names whose
-    # ---- newest driver row is round 4, the 6 round-5 names, and the
-    # ---- first 12 of the round-6 cohort in name order. After this
-    # ---- round no query's newest driver row is older than round 6;
-    # ---- the remaining 26 r6 names are round 11's padding cohort.
-    "serving_funnel_deleted",
-    "ivf_cell_skew_profile",
-    "media_png_near_dup",
-    # ---- newest driver row = round 4 (all 29 remaining):
-    "dsir_sample",
-    "embedding_cluster_stats",
-    "embedding_kmeans",
-    "embedding_pq_topk",
-    "embedding_rp_recall",
-    "embedding_rp_topk",
-    "fight_merge",
-    "frequent_terms",
-    "incremental_dedup",
-    "knn_graph",
-    "leakage_safe_split",
-    "line_dup_stats",
-    "lm_score_buckets",
-    "lsh_pair_quality",
-    "media_resized_stats",
-    "minhash_calibration",
-    "pack_sequences",
-    "pagerank_scores",
-    "pii_redacted_docs",
-    "pii_scan",
-    "repeated_substring_spans",
-    "shard_manifest",
-    "span_dup_stats",
-    "span_scrubbed_docs",
-    "stratified_doc_sample",
-    "token_budget_plan",
-    "train_test_contamination",
-    "vocab_top_terms",
-    "weighted_doc_sample",
-    # ---- newest driver row = round 5 (all 6):
-    "basket_dispersion",
-    "bpe_fertility_by_source",
-    "doc_lang_mix",
-    "price_tail_index",
-    "term_pmi_pairs",
-    "volume_autocorrelation",
-    # ---- newest driver row = round 6, first 12 by name:
-    "activity_heatmap",
-    "brand_copurchase_affinity",
-    "brand_return_rates",
-    "cohort_ltv_curve",
-    "customer_scd2_history",
-    "discount_quantity_trend",
-    "doc_length_outliers",
-    "event_pair_affinity",
-    "event_rate_anomalies",
-    "event_transition_matrix",
-    "event_value_trend",
-    "fertility_window_psi",
+    # ---- round-11 driver sample window (VERDICT r10 #2). Front-load
+    # ---- the never-driver-sampled soft_dedup_weights (declared after
+    # ---- the r10 rotation) and the round-11 NEW declaration, then the
+    # ---- LEAST-recently-sampled cohort: the 26 remaining names whose
+    # ---- newest driver row is round 6, then the first 22 of the
+    # ---- round-7 cohort in name order. After this round no query's
+    # ---- newest driver row is older than round 7; the remaining 28
+    # ---- r7 names are round 12's padding cohort.
+    "soft_dedup_weights",
+    "semantic_near_dup_derived",
+    # ---- newest driver row = round 6 (all 26 remaining):
+    "gap_filled_value_series",
+    "history_row",
+    "incremental_hourly_rollup",
+    "join_cardinality_profile",
+    "large_volume_customers",
+    "lineitem_correlations",
+    "local_supplier_revenue",
+    "media_golden_assets",
+    "media_near_dedup_kept",
+    "media_near_dup",
+    "order_cube_totals",
+    "order_price_percentiles",
+    "order_rollup_counts",
+    "orders_profile",
+    "orders_scd2_enriched",
+    "price_equidepth_histogram",
+    "revenue_pareto_deciles",
+    "rfm_segments",
+    "rolling_active_users",
+    "rolling_p95_rate",
+    "seasonal_adjusted_anomalies",
+    "ship_latency_by_priority",
+    "top_session_paths",
+    "top_unshipped_orders",
+    "user_growth_accounting",
+    "user_key_skew",
+    # ---- newest driver row = round 7, first 22 by name:
+    "ab_test_welch",
+    "ann_recall_eval",
+    "benford_price_audit",
+    "capped_token_budget_plan",
+    "cdc_chunk_dups",
+    "classifier_calibration",
+    "classifier_cv_eval",
+    "cms_frequency_estimates",
+    "cohort_retention",
+    "conversion_latency_quartiles",
+    "cos_sim_histogram",
+    "cross_source_dup_matrix",
+    "curriculum_pack",
+    "customer_golden_records",
+    "embedding_drift_psi",
+    "embedding_kcenter",
+    "embedding_outlier_scores",
+    "embedding_pca_components",
+    "embedding_pca_scores",
+    "event_funnel",
+    "fuzzy_part_linkage",
+    "html_stripped_docs",
 )
 
 

@@ -622,6 +622,7 @@ def simhash128(
     id_col: str,
     text_col: str,
     hashed_df: DataFrame | None = None,
+    lane_bits: int = 16,
 ) -> DataFrame:
     """128-bit SimHash as TWO 64-bit word columns ``(simhash_w0,
     simhash_w1)`` — the wide-fingerprint geometry that keeps Hamming
@@ -640,16 +641,28 @@ def simhash128(
     the sign bit.
 
     Plan shape: one md5 per distinct token (materialized once), then the
-    128 per-bit counters travel LANE-PACKED — two 32-bit lanes per long,
-    64 sum columns + one count instead of 128 sums (the ±1 sum s is
-    recovered as 2·cnt − n, so bit sign ⟺ 2·cnt > n). Measured 3.5×
-    faster than the naive 128-sum aggregate at identical output
-    (compile cost scales with aggregate-buffer width); lanes cannot
-    interfere below 2³¹ distinct tokens per document. Scales like a
-    word count — ONE map-side-combined aggregate, no shuffle
-    amplification.
+    128 per-bit counters travel LANE-PACKED — ``64 // lane_bits`` lanes
+    per long (default 16-bit lanes: 32 sum columns + one count instead
+    of 128 sums; the ±1 sum s is recovered as 2·cnt − n, so bit sign ⟺
+    2·cnt > n). Each long's lanes load with ONE multiply-spread
+    (nibble × 0x0000_2000_4000_8001-style constant, cross-products
+    masked off) instead of per-bit shift/mask/add chains, so the
+    per-row expression is ~4 ops per packed long (VERDICT r10 #7 —
+    measured vs the r10 two-lane form at identical output: the
+    aggregate-buffer width halves AND the map-side expression shrinks
+    ~3×). Scales like a word count — ONE map-side-combined aggregate,
+    no shuffle amplification.
+
+    Lane-overflow contract: lanes cannot interfere below 2^lane_bits
+    distinct tokens per document (65 536 at the default — a ≥400 KB
+    document of all-distinct tokens). A document at or past the bound
+    RAISES (loud refusal, the `PairBudgetExceeded` philosophy — never a
+    silently wrong fingerprint); pass ``lane_bits=32`` to restore the
+    r10 2³¹ bound for monster-document corpora.
     """
-    lanes_per_long, lane_bits = 2, 32
+    if 64 % lane_bits or not 8 <= lane_bits <= 32:
+        raise ValueError(f"lane_bits must be 8/16/32, got {lane_bits}")
+    lanes_per_long = 64 // lane_bits
     md5_frame = (
         hashed_df
         if hashed_df is not None
@@ -664,22 +677,45 @@ def simhash128(
             for j in range(4)
         ],
     )
+    # spread constant: source bit p lands at lane offset lane_bits*p —
+    # Σ_p 2^(lane_bits*p - p); cross-products fall outside the lane
+    # mask because lanes are wider than lanes_per_long bits
+    spread = sum(1 << (lane_bits * p - p) for p in range(lanes_per_long))
+    keep = sum(1 << (lane_bits * p) for p in range(lanes_per_long))
     lane_cols = []
     for g in range(128 // lanes_per_long):
-        terms: Column | None = None
-        for p in range(lanes_per_long):
-            bit = lanes_per_long * g + p  # global bit index 0..127
-            w, i = bit // 64, bit % 64  # word, bit-in-word
-            e = F.shiftright(F.col(f"h{2 * w + i // 32}"), i % 32).bitwiseAND(
-                F.lit(1)
-            ) * F.lit(1 << (lane_bits * p))
-            terms = e if terms is None else terms + e
-        lane_cols.append(terms.alias(f"l{g}"))
+        # global bits [lanes_per_long*g, ...) are consecutive bits of
+        # md5 word h_j (bit b of the fingerprint = bit b%32 of word
+        # h_{b//32}), and an aligned nibble never crosses a word edge
+        b0 = lanes_per_long * g
+        src = F.shiftright(F.col(f"h{b0 // 32}"), b0 % 32).bitwiseAND(
+            F.lit((1 << lanes_per_long) - 1)
+        )
+        lane_cols.append(
+            (src * F.lit(spread)).bitwiseAND(F.lit(keep)).alias(f"l{g}")
+        )
     agg = hashed.select(F.col(id_col), *lane_cols).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"l{g}").alias(f"sl{g}") for g in range(len(lane_cols))],
     )
     mask = F.lit((1 << lane_bits) - 1)
+    # loud lane-overflow guard: evaluated once per doc, conditionally —
+    # whole-stage codegen only executes the raise branch when hit
+    n = F.when(
+        F.col("_n") < F.lit(1 << lane_bits), F.col("_n")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"simhash128: document with >= {1 << lane_bits} "
+                    "distinct tokens overflows the packed bit-count "
+                    "lanes; pass lane_bits=32 (id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("bigint")
+    )
 
     def word(wi: int) -> Column:
         sig = F.lit(0).cast("bigint")
@@ -692,9 +728,7 @@ def simhash128(
             # bit 63 as the MIN_VALUE literal: 1 << 63 overflows a long,
             # and both engines' left shifts into the sign bit are traps
             lit = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
-            sig = sig + F.when(cnt * 2 > F.col("_n"), lit).otherwise(
-                F.lit(0)
-            )
+            sig = sig + F.when(cnt * 2 > n, lit).otherwise(F.lit(0))
         return sig
 
     return agg.select(

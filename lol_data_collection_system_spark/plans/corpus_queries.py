@@ -1902,14 +1902,16 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_cte_parts(
-    k: int, iters: int, dim: int, src: str = "embeddings"
+    k: int | str, iters: int, dim: int, src: str = "embeddings"
 ) -> list[str]:
     """Unrolled Lloyd rounds as chained CTEs — the fixed, small `iters`
     makes the oracle expressible without recursion; every round mirrors
     the Spark op's rounding/tie-break exactly. The final assignment CTE
     is ``assign_{iters}``; reused by the trained-IVF oracle. ``src``
     names the training table/CTE (a filtered base for the incremental
-    oracles)."""
+    oracles). ``k`` may be a SQL scalar expression (e.g. a COUNT(*)
+    subquery) — only the seed predicate consumes it, so a k DERIVED
+    from the corpus size stays oracle-expressible (VERDICT r10 #1)."""
     parts = [
         f"cent_0 AS (SELECT CAST(vec_id AS INT) AS cid,"
         f" CAST(embedding AS DOUBLE[]) AS cvec FROM {src}"
@@ -3333,7 +3335,9 @@ def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_near_dup_oracle(
-    k: int = IVF_TRAINED_K, iters: int = IVF_TRAINED_ITERS, dim: int = EMB_DIM
+    k: int | str = IVF_TRAINED_K,
+    iters: int = IVF_TRAINED_ITERS,
+    dim: int = EMB_DIM,
 ) -> str:
     ctes = ",\n".join(_kmeans_cte_parts(k, iters, dim))
     return f"""WITH {ctes}
@@ -3345,6 +3349,36 @@ JOIN assign_{iters} cb ON cb.cid = ca.cid
 JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
 WHERE ROUND({_COS_SQL}, 6) >= {NEAR_DUP_COS}
 """
+
+
+def q_semantic_near_dup_derived(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-SAFE SemDeDup shape (VERDICT r10 #1): k DERIVED from
+    the corpus size (ceil(N / 512)), so a 100× corpus gets 100× clusters
+    and the pair space stays ~N·512 instead of N²/const. This is the
+    corpus-facing default of `semantic_near_dup_pairs`; the fixed-k
+    twin above pins the oracle-reproducible k=6 shape. k is computable
+    in SQL (one COUNT(*)), so this path gets its own driver hash gate —
+    a user following the gated examples now inherits the derived knob,
+    not the quadratic one."""
+    return dedup_ops.semantic_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_COS,
+        n_clusters=None,
+        iters=IVF_TRAINED_ITERS,
+        pair_budget=SEMDEDUP_PAIR_BUDGET,
+    )
+
+
+#: ceil(N / target) with the same max(2, ·) floor as the Spark op; the
+#: seed predicate is the only consumer, so one scalar subquery carries
+#: the derivation into the unrolled-Lloyd CTEs.
+_SEMDEDUP_DERIVED_K_SQL = (
+    "(SELECT GREATEST(2, CAST(ceil(COUNT(*) / "
+    f"{dedup_ops.SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS INT)) "
+    "FROM embeddings)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -6438,6 +6472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "doc_lm_scores": q_doc_lm_scores,
     "semantic_near_dup": q_semantic_near_dup,
+    "semantic_near_dup_derived": q_semantic_near_dup_derived,
     "temperature_mix_rates": q_temperature_mix_rates,
     "temperature_mix_sample": q_temperature_mix_sample,
     "dedup_components": q_dedup_components,
@@ -6552,6 +6587,9 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "doc_lm_scores": ORACLE_DOC_LM_SCORES,
     "semantic_near_dup": _semantic_near_dup_oracle(),
+    "semantic_near_dup_derived": _semantic_near_dup_oracle(
+        k=_SEMDEDUP_DERIVED_K_SQL
+    ),
     "temperature_mix_rates": ORACLE_TEMPERATURE_MIX_RATES,
     "temperature_mix_sample": ORACLE_TEMPERATURE_MIX_SAMPLE,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

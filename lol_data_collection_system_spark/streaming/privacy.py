@@ -15,8 +15,11 @@ Cost shape: per batch, the gate probes a per-group size side table
 (`gsizes` — one row per touched group per commit, folded by sum at
 probe time and physically merged by `compact_version`'s fold_sums
 mechanism), so the ingest path reads O(distinct groups), never the
-published rows. Published rows hardlink forward (O(delta) writes);
-only the (sub-k, bounded-by-quarantined-groups) quarantine rewrites.
+published rows. The replay-idempotency id probe is broadcast-scoped
+(semi-join of the stored ids against the broadcast batch — map-side
+columnar read, no corpus-sized shuffle; VERDICT r10 #4). Published
+rows hardlink forward (O(delta) writes); only the (sub-k,
+bounded-by-quarantined-groups) quarantine rewrites.
 
 Replay correctness: idempotency is CONTENT-keyed on the id column —
 ids already published or quarantined anti-join out, so a replayed or
@@ -98,11 +101,26 @@ def k_anon_release_sink(
         # r10): a batch carrying the same id twice must not double-count
         # toward k or publish duplicate rows (mirrors rtbf.deletion_sink's
         # .distinct() on its request batch)
-        fresh = (
-            batch_df.dropDuplicates([id_col])
-            .join(seen, id_col, "left_anti")
-            .localCheckpoint(eager=True)
+        batch_rows = batch_df.dropDuplicates([id_col])
+        # seen-probe scoped by a BROADCAST of the batch's ids (VERDICT
+        # r10 #4): the naive batch.join(seen, left_anti) sort-merge-
+        # shuffles the ENTIRE published id column every micro-batch —
+        # O(corpus) shuffle on the ingest path. Flipping it — semi-join
+        # the stored ids against the broadcast batch, then anti-join
+        # the batch against that (≤|batch|-row) hit set — keeps both
+        # joins broadcast: the id column is read map-side (columnar,
+        # projection-pruned) and NOTHING corpus-sized ever shuffles.
+        # Same two-phase shape as delete_from_corpus_index's tombstone
+        # derivation; SCALING r11 measures the per-batch wall flat
+        # across 1×/3×/10× published volume.
+        already = seen.join(
+            F.broadcast(batch_rows.select(F.col(id_col))),
+            id_col,
+            "left_semi",
         )
+        fresh = batch_rows.join(
+            F.broadcast(already), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
         if not fresh.take(1):
             # replayed or all-seen batch: group sizes only change with
             # NEW rows, so no quarantined group can cross k either —
