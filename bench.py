@@ -83,6 +83,24 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # Sub-second queries are the most contention-hostage: a concurrent
+    # verification run stealing cores for 300 ms doubles a 0.4 s query,
+    # and min-of-3 can still miss an uncontended slot when the overlap
+    # spans the whole sweep (VERDICT r10: two sub-second queries crossed
+    # the 2× gate on unchanged plans). Give them three EXTRA min-samples
+    # — cheap by construction (they are sub-second) and spread across
+    # time, so at least one sample usually lands in a quiet window.
+    for _pass in range(3):
+        for name in names:
+            if timings[name] >= 1.0:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings[name], elapsed)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The full per-query map (190+ entries, one giant line) overflows the
