@@ -499,6 +499,100 @@ def test_k_anon_release_gate_dedups_within_batch_ids(spark, tmp_path):
     assert len(rel) == 3  # id 1 published exactly once
 
 
+def test_l_div_release_gate_stream_equals_batch_filter(spark, tmp_path):
+    """Streaming distinct-l-diversity gate (VERDICT r10 #9): a group's
+    pooled rows publish exactly when its cumulative distinct sensitive
+    count reaches l (NULL counts as a value, mirroring the audit);
+    the final published set equals the batch filter over the full
+    input; replays are no-ops."""
+    from lol_data_collection_system_spark.streaming.privacy import (
+        l_div_release_sink,
+        read_released,
+    )
+    from lol_data_collection_system_spark.sources.versioned import (
+        current_version,
+    )
+
+    store = str(tmp_path / "ldiv")
+    sink = l_div_release_sink(store, ["seg"], l=3, sensitive_col="s")
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "row_id long, seg string, s int")
+
+    sink(frame([(1, "a", 1), (2, "a", 2),
+                (3, "b", 1), (4, "b", 1), (5, "b", 1)]), 0)
+    assert read_released(spark, store).count() == 0  # a:2, b:1 distinct
+    sink(frame([(6, "a", None), (7, "b", 2)]), 1)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    # a reached {1, 2, NULL} = 3 (NULL is a value): backlog released
+    assert got == {1, 2, 6}
+    sink(frame([(8, "b", 3)]), 2)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 7, 8}  # b crossed: full backlog
+
+    # == batch filter over the full input (both groups >= 3 distinct)
+    before = current_version(store)[0]
+    sink(frame([(8, "b", 3)]), 2)  # replay: content-keyed no-op
+    assert current_version(store)[0] == before
+
+
+def test_t_close_release_gate_release_time_soundness(spark, tmp_path):
+    """Streaming t-closeness gate (VERDICT r10 #9): a group publishes
+    once its cumulative sensitive histogram is within t (total
+    variation) of the cumulative global histogram; backlog releases at
+    the crossing; on this drift-stationary fixture the final published
+    set equals the batch filter. Expected distances hand-computed:
+    batch 1 global is 50/50, so the balanced group publishes (tvd 0)
+    and both one-sided groups hold (tvd 0.5); batch 2 moves group b to
+    (2,1) vs global 4/7 -> tvd 0.096 <= 0.3: b's backlog releases; c
+    stays one-sided (tvd 0.571) and quarantines."""
+    from lol_data_collection_system_spark.streaming.privacy import (
+        read_released,
+        t_close_release_sink,
+    )
+
+    store = str(tmp_path / "tclose")
+    sink = t_close_release_sink(store, ["seg"], t=0.3, sensitive_col="s")
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs, "row_id long, seg string, s string"
+        )
+
+    sink(frame([(1, "a", "x"), (2, "a", "y"),
+                (3, "b", "x"), (4, "b", "x"),
+                (5, "c", "y"), (6, "c", "y")]), 0)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 2}  # a tvd=0; b and c tvd=0.5 held
+    sink(frame([(7, "b", "y")]), 1)
+    got = {r["row_id"] for r in read_released(spark, store).collect()}
+    assert got == {1, 2, 3, 4, 7}  # b tvd -> 2/21 <= 0.3: backlog out
+
+    # == the batch filter over the full 7 rows (global x=4/7):
+    # a tvd=1/14 ok, b tvd=2/21 ok, c tvd=4/7 held
+    import itertools
+
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "x"),
+            (5, "c", "y"), (6, "c", "y"), (7, "b", "y")]
+    from fractions import Fraction
+
+    glob = {"x": Fraction(4, 7), "y": Fraction(3, 7)}
+    want = set()
+    for seg, grp in itertools.groupby(
+        sorted(rows, key=lambda r: r[1]), key=lambda r: r[1]
+    ):
+        grp = list(grp)
+        n = len(grp)
+        hist = {
+            s: Fraction(sum(1 for r in grp if r[2] == s), n)
+            for s in glob
+        }
+        tvd = sum(abs(hist[s] - glob[s]) for s in glob) / 2
+        if tvd <= Fraction(3, 10):
+            want |= {r[0] for r in grp}
+    assert got == want
+
+
 def test_k_anon_release_stream_wiring(spark, tmp_path):
     """The availableNow wiring drains a file-source stream through the
     gate: same final published set as the sink-by-hand run."""
