@@ -653,12 +653,15 @@ def simhash128(
     ~3×). Scales like a word count — ONE map-side-combined aggregate,
     no shuffle amplification.
 
-    Lane-overflow contract: lanes cannot interfere below 2^lane_bits
-    distinct tokens per document (65 536 at the default — a ≥400 KB
-    document of all-distinct tokens). A document at or past the bound
-    RAISES (loud refusal, the `PairBudgetExceeded` philosophy — never a
-    silently wrong fingerprint); pass ``lane_bits=32`` to restore the
-    r10 2³¹ bound for monster-document corpora.
+    Lane-overflow contract: safe below 2^(lane_bits−1) distinct tokens
+    per document (32 768 at the default — a ≥200 KB document of
+    all-distinct tokens; the top lane borders the sign bit, hence the
+    −1). A document at or past the bound RAISES — Spark's ANSI
+    ARITHMETIC_OVERFLOW during the sum, or this operator's own guard
+    when ANSI is off (loud refusal either way, the
+    `PairBudgetExceeded` philosophy — never a silently wrong
+    fingerprint); pass ``lane_bits=32`` to restore the r10 2³¹ bound
+    for monster-document corpora.
     """
     if 64 % lane_bits or not 8 <= lane_bits <= 32:
         raise ValueError(f"lane_bits must be 8/16/32, got {lane_bits}")
@@ -700,16 +703,21 @@ def simhash128(
     )
     mask = F.lit((1 << lane_bits) - 1)
     # loud lane-overflow guard: evaluated once per doc, conditionally —
-    # whole-stage codegen only executes the raise branch when hit
-    n = F.when(
-        F.col("_n") < F.lit(1 << lane_bits), F.col("_n")
-    ).otherwise(
+    # whole-stage codegen only executes the raise branch when hit. The
+    # bound is 2^(lane_bits-1), not 2^lane_bits: the TOP lane occupies
+    # the long's sign-adjacent bits, so its count crosses into the sign
+    # bit one power earlier — under ANSI mode Spark's own
+    # ARITHMETIC_OVERFLOW fires during the sum (also loud); this guard
+    # is the non-ANSI backstop that keeps a wrapped lane from ever
+    # decoding silently.
+    bound = 1 << (lane_bits - 1)
+    n = F.when(F.col("_n") < F.lit(bound), F.col("_n")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"simhash128: document with >= {1 << lane_bits} "
-                    "distinct tokens overflows the packed bit-count "
-                    "lanes; pass lane_bits=32 (id="
+                    f"simhash128: document with >= {bound} distinct "
+                    "tokens overflows the packed bit-count lanes; "
+                    "pass lane_bits=32 (id="
                 ),
                 F.col(id_col).cast("string"),
                 F.lit(")"),

@@ -854,3 +854,37 @@ def test_simhash_components_match_bruteforce_union_find(spark):
     assert got == want
     # the exact dups really did land together (fixture sanity)
     assert got[0] == got[1] and got[3] == got[4]
+
+
+def test_simhash128_lane_overflow_guard_and_escape_hatch(spark):
+    """The packed bit-count lanes raise LOUDLY when a document's
+    distinct-token count reaches the lane capacity (never a silently
+    wrong fingerprint), and wider lanes restore the old bound with
+    bit-identical signatures (r11 lane repack contract)."""
+    import pytest
+
+    from lol_data_collection_system_spark.operators.dedup import simhash128
+
+    big = " ".join(f"tok{i}" for i in range(300))  # 300 distinct tokens
+    docs = spark.createDataFrame(
+        [(0, big), (1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    # 8-bit lanes cap at 128 distinct tokens (top lane borders the
+    # sign bit): the 300-token doc raises — Spark's ANSI overflow or
+    # the operator's own guard, loud either way
+    with pytest.raises(Exception, match="(?i)overflow"):
+        simhash128(docs, "doc_id", "text", lane_bits=8).collect()
+    # default 16-bit lanes and the 32-bit escape hatch agree exactly
+    d16 = {
+        r["doc_id"]: (r["simhash_w0"], r["simhash_w1"])
+        for r in simhash128(docs, "doc_id", "text").collect()
+    }
+    d32 = {
+        r["doc_id"]: (r["simhash_w0"], r["simhash_w1"])
+        for r in simhash128(
+            docs, "doc_id", "text", lane_bits=32
+        ).collect()
+    }
+    assert d16 == d32 and len(d16) == 2
+    with pytest.raises(ValueError, match="lane_bits"):
+        simhash128(docs, "doc_id", "text", lane_bits=12)
