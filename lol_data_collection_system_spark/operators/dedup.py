@@ -1889,6 +1889,13 @@ def append_corpus_index(
     commit_version(path, writer, meta, expect_current=vdir)
 
 
+#: Delete batches up to this many ids collect to a literal IN-predicate
+#: pushed into the stored-table scans (rowgroup skipping); larger ones
+#: fall back to the broadcast semi-join scan. 10k ids ≈ a few hundred
+#: KB on the driver — far under any broadcast threshold.
+DELETE_PUSHDOWN_MAX = 10_000
+
+
 def delete_from_corpus_index(
     spark,
     path: str,
@@ -1916,10 +1923,18 @@ def delete_from_corpus_index(
     `write_corpus_index` rebuild re-derives the hot set from the purged
     corpus when drift accumulates.
 
-    Deriving the negative rows reads the stored shingle table pruned to
-    the delete-set (broadcast semi-join) — an O(corpus)-scan read per
-    delete batch, same documented shape as the pre-side-table gate;
-    write volume is O(delete-set). Tombstoned ids count as EXISTING for
+    Deriving the negative rows and the present-ids filter read the
+    stored shingle table pruned to the delete-set. For request batches
+    up to `DELETE_PUSHDOWN_MAX` ids (the deletion-cadence norm) the ids
+    collect to the driver (bounded pull) and prune as a LITERAL
+    IN-predicate pushed into the parquet scan — `PushedFilters` reaches
+    the rowgroup statistics, so files whose id ranges miss the delete
+    set never deserialize (r11, closing the r10 O(corpus)-read debt;
+    Spark folds over-long IN lists to a min/max range predicate, which
+    still skips). Larger batches fall back to the broadcast semi-join
+    (map-side O(corpus) columnar scan, no shuffle — the r10 shape);
+    write volume is O(delete-set) either way. Tombstoned ids count as
+    EXISTING for
     `append_corpus_index` until the purge (their physical rows remain),
     so a deleted id cannot be re-ingested — and can be again after
     compaction. Replayed delete batches are no-ops — already-tombstoned
@@ -1943,35 +1958,61 @@ def delete_from_corpus_index(
     prior = read_tombstones(spark, path)
     if prior is not None:
         fresh = fresh.join(F.broadcast(prior), "_tomb_id", "left_anti")
+    # pinned BEFORE the bounded collect below: a nondeterministic
+    # delete request (a sampled set, a racing source) must give the
+    # pushdown predicate and the tombstone writer the same ids
+    fresh = fresh.localCheckpoint(eager=True)
+    # bounded-batch fast path (r11): collect the request ids once and
+    # prune the corpus-sized scans below with a pushed IN-predicate —
+    # see the docstring's cost-shape paragraph
+    req = fresh.limit(DELETE_PUSHDOWN_MAX + 1).collect()
+    idvals = [r["_tomb_id"] for r in req]
+    small = len(idvals) <= DELETE_PUSHDOWN_MAX
     # only ids PRESENT in the store tombstone (shingle ids ∪ fp
     # representatives — a zero-kept-shingle doc exists only in fp):
     # requests for absent ids are no-ops, which also makes a replayed
     # batch a no-op even AFTER the purge dropped its tombstones
-    present = (
-        spark.read.parquet(str(_Path(vdir) / "shingles"))
-        .select(F.col(id_col).alias("_tomb_id"))
-        .unionByName(
-            spark.read.parquet(str(_Path(vdir) / "fp")).select(
-                F.col("_exact_match_id").alias("_tomb_id")
+    sh_tbl = spark.read.parquet(str(_Path(vdir) / "shingles"))
+    fp_tbl = spark.read.parquet(str(_Path(vdir) / "fp"))
+    if small:
+        present = (
+            sh_tbl.filter(F.col(id_col).isin(idvals))
+            .select(F.col(id_col).alias("_tomb_id"))
+            .unionByName(
+                fp_tbl.filter(
+                    F.col("_exact_match_id").isin(idvals)
+                ).select(F.col("_exact_match_id").alias("_tomb_id"))
             )
+            .distinct()
         )
-    )
-    fresh = fresh.join(present, "_tomb_id", "left_semi")
+        fresh = fresh.join(F.broadcast(present), "_tomb_id", "left_semi")
+    else:
+        present = sh_tbl.select(
+            F.col(id_col).alias("_tomb_id")
+        ).unionByName(
+            fp_tbl.select(F.col("_exact_match_id").alias("_tomb_id"))
+        )
+        fresh = fresh.join(present, "_tomb_id", "left_semi")
     # pinned ONCE: the tombstone rows and the negative df rows both
     # derive from this frame — a nondeterministic delete request (a
     # sampled set, a racing source) must not let the two diverge
     fresh = fresh.localCheckpoint(eager=True)
     extra = None
     if meta.get("has_df"):
-        neg = (
-            spark.read.parquet(str(_Path(vdir) / "shingles"))
-            .join(
+        # idvals is the request superset of fresh (prior-tombstoned ids
+        # already removed; absent ids contribute no shingle rows), so
+        # the pushed predicate selects EXACTLY fresh's rows
+        pruned_sh = (
+            sh_tbl.filter(F.col(id_col).isin(idvals))
+            if small
+            else sh_tbl.join(
                 F.broadcast(fresh.select(F.col("_tomb_id").alias(id_col))),
                 id_col,
                 "left_semi",
             )
-            .groupBy("shingle")
-            .agg((-F.count(F.lit(1))).alias("df"))
+        )
+        neg = pruned_sh.groupBy("shingle").agg(
+            (-F.count(F.lit(1))).alias("df")
         )
         extra = [("df", neg)]
     keys = {"fp": "_exact_match_id", "shingles": id_col}
