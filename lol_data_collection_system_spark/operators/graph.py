@@ -80,17 +80,33 @@ def connected_components(
     ).collect()[0][0]
     prev_sum = _sum(labels) if numeric else None
 
-    for _ in range(max_iter):
+    def one_round(cur: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym["v"] == labels["node"])
+            sym.join(cur, sym["v"] == cur["node"])
             .select(F.col("u").alias("node"), F.col("comp"))
         )
-        new_labels = (
-            labels.union(neighbor_min)
+        return (
+            cur.union(neighbor_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
+
+    # TWO propagation rounds per convergence check (r11): each check is
+    # a driver-blocking action, and at small per-round cost the action
+    # count dominates the loop (guide §1.2 — fewer sequential jobs).
+    # Labels only ever DECREASE, so the doubled check stays exact: the
+    # sum (or the strict-decrease count) is unchanged across a double
+    # round iff neither inner round changed a label, and extra rounds
+    # past the fixed point are no-ops — the returned labels are
+    # identical to the check-every-round loop's.
+    rounds_done = 0
+    while rounds_done < max_iter:
+        new_labels = one_round(labels)
+        rounds_done += 1
+        if rounds_done < max_iter:
+            new_labels = one_round(new_labels)
+            rounds_done += 1
         if numeric:
             new_sum = _sum(new_labels)
             converged = new_sum == prev_sum

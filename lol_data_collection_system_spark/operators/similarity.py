@@ -19,6 +19,8 @@ same join shape, better balance on anisotropic embeddings.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -340,9 +342,14 @@ def kmeans_assign(
     self-join back onto the vectors. ``checkpoint_rounds=False`` keeps
     the full lineage (plan tests inspect the join/agg shape through it).
     """
-    assigned, _ = _lloyd_rounds(
-        emb, k, iters, id_col, vec_col, checkpoint_rounds
-    )
+    if not checkpoint_rounds:
+        assigned, _ = _lloyd_rounds(
+            emb, k, iters, id_col, vec_col, checkpoint_rounds
+        )
+    else:
+        assigned, _ = kmeans_fit(
+            emb, k, iters, id_col, vec_col, need_cents=False
+        )
     out = [F.col(id_col)]
     if keep_vec:
         out.append(F.col(vec_col))
@@ -362,10 +369,152 @@ def kmeans_centroids(
     returned centroids are the recompute from the final assignment
     (the oracle's ``cent_{iters}`` CTE), decimal-exact and
     engine-portable like everything else in the family."""
-    _, cents = _lloyd_rounds(emb, k, iters, id_col, vec_col, True)
-    return cents.select(F.explode("cents").alias("_c")).select(
-        F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec")
+    _, cents = kmeans_fit(emb, k, iters, id_col, vec_col)
+    return cents
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 6,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    need_cents: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One Lloyd loop, both artifacts: ``(assignment, centroids)`` with
+    the centroid set carried through the rounds as a DRIVER-SIDE list of
+    k×dim doubles (collected once per round, re-emitted as a literal
+    array — the standard Lloyd driver pattern). Values are bit-identical
+    to `_lloyd_rounds`: the per-round update is the same
+    posexplode → DECIMAL(38,10) sum → double mean aggregation, and a
+    collected double re-literalized is the same IEEE-754 value, so every
+    cosine downstream sees identical inputs (seed centroids are
+    float32 → exact doubles; `dot`/`l2_norm` cast to double either way).
+
+    Why (r11, guide §1.2/§7.3): the lazy loop re-embedded each round's
+    full plan inside the next round's crossJoin, so (a) driver-side
+    Catalyst analysis grew with iters — measured 1.7 s of pure plan
+    construction per call at iters=2 — and (b) call sites needing BOTH
+    artifacts ran the loop twice (`kmeans_assign` + `kmeans_centroids`
+    were independent plans, doubling the executed Lloyd rounds). Here
+    each round is one small eager job (emb pass + k·dim-row shuffle),
+    the final assignment is a single map-side argmax over a LITERAL
+    centroid array (plan size constant in iters), and the centroid
+    frame is a k-row local relation — broadcast joins against it cost
+    nothing to plan or execute.
+
+    ``need_cents=False`` skips the final centroid recompute job
+    (assign-only callers need centroids only through round iters-1).
+    Falls back to `_lloyd_rounds` when no seed vectors exist (empty or
+    id-shifted frames keep the legacy degenerate behavior)."""
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .collect()
     )
+    if not seed_rows:
+        assigned, cents = _lloyd_rounds(emb, k, iters, id_col, vec_col, True)
+        if not need_cents:
+            return assigned, None
+        return assigned, cents.select(F.explode("cents").alias("_c")).select(
+            F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec")
+        )
+    cents: list[tuple[int, list[float]]] = sorted(
+        (r["cid"], [float(x) for x in r["cvec"]]) for r in seed_rows
+    )
+
+    def lit_cents() -> Column:
+        # ONE parsed SQL expression instead of k×dim Column objects:
+        # building literals per element costs a py4j round-trip each
+        # (~1 s for 6×64 — measured), the string parse is ~ms. repr()
+        # is the shortest exactly-roundtripping decimal form and
+        # CAST(string AS DOUBLE) parses correctly rounded, so values
+        # stay bit-identical.
+        if not all(
+            math.isfinite(v) for _, vec in cents for v in vec
+        ):  # pragma: no cover - synthetic corpora are finite
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).cast("int").alias("cid"),
+                        F.array(
+                            *[F.lit(v).cast("double") for v in vec]
+                        ).alias("cvec"),
+                    )
+                    for cid, vec in cents
+                ]
+            )
+        structs = ",".join(
+            "named_struct('cid', CAST(%d AS INT), 'cvec', array(%s))"
+            % (
+                cid,
+                ",".join("CAST('%s' AS DOUBLE)" % repr(v) for v in vec),
+            )
+            for cid, vec in cents
+        )
+        return F.expr("array(%s)" % structs)
+
+    def best_cid() -> Column:
+        def centroid_sim(c: Column) -> Column:
+            return F.struct(
+                F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_max(F.transform(lit_cents(), centroid_sim))["cid"]
+
+    def update_rows(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+        ex = assigned.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        per_dim = ex.groupBy("cid", "dim").agg(
+            F.sum(
+                F.col("val").cast("double").cast("decimal(38,10)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim"),
+                                (
+                                    F.col("s").cast("double") / F.col("n")
+                                ).alias("m"),
+                            )
+                        )
+                    ),
+                    lambda st: st["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        return sorted((r["cid"], [float(x) for x in r["cvec"]]) for r in rows)
+
+    assigned = None
+    for rnd in range(iters):
+        assigned = emb.select(
+            F.col(id_col), F.col(vec_col), best_cid().alias("cid")
+        )
+        if rnd < iters - 1 or need_cents:
+            new_cents = update_rows(assigned)
+        if rnd < iters - 1:
+            cents = new_cents
+    if not need_cents:
+        return assigned, None
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in new_cents],
+        schema="cid int, cvec array<double>",
+    )
+    return assigned, cents_df
 
 
 def _lloyd_rounds(
@@ -1009,11 +1158,8 @@ def ivf_pq_topk(
         )
         cell_rows = centroids.select("cid", "cvec")
     else:
-        assigned, cents1 = _lloyd_rounds(
-            emb, n_cells, coarse_iters, id_col, vec_col, True
-        )
-        cell_rows = cents1.select(F.explode("cents").alias("_c")).select(
-            F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec")
+        assigned, cell_rows = kmeans_fit(
+            emb, n_cells, coarse_iters, id_col, vec_col
         )
 
     res = assigned.join(F.broadcast(cell_rows), "cid").select(

@@ -364,11 +364,21 @@ def q_classifier_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated on the held-out fold with the exact Mann-Whitney AUC.
     3 × CLF_ITERS map-combined gradient aggregates over one pinned
     feature projection — nothing here is corpus² at any scale."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # eager: the frame is re-read by 3×CLF_ITERS gradient jobs below;
+    # materializing once up front also makes the concurrent folds race-
+    # free on the checkpoint (same bytes either way)
     feats = doc_features(spark, sf_dir).withColumn(
         "_fold", sampling_ops.sample_bucket(F.col("doc_id"), CV_SALT) % CV_FOLDS
-    ).localCheckpoint(eager=False)
-    out = None
-    for f in range(CV_FOLDS):
+    ).localCheckpoint(eager=True)
+
+    def fold_eval(f: int) -> DataFrame:
+        # each fold's CLF_ITERS gradient-descent collects are driver-
+        # blocking; the folds are INDEPENDENT, so running them from a
+        # small thread pool overlaps the jobs (guide §2.6) — per-fold
+        # math, and therefore every weight and AUC, is unchanged
+        spark.sparkContext.setJobDescription(f"classifier_cv_eval fold {f}")
         train = feats.filter(F.col("_fold") != f)
         weights = clf_ops.logreg_train(
             train, list(CLF_FEATURES), label_col="y",
@@ -377,7 +387,7 @@ def q_classifier_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = clf_ops.logreg_score(
             feats.filter(F.col("_fold") == f), weights, list(CLF_FEATURES)
         )
-        ev = clf_ops.binary_eval(
+        return clf_ops.binary_eval(
             scored, label_col="y", score_col="score",
             threshold=CLF_THRESHOLD,
         ).select(
@@ -386,7 +396,13 @@ def q_classifier_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_neg",
             "auc",
         )
-        out = ev if out is None else out.unionByName(ev)
+
+    with ThreadPoolExecutor(max_workers=CV_FOLDS) as pool:
+        evs = list(pool.map(fold_eval, range(CV_FOLDS)))
+    spark.sparkContext.setJobDescription(None)
+    out = evs[0]
+    for ev in evs[1:]:
+        out = out.unionByName(ev)
     return out
 
 

@@ -2288,10 +2288,8 @@ def _ivfpq_books_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        assigned = sim_ops.kmeans_assign(
-            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS, keep_vec=True
-        )
-        cents = sim_ops.kmeans_centroids(
+        # one shared Lloyd fit (r11) — same values as the two loops
+        assigned, cents = sim_ops.kmeans_fit(
             emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
         )
         res = assigned.join(_F.broadcast(cents), "cid").select(
@@ -2445,10 +2443,8 @@ def _ivfadc_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        assigned = sim_ops.kmeans_assign(
-            emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS, keep_vec=True
-        )
-        cents = sim_ops.kmeans_centroids(
+        # one shared Lloyd fit (r11) — same values as the two loops
+        assigned, cents = sim_ops.kmeans_fit(
             emb, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
         )
         res = assigned.join(_F.broadcast(cents), "cid").select(
@@ -3022,11 +3018,13 @@ def q_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % INCR_DELTA_MOD != 9)
     delta = emb.filter(F.col("vec_id") % INCR_DELTA_MOD == 9)
-    index = sim_ops.kmeans_assign(
+    # one shared Lloyd fit (r11): assignment + centroids from a single
+    # loop — bit-identical to the two independent loops it replaces
+    assigned, cents = sim_ops.kmeans_fit(
         base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
     )
-    cents = sim_ops.kmeans_centroids(
-        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+    index = assigned.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
     )
     merged = sim_ops.ivf_index_append(index, delta, cents)
     queries = emb.filter(F.col("vec_id") < SERVE_N_QUERIES).select(
@@ -3161,9 +3159,6 @@ def _ivf_appended_store_cached(spark: SparkSession, sf_dir: str) -> str:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % INCR_DELTA_MOD != 9)
     delta = emb.filter(F.col("vec_id") % INCR_DELTA_MOD == 9)
-    cents = sim_ops.kmeans_centroids(
-        base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
-    )
     sf_name = _os.path.basename(sf_dir.rstrip("/"))
     # every derivation param in the path so a constant change can never
     # serve a store appended under the old ones
@@ -3183,8 +3178,12 @@ def _ivf_appended_store_cached(spark: SparkSession, sf_dir: str) -> str:
         _shutil.rmtree(path, ignore_errors=True)
         # seed version: the base cohort's LLOYD assignment (training
         # output), exactly what the in-plan twin unions the delta onto
-        seed = sim_ops.kmeans_assign(
+        # — one shared fit yields the ingest centroids too (r11)
+        seed_lazy, cents = sim_ops.kmeans_fit(
             base, k=IVF_TRAINED_K, iters=IVF_TRAINED_ITERS
+        )
+        seed = seed_lazy.select(
+            "vec_id", F.col("cid").cast("bigint").alias("cid")
         )
 
         def writer(vdir: str) -> None:
