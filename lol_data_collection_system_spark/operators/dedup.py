@@ -701,7 +701,6 @@ def simhash128(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"l{g}").alias(f"sl{g}") for g in range(len(lane_cols))],
     )
-    mask = F.lit((1 << lane_bits) - 1)
     # loud lane-overflow guard: evaluated once per doc, conditionally —
     # whole-stage codegen only executes the raise branch when hit. The
     # bound is 2^(lane_bits-1), not 2^lane_bits: the TOP lane occupies
@@ -724,25 +723,39 @@ def simhash128(
             )
         ).cast("bigint")
     )
+    # the guard evaluates ONCE per doc into `_nchk` (the old expression
+    # tree inlined it into all 128 sign terms), and the two 64-term
+    # sign-sum words parse as ONE SQL expression each: building them
+    # from per-term Column objects was ~800 py4j round-trips — measured
+    # ~3 s of pure driver time per call (r11, guide §7.3); the string
+    # parse is milliseconds and the resolved plan is identical.
+    guarded = agg.withColumn("_nchk", n)
+    m = (1 << lane_bits) - 1
 
-    def word(wi: int) -> Column:
-        sig = F.lit(0).cast("bigint")
+    def word_sql(wi: int) -> str:
+        terms = []
         for i in range(64):
             bit = 64 * wi + i
             g, p = bit // lanes_per_long, bit % lanes_per_long
-            cnt = F.shiftright(F.col(f"sl{g}"), lane_bits * p).bitwiseAND(
-                mask
+            # bit 63 as the MIN_VALUE literal: 1 << 63 overflows a
+            # long, and both engines' shifts into the sign bit are
+            # traps (the bare literal -9223372036854775808 parses as
+            # DECIMAL — route it through a string cast)
+            lit = (
+                "CAST('-9223372036854775808' AS BIGINT)"
+                if i == 63
+                else str(1 << i) + "L"
             )
-            # bit 63 as the MIN_VALUE literal: 1 << 63 overflows a long,
-            # and both engines' left shifts into the sign bit are traps
-            lit = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
-            sig = sig + F.when(cnt * 2 > n, lit).otherwise(F.lit(0))
-        return sig
+            terms.append(
+                f"(CASE WHEN (shiftright(sl{g}, {lane_bits * p}) & {m}L)"
+                f" * 2 > _nchk THEN {lit} ELSE 0L END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    return agg.select(
-        F.col(id_col),
-        word(0).cast("bigint").alias("simhash_w0"),
-        word(1).cast("bigint").alias("simhash_w1"),
+    return guarded.selectExpr(
+        id_col,
+        word_sql(0) + " AS simhash_w0",
+        word_sql(1) + " AS simhash_w1",
     )
 
 

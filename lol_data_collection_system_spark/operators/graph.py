@@ -37,11 +37,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge sets at or under this size run union-find on the driver (one
+#: bounded limit+collect, ~16 B/edge → a few MB) instead of the
+#: iterative label-propagation loop, whose per-round driver actions
+#: dominate at small graph sizes. Larger edge sets keep the
+#: distributed loop — the 100 TB path is unchanged.
+CC_DRIVER_EDGE_BOUND = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_edge_bound: int | None = CC_DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """(node, component_id) for every node that appears in `edges`;
     component_id = the minimum node id in the component.
@@ -50,8 +59,64 @@ def connected_components(
     duplicate edges are harmless. Raises if `max_iter` rounds don't
     reach the fixed point — near-dup graphs converge in single digits,
     so hitting the cap means the input isn't the expected workload.
-    """
-    from pyspark.sql.types import NumericType
+
+    Bounded-graph fast path (r11, guide §1.2 — fewer sequential
+    actions): for INTEGRAL or STRING node ids, the edge frame is pulled
+    with ``limit(bound + 1)``; if it fits, exact union-find runs on the
+    driver (component = min member id, identical by definition to the
+    propagation fixed point — Python int comparison equals Spark's
+    integral ordering, and Python str comparison is codepoint order,
+    which equals Spark's UTF-8 binary string ordering) and the result
+    returns as a local relation. One driver action replaces the
+    seed-sum + per-round convergence actions. Edge sets past the bound
+    — the at-scale regime — fall through to the distributed loop
+    unchanged."""
+    from pyspark.sql.types import IntegralType, NumericType, StringType
+
+    id_type = edges.schema[src].dataType
+    if (
+        driver_edge_bound
+        and isinstance(id_type, (IntegralType, StringType))
+        and isinstance(
+            edges.schema[dst].dataType, (IntegralType, StringType)
+        )
+        and type(edges.schema[dst].dataType) is type(id_type)
+    ):
+        rows = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .limit(driver_edge_bound + 1)
+            .collect()
+        )
+        has_null = any(r["u"] is None or r["v"] is None for r in rows)
+        if len(rows) <= driver_edge_bound and not has_null:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            out = [(node, find(node)) for node in parent]
+            spark = edges.sparkSession
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", id_type, True),
+                    StructField("component_id", id_type, True),
+                ]
+            )
+            return spark.createDataFrame(out, schema)
 
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -674,26 +674,43 @@ def bootstrap_mean_ci(
         *[f"_h{d}" for d in range(n_digests)],
         F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b"),
     )
-    # replicate b reads byte (b % 7) of integer digest (b // 7)
+    # replicate b reads byte (b % 7) of integer digest (b // 7). The
+    # byte maps to its Poisson weight through a 256-entry literal LUT —
+    # the same mapping the u <= CDF[k] comparison chain computed
+    # (u = byte/256 exactly, so LUT[byte] is the identical k), minus a
+    # double division and an 8-deep CASE per (row, replicate) (r11).
     harr = ", ".join(f"_h{d}" for d in range(n_digests))
-    u = (
-        F.expr(
-            f"shiftright(element_at(array({harr}),"
-            " CAST(_b DIV 7 AS INT) + 1), (_b % 7) * 8) & 255"
-        ).cast("double")
-        / F.lit(256.0)
+    lut = []
+    for byte in range(256):
+        u = byte / 256.0
+        wv = len(POISSON1_CDF)
+        for k, thr in enumerate(POISSON1_CDF):
+            if u <= thr:
+                wv = k
+                break
+        lut.append(wv)
+    lut_sql = "array(" + ",".join(str(x) for x in lut) + ")"
+    w = F.expr(
+        f"element_at({lut_sql}, CAST((shiftright(element_at(array({harr}),"
+        " CAST(_b DIV 7 AS INT) + 1), (_b % 7) * 8) & 255) AS INT) + 1)"
     )
-    w = F.lit(len(POISSON1_CDF))
-    for k in reversed(range(len(POISSON1_CDF))):
-        w = F.when(u <= F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
     drawn = exploded.select("_b", "_v", w.cast("bigint").alias("_w"))
-    # w as decimal(2,0): a bigint operand would push the product past
-    # the 38-digit cap (silent scale truncation — engine-divergent)
-    reps = drawn.groupBy("_b").agg(
+    # Two-level aggregate (r11): weights are integers 0..8, so summing
+    # `_v` once per (replicate, weight) group and scaling the ≤9 group
+    # sums by w afterwards replaces a decimal multiply per
+    # (row, replicate) with one per group — Σ_rows v·w = Σ_w w·Σ_w(v)
+    # exactly (decimal sums and integer scaling are both exact), so
+    # rep_mean is bit-identical. w as decimal(2,0): a bigint operand
+    # would push the product past the 38-digit cap (silent scale
+    # truncation — engine-divergent).
+    bw = drawn.groupBy("_b", "_w").agg(
+        F.sum("_v").alias("_sv"), F.count(F.lit(1)).alias("_cnt")
+    )
+    reps = bw.groupBy("_b").agg(
         (
-            F.sum(F.col("_v") * F.col("_w").cast("decimal(2,0)"))
+            F.sum(F.col("_sv") * F.col("_w").cast("decimal(2,0)"))
             .cast("double")
-            / F.sum("_w").cast("double")
+            / F.sum(F.col("_w") * F.col("_cnt")).cast("double")
         ).alias("rep_mean")
     )
     pct = F.expr(f"percentile(rep_mean, array({lo!r}, {hi!r}))")

@@ -170,8 +170,17 @@ def cms_cells(
     """
     from .sampling import sample_bucket
 
-    rows = terms.select(
-        F.col(term_col).alias("_t"),
+    # Aggregate BEFORE hashing (r11, guide §2.3): a cell count is the
+    # sum of its colliding terms' frequencies, so one count-by-term
+    # shuffle first makes the md5 bucket hash run once per DISTINCT
+    # (term, row) instead of once per OCCURRENCE — identical cnt values
+    # (exact long sums either way), hash cost ∝ vocabulary, not corpus.
+    freqs = terms.groupBy(F.col(term_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    rows = freqs.select(
+        "_t",
+        "_f",
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
     )
     bucket = (
@@ -182,9 +191,9 @@ def cms_cells(
         % width
     )
     return (
-        rows.select("_r", bucket.alias("_b"))
+        rows.select("_r", bucket.alias("_b"), "_f")
         .groupBy("_r", "_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_f").alias("cnt"))
     )
 
 
@@ -204,24 +213,40 @@ def cms_estimates(
     """
     from .sampling import sample_bucket
 
-    cells = cms_cells(terms, term_col, width, depth, salt)
+    # ONE term-count shuffle and ONE md5 bucket pass feed BOTH the
+    # sketch cells and the probe (r11): cells = per-bucket sums of the
+    # colliding terms' frequencies (identical to counting occurrences),
+    # probe = the same hashed frame joined back against the broadcast
+    # cells. The checkpoint materializes the hashed frame once instead
+    # of once per consumer.
     exact = terms.groupBy(F.col(term_col).alias("term")).agg(
         F.count(F.lit(1)).alias("exact_freq")
     )
-    probe = exact.select(
-        "term",
-        "exact_freq",
-        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
-    ).withColumn(
-        "_b",
-        sample_bucket(
-            F.concat(F.col("_r").cast("string"), F.lit(":"), F.col("term")),
-            salt,
+    hashed = (
+        exact.select(
+            "term",
+            "exact_freq",
+            F.explode(
+                F.array(*[F.lit(r) for r in range(depth)])
+            ).alias("_r"),
         )
-        % width,
+        .withColumn(
+            "_b",
+            sample_bucket(
+                F.concat(
+                    F.col("_r").cast("string"), F.lit(":"), F.col("term")
+                ),
+                salt,
+            )
+            % width,
+        )
+        .localCheckpoint(eager=False)
+    )
+    cells = hashed.groupBy("_r", "_b").agg(
+        F.sum("exact_freq").alias("cnt")
     )
     return (
-        probe.join(F.broadcast(cells), ["_r", "_b"])
+        hashed.join(F.broadcast(cells), ["_r", "_b"])
         .groupBy("term", "exact_freq")
         .agg(F.min("cnt").alias("cms_est"))
         .select(

@@ -42,8 +42,28 @@ def test_components_self_loops_and_dups(spark):
 
 
 def test_components_nonconvergence_raises(spark):
+    # the distributed loop (driver fast path disabled) must still raise
+    # when max_iter rounds don't reach the fixed point
     with pytest.raises(RuntimeError):
-        _cc(spark, [(i, i + 1) for i in range(12)], max_iter=2)
+        _cc(
+            spark,
+            [(i, i + 1) for i in range(12)],
+            max_iter=2,
+            driver_edge_bound=None,
+        )
+
+
+def test_components_driver_path_matches_distributed(spark):
+    # the r11 bounded union-find fast path must agree exactly with the
+    # distributed label-propagation loop on every graph shape the suite
+    # relies on (chains, triangles, dups, self-loops, singleton pairs)
+    pairs = (
+        [(i, i + 1) for i in range(12)]
+        + [(20, 21), (21, 22), (20, 22), (30, 30), (40, 41), (41, 40)]
+    )
+    fast = _cc(spark, pairs)
+    slow = _cc(spark, pairs, driver_edge_bound=None)
+    assert fast == slow
 
 
 def test_components_string_ids(spark):
