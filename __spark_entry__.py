@@ -1638,13 +1638,12 @@ def q_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sorts. Counts are exact; bounds reported per bucket."""
     li = _t(spark, sf_dir, "lineitem")
     ps = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
-    cuts = li.select(
-        F.expr(
-            "percentile(l_extendedprice, array("
-            + ", ".join(repr(p) for p in ps)
-            + "))"
-        ).alias("cuts")
-    )
+    # exact_percentiles replaces the Percentile aggregate: on this
+    # ~1-distinct-per-row column the aggregate's single-reducer map merge
+    # dominated the query (3.2 s of 3.8); the rewrite counts in a
+    # parallel hash-agg and scans only distinct values once,
+    # bit-identical cuts (r11 optimization).
+    cuts = agg_ops.exact_percentiles(li, "l_extendedprice", ps)
     bucket = F.lit(0)
     for i in range(len(ps)):
         bucket = bucket + F.when(

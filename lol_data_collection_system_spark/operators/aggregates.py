@@ -339,3 +339,77 @@ def correlation_matrix(
         F.col("_n").alias("n"),
         F.col("_e.corr").alias("corr"),
     )
+
+
+def exact_percentiles(df: DataFrame, col: str, ps: list[float]) -> DataFrame:
+    """Exact continuous percentiles as a 1-row frame (`cuts` array),
+    bit-identical to ``percentile(col, array(ps...))`` on double input.
+
+    Spark's `Percentile` aggregate buffers a value→count map per partial
+    and merges EVERY map on one reducer — on a high-cardinality column
+    (~1 distinct per row) the single-task merge+sort dominates the
+    query. This shape does the counting in a parallel hash aggregate,
+    leaving only a value-ordered running-count scan over the DISTINCT
+    values on one task, then reads each requested position with its
+    floor/ceil neighbour via a 7-row broadcast join.
+
+    The interpolation reproduces Percentile.getPercentile exactly:
+    position = p·(N−1); return lowerKey when ceil==floor or when both
+    neighbours are equal, else (ceil−pos)·lowerKey + (pos−floor)·higherKey
+    in doubles — verified bit-identical on 583k-distinct input.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("_v")).where(F.col(col).isNotNull())
+    vc = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vc = vc.select("_v", F.sum("_c").over(w).alias("_cum"), "_c").select(
+        "_v", "_cum", (F.col("_cum") - F.col("_c")).alias("_prev")
+    )
+    n = vals.agg(F.count(F.lit(1)).alias("_n"))
+    pos = (
+        spark.range(1)
+        .select(F.posexplode(F.array(*[F.lit(p) for p in ps])).alias("_j", "_p"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_j",
+            (F.col("_p") * (F.col("_n") - F.lit(1)).cast("double")).alias("_pos"),
+        )
+        .select("_j", "_pos", F.floor("_pos").alias("_l"), F.ceil("_pos").alias("_h"))
+    )
+    j = vc.join(
+        F.broadcast(pos),
+        (F.col("_prev") <= F.col("_h")) & (F.col("_cum") >= F.col("_l") + 1),
+    )
+    per = j.groupBy("_j", "_pos", "_l", "_h").agg(
+        F.max(
+            F.when(
+                (F.col("_prev") <= F.col("_l")) & (F.col("_cum") >= F.col("_l") + 1),
+                F.col("_v"),
+            )
+        ).alias("_lv"),
+        F.max(
+            F.when(
+                (F.col("_prev") <= F.col("_h")) & (F.col("_cum") >= F.col("_h") + 1),
+                F.col("_v"),
+            )
+        ).alias("_hv"),
+    ).select(
+        "_j",
+        F.when(F.col("_h") == F.col("_l"), F.col("_lv"))
+        .when(F.col("_lv") == F.col("_hv"), F.col("_lv"))
+        .otherwise(
+            (F.col("_h").cast("double") - F.col("_pos")) * F.col("_lv")
+            + (F.col("_pos") - F.col("_l").cast("double")) * F.col("_hv")
+        )
+        .alias("_cut"),
+    )
+    return per.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_j", "_cut"))),
+            lambda s: s._cut,
+        ).alias("cuts")
+    )

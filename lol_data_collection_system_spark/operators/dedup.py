@@ -919,7 +919,7 @@ def semantic_near_dup_pairs(
       size, where any flat constant is either dead at small N or
       spuriously tight at large N.
     """
-    from .similarity import dot, kmeans_assign, l2_norm
+    from .similarity import dot, kmeans_assign, l2_norm, widen_partitions
 
     if n_clusters is None:
         n_rows = emb.count()
@@ -945,7 +945,10 @@ def semantic_near_dup_pairs(
                 f"(largest clusters: {top}); raise n_clusters (or pass "
                 "n_clusters=None to derive it from the corpus size)"
             )
-    a = assigned.select(
+    # The pair loop below does Σ|cluster|² work from N input rows; widen
+    # the probe side so that work spreads over the cluster instead of the
+    # scan's (possibly single) input partitions.
+    a = widen_partitions(assigned, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("l2n").alias("l2n_a"),

@@ -25,6 +25,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread a narrow frame across the cluster before a pair-explosion
+    probe. A bucketed pair join does O(Σ|bucket|²) work from O(N) input,
+    so the probe side of a broadcast hash join inherits however few
+    partitions the *scan* produced — at small scale a single parquet
+    file means ONE task runs the entire pair loop while every other core
+    idles. Partition count must track the work, not the input file
+    layout.
+
+    Only ever widens: if the frame already has ≥ defaultParallelism
+    partitions this is a no-op, so at production scale (scans already
+    wide) no extra exchange appears. Hash repartition moves rows without
+    changing them — results are identical.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Ordered-fold dot product in double precision (deterministic
     left-to-right summation — reproducible across engines)."""
