@@ -42,7 +42,13 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    wide: bool = True,
+) -> DataFrame:
     """Distinct word k-gram shingles per document (exploded).
 
     Plan shape (the scale path, same as `winnow_signatures_df`): posexplode
@@ -61,6 +67,26 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     """
     from pyspark.sql import Window
 
+    # Tokenization runs in the SCAN stage — on a narrow input (one
+    # parquet file locally) the whole regex/explode pass serializes on
+    # one core. Repartitioning by id BEFORE tokenizing satisfies the
+    # window's required distribution, so the exchange COUNT is
+    # unchanged — the shuffle just moves below the Generate and carries
+    # the raw text rows instead of the (~10x larger) exploded token
+    # rows. N is pinned to spark.sql.shuffle.partitions (the
+    # deployment-scaled knob) because an unpinned repartition would be
+    # AQE-coalesced back to one partition on small inputs, undoing the
+    # parallelism this exists to provide. `wide=False` opts a caller
+    # out: a consumer that immediately localCheckpoints the shingle
+    # frame (incremental_dedup) pays one extra stage dispatch per
+    # checkpoint materialization, which outweighs the tokenize
+    # parallelism at small scale (interleaved A/B at sf0.1: family
+    # total 29.8 → 26.9 s wide, but incremental_dedup alone +0.35 s).
+    if wide:
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        df = df.repartition(n_shuffle, F.col(id_col))
     toked = df.select(
         F.col(id_col),
         F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("pos", "tok"),
@@ -1499,6 +1525,7 @@ def corpus_shingle_index(
     text_col: str,
     k: int = 3,
     max_doc_freq: int | None = None,
+    wide: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The corpus-side index every delta/stream classifier probes:
     (fingerprint table, df-capped shingle frame, hot-shingle stop set).
@@ -1521,7 +1548,7 @@ def corpus_shingle_index(
         .groupBy("fp")
         .agg(F.min(id_col).alias("_exact_match_id"))
     )
-    c_sh = shingles(corpus, id_col, text_col, k)
+    c_sh = shingles(corpus, id_col, text_col, k, wide=wide)
     hot = None
     if max_doc_freq is not None:
         from pyspark.sql import Window
@@ -2168,7 +2195,9 @@ def incremental_dedup(
     corpus_fp, c_sh, hot = (
         corpus_index
         if corpus_index is not None
-        else corpus_shingle_index(corpus, id_col, text_col, k, max_doc_freq)
+        else corpus_shingle_index(
+            corpus, id_col, text_col, k, max_doc_freq, wide=False
+        )
     )
     corpus_fp = corpus_fp.withColumnRenamed(
         "_exact_match_id", "exact_match_id"
@@ -2179,7 +2208,9 @@ def incremental_dedup(
     exact = delta_fp.join(corpus_fp, "fp").select(id_col, "exact_match_id")
 
     # --- delta shingles, corpus-df cap applied to BOTH sides ---
-    d_sh = shingles(delta, id_col, text_col, k)
+    # wide=False on both sides here: see shingles() — the checkpointed
+    # consumers pay stage dispatch, not tokenize serialization
+    d_sh = shingles(delta, id_col, text_col, k, wide=False)
     if hot is not None:
         d_sh = d_sh.join(hot, "shingle", "left_anti")
     d_sh = d_sh.localCheckpoint(eager=False)

@@ -38,7 +38,23 @@ def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
     partitions this is a no-op, so at production scale (scans already
     wide) no extra exchange appears. Hash repartition moves rows without
     changing them — results are identical.
+
+    The partition-count probe (`df.rdd`) is only safe on shuffle-free
+    plans: under AQE, converting a frame WITH exchanges to an RDD
+    materializes every non-final stage at construction time. Frames
+    whose analyzed plan contains a shuffle-inducing operator are
+    returned untouched — they are post-shuffle and already cluster-wide
+    anyway.
     """
+    import re
+
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if re.search(
+        r"\b(Aggregate|Join|Window|Sort|Distinct|Deduplicate|"
+        r"RepartitionByExpression)\b|\bRepartition \d+, true\b",
+        analyzed,
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
