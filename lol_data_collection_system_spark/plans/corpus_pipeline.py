@@ -97,6 +97,18 @@ def _stages(
     full-table scans). Eviction is left to Spark's LRU (StorageLevel
     default); a 100 TB run would swap the persist for a
     `materialize_summary` parquet checkpoint between stages."""
+    if normalize_unicode or scrub_repeated_lines:
+        # The opt-in pre-stages do heavy per-row work (Arrow NFC pass,
+        # line explode+rejoin) that otherwise runs inside the scan
+        # stage — single-task on a narrow input. Widening first spreads
+        # that chain across the cluster; probe-based, so at production
+        # scale (scans already wide) it is a no-op. Measured at sf0.1:
+        # corpus_funnel_scrubbed −0.6 s; the plain funnel's pre-persist
+        # chain is cheap codegen regex, where the extra exchange did
+        # not pay (+0.2 s), hence the conditional (r11 optimization).
+        from ..operators.similarity import widen_partitions
+
+        docs = widen_partitions(docs, id_col)
     if normalize_unicode:
         # NFC first: canonical bytes for every downstream hash
         # (fingerprints, shingles, line fps); changed_col=None — the
