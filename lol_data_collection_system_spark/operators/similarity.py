@@ -996,16 +996,28 @@ def pq_codebooks(
         return F.slice(vec, 1 + m * sub_dim, sub_dim)
 
     if train_iters is not None:
-        books = [
-            kmeans_centroids(
-                emb.select(F.col(id_col), sub(F.col(vec_col), m).alias(vec_col)),
+        from concurrent.futures import ThreadPoolExecutor
+
+        def train_sub(m: int) -> DataFrame:
+            # each subspace fit is a chain of driver-blocking Lloyd
+            # jobs (kmeans_fit); subspaces are INDEPENDENT, so a small
+            # thread pool overlaps them (guide §2.6) — per-subspace
+            # math, and therefore every centroid, is unchanged
+            sc = emb.sparkSession.sparkContext
+            sc.setJobDescription(f"pq_codebooks subspace {m}")
+            return kmeans_centroids(
+                emb.select(
+                    F.col(id_col), sub(F.col(vec_col), m).alias(vec_col)
+                ),
                 k=n_centroids,
                 iters=train_iters,
                 id_col=id_col,
                 vec_col=vec_col,
             ).select(F.lit(m).alias("subspace"), "cid", "cvec")
-            for m in range(n_subspaces)
-        ]
+
+        with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
+            books = list(pool.map(train_sub, range(n_subspaces)))
+        emb.sparkSession.sparkContext.setJobDescription(None)
         out = books[0]
         for b in books[1:]:
             out = out.unionByName(b)

@@ -305,11 +305,16 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = deterministic_split(docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT)
+    # wide=False: downstream is the bloom bit aggregate + a shingle-keyed
+    # probe join — nothing keys on id, so the shingle builder's
+    # id-repartition only adds pinned-width dispatch (bench: +0.52 s wide)
     train_sh = shingles(
-        assigned.filter(F.col("split") == "train"), "doc_id", "text", SHINGLE_K
+        assigned.filter(F.col("split") == "train"), "doc_id", "text",
+        SHINGLE_K, wide=False,
     )
     test_sh = shingles(
-        assigned.filter(F.col("split") == "test"), "doc_id", "text", SHINGLE_K
+        assigned.filter(F.col("split") == "test"), "doc_id", "text",
+        SHINGLE_K, wide=False,
     ).select("shingle")
     filt = bloom_ops.build_bloom(
         test_sh, "shingle", DECON_BITS, DECON_HASHES
