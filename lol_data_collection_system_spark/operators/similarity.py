@@ -965,6 +965,61 @@ def ivf_serve_topk(
     )
 
 
+def ivf_probe_scored(
+    queries: DataFrame,
+    emb: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """`ivf_serve_topk`'s candidate generation with the probe rank kept:
+    ``(query_id, vec_id, cos_sim, cell_rank)`` for every member of the
+    query's top-``nprobe`` cells (cell_rank 1 = nearest cell, the same
+    (−6dp-cosine, cid) ordering the serve path routes by). Because the
+    cells PARTITION the corpus, serving with a smaller nprobe' ≤ nprobe
+    is exactly ``filter(cell_rank <= nprobe')`` over this frame — one
+    candidate join shared across a whole nprobe sweep instead of one
+    serve funnel per sweep point (r11; guide §2.3). Top-k per point is
+    the same rank window `ivf_serve_topk` applies."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cid").cast("int").alias("cid"), F.col("cvec"))
+        ).alias("cents")
+    )
+
+    def centroid_key(c: Column) -> Column:
+        return F.struct(
+            (-F.round(cosine(F.col("_qv"), c["cvec"]), 6)).alias("neg_sim"),
+            c["cid"].alias("cid"),
+        )
+
+    cells = F.slice(
+        F.array_sort(F.transform(F.col("cents"), centroid_key)), 1, nprobe
+    )
+    routed = q.crossJoin(F.broadcast(cents_row)).select(
+        F.col(query_id_col),
+        F.col("_qv"),
+        F.posexplode(
+            F.transform(cells, lambda c: c["cid"].cast("bigint"))
+        ).alias("_cr0", "_qbucket"),
+    )
+    corpus = index.select(F.col(id_col), F.col("cid")).join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    return corpus.join(
+        F.broadcast(routed), F.col("cid") == F.col("_qbucket")
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+        (F.col("_cr0") + 1).alias("cell_rank"),
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     n_subspaces: int = 2,

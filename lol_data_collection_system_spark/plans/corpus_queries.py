@@ -2696,16 +2696,30 @@ def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .localCheckpoint(eager=False)
     )
+    # ONE candidate join at max(nprobe) with the probe rank kept; each
+    # sweep point is a filter over it (cells partition the corpus, so
+    # filter(cell_rank <= np) + the same rank window IS serving at np —
+    # `ivf_probe_scored`). Replaces |sweep| serve funnels with one
+    # shared scored frame (r11; guide §2.3); checkpointed because every
+    # sweep point re-reads it.
+    scored_all = sim_ops.ivf_probe_scored(
+        queries.select("query_id", F.col("_qv").alias("embedding")),
+        emb,
+        index,
+        cents,
+        nprobe=max(NPROBE_SWEEP),
+    ).localCheckpoint(eager=False)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
     out = None
     for np_ in NPROBE_SWEEP:
-        served = sim_ops.ivf_serve_topk(
-            queries.select("query_id", F.col("_qv").alias("embedding")),
-            emb,
-            index,
-            cents,
-            k=SERVE_TOPK,
-            nprobe=np_,
-        ).select("query_id", "vec_id")
+        served = (
+            scored_all.filter(F.col("cell_rank") <= np_)
+            .withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= SERVE_TOPK)
+            .select("query_id", "vec_id")
+        )
         per_q = (
             queries.select("query_id")
             .join(
