@@ -325,6 +325,13 @@ def winnow_signatures_df(
     """
     from pyspark.sql import Window
 
+    # Repartition by doc BEFORE tokenizing (the shingles() r11 move):
+    # the raw text shuffles instead of the exploded tokens, the window's
+    # required distribution is satisfied so the exchange count does not
+    # grow, and tokenization spreads instead of running inside a narrow
+    # scan stage. Measured 0.85 → 0.55 s at sf0.1.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, F.col(id_col))
     toks = tokens(normalized_text(F.col(text_col)))
     exploded = df.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "t")
@@ -374,6 +381,12 @@ def repetition_signals(
     """
     from pyspark.sql import Window
 
+    # Same pre-tokenize repartition as winnow_signatures_df above:
+    # exchange count unchanged (the lead window needs hash(id) anyway),
+    # raw-text bytes shuffled instead of exploded tokens, tokenize
+    # spread across the cluster. Measured 0.87 → 0.57 s at sf0.1.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, F.col(id_col))
     toked = df.select(
         F.col(id_col),
         F.length(F.trim(F.col(text_col))).cast("bigint").alias("n_chars"),
