@@ -327,13 +327,22 @@ def _band_hashes(n_hashes: int, band_size: int) -> Column:
 def _candidate_pairs_from_signatures(
     sig: DataFrame, id_col: str, n_hashes: int, band_size: int
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs agreeing on ≥1 band of `sig`."""
+    """Distinct (id_a < id_b) pairs agreeing on ≥1 band of `sig`.
+
+    The banded frame is lazily checkpointed before the self-join: the
+    two sides project different aliases BELOW the exchange, so Spark's
+    ReuseExchange cannot deduplicate them and the whole signature
+    subtree (md5 + n permutations + min-aggregate over every shingle)
+    would otherwise execute once PER SIDE (measured at sf0.1: the two
+    ~12 s-executor signature stages of `lsh_pair_quality` collapse to
+    one). The checkpoint is (id, band_idx, band_hash) — n_bands rows
+    per document, far smaller than the shingle input it replaces."""
     banded = sig.select(
         F.col(id_col),
         F.posexplode(_band_hashes(n_hashes, band_size)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

@@ -64,6 +64,55 @@ def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """`dot` as a SQL string over column/field SQL fragments — ONE
+    parsed expression instead of ~15 py4j round-trips per higher-order
+    lambda build (measured ~33 ms per HOF Column construction, ×26 per
+    IVF query = ~0.85 s of pure driver time; the parse is ~ms and the
+    resolved expression is identical, so results are bit-identical)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    """`l2_norm` as a SQL string (see `_dot_sql`)."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * "
+        f"CAST(v AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """`cosine` as a SQL string (see `_dot_sql`): same dot/(‖a‖·‖b‖)
+    op order, so doubles are bit-identical."""
+    return f"({_dot_sql(a, b)} / ({_l2_sql(a)} * {_l2_sql(b)}))"
+
+
+def _best_centroid_sql(cents_sql: str, vec_sql: str) -> str:
+    """The kmeans/IVF routing rule — argmax over centroids by
+    (cosine rounded 6 dp, smaller-cid tie-break) — as ONE SQL string.
+    Mirrors the lambda form exactly: struct fields (sim, neg_cid, cid),
+    array_max struct ordering, `.cid` extraction."""
+    return (
+        f"array_max(transform({cents_sql}, c -> named_struct("
+        f"'sim', round({_cosine_sql(vec_sql, 'c.cvec')}, 6), "
+        f"'neg_cid', -c.cid, 'cid', c.cid))).cid"
+    )
+
+
+def _probe_cells_sql(cents_sql: str, qvec_sql: str, nprobe: int) -> str:
+    """The top-``nprobe`` probe cells — ascending sort on
+    (−6dp-cosine, cid), sliced — as ONE SQL string. Mirrors the
+    centroid_key lambda form exactly (same struct fields and order)."""
+    return (
+        f"slice(array_sort(transform({cents_sql}, c -> named_struct("
+        f"'neg_sim', -round({_cosine_sql(qvec_sql, 'c.cvec')}, 6), "
+        f"'cid', c.cid))), 1, {int(nprobe)})"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Ordered-fold dot product in double precision (deterministic
     left-to-right summation — reproducible across engines)."""
@@ -187,18 +236,13 @@ def ivf_assign_buckets(
         ).alias("cents")
     )
 
-    def centroid_sim(c: Column) -> Column:
-        return F.struct(
-            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
-            (-c["cid"]).alias("neg_cid"),
-            c["cid"].alias("cid"),
-        )
-
-    best = F.array_max(F.transform(F.col("cents"), centroid_sim))
+    # one parsed string — identical resolved expression to the
+    # transform/lambda form (see `_best_centroid_sql`)
+    best = F.expr(_best_centroid_sql("cents", f"`{vec_col}`"))
     return emb.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
-        best["cid"].cast("bigint").alias("bucket"),
+        best.cast("bigint").alias("bucket"),
     )
 
 
@@ -235,24 +279,17 @@ def ivf_topk(
         F.col(vec_col).alias("query_vec")
     )
 
-    def centroid_sim(c: Column) -> Column:
-        return F.struct(
-            F.round(cosine(F.col("query_vec"), c["cvec"]), 6).alias("sim"),
-            (-c["cid"]).alias("neg_cid"),
-            c["cid"].alias("cid"),
-        )
-
+    # one parsed string — identical resolved expression to the
+    # transform/lambda form (see `_dot_sql`): same (sim, neg_cid, cid)
+    # struct, ascending sort + reverse, slice, cid extraction
     probes = qvec.crossJoin(F.broadcast(cents)).select(
         F.col("query_vec"),
-        F.transform(
-            F.slice(
-                F.reverse(
-                    F.array_sort(F.transform(F.col("cents"), centroid_sim))
-                ),
-                1,
-                nprobe,
-            ),
-            lambda s: s["cid"].cast("bigint"),
+        F.expr(
+            "transform(slice(reverse(array_sort(transform(cents, "
+            "c -> named_struct("
+            f"'sim', round({_cosine_sql('query_vec', 'c.cvec')}, 6), "
+            "'neg_cid', -c.cid, 'cid', c.cid)))), "
+            f"1, {int(nprobe)}), s -> CAST(s.cid AS BIGINT))"
         ).alias("qbuckets"),
     )
     scored = (
@@ -466,16 +503,31 @@ def kmeans_fit(
         (r["cid"], [float(x) for x in r["cvec"]]) for r in seed_rows
     )
 
-    def lit_cents() -> Column:
+    def lit_cents_sql() -> str | None:
         # ONE parsed SQL expression instead of k×dim Column objects:
         # building literals per element costs a py4j round-trip each
         # (~1 s for 6×64 — measured), the string parse is ~ms. repr()
         # is the shortest exactly-roundtripping decimal form and
-        # CAST(string AS DOUBLE) parses correctly rounded, so values
-        # stay bit-identical.
+        # CAST(str AS DOUBLE) parses correctly rounded, so values
+        # stay bit-identical. None = non-finite values present, take
+        # the Column-literal fallback.
         if not all(
             math.isfinite(v) for _, vec in cents for v in vec
         ):  # pragma: no cover - synthetic corpora are finite
+            return None
+        structs = ",".join(
+            "named_struct('cid', CAST(%d AS INT), 'cvec', array(%s))"
+            % (
+                cid,
+                ",".join("CAST('%s' AS DOUBLE)" % repr(v) for v in vec),
+            )
+            for cid, vec in cents
+        )
+        return "array(%s)" % structs
+
+    def lit_cents() -> Column:
+        s = lit_cents_sql()
+        if s is None:  # pragma: no cover - synthetic corpora are finite
             return F.array(
                 *[
                     F.struct(
@@ -487,18 +539,17 @@ def kmeans_fit(
                     for cid, vec in cents
                 ]
             )
-        structs = ",".join(
-            "named_struct('cid', CAST(%d AS INT), 'cvec', array(%s))"
-            % (
-                cid,
-                ",".join("CAST('%s' AS DOUBLE)" % repr(v) for v in vec),
-            )
-            for cid, vec in cents
-        )
-        return F.expr("array(%s)" % structs)
+        return F.expr(s)
 
     def best_cid() -> Column:
-        def centroid_sim(c: Column) -> Column:
+        s = lit_cents_sql()
+        if s is not None:
+            # whole argmax as ONE parsed string (guide §7.3): the HOF
+            # lambda builders cost ~33 ms of py4j each; resolved
+            # expression identical to the Column form below
+            return F.expr(_best_centroid_sql(s, f"`{vec_col}`"))
+
+        def centroid_sim(c: Column) -> Column:  # pragma: no cover
             return F.struct(
                 F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
                 (-c["cid"]).alias("neg_cid"),
@@ -520,18 +571,13 @@ def kmeans_fit(
         rows = (
             per_dim.groupBy("cid")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("dim"),
-                                (
-                                    F.col("s").cast("double") / F.col("n")
-                                ).alias("m"),
-                            )
-                        )
-                    ),
-                    lambda st: st["m"],
+                # one parsed string — same array_sort(collect_list)
+                # mean-extraction as the Column/lambda form (see
+                # `_dot_sql` for the py4j-cost rationale)
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'dim', dim, 'm', CAST(s AS DOUBLE) / n))), "
+                    "st -> st.m)"
                 ).alias("cvec")
             )
             .collect()
@@ -754,14 +800,9 @@ def route_to_centroids(
         ).alias("cents")
     )
 
-    def centroid_sim(c: Column) -> Column:
-        return F.struct(
-            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
-            (-c["cid"]).alias("neg_cid"),
-            c["cid"].alias("cid"),
-        )
-
-    best = F.array_max(F.transform(F.col("cents"), centroid_sim))["cid"]
+    # one parsed string — resolved expression identical to the
+    # transform/lambda Column form (see `_best_centroid_sql`)
+    best = F.expr(_best_centroid_sql("cents", f"`{vec_col}`"))
     return df.crossJoin(F.broadcast(cents_row)).select(
         *[F.col(c) for c in df.columns],
         best.cast("bigint").alias(out_col),
@@ -923,26 +964,17 @@ def ivf_serve_topk(
             ).alias("cents")
         )
 
-        def centroid_key(c: Column) -> Column:
-            # ascending sort on (-sim, cid) == descending (sim, -cid):
-            # identical order to route_to_centroids' argmax rule
-            return F.struct(
-                (-F.round(cosine(F.col("_qv"), c["cvec"]), 6)).alias(
-                    "neg_sim"
-                ),
-                c["cid"].alias("cid"),
-            )
-
-        cells = F.slice(
-            F.array_sort(F.transform(F.col("cents"), centroid_key)),
-            1,
-            nprobe,
-        )
+        # ascending sort on (-sim, cid) == descending (sim, -cid):
+        # identical order to route_to_centroids' argmax rule; built as
+        # ONE parsed string (see `_dot_sql` for the py4j rationale)
         routed = q.crossJoin(F.broadcast(cents_row)).select(
             F.col(query_id_col),
             F.col("_qv"),
             F.explode(
-                F.transform(cells, lambda c: c["cid"].cast("bigint"))
+                F.expr(
+                    f"transform({_probe_cells_sql('cents', '_qv', nprobe)},"
+                    f" c -> CAST(c.cid AS BIGINT))"
+                )
             ).alias("_qbucket"),
         )
     corpus = index.select(F.col(id_col), F.col("cid")).join(
@@ -953,7 +985,9 @@ def ivf_serve_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+        F.expr(
+            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -991,20 +1025,14 @@ def ivf_probe_scored(
         ).alias("cents")
     )
 
-    def centroid_key(c: Column) -> Column:
-        return F.struct(
-            (-F.round(cosine(F.col("_qv"), c["cvec"]), 6)).alias("neg_sim"),
-            c["cid"].alias("cid"),
-        )
-
-    cells = F.slice(
-        F.array_sort(F.transform(F.col("cents"), centroid_key)), 1, nprobe
-    )
     routed = q.crossJoin(F.broadcast(cents_row)).select(
         F.col(query_id_col),
         F.col("_qv"),
         F.posexplode(
-            F.transform(cells, lambda c: c["cid"].cast("bigint"))
+            F.expr(
+                f"transform({_probe_cells_sql('cents', '_qv', nprobe)},"
+                f" c -> CAST(c.cid AS BIGINT))"
+            )
         ).alias("_cr0", "_qbucket"),
     )
     corpus = index.select(F.col(id_col), F.col("cid")).join(
@@ -1015,7 +1043,9 @@ def ivf_probe_scored(
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+        F.expr(
+            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+        ).alias("cos_sim"),
         (F.col("_cr0") + 1).alias("cell_rank"),
     )
 
@@ -1153,8 +1183,9 @@ def pq_topk(
                         F.struct(
                             F.col("cid"),
                             F.col("cvec"),
-                            F.round(
-                                dot(F.col("cvec"), F.col(f"q{m}")), 6
+                            F.expr(
+                                "round(%s, 6)"
+                                % _dot_sql("cvec", f"q{m}")
                             ).alias("qd"),
                         ),
                     )
@@ -1166,17 +1197,15 @@ def pq_topk(
 
     def adc(m: int) -> Column:
         """Query-dot of the argmax centroid for subspace m: code choice
-        and table lookup fused into one array_max over the codebook."""
-        x_m = sub(F.col(vec_col), m)
-        scored = F.transform(
-            F.col(f"book{m}"),
-            lambda c: F.struct(
-                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
-                (-c["cid"]).alias("neg_cid"),
-                c["qd"].alias("qd"),
-            ),
+        and table lookup fused into one array_max over the codebook —
+        built as ONE parsed string (see `_dot_sql`); the resolved
+        expression is identical to the transform/lambda form."""
+        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        return F.expr(
+            f"array_max(transform(book{m}, c -> named_struct("
+            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'neg_cid', -c.cid, 'qd', c.qd))).qd"
         )
-        return F.array_max(scored)["qd"]
 
     acc = adc(0)
     for m in range(1, n_subspaces):
@@ -1330,16 +1359,14 @@ def ivf_pq_topk(
     )
 
     def adc(m: int) -> Column:
-        x_m = F.slice(F.col("_res"), 1 + m * sub_dim, sub_dim)
-        scored = F.transform(
-            F.col(f"book{m}"),
-            lambda c: F.struct(
-                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
-                (-c["cid"]).alias("neg_cid"),
-                c["qd"].alias("qd"),
-            ),
+        # one parsed string — identical resolved expression to the
+        # transform/lambda form (see `_dot_sql`)
+        x_m = f"slice(_res, {1 + m * sub_dim}, {sub_dim})"
+        return F.expr(
+            f"array_max(transform(book{m}, c -> named_struct("
+            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'neg_cid', -c.cid, 'qd', c.qd))).qd"
         )
-        return F.array_max(scored)["qd"]
 
     acc: Column = F.col("qcd")
     for m in range(n_subspaces):
@@ -1387,16 +1414,14 @@ def pq_encode(
     )
 
     def code(m: int) -> Column:
-        x_m = F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
-        scored = F.transform(
-            F.col(f"book{m}"),
-            lambda c: F.struct(
-                F.round(dot(x_m, c["cvec"]), 6).alias("sim"),
-                (-c["cid"]).alias("neg_cid"),
-                c["cid"].alias("cid"),
-            ),
+        # one parsed string — identical resolved expression to the
+        # transform/lambda form (see `_dot_sql`)
+        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        return F.expr(
+            f"array_max(transform(book{m}, c -> named_struct("
+            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'neg_cid', -c.cid, 'cid', c.cid))).cid"
         )
-        return F.array_max(scored)["cid"]
 
     return emb.crossJoin(F.broadcast(books)).select(
         F.col(id_col),
@@ -1453,15 +1478,19 @@ def pq_distortion_report(
     ).crossJoin(F.broadcast(books))
 
     def se(m: int) -> Column:
-        x_m = F.slice(F.col(vec_col), 1 + m * sub_dim, sub_dim)
-        code_m = F.element_at(F.col("codes"), m + 1)
-        # F.get (not [0]): an unmatched code yields NULL se rather than
-        # an ANSI array-index error, and NULLs are counted loudly below
-        cw = F.get(
-            F.filter(F.col(f"book{m}"), lambda c: c["cid"] == code_m), 0
-        )["cvec"]
-        diff = F.zip_with(x_m, cw, lambda a, b: a.cast("double") - b)
-        return F.round(dot(diff, diff), 6)
+        # one parsed string — identical resolved expression to the
+        # lambda form (see `_dot_sql`). get() (not [0]): an unmatched
+        # code yields NULL se rather than an ANSI array-index error,
+        # and NULLs are counted loudly below
+        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        cw = (
+            f"get(filter(book{m}, c -> c.cid = element_at(codes, "
+            f"{m + 1})), 0).cvec"
+        )
+        diff = (
+            f"zip_with({x_m}, {cw}, (a, b) -> CAST(a AS DOUBLE) - b)"
+        )
+        return F.expr(f"round({_dot_sql(diff, diff)}, 6)")
 
     rows = joined.select(
         F.explode(
@@ -1540,15 +1569,13 @@ def ivfadc_refine_topk(
         F.col(query_id_col),
         F.col("_qv"),
         F.col("_qcell"),
-        F.round(
-            dot(
-                F.filter(
-                    F.col("_cents"),
-                    lambda c: c["cid"].cast("bigint") == F.col("_qcell"),
-                )[0]["cvec"],
-                F.col("_qv"),
-            ),
-            6,
+        F.expr(
+            "round(%s, 6)"
+            % _dot_sql(
+                "filter(_cents, c -> CAST(c.cid AS BIGINT) = _qcell)"
+                "[0].cvec",
+                "_qv",
+            )
         ).alias("_qcd"),
     )
     # per-query ADC tables: (cid, qd) struct arrays per subspace, looked
@@ -1564,14 +1591,13 @@ def ivfadc_refine_topk(
                     F.col("subspace") == m,
                     F.struct(
                         F.col("cid"),
-                        F.round(
-                            dot(
-                                F.col("cvec"),
-                                F.slice(
-                                    F.col("_qv"), 1 + m * sub_dim, sub_dim
-                                ),
-                            ),
-                            6,
+                        F.expr(
+                            "round(%s, 6)"
+                            % _dot_sql(
+                                "cvec",
+                                f"slice(_qv, {1 + m * sub_dim}, "
+                                f"{sub_dim})",
+                            )
                         ).alias("qd"),
                     ),
                 )
@@ -1596,10 +1622,10 @@ def ivfadc_refine_topk(
     )
     approx: Column = F.col("_qcd")
     for m in range(n_subspaces):
-        code_m = F.element_at(F.col("codes"), m + 1)
-        approx = approx + F.filter(
-            F.col(f"_qd{m}"), lambda s: s["cid"] == code_m
-        )[0]["qd"]
+        approx = approx + F.expr(
+            f"filter(_qd{m}, s -> s.cid = element_at(codes, {m + 1}))"
+            f"[0].qd"
+        )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -1621,7 +1647,9 @@ def ivfadc_refine_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.col("approx_ip"),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+        F.expr(
+            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+        ).alias("cos_sim"),
     )
     w_k = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
