@@ -1576,7 +1576,19 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`aggregates.correlation_matrix`) — the feature-engineering /
     stats-collection staple, decimal-exact."""
     li = _t(spark, sf_dir, "lineitem")
-    return agg_ops.correlation_matrix(li, CORR_COLS)
+    # widen before the moment pass: the single aggregate does 15
+    # decimal-product sums per row, heavy enough that a narrow scan
+    # (one task on a single-row-group file) dominates the query; the
+    # probe-based widen is a no-op at production scale where scans are
+    # already wide (r11 §class A/B: this query -0.67 s, the rest of the
+    # scan-agg class neutral-to-negative, so the widen stays here only)
+    from lol_data_collection_system_spark.operators.similarity import (
+        widen_partitions,
+    )
+
+    return agg_ops.correlation_matrix(
+        widen_partitions(li, "l_orderkey"), CORR_COLS
+    )
 
 
 def _corr_oracle() -> str:

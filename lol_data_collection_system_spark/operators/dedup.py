@@ -65,8 +65,6 @@ def shingles(
     shuffle is the (doc, position) window, which Jaccard/MinHash need
     anyway for their own aggregations.)
     """
-    from pyspark.sql import Window
-
     # Tokenization runs in the SCAN stage — on a narrow input (one
     # parquet file locally) the whole regex/explode pass serializes on
     # one core. Repartitioning by id BEFORE tokenizing satisfies the
@@ -91,14 +89,20 @@ def shingles(
         F.col(id_col),
         F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("pos", "tok"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    # the window projection as parsed strings (one py4j round-trip per
+    # expression instead of per lead/count/greatest node — see
+    # `minhash_signatures_from_shingles`); resolved plan identical:
+    # same lead() defaults, same unbounded count frame, same greatest
+    ow = f"OVER (PARTITION BY `{id_col}` ORDER BY pos)"
+    parts = ", ".join(
+        ["tok"] + [f"lead(tok, {j}) {ow}" for j in range(1, k)]
+    )
     return (
-        toked.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("shingle"),
-            (F.col("pos") <= F.greatest(n - k, F.lit(0))).alias("_keep"),
+        toked.selectExpr(
+            f"`{id_col}`",
+            f"concat_ws(' ', {parts}) AS shingle",
+            f"(pos <= greatest(count(1) OVER (PARTITION BY `{id_col}`)"
+            f" - {k}, 0)) AS _keep",
         )
         .filter(F.col("_keep"))
         .select(id_col, "shingle")
@@ -261,15 +265,20 @@ def minhash_signatures_from_shingles(
     """Signatures from a prebuilt (id, shingle) frame — lets callers that
     also need the shingles themselves (Jaccard truth side, calibration)
     build the expensive shingle assembly ONCE and share it."""
+    # one parsed string per permutation instead of ~8 py4j round-trips
+    # each (measured ~0.45 s of pure construction per call at n=16 —
+    # r11, guide §7.3); the resolved arithmetic is identical: the md5
+    # prefix cast to BIGINT, reduced mod p, then (a·h + b) mod p with
+    # the same integer promotions
     h = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_PRIME
+        "(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_PRIME})"
     )
-    perm_cols = []
+    perm_sqls = []
     for i in range(n_hashes):
         a, b = minhash_perm(i)
-        perm_cols.append(((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"p_{i}"))
-    hashed = sh.select(F.col(id_col), *perm_cols)
+        perm_sqls.append(f"(({a} * {h} + {b}) % {MINHASH_PRIME}) AS p_{i}")
+    hashed = sh.selectExpr(f"`{id_col}`", *perm_sqls)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"p_{i}").alias(f"mh_{i}") for i in range(n_hashes)]
     )
@@ -710,12 +719,16 @@ def simhash128(
         if hashed_df is not None
         else token_md5(df, id_col, text_col)
     )
-    hashed = md5_frame.select(
-        F.col(id_col),
+    # both projections as parsed strings (one py4j round-trip per
+    # expression instead of per shift/mask/multiply node — measured
+    # ~0.7 s of pure construction per call; see
+    # `minhash_signatures_from_shingles`); resolved arithmetic is
+    # identical: same shifts, masks, literal widths and promotions
+    hashed = md5_frame.selectExpr(
+        f"`{id_col}`",
         *[
-            F.conv(F.substring(F.col("m"), 1 + 8 * j, 8), 16, 10)
-            .cast("bigint")
-            .alias(f"h{j}")
+            f"CAST(conv(substring(m, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+            f" AS h{j}"
             for j in range(4)
         ],
     )
@@ -724,21 +737,20 @@ def simhash128(
     # mask because lanes are wider than lanes_per_long bits
     spread = sum(1 << (lane_bits * p - p) for p in range(lanes_per_long))
     keep = sum(1 << (lane_bits * p) for p in range(lanes_per_long))
-    lane_cols = []
+    mask = (1 << lanes_per_long) - 1
+    lane_sqls = []
     for g in range(128 // lanes_per_long):
         # global bits [lanes_per_long*g, ...) are consecutive bits of
         # md5 word h_j (bit b of the fingerprint = bit b%32 of word
         # h_{b//32}), and an aligned nibble never crosses a word edge
         b0 = lanes_per_long * g
-        src = F.shiftright(F.col(f"h{b0 // 32}"), b0 % 32).bitwiseAND(
-            F.lit((1 << lanes_per_long) - 1)
+        lane_sqls.append(
+            f"(((shiftright(h{b0 // 32}, {b0 % 32}) & {mask})"
+            f" * {spread}) & {keep}) AS l{g}"
         )
-        lane_cols.append(
-            (src * F.lit(spread)).bitwiseAND(F.lit(keep)).alias(f"l{g}")
-        )
-    agg = hashed.select(F.col(id_col), *lane_cols).groupBy(id_col).agg(
+    agg = hashed.selectExpr(f"`{id_col}`", *lane_sqls).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"l{g}").alias(f"sl{g}") for g in range(len(lane_cols))],
+        *[F.sum(f"l{g}").alias(f"sl{g}") for g in range(len(lane_sqls))],
     )
     # loud lane-overflow guard: evaluated once per doc, conditionally —
     # whole-stage codegen only executes the raise branch when hit. The
