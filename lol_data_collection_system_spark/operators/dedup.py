@@ -873,7 +873,7 @@ def embedding_near_dup_pairs(
     ~2^lsh_bits for roughly isotropic embeddings. Cosine is computed as an
     ordered fold in double precision, rounded to 6 dp.
     """
-    from .similarity import dot, l2_norm, sign_lsh_bucket
+    from .similarity import _dot_sql, _l2_sql, sign_lsh_bucket
 
     with_bucket = emb.select(
         F.col(id_col),
@@ -884,7 +884,7 @@ def embedding_near_dup_pairs(
         # instead of cosine's three traversals per candidate pair.
         # Arithmetic is unchanged (same l2 expression, same a·b/(na·nb)
         # order), so results stay bit-identical to the inline form.
-        l2_norm(F.col(vec_col)).alias("l2n"),
+        F.expr(_l2_sql(f"`{vec_col}`")).alias("l2n"),
     )
     a = with_bucket.select(
         F.col(id_col).alias("id_a"),
@@ -902,10 +902,8 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("l2n_a") * F.col("l2n_b")),
-            6,
+        F.expr(
+            f"round({_dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
@@ -970,7 +968,12 @@ def semantic_near_dup_pairs(
       size, where any flat constant is either dead at small N or
       spuriously tight at large N.
     """
-    from .similarity import dot, kmeans_assign, l2_norm, widen_partitions
+    from .similarity import (
+        _dot_sql,
+        _l2_sql,
+        kmeans_assign,
+        widen_partitions,
+    )
 
     if n_clusters is None:
         n_rows = emb.count()
@@ -978,7 +981,7 @@ def semantic_near_dup_pairs(
     assigned = kmeans_assign(
         emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
         keep_vec=True,
-    ).withColumn("l2n", l2_norm(F.col(vec_col)))
+    ).withColumn("l2n", F.expr(_l2_sql(f"`{vec_col}`")))
     if pair_budget is not None:
         assigned = assigned.localCheckpoint(eager=False)
         sizes = assigned.groupBy("cid").count().collect()  # ≤ k rows
@@ -1018,10 +1021,8 @@ def semantic_near_dup_pairs(
         F.col("cid"),
         # Same a·b/(na·nb) arithmetic as `cosine`, with the norms hoisted
         # out of the pair loop (see embedding_near_dup_pairs).
-        F.round(
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("l2n_a") * F.col("l2n_b")),
-            6,
+        F.expr(
+            f"round({_dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 

@@ -29,7 +29,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import _cosine_sql
 
 #: Default geometry: 64-d stored embeddings → 16-d sketch.
 RP_IN_DIM = 64
@@ -111,7 +111,9 @@ def rp_topk(
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("p"), F.col("query_p")), 4).alias("cos_sim"),
+            F.expr(
+                f"round({_cosine_sql('p', 'query_p')}, 4)"
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)

@@ -174,7 +174,9 @@ def brute_force_topk(
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -205,7 +207,9 @@ def lsh_topk(
         .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -300,7 +304,9 @@ def ivf_topk(
         )
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -368,7 +374,9 @@ def cluster_stats(
     )
     scored = df.join(F.broadcast(cent), label_col).select(
         F.col(label_col),
-        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("cos_c"),
+        F.expr(
+            f"round({_cosine_sql(f'`{vec_col}`', 'centroid')}, 6)"
+        ).alias("cos_c"),
     )
     agg = scored.groupBy(label_col).agg(
         F.sum(F.col("cos_c").cast("decimal(28,6)")).alias("sc"),
@@ -377,7 +385,7 @@ def cluster_stats(
     return cent.join(agg, label_col).select(
         F.col(label_col),
         F.col("n_vectors").cast("bigint").alias("n_vectors"),
-        F.round(l2_norm(F.col("centroid")), 6).alias("centroid_norm"),
+        F.expr(f"round({_l2_sql('centroid')}, 6)").alias("centroid_norm"),
         F.round(F.col("sc").cast("double") / F.col("n_rows"), 6).alias(
             "mean_cos"
         ),
@@ -773,7 +781,9 @@ def ivf_trained_topk(
         .join(F.broadcast(q), F.col("cid") == F.col("qbucket"))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("query_vec")), 4).alias("cos_sim"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -1326,7 +1336,7 @@ def ivf_pq_topk(
     probed = (
         cell_rows.crossJoin(F.broadcast(q.select("_qv")))
         .select(
-            "cid", F.round(dot(F.col("cvec"), F.col("_qv")), 6).alias("qcd")
+            "cid", F.expr(f"round({_dot_sql('cvec', '_qv')}, 6)").alias("qcd")
         )
         .orderBy(F.col("qcd").desc(), F.col("cid").asc())
         .limit(nprobe)
@@ -1342,7 +1352,7 @@ def ivf_pq_topk(
                     F.struct(
                         F.col("cid"),
                         F.col("cvec"),
-                        F.round(dot(F.col("cvec"), F.col(f"q{m}")), 6).alias(
+                        F.expr(f"round({_dot_sql('cvec', f'q{m}')}, 6)").alias(
                             "qd"
                         ),
                     ),
@@ -1721,7 +1731,7 @@ def knn_graph(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
-        l2_norm(F.col(vec_col)).alias("l2n"),
+        F.expr(_l2_sql(f"`{vec_col}`")).alias("l2n"),
     )
     a = with_bucket.select(
         F.col(id_col).alias("src"),
@@ -1741,10 +1751,9 @@ def knn_graph(
         .select(
             "src",
             "dst",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("l2n_a") * F.col("l2n_b")),
-                4,
+            F.expr(
+                f"round({_dot_sql('vec_a', 'vec_b')}"
+                " / (l2n_a * l2n_b), 4)"
             ).alias("cos_sim"),
         )
     )
@@ -1805,7 +1814,9 @@ def ann_recall_eval(
         .select(
             "_qid",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("_cos"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', '_qvec')}, 4)"
+            ).alias("_cos"),
         )
     )
     base = emb.select(
@@ -1821,7 +1832,9 @@ def ann_recall_eval(
         .select(
             "_qid",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("_cos"),
+            F.expr(
+                f"round({_cosine_sql(f'`{vec_col}`', '_qvec')}, 4)"
+            ).alias("_cos"),
         )
     )
     hits = (
@@ -1904,11 +1917,16 @@ def kcenter_select(
         ).select(
             "id",
             "vec",
+            # the per-round cosine as ONE parsed string (see `_dot_sql`
+            # — ~0.11 s of py4j per lambda-built cosine, ×(k−1) rounds);
+            # resolved expression identical to the Column form
             F.when(F.col("id") == F.col("pick_id"), F.lit(2.0))
             .otherwise(
                 F.greatest(
                     F.col("best_sim"),
-                    F.round(cosine(F.col("vec"), F.col("pick_vec")), 6),
+                    F.expr(
+                        f"round({_cosine_sql('vec', 'pick_vec')}, 6)"
+                    ),
                 )
             )
             .alias("best_sim"),

@@ -2687,8 +2687,8 @@ def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                sim_ops.cosine(F.col("embedding"), F.col("_qv")), 4
+            F.expr(
+                f"round({sim_ops._cosine_sql('embedding', '_qv')}, 4)"
             ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
@@ -2954,8 +2954,8 @@ def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                sim_ops.cosine(F.col("embedding"), F.col("_qv")), 4
+            F.expr(
+                f"round({sim_ops._cosine_sql('embedding', '_qv')}, 4)"
             ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
@@ -6140,8 +6140,8 @@ def q_cos_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
-        F.round(
-            sim_ops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        F.expr(
+            f"round({sim_ops._cosine_sql('a.embedding', 'b.embedding')}, 6)"
         ).alias("cos_sim")
     )
     bucket = F.floor(F.col("cos_sim") * 10).cast("int")
