@@ -74,14 +74,31 @@ def main() -> None:
     # caches; the min filters out jitter (VM scheduling, GC, and
     # concurrent verification runs sharing the cores — observed inflating
     # single-pass wall-clock up to ~2.6×).
+    #
+    # Each pass additionally records the split between CONSTRUCTION (the
+    # query-function call: py4j expression building, Catalyst analysis,
+    # any eager training actions) and EXECUTION (the noop write of the
+    # final plan). The split is measurement-only — t0→t2 is the same
+    # total the bench always reported; t1 is just read between the two
+    # phases — and exists because at sf0.1 many per-query totals are
+    # driver-construction-bound, which makes total-time core-scaling
+    # ratios ≈1 regardless of plan shape (VERDICT r11 "scaling blind
+    # spot"). Exec-only mins are the signal that scales with cores.
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    execs: dict[str, float] = {}
     for _pass in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
+            t2 = time.perf_counter()
+            elapsed = round(t2 - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            b, e = round(t1 - t0, 3), round(t2 - t1, 3)
+            builds[name] = min(builds.get(name, b), b)
+            execs[name] = min(execs.get(name, e), e)
 
     # Sub-second queries are the most contention-hostage: a concurrent
     # verification run stealing cores for 300 ms doubles a 0.4 s query,
@@ -95,11 +112,13 @@ def main() -> None:
             if timings[name] >= 1.0:
                 continue
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings[name], elapsed)
+            df = queries[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            timings[name] = min(timings[name], round(t2 - t0, 3))
+            builds[name] = min(builds[name], round(t1 - t0, 3))
+            execs[name] = min(execs[name], round(t2 - t1, 3))
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,18 +135,36 @@ def main() -> None:
     )
     compact = {n: timings[n] for n in HEADLINE if n in timings}
     compact.update(slowest)
+    import hashlib
+
     out = {
         "metric": "survey_s2_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": compact,
         "n_queries": len(timings),
+        # exec-only suite total (see the split comment above): the
+        # number that SHOULD scale with $SPARK_GRAFT_CPUS; `value` minus
+        # this is driver-side construction, constant in cores.
+        "exec_value": round(sum(execs.values()), 3),
+        # stable hash of the registered name SET so a reader of the
+        # compact line can tell "query dropped" from "query got faster
+        # and fell off the 10-slowest list" (VERDICT r11 #6) without
+        # parsing BENCH_FULL.json.
+        "name_set_md5": hashlib.md5(
+            "\n".join(sorted(timings)).encode()
+        ).hexdigest(),
         "queries_file": full_path,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }
     with open(full_path, "w") as f:
-        json.dump({**out, "queries": timings}, f, indent=0, sort_keys=True)
+        json.dump(
+            {**out, "queries": timings, "build": builds, "exec": execs},
+            f,
+            indent=0,
+            sort_keys=True,
+        )
         f.write("\n")
 
     # `--refresh-baseline`: fold this run into BENCH_UNCONTENDED.json as
@@ -173,7 +210,15 @@ def main() -> None:
             "queries": merged,
             "n_queries": len(merged),
             "value": round(sum(merged.values()), 3),
+            # re-stamp the set hash over MERGED names (stale-kept ones
+            # included); exec_value stays this-run-only, so drop it —
+            # a min-fold over exec components from different runs would
+            # not correspond to any run's value.
+            "name_set_md5": hashlib.md5(
+                "\n".join(sorted(merged)).encode()
+            ).hexdigest(),
         }
+        refreshed.pop("exec_value", None)
         with open(base_path, "w") as f:
             json.dump(refreshed, f, indent=0, sort_keys=True)
             f.write("\n")

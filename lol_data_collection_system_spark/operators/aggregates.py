@@ -363,11 +363,45 @@ def exact_percentiles(df: DataFrame, col: str, ps: list[float]) -> DataFrame:
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("_v")).where(F.col(col).isNotNull())
     vc = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Two-phase cumulative count (guide §2.3): a bare
+    # `Window.orderBy("_v")` funnels EVERY distinct value through one
+    # task — on a ~1-distinct-per-row column at 100 TB that single task
+    # scans ~10¹² values. Instead: range-partition the distinct values
+    # (explicit N, so AQE cannot coalesce the parallelism away), stamp
+    # the range-partition id, run the running count per partition, and
+    # add each partition's prefix offset via a broadcast of the tiny
+    # (N-row) per-partition totals. Values are distinct within `vc`, so
+    # the per-partition ordered sum is deterministic, and range
+    # partitioning keeps partitions value-disjoint and ordered — the
+    # composed cumulative count is exactly the global one, independent
+    # of where the sampled range boundaries land.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vc = vc.localCheckpoint(eager=False)
+    vcp = vc.repartitionByRange(n_part, "_v").withColumn(
+        "_pid", F.spark_partition_id()
     )
-    vc = vc.select("_v", F.sum("_c").over(w).alias("_cum"), "_c").select(
-        "_v", "_cum", (F.col("_cum") - F.col("_c")).alias("_prev")
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = vcp.select(
+        "_v", "_c", "_pid", F.sum("_c").over(w_loc).alias("_cum_loc")
+    )
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        vcp.groupBy("_pid")
+        .agg(F.sum("_c").alias("_tot"))
+        # global window, but over ≤ n_part rows — driver-bounded
+        .select("_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    )
+    vc = loc.join(F.broadcast(offs), "_pid").select(
+        "_v",
+        (F.col("_cum_loc") + F.col("_off")).alias("_cum"),
+        (F.col("_cum_loc") + F.col("_off") - F.col("_c")).alias("_prev"),
     )
     n = vals.agg(F.count(F.lit(1)).alias("_n"))
     pos = (

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import quote_ident
 from .text import fingerprint, normalized_text, tokens
 
 
@@ -93,15 +94,15 @@ def shingles(
     # expression instead of per lead/count/greatest node — see
     # `minhash_signatures_from_shingles`); resolved plan identical:
     # same lead() defaults, same unbounded count frame, same greatest
-    ow = f"OVER (PARTITION BY `{id_col}` ORDER BY pos)"
+    ow = f"OVER (PARTITION BY {quote_ident(id_col)} ORDER BY pos)"
     parts = ", ".join(
         ["tok"] + [f"lead(tok, {j}) {ow}" for j in range(1, k)]
     )
     return (
         toked.selectExpr(
-            f"`{id_col}`",
+            quote_ident(id_col),
             f"concat_ws(' ', {parts}) AS shingle",
-            f"(pos <= greatest(count(1) OVER (PARTITION BY `{id_col}`)"
+            f"(pos <= greatest(count(1) OVER (PARTITION BY {quote_ident(id_col)})"
             f" - {k}, 0)) AS _keep",
         )
         .filter(F.col("_keep"))
@@ -278,7 +279,7 @@ def minhash_signatures_from_shingles(
     for i in range(n_hashes):
         a, b = minhash_perm(i)
         perm_sqls.append(f"(({a} * {h} + {b}) % {MINHASH_PRIME}) AS p_{i}")
-    hashed = sh.selectExpr(f"`{id_col}`", *perm_sqls)
+    hashed = sh.selectExpr(quote_ident(id_col), *perm_sqls)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"p_{i}").alias(f"mh_{i}") for i in range(n_hashes)]
     )
@@ -345,7 +346,17 @@ def _candidate_pairs_from_signatures(
     would otherwise execute once PER SIDE (measured at sf0.1: the two
     ~12 s-executor signature stages of `lsh_pair_quality` collapse to
     one). The checkpoint is (id, band_idx, band_hash) — n_bands rows
-    per document, far smaller than the shingle input it replaces."""
+    per document, far smaller than the shingle input it replaces.
+
+    Deployment note (ADVICE r11): `localCheckpoint` is NON-REPLICATED —
+    executor storage, lineage truncated — so on a real cluster an
+    executor loss after materialization fails the job (Spark recomputes
+    from lineage it no longer has), and repeated calls retain executor
+    blocks until the RDD is GC'd driver-side. That trade is right for
+    this short-lived query-scoped frame (single-machine bench + one
+    consumer plan); a long-lived session or cluster deployment should
+    prefer `df.persist()` + explicit `unpersist()` or a reliable
+    `checkpoint()` directory."""
     banded = sig.select(
         F.col(id_col),
         F.posexplode(_band_hashes(n_hashes, band_size)).alias(
@@ -725,7 +736,7 @@ def simhash128(
     # `minhash_signatures_from_shingles`); resolved arithmetic is
     # identical: same shifts, masks, literal widths and promotions
     hashed = md5_frame.selectExpr(
-        f"`{id_col}`",
+        quote_ident(id_col),
         *[
             f"CAST(conv(substring(m, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
             f" AS h{j}"
@@ -748,7 +759,7 @@ def simhash128(
             f"(((shiftright(h{b0 // 32}, {b0 % 32}) & {mask})"
             f" * {spread}) & {keep}) AS l{g}"
         )
-    agg = hashed.selectExpr(f"`{id_col}`", *lane_sqls).groupBy(id_col).agg(
+    agg = hashed.selectExpr(quote_ident(id_col), *lane_sqls).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"l{g}").alias(f"sl{g}") for g in range(len(lane_sqls))],
     )
@@ -873,7 +884,7 @@ def embedding_near_dup_pairs(
     ~2^lsh_bits for roughly isotropic embeddings. Cosine is computed as an
     ordered fold in double precision, rounded to 6 dp.
     """
-    from .similarity import _dot_sql, _l2_sql, sign_lsh_bucket
+    from .similarity import dot_sql, l2_sql, quote_ident, sign_lsh_bucket
 
     with_bucket = emb.select(
         F.col(id_col),
@@ -884,7 +895,7 @@ def embedding_near_dup_pairs(
         # instead of cosine's three traversals per candidate pair.
         # Arithmetic is unchanged (same l2 expression, same a·b/(na·nb)
         # order), so results stay bit-identical to the inline form.
-        F.expr(_l2_sql(f"`{vec_col}`")).alias("l2n"),
+        F.expr(l2_sql(quote_ident(vec_col))).alias("l2n"),
     )
     a = with_bucket.select(
         F.col(id_col).alias("id_a"),
@@ -903,7 +914,7 @@ def embedding_near_dup_pairs(
         "id_a",
         "id_b",
         F.expr(
-            f"round({_dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
+            f"round({dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
@@ -969,9 +980,10 @@ def semantic_near_dup_pairs(
       spuriously tight at large N.
     """
     from .similarity import (
-        _dot_sql,
-        _l2_sql,
+        dot_sql,
+        l2_sql,
         kmeans_assign,
+        quote_ident,
         widen_partitions,
     )
 
@@ -981,7 +993,7 @@ def semantic_near_dup_pairs(
     assigned = kmeans_assign(
         emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
         keep_vec=True,
-    ).withColumn("l2n", F.expr(_l2_sql(f"`{vec_col}`")))
+    ).withColumn("l2n", F.expr(l2_sql(quote_ident(vec_col))))
     if pair_budget is not None:
         assigned = assigned.localCheckpoint(eager=False)
         sizes = assigned.groupBy("cid").count().collect()  # ≤ k rows
@@ -1022,7 +1034,7 @@ def semantic_near_dup_pairs(
         # Same a·b/(na·nb) arithmetic as `cosine`, with the norms hoisted
         # out of the pair loop (see embedding_near_dup_pairs).
         F.expr(
-            f"round({_dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
+            f"round({dot_sql('vec_a', 'vec_b')} / (l2n_a * l2n_b), 6)"
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 

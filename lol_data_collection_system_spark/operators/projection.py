@@ -29,7 +29,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _cosine_sql
+from .similarity import cosine_sql
 
 #: Default geometry: 64-d stored embeddings → 16-d sketch.
 RP_IN_DIM = 64
@@ -112,7 +112,7 @@ def rp_topk(
         .select(
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql('p', 'query_p')}, 4)"
+                f"round({cosine_sql('p', 'query_p')}, 4)"
             ).alias("cos_sim"),
         )
     )

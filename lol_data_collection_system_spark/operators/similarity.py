@@ -64,7 +64,17 @@ def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def _dot_sql(a: str, b: str) -> str:
+def quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into a SQL-string
+    builder, doubling any embedded backtick (the SQL escape). The string
+    builders below accept raw SQL fragments; every interpolation of a
+    CALLER-supplied column name must go through this so that arbitrary
+    names keep working exactly as they did under the Column API
+    (ADVICE r11)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot_sql(a: str, b: str) -> str:
     """`dot` as a SQL string over column/field SQL fragments — ONE
     parsed expression instead of ~15 py4j round-trips per higher-order
     lambda build (measured ~33 ms per HOF Column construction, ×26 per
@@ -76,39 +86,39 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _l2_sql(a: str) -> str:
-    """`l2_norm` as a SQL string (see `_dot_sql`)."""
+def l2_sql(a: str) -> str:
+    """`l2_norm` as a SQL string (see `dot_sql`)."""
     return (
         f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * "
         f"CAST(v AS DOUBLE)))"
     )
 
 
-def _cosine_sql(a: str, b: str) -> str:
-    """`cosine` as a SQL string (see `_dot_sql`): same dot/(‖a‖·‖b‖)
+def cosine_sql(a: str, b: str) -> str:
+    """`cosine` as a SQL string (see `dot_sql`): same dot/(‖a‖·‖b‖)
     op order, so doubles are bit-identical."""
-    return f"({_dot_sql(a, b)} / ({_l2_sql(a)} * {_l2_sql(b)}))"
+    return f"({dot_sql(a, b)} / ({l2_sql(a)} * {l2_sql(b)}))"
 
 
-def _best_centroid_sql(cents_sql: str, vec_sql: str) -> str:
+def best_centroid_sql(cents_sql: str, vec_sql: str) -> str:
     """The kmeans/IVF routing rule — argmax over centroids by
     (cosine rounded 6 dp, smaller-cid tie-break) — as ONE SQL string.
     Mirrors the lambda form exactly: struct fields (sim, neg_cid, cid),
     array_max struct ordering, `.cid` extraction."""
     return (
         f"array_max(transform({cents_sql}, c -> named_struct("
-        f"'sim', round({_cosine_sql(vec_sql, 'c.cvec')}, 6), "
+        f"'sim', round({cosine_sql(vec_sql, 'c.cvec')}, 6), "
         f"'neg_cid', -c.cid, 'cid', c.cid))).cid"
     )
 
 
-def _probe_cells_sql(cents_sql: str, qvec_sql: str, nprobe: int) -> str:
+def probe_cells_sql(cents_sql: str, qvec_sql: str, nprobe: int) -> str:
     """The top-``nprobe`` probe cells — ascending sort on
     (−6dp-cosine, cid), sliced — as ONE SQL string. Mirrors the
     centroid_key lambda form exactly (same struct fields and order)."""
     return (
         f"slice(array_sort(transform({cents_sql}, c -> named_struct("
-        f"'neg_sim', -round({_cosine_sql(qvec_sql, 'c.cvec')}, 6), "
+        f"'neg_sim', -round({cosine_sql(qvec_sql, 'c.cvec')}, 6), "
         f"'cid', c.cid))), 1, {int(nprobe)})"
     )
 
@@ -175,7 +185,7 @@ def brute_force_topk(
         .select(
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), 'query_vec')}, 4)"
             ).alias("cos_sim"),
         )
     )
@@ -208,7 +218,7 @@ def lsh_topk(
         .select(
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), 'query_vec')}, 4)"
             ).alias("cos_sim"),
         )
     )
@@ -241,8 +251,8 @@ def ivf_assign_buckets(
     )
 
     # one parsed string — identical resolved expression to the
-    # transform/lambda form (see `_best_centroid_sql`)
-    best = F.expr(_best_centroid_sql("cents", f"`{vec_col}`"))
+    # transform/lambda form (see `best_centroid_sql`)
+    best = F.expr(best_centroid_sql("cents", quote_ident(vec_col)))
     return emb.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -284,14 +294,14 @@ def ivf_topk(
     )
 
     # one parsed string — identical resolved expression to the
-    # transform/lambda form (see `_dot_sql`): same (sim, neg_cid, cid)
+    # transform/lambda form (see `dot_sql`): same (sim, neg_cid, cid)
     # struct, ascending sort + reverse, slice, cid extraction
     probes = qvec.crossJoin(F.broadcast(cents)).select(
         F.col("query_vec"),
         F.expr(
             "transform(slice(reverse(array_sort(transform(cents, "
             "c -> named_struct("
-            f"'sim', round({_cosine_sql('query_vec', 'c.cvec')}, 6), "
+            f"'sim', round({cosine_sql('query_vec', 'c.cvec')}, 6), "
             "'neg_cid', -c.cid, 'cid', c.cid)))), "
             f"1, {int(nprobe)}), s -> CAST(s.cid AS BIGINT))"
         ).alias("qbuckets"),
@@ -305,7 +315,7 @@ def ivf_topk(
         .select(
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), 'query_vec')}, 4)"
             ).alias("cos_sim"),
         )
     )
@@ -375,7 +385,7 @@ def cluster_stats(
     scored = df.join(F.broadcast(cent), label_col).select(
         F.col(label_col),
         F.expr(
-            f"round({_cosine_sql(f'`{vec_col}`', 'centroid')}, 6)"
+            f"round({cosine_sql(quote_ident(vec_col), 'centroid')}, 6)"
         ).alias("cos_c"),
     )
     agg = scored.groupBy(label_col).agg(
@@ -385,7 +395,7 @@ def cluster_stats(
     return cent.join(agg, label_col).select(
         F.col(label_col),
         F.col("n_vectors").cast("bigint").alias("n_vectors"),
-        F.expr(f"round({_l2_sql('centroid')}, 6)").alias("centroid_norm"),
+        F.expr(f"round({l2_sql('centroid')}, 6)").alias("centroid_norm"),
         F.round(F.col("sc").cast("double") / F.col("n_rows"), 6).alias(
             "mean_cos"
         ),
@@ -533,8 +543,7 @@ def kmeans_fit(
         )
         return "array(%s)" % structs
 
-    def lit_cents() -> Column:
-        s = lit_cents_sql()
+    def lit_cents(s: str | None) -> Column:
         if s is None:  # pragma: no cover - synthetic corpora are finite
             return F.array(
                 *[
@@ -549,13 +558,17 @@ def kmeans_fit(
             )
         return F.expr(s)
 
-    def best_cid() -> Column:
-        s = lit_cents_sql()
+    def best_cid(s: str | None) -> Column:
+        # the centroid SQL string is built ONCE per round by the caller
+        # and shared with lit_cents() — rebuilding the k×dim literal
+        # (and re-running its isfinite sweep) per consumer is the exact
+        # duplicated work the py4j-cost comments argue against (ADVICE
+        # r11).
         if s is not None:
             # whole argmax as ONE parsed string (guide §7.3): the HOF
             # lambda builders cost ~33 ms of py4j each; resolved
             # expression identical to the Column form below
-            return F.expr(_best_centroid_sql(s, f"`{vec_col}`"))
+            return F.expr(best_centroid_sql(s, quote_ident(vec_col)))
 
         def centroid_sim(c: Column) -> Column:  # pragma: no cover
             return F.struct(
@@ -564,7 +577,7 @@ def kmeans_fit(
                 c["cid"].alias("cid"),
             )
 
-        return F.array_max(F.transform(lit_cents(), centroid_sim))["cid"]
+        return F.array_max(F.transform(lit_cents(s), centroid_sim))["cid"]
 
     def update_rows(assigned: DataFrame) -> list[tuple[int, list[float]]]:
         ex = assigned.select(
@@ -581,7 +594,7 @@ def kmeans_fit(
             .agg(
                 # one parsed string — same array_sort(collect_list)
                 # mean-extraction as the Column/lambda form (see
-                # `_dot_sql` for the py4j-cost rationale)
+                # `dot_sql` for the py4j-cost rationale)
                 F.expr(
                     "transform(array_sort(collect_list(named_struct("
                     "'dim', dim, 'm', CAST(s AS DOUBLE) / n))), "
@@ -595,7 +608,7 @@ def kmeans_fit(
     assigned = None
     for rnd in range(iters):
         assigned = emb.select(
-            F.col(id_col), F.col(vec_col), best_cid().alias("cid")
+            F.col(id_col), F.col(vec_col), best_cid(lit_cents_sql()).alias("cid")
         )
         if rnd < iters - 1 or need_cents:
             new_cents = update_rows(assigned)
@@ -782,7 +795,7 @@ def ivf_trained_topk(
         .select(
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', 'query_vec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), 'query_vec')}, 4)"
             ).alias("cos_sim"),
         )
     )
@@ -811,8 +824,8 @@ def route_to_centroids(
     )
 
     # one parsed string — resolved expression identical to the
-    # transform/lambda Column form (see `_best_centroid_sql`)
-    best = F.expr(_best_centroid_sql("cents", f"`{vec_col}`"))
+    # transform/lambda Column form (see `best_centroid_sql`)
+    best = F.expr(best_centroid_sql("cents", quote_ident(vec_col)))
     return df.crossJoin(F.broadcast(cents_row)).select(
         *[F.col(c) for c in df.columns],
         best.cast("bigint").alias(out_col),
@@ -976,13 +989,13 @@ def ivf_serve_topk(
 
         # ascending sort on (-sim, cid) == descending (sim, -cid):
         # identical order to route_to_centroids' argmax rule; built as
-        # ONE parsed string (see `_dot_sql` for the py4j rationale)
+        # ONE parsed string (see `dot_sql` for the py4j rationale)
         routed = q.crossJoin(F.broadcast(cents_row)).select(
             F.col(query_id_col),
             F.col("_qv"),
             F.explode(
                 F.expr(
-                    f"transform({_probe_cells_sql('cents', '_qv', nprobe)},"
+                    f"transform({probe_cells_sql('cents', '_qv', nprobe)},"
                     f" c -> CAST(c.cid AS BIGINT))"
                 )
             ).alias("_qbucket"),
@@ -996,7 +1009,7 @@ def ivf_serve_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.expr(
-            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+            f"round({cosine_sql(quote_ident(vec_col), '_qv')}, 4)"
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -1040,7 +1053,7 @@ def ivf_probe_scored(
         F.col("_qv"),
         F.posexplode(
             F.expr(
-                f"transform({_probe_cells_sql('cents', '_qv', nprobe)},"
+                f"transform({probe_cells_sql('cents', '_qv', nprobe)},"
                 f" c -> CAST(c.cid AS BIGINT))"
             )
         ).alias("_cr0", "_qbucket"),
@@ -1054,7 +1067,7 @@ def ivf_probe_scored(
         F.col(query_id_col),
         F.col(id_col),
         F.expr(
-            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+            f"round({cosine_sql(quote_ident(vec_col), '_qv')}, 4)"
         ).alias("cos_sim"),
         (F.col("_cr0") + 1).alias("cell_rank"),
     )
@@ -1195,7 +1208,7 @@ def pq_topk(
                             F.col("cvec"),
                             F.expr(
                                 "round(%s, 6)"
-                                % _dot_sql("cvec", f"q{m}")
+                                % dot_sql("cvec", f"q{m}")
                             ).alias("qd"),
                         ),
                     )
@@ -1208,12 +1221,12 @@ def pq_topk(
     def adc(m: int) -> Column:
         """Query-dot of the argmax centroid for subspace m: code choice
         and table lookup fused into one array_max over the codebook —
-        built as ONE parsed string (see `_dot_sql`); the resolved
+        built as ONE parsed string (see `dot_sql`); the resolved
         expression is identical to the transform/lambda form."""
-        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        x_m = f"slice({quote_ident(vec_col)}, {1 + m * sub_dim}, {sub_dim})"
         return F.expr(
             f"array_max(transform(book{m}, c -> named_struct("
-            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'sim', round({dot_sql(x_m, 'c.cvec')}, 6), "
             f"'neg_cid', -c.cid, 'qd', c.qd))).qd"
         )
 
@@ -1336,7 +1349,7 @@ def ivf_pq_topk(
     probed = (
         cell_rows.crossJoin(F.broadcast(q.select("_qv")))
         .select(
-            "cid", F.expr(f"round({_dot_sql('cvec', '_qv')}, 6)").alias("qcd")
+            "cid", F.expr(f"round({dot_sql('cvec', '_qv')}, 6)").alias("qcd")
         )
         .orderBy(F.col("qcd").desc(), F.col("cid").asc())
         .limit(nprobe)
@@ -1352,7 +1365,7 @@ def ivf_pq_topk(
                     F.struct(
                         F.col("cid"),
                         F.col("cvec"),
-                        F.expr(f"round({_dot_sql('cvec', f'q{m}')}, 6)").alias(
+                        F.expr(f"round({dot_sql('cvec', f'q{m}')}, 6)").alias(
                             "qd"
                         ),
                     ),
@@ -1370,11 +1383,11 @@ def ivf_pq_topk(
 
     def adc(m: int) -> Column:
         # one parsed string — identical resolved expression to the
-        # transform/lambda form (see `_dot_sql`)
+        # transform/lambda form (see `dot_sql`)
         x_m = f"slice(_res, {1 + m * sub_dim}, {sub_dim})"
         return F.expr(
             f"array_max(transform(book{m}, c -> named_struct("
-            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'sim', round({dot_sql(x_m, 'c.cvec')}, 6), "
             f"'neg_cid', -c.cid, 'qd', c.qd))).qd"
         )
 
@@ -1425,11 +1438,11 @@ def pq_encode(
 
     def code(m: int) -> Column:
         # one parsed string — identical resolved expression to the
-        # transform/lambda form (see `_dot_sql`)
-        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        # transform/lambda form (see `dot_sql`)
+        x_m = f"slice({quote_ident(vec_col)}, {1 + m * sub_dim}, {sub_dim})"
         return F.expr(
             f"array_max(transform(book{m}, c -> named_struct("
-            f"'sim', round({_dot_sql(x_m, 'c.cvec')}, 6), "
+            f"'sim', round({dot_sql(x_m, 'c.cvec')}, 6), "
             f"'neg_cid', -c.cid, 'cid', c.cid))).cid"
         )
 
@@ -1489,10 +1502,10 @@ def pq_distortion_report(
 
     def se(m: int) -> Column:
         # one parsed string — identical resolved expression to the
-        # lambda form (see `_dot_sql`). get() (not [0]): an unmatched
+        # lambda form (see `dot_sql`). get() (not [0]): an unmatched
         # code yields NULL se rather than an ANSI array-index error,
         # and NULLs are counted loudly below
-        x_m = f"slice(`{vec_col}`, {1 + m * sub_dim}, {sub_dim})"
+        x_m = f"slice({quote_ident(vec_col)}, {1 + m * sub_dim}, {sub_dim})"
         cw = (
             f"get(filter(book{m}, c -> c.cid = element_at(codes, "
             f"{m + 1})), 0).cvec"
@@ -1500,7 +1513,7 @@ def pq_distortion_report(
         diff = (
             f"zip_with({x_m}, {cw}, (a, b) -> CAST(a AS DOUBLE) - b)"
         )
-        return F.expr(f"round({_dot_sql(diff, diff)}, 6)")
+        return F.expr(f"round({dot_sql(diff, diff)}, 6)")
 
     rows = joined.select(
         F.explode(
@@ -1581,7 +1594,7 @@ def ivfadc_refine_topk(
         F.col("_qcell"),
         F.expr(
             "round(%s, 6)"
-            % _dot_sql(
+            % dot_sql(
                 "filter(_cents, c -> CAST(c.cid AS BIGINT) = _qcell)"
                 "[0].cvec",
                 "_qv",
@@ -1603,7 +1616,7 @@ def ivfadc_refine_topk(
                         F.col("cid"),
                         F.expr(
                             "round(%s, 6)"
-                            % _dot_sql(
+                            % dot_sql(
                                 "cvec",
                                 f"slice(_qv, {1 + m * sub_dim}, "
                                 f"{sub_dim})",
@@ -1658,7 +1671,7 @@ def ivfadc_refine_topk(
         F.col(id_col),
         F.col("approx_ip"),
         F.expr(
-            f"round({_cosine_sql(f'`{vec_col}`', '_qv')}, 4)"
+            f"round({cosine_sql(quote_ident(vec_col), '_qv')}, 4)"
         ).alias("cos_sim"),
     )
     w_k = Window.partitionBy(query_id_col).orderBy(
@@ -1731,7 +1744,7 @@ def knn_graph(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
-        F.expr(_l2_sql(f"`{vec_col}`")).alias("l2n"),
+        F.expr(l2_sql(quote_ident(vec_col))).alias("l2n"),
     )
     a = with_bucket.select(
         F.col(id_col).alias("src"),
@@ -1752,7 +1765,7 @@ def knn_graph(
             "src",
             "dst",
             F.expr(
-                f"round({_dot_sql('vec_a', 'vec_b')}"
+                f"round({dot_sql('vec_a', 'vec_b')}"
                 " / (l2n_a * l2n_b), 4)"
             ).alias("cos_sim"),
         )
@@ -1815,7 +1828,7 @@ def ann_recall_eval(
             "_qid",
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', '_qvec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), '_qvec')}, 4)"
             ).alias("_cos"),
         )
     )
@@ -1833,7 +1846,7 @@ def ann_recall_eval(
             "_qid",
             F.col(id_col),
             F.expr(
-                f"round({_cosine_sql(f'`{vec_col}`', '_qvec')}, 4)"
+                f"round({cosine_sql(quote_ident(vec_col), '_qvec')}, 4)"
             ).alias("_cos"),
         )
     )
@@ -1917,7 +1930,7 @@ def kcenter_select(
         ).select(
             "id",
             "vec",
-            # the per-round cosine as ONE parsed string (see `_dot_sql`
+            # the per-round cosine as ONE parsed string (see `dot_sql`
             # — ~0.11 s of py4j per lambda-built cosine, ×(k−1) rounds);
             # resolved expression identical to the Column form
             F.when(F.col("id") == F.col("pick_id"), F.lit(2.0))
@@ -1925,7 +1938,7 @@ def kcenter_select(
                 F.greatest(
                     F.col("best_sim"),
                     F.expr(
-                        f"round({_cosine_sql('vec', 'pick_vec')}, 6)"
+                        f"round({cosine_sql('vec', 'pick_vec')}, 6)"
                     ),
                 )
             )

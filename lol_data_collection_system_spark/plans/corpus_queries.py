@@ -2688,7 +2688,7 @@ def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.expr(
-                f"round({sim_ops._cosine_sql('embedding', '_qv')}, 4)"
+                f"round({sim_ops.cosine_sql('embedding', '_qv')}, 4)"
             ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
@@ -2955,7 +2955,7 @@ def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.expr(
-                f"round({sim_ops._cosine_sql('embedding', '_qv')}, 4)"
+                f"round({sim_ops.cosine_sql('embedding', '_qv')}, 4)"
             ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
@@ -6141,7 +6141,7 @@ def q_cos_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.expr(
-            f"round({sim_ops._cosine_sql('a.embedding', 'b.embedding')}, 6)"
+            f"round({sim_ops.cosine_sql('a.embedding', 'b.embedding')}, 6)"
         ).alias("cos_sim")
     )
     bucket = F.floor(F.col("cos_sim") * 10).cast("int")
