@@ -2925,10 +2925,25 @@ def q_brand_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, single double divisions for lift."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The (order, brand) distinct frame feeds FOUR consumers (order
+    # total, per-brand counts, both self-join sides). As written with
+    # `.distinct()`, the dedup's own exchange keys (l_orderkey, p_brand)
+    # — the self-join then needs a SECOND exchange on l_orderkey, and
+    # the two aggregates re-ran scan + join + distinct from scratch
+    # (r12 stage metrics: three ~0.9 s stages). Repartitioning by
+    # l_orderkey BEFORE the dedup makes ONE exchange serve everything
+    # (guide §2.4): hash(l_orderkey) satisfies the dedup's clustered
+    # distribution (subset of its keys), the self-join consumes the
+    # same partitioning with no further shuffle, and ReuseExchange
+    # dedupes the single identical exchange across all consumers — the
+    # scan + broadcast join run once. N is pinned to shuffle.partitions
+    # (deployment-scaled; an unpinned repartition is AQE-coalesced).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .repartition(n_shuffle, F.col("l_orderkey"))
+        .dropDuplicates()
     )
     totals = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))

@@ -2251,7 +2251,7 @@ def incremental_dedup(
     d_sh = shingles(delta, id_col, text_col, k, wide=False)
     if hot is not None:
         d_sh = d_sh.join(hot, "shingle", "left_anti")
-    d_sh = d_sh.localCheckpoint(eager=False)
+    d_sh = d_sh.persist()
 
     # --- candidate tier: delta bands × corpus bands ---
     # stored band index at the exact requested geometry → skip the
@@ -2286,7 +2286,7 @@ def incremental_dedup(
         d_band.join(c_band, ["band_idx", "band_hash"])
         .select("did", "cid")
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # --- verify tier: Jaccard over candidate pairs only ---
