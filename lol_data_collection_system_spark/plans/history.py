@@ -80,25 +80,19 @@ def _walk_entries(
     return ml.withColumn("rn", F.row_number().over(walk))
 
 
-def stats_history(
+def walk_entries_with_matches(
     anchors: DataFrame,
     matchlist: DataFrame,
     matches: DataFrame,
-    participants: DataFrame,
-    lane_map: DataFrame,
-    kill_events: DataFrame,
-    max_weeks: int = 3,
-    max_games: int = 40,
+    max_weeks: int,
+    max_games: int,
 ) -> DataFrame:
-    """One wide history row per account.
-
-    anchors:      (account_id, reallane, match_time_ms)
-    matchlist:    MATCHLIST_ENTRY-shaped rows
-    matches:      (match_id, game_duration)
-    participants: exploded participant rows (sources.documents)
-    lane_map:     champion_lane_mapping output
-    kill_events:  (match_id, ts_ms, killer, victim, assists) CHAMPION_KILLs
-    """
+    """The persisted walk frame both history AND availability fold over:
+    in-window matchlist entries tagged with walk order, game_duration,
+    the remake flag, and the processing gate. Built once and shared —
+    `stats_availability` used to re-derive the identical anchor⋈matchlist
+    walk and matches join as a second subtree (one extra exchange chain
+    per history_row run)."""
     entries = _walk_entries(anchors, matchlist, max_weeks, max_games)
     entries = entries.join(
         matches.select(F.col("match_id").alias("game_id"), "game_duration"),
@@ -112,9 +106,41 @@ def stats_history(
         ),
         F.lit(0),
     )
-    entries = entries.withColumn(
+    return entries.withColumn(
         "processed", (F.col("rn") - prev_remakes) <= max_games
     ).persist()  # consumed by the totals agg AND the base join
+
+
+def stats_history(
+    anchors: DataFrame,
+    matchlist: DataFrame,
+    matches: DataFrame,
+    participants: DataFrame,
+    lane_map: DataFrame,
+    kill_events: DataFrame,
+    max_weeks: int = 3,
+    max_games: int = 40,
+    entries_df: DataFrame | None = None,
+) -> DataFrame:
+    """One wide history row per account.
+
+    anchors:      (account_id, reallane, match_time_ms)
+    matchlist:    MATCHLIST_ENTRY-shaped rows
+    matches:      (match_id, game_duration)
+    participants: exploded participant rows (sources.documents)
+    lane_map:     champion_lane_mapping output
+    kill_events:  (match_id, ts_ms, killer, victim, assists) CHAMPION_KILLs
+    entries_df:   optional pre-built `walk_entries_with_matches` frame
+                  (same anchors/matchlist/matches/max_weeks/max_games) so
+                  a caller computing availability too shares one walk
+    """
+    entries = (
+        entries_df
+        if entries_df is not None
+        else walk_entries_with_matches(
+            anchors, matchlist, matches, max_weeks, max_games
+        )
+    )
 
     # The participant the account played: champion-based lookup — account
     # ids churn historically, champion is stable in-match (utils.py:921-922)
@@ -352,6 +378,7 @@ def stats_availability(
     participants: DataFrame,
     lane_map: DataFrame,
     max_weeks: int = 3,
+    entries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Availability counters (`get_stats_availability`,
     `utils.py:990-1098`; SURVEY.md A16): per account, how many recent
@@ -360,6 +387,11 @@ def stats_availability(
 
     anchors: (account_id, reallane, current_champion, spells_set
     array<int>, runes_set array<long>, match_time_ms).
+
+    entries_df: optional pre-built `walk_entries_with_matches` frame over
+    the SAME anchors/matchlist/matches/max_weeks — the walk itself is
+    cap-independent (`max_games` only affects the `processed` column,
+    unused here), so `stats_history`'s frame is reusable as-is.
 
     Faithful reference quirks:
     - NO games cap — every in-window matchlist entry is examined;
@@ -371,17 +403,23 @@ def stats_availability(
     - spell/rune comparisons are Python *set* equality →
       sorted-distinct array equality.
     """
-    entries = _walk_entries(anchors, matchlist, max_weeks, max_games=0).drop("rn")
+    if entries_df is not None:
+        entries = entries_df
+        nonremake = entries.filter(F.col("game_duration") >= 300)
+    else:
+        entries = _walk_entries(
+            anchors, matchlist, max_weeks, max_games=0
+        ).drop("rn")
+        nonremake = entries.join(
+            matches.select(F.col("match_id").alias("game_id"), "game_duration"),
+            "game_id",
+        ).filter(F.col("game_duration") >= 300)
     top = entries.groupBy("account_id", "anchor_ts").agg(
         F.count(F.lit(1)).alias("num_matches"),
         F.count(
             F.when(F.col("champion_id") == F.col("current_champion"), 1)
         ).alias("num_matches_as_champion"),
     )
-    nonremake = entries.join(
-        matches.select(F.col("match_id").alias("game_id"), "game_duration"),
-        "game_id",
-    ).filter(F.col("game_duration") >= 300)
     detailed = (
         nonremake.join(
             participants.select(

@@ -207,13 +207,16 @@ def q_history_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors, matchlist, matches, participants, lane_map, kills = (
         synthetic_history_inputs(spark, sf_dir)
     )
+    entries = history_plan.walk_entries_with_matches(
+        anchors, matchlist, matches, MAX_WEEKS, MAX_GAMES
+    )
     hist = history_plan.stats_history(
         anchors, matchlist, matches, participants, lane_map, kills,
-        max_weeks=MAX_WEEKS, max_games=MAX_GAMES,
+        max_weeks=MAX_WEEKS, max_games=MAX_GAMES, entries_df=entries,
     )
     avail = history_plan.stats_availability(
         anchors, matchlist, matches, participants, lane_map,
-        max_weeks=MAX_WEEKS,
+        max_weeks=MAX_WEEKS, entries_df=entries,
     )
     out = hist.join(avail, "account_id")
     _ROW_CACHE[key] = out
