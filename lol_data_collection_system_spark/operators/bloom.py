@@ -113,7 +113,7 @@ def might_contain(
     # Lazily checkpointed: each of the k broadcast joins embeds its own
     # copy of the word-table subtree — without the checkpoint the
     # blocklist aggregate (a full scan of the blocklist!) runs k times.
-    bloom = bloom.localCheckpoint(eager=False)
+    bloom = bloom.persist()
     out = candidates
     hits = []
     for j in range(n_hashes):

@@ -177,7 +177,7 @@ def ngram_jaccard_pairs(
         else shingles_df,
         id_col,
         max_doc_freq,
-    ).localCheckpoint(eager=False)
+    ).persist()
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
 
@@ -362,7 +362,7 @@ def _candidate_pairs_from_signatures(
         F.posexplode(_band_hashes(n_hashes, band_size)).alias(
             "band_idx", "band_hash"
         ),
-    ).localCheckpoint(eager=False)
+    ).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -463,7 +463,7 @@ def hamming_candidate_edges(
         # lazily checkpointed so the upstream (often a per-row Python
         # decode like phash_images) materializes once here and the
         # banded join below reuses it instead of re-decoding.
-        reps = reps.localCheckpoint(eager=False)
+        reps = reps.persist()
         bucket_counts = reps.select(
             F.posexplode(F.array(*band_exprs())).alias("band_idx", "band_val")
         ).groupBy("band_idx", "band_val").agg(
@@ -854,7 +854,7 @@ def simhash_components(
     # what the MinHash family shares)
     sigs = simhash128(
         df, id_col, text_col, hashed_df=hashed_df
-    ).localCheckpoint(eager=False)
+    ).persist()
     return hamming_components(
         sigs,
         id_col,
@@ -995,7 +995,7 @@ def semantic_near_dup_pairs(
         keep_vec=True,
     ).withColumn("l2n", F.expr(l2_sql(quote_ident(vec_col))))
     if pair_budget is not None:
-        assigned = assigned.localCheckpoint(eager=False)
+        assigned = assigned.persist()
         sizes = assigned.groupBy("cid").count().collect()  # ≤ k rows
         pair_space = sum(r["count"] * r["count"] for r in sizes)
         if pair_budget == "auto":
@@ -1265,74 +1265,69 @@ def minhash_jaccard_calibration(
     side restricts the shingle join to candidate pairs FIRST (join
     pairs→shingles on id_a, then equi-join on (id_b, shingle)), so the
     exact computation is pair-bounded, never the corpus-wide shingle
-    self-join. The signature and shingle frames are lazily
-    checkpointed — each is consumed by 2-3 join sides, and Spark has no
-    automatic subplan reuse across sides (same rationale as the fight
-    frames; sf0.1 warm: 3.9 s → 3.3 s).
+    self-join. The signature and shingle frames are persisted — each is
+    consumed by 2-3 join sides, and Spark has no automatic subplan reuse
+    across sides (same rationale as the fight frames; sf0.1 warm:
+    3.9 s → 3.3 s). persist() rather than localCheckpoint(eager=False):
+    the lazy checkpoint re-ran ~1 s of toRdd planning at EVERY
+    construction (per-pass bench cost), where persist is plan-only;
+    a caller-provided shingles_df is used as-is (the shared corpus
+    frame is already persisted by its cache).
     """
+    qid = quote_ident(id_col)
     sig = minhash_signatures(
         df, id_col, text_col, k, n_hashes, shingles_df=shingles_df
-    ).localCheckpoint(eager=False)
+    ).persist()
     pairs = _candidate_pairs_from_signatures(sig, id_col, n_hashes, band_size)
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    sig_a = sig.selectExpr(
+        f"{qid} AS id_a", *[f"mh_{i} AS a_{i}" for i in range(n_hashes)]
     )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    sig_b = sig.selectExpr(
+        f"{qid} AS id_b", *[f"mh_{i} AS b_{i}" for i in range(n_hashes)]
     )
-    agree = sum(
-        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
-        for i in range(n_hashes)
-    )
-    est = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+    agree_sql = " + ".join(
+        f"CAST(a_{i} = b_{i} AS INT)" for i in range(n_hashes)
     )
     sh = (
-        shingles(df, id_col, text_col, k)
+        shingles(df, id_col, text_col, k).persist()
         if shingles_df is None
         else shingles_df
-    ).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        pairs.join(sh.selectExpr(f"{qid} AS id_a", "shingle"), "id_a")
         .join(
-            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            sh.selectExpr(f"{qid} AS id_b", "shingle"),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    true_j = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col(id_col).alias("id_a"),
-                           F.col("n_sh").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"),
-                           F.col("n_sh").alias("sz_b")), "id_b")
-        .select(
+    # One join chain computes BOTH the estimate and the truth per pair
+    # (est and true_j used to be separate pair-keyed subtrees re-joined
+    # at the end — one extra pairs scan and one extra join for nothing).
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.selectExpr(f"{qid} AS id_a", "n_sh AS sz_a"), "id_a")
+        .join(sizes.selectExpr(f"{qid} AS id_b", "n_sh AS sz_b"), "id_b")
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (
-                    F.col("sz_a") + F.col("sz_b")
-                    - F.coalesce(F.col("n_inter"), F.lit(0))
-                ).cast("double"),
-                6,
-            ).alias("true_jaccard"),
+            f"round(({agree_sql}) / CAST({float(n_hashes)!r} AS DOUBLE), 6)"
+            " AS est_jaccard",
+            "round(CAST(coalesce(n_inter, 0) AS DOUBLE)"
+            " / CAST(sz_a + sz_b - coalesce(n_inter, 0) AS DOUBLE), 6)"
+            " AS true_jaccard",
         )
-    )
-    return est.join(true_j, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        "est_jaccard",
-        "true_jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6).alias(
-            "abs_err"
-        ),
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "true_jaccard",
+            "round(abs(est_jaccard - true_jaccard), 6) AS abs_err",
+        )
     )
 
 
@@ -1593,7 +1588,7 @@ def corpus_shingle_index(
 
         c_w = c_sh.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).localCheckpoint(eager=False)
+        ).persist()
         c_sh = c_w.filter(F.col("_df") <= max_doc_freq).select(
             id_col, "shingle"
         )
@@ -1602,7 +1597,7 @@ def corpus_shingle_index(
             .select("shingle")
             .distinct()
         )
-    return corpus_fp, c_sh.localCheckpoint(eager=False), hot
+    return corpus_fp, c_sh.persist(), hot
 
 
 def write_corpus_index(
@@ -2384,7 +2379,7 @@ def containment_pairs(
         else shingles_df,
         id_col,
         max_doc_freq,
-    ).localCheckpoint(eager=False)
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

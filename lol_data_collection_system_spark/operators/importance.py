@@ -134,8 +134,8 @@ def dsir_log_weights(
     """
     gc = hashed_gram_counts(
         df.withColumn("_tgt", is_target), id_col, text_col, buckets, ("_tgt",)
-    ).localCheckpoint(eager=False)
-    # lazily checkpointed: the gram frame (explode + bigram window) feeds
+    ).persist()
+    # persisted: the gram frame (explode + bigram window) feeds
     # both the distribution aggregate and the scoring join, and Spark
     # recomputes an uncached subtree once per consumer.
     # BOTH bucket distributions in one aggregation pass over the gram

@@ -96,7 +96,7 @@ def exclusive_prefix_sum(
         # the output pass REUSES that result — one scan+shuffle instead
         # of two, and ONE set of sampled range boundaries for both
         # consumers (see pack_sequences' original measurement notes).
-        local = local.localCheckpoint(eager=False)
+        local = local.persist()
     totals = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
     )

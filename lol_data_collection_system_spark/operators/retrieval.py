@@ -255,9 +255,7 @@ def lm_score_buckets(
     # Lazily checkpointed: the scoring pipeline feeds both the cutoff
     # aggregate and the bucket projection, and Spark recomputes an
     # uncached subtree once per consumer.
-    scores = unigram_lm_scores(df, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    scores = unigram_lm_scores(df, id_col, text_col).persist()
     cuts = scores.agg(
         F.round(F.expr("percentile(avg_neg_logp, 0.25)"), 6).alias("q1"),
         F.round(F.expr("percentile(avg_neg_logp, 0.75)"), 6).alias("q3"),
@@ -321,7 +319,7 @@ def bigram_lm_scores(
     per_doc = (
         tri.groupBy(id_col, "prev", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     uni = per_doc.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = uni.agg(F.sum("ctf").alias("total"))

@@ -289,7 +289,7 @@ def token_budget_plan(
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col).alias("n_tokens"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     total = counts.agg(F.sum("n_tokens").alias("tok_total"))
     share = F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")
     raw_w = (

@@ -240,7 +240,7 @@ def cms_estimates(
             )
             % width,
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cells = hashed.groupBy("_r", "_b").agg(
         F.sum("exact_freq").alias("cnt")

@@ -82,7 +82,7 @@ def _feats_trained(
     of the corpus instead of re-reading parquet and re-running
     tokens/array_distinct per consumer (the pack_sequences recompute-tax
     pattern)."""
-    feats = doc_features(spark, sf_dir).localCheckpoint(eager=False)
+    feats = doc_features(spark, sf_dir).persist()
     weights = clf_ops.logreg_train(
         feats,
         list(CLF_FEATURES),

@@ -2694,7 +2694,7 @@ def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= SERVE_TOPK)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # ONE candidate join at max(nprobe) with the probe rank kept; each
     # sweep point is a filter over it (cells partition the corpus, so
@@ -2708,7 +2708,7 @@ def q_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         index,
         cents,
         nprobe=max(NPROBE_SWEEP),
-    ).localCheckpoint(eager=False)
+    ).persist()
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
