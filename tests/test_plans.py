@@ -230,18 +230,19 @@ def test_pack_sequences_no_single_partition(spark):
     """The packing offsets must come from the two-phase distributed
     prefix sum: range partition + per-partition window + broadcast
     offsets — never a global single-partition window. The default path
-    pins phase 1 behind a lazy localCheckpoint (one execution shared by
-    the offsets collect and the output pass), which truncates the
-    visible lineage — so the range-partitioner property is asserted on
-    the checkpoint-free introspection plan."""
+    pins phase 1 behind persist() (one execution shared by the offsets
+    collect and the output pass; r12 — was a lazy localCheckpoint, which
+    additionally paid a physical-planning pass per construction), so the
+    range-partitioner property is asserted on the persist-free
+    introspection plan."""
     from lol_data_collection_system_spark.operators import packing
     from lol_data_collection_system_spark.sources.tables import load_table
 
     plan = _plan(spark, "pack_sequences")
     assert "SinglePartition" not in plan
     assert "BroadcastExchange" in plan  # the tiny offsets table
-    # phase 1 reused from the checkpoint, not recomputed per consumer
-    assert "localCheckpoint" in plan
+    # phase 1 reused from the cache, not recomputed per consumer
+    assert "InMemoryTableScan" in plan
 
     docs = load_table(spark, SF_DIR, "documents")
     raw = packing.pack_sequences(docs, checkpoint=False)
@@ -258,12 +259,12 @@ def test_media_funnel_shard_prefix_sum_not_single_partition(spark):
     two-phase prefix sum (range partition → per-partition window →
     broadcast offsets), never a partition-less global window over the
     canonical set (VERDICT r7 #2: 100 TB media can carry 10⁸+
-    canonicals). The lazy checkpoint truncates the visible phase-1
-    lineage, so the pin is: no partition-less window spec anywhere, and
-    the checkpoint + offsets broadcast present."""
+    canonicals). Phase 1 is pinned behind persist() (r12 — was a lazy
+    localCheckpoint), so the pin is: no partition-less window spec
+    anywhere, and the cache reuse + offsets broadcast present."""
     plan = _plan(spark, "media_funnel")
     assert "windowspecdefinition(canonical_id" not in plan
-    assert "localCheckpoint" in plan
+    assert "InMemoryTableScan" in plan
     assert "BroadcastExchange" in plan  # the tiny offsets table
 
 
