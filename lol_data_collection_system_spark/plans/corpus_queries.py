@@ -744,6 +744,7 @@ def _dedup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
         max_doc_freq=SHINGLE_MAX_DF,
+        shingles_df=_doc_shingles_cached(spark, sf_dir),
     )
     labels = graph_ops.dedup_clusters(docs, pairs).persist()
     _DEDUP_LABELS_CACHE[key] = labels
@@ -5070,6 +5071,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", SHINGLE_K, JACCARD_THRESHOLD,
         max_doc_freq=SHINGLE_MAX_DF,
+        shingles_df=_doc_shingles_cached(spark, sf_dir),
     )
     return dedup_ops.cross_source_dup_matrix(docs, pairs)
 
